@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core helpers shared by all query modules.
+  *
+  * Data model per SURVEY.md §1.3: untyped `DataFrame` over a
+  * directory-of-parquet lake (reference layout engine.py:46-56 —
+  * one `{name}.parquet` per table). All operators are pure
+  * `(SparkSession, sfDir) => DataFrame` functions so the same code path
+  * serves the correctness gate (sf0.01), the bench (sf0.1), and a real
+  * cluster at 100 TB — nothing ever collects to the driver except
+  * explicitly-declared serve points.
+  */
+object Core {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** One declared operator: name, Spark impl, optional DuckDB oracle SQL.
+    * `oracle = None` → the driver records a weaker rows-only check
+    * (non-SQL-expressible ops: sketches, LSH, streaming).
+    */
+  final case class Entry(name: String, fn: QFn, oracle: Option[String])
+
+  def entry(name: String, oracle: String)(fn: QFn): Entry =
+    Entry(name, fn, Some(oracle))
+  def entryNoOracle(name: String)(fn: QFn): Entry = Entry(name, fn, None)
+
+  /** Lake loader — `spark.read.parquet` keeps the scan declarative so
+    * Catalyst pushes filters/projections into the parquet reader
+    * (PushedFilters / ReadSchema; SURVEY.md §4.2).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Timestamp columns are stringified in declared outputs: parquet
+    * timestamp annotations (isAdjustedToUTC, unit) vary between writers
+    * and would hash-mismatch against the DuckDB oracle even when the
+    * instant is identical. Microsecond form matches DuckDB
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S.%f')`.
+    */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Second-granularity variant — DuckDB `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
+  def tsStrSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Day-granularity variant — DuckDB `strftime(ts, '%Y-%m-%d')`. */
+  def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Non-empty tokens of a space-separated text column (documents.text has
+    * trailing spaces → `split` yields empty strings; both engines filter
+    * them identically).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+}

@@ -1,0 +1,739 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Relational operator families (SURVEY.md §2.2-2.7): projection/filter,
+  * joins, aggregation, window functions, sort/limit/set ops, and the
+  * temp-view SQL surface that replaces the reference's `CURRENT_TABLE`
+  * string-splice (reference engine.py:58-63).
+  *
+  * Every entry follows the determinism discipline of SURVEY.md §2.1:
+  * total ORDER BY with a unique tie-break key, ROUND(x,4) on floating
+  * aggregates, explicit stddev_samp, UTC, no bare LIMIT.
+  */
+object Relational {
+
+  /** TPC-H-Q1-shaped pricing summary — the flagship (SURVEY.md §7.1).
+    * Scan → filter (pushed to parquet) → partial+final hash aggregate →
+    * sort. At 100 TB this is a single shuffle on 6 tiny groups.
+    */
+  val q1 = entry(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity),4) AS sum_qty,
+      |  round(sum(l_extendedprice),4) AS sum_base_price,
+      |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+      |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+      |  round(avg(l_quantity),4) AS avg_qty,
+      |  round(avg(l_extendedprice),4) AS avg_price,
+      |  round(avg(l_discount),4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    load(s, dir, "lineitem")
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 4).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---- §2.3 projection / filter / row ops -------------------------------
+
+  val projFilter: Seq[Entry] = Seq(
+    entry(
+      "proj_select",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey"
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    entry(
+      "proj_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice*(1-l_discount),4) AS net_price,
+        |  round(l_extendedprice*(1-l_discount)*(1+l_tax),4) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "lineitem").select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("net_price"),
+        round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 4).as("charge")
+      ).orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    entry(
+      "filter_pred",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 300000 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "orders")
+        .filter($"o_totalprice" > 300000 && $"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    entry(
+      "filter_regex",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE regexp_matches(c_name, '^Customer#0*[0-9]*[02468]$')
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .filter($"c_name".rlike("^Customer#0*[0-9]*[02468]$"))
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    entry(
+      "filter_null",
+      """SELECT event_id, user_id, value FROM events
+        |WHERE props IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .na.drop(Seq("props", "value", "user_id"))
+        .select($"event_id", $"user_id", $"value")
+        .orderBy($"event_id")
+    },
+
+    entry(
+      "distinct_rows",
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .select($"c_nationkey", $"c_mktsegment").distinct()
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    },
+
+    // Deterministic dedup: row_number, NOT dropDuplicates (whose row pick is
+    // partition-order dependent — SURVEY.md §7.4).
+    entry(
+      "dedup_exact",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey")
+    },
+
+    entry(
+      "limit_head",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(10)
+    }
+  )
+
+  // ---- §2.4 joins -------------------------------------------------------
+  // Physical strategy is Catalyst's choice: dims (region/nation/customer/
+  // supplier) fall under autoBroadcastJoinThreshold → BroadcastHashJoin;
+  // fact-fact goes SortMergeJoin; AQE re-plans skew at runtime.
+
+  val joins: Seq[Entry] = Seq(
+    entry(
+      "join_inner_equi",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "orders")
+        .join(load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    entry(
+      "join_left_outer",
+      """SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .join(load(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
+        .select($"c_custkey", $"o_orderkey")
+        .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
+    },
+
+    entry(
+      "join_right_outer",
+      """SELECT c_custkey, o_orderkey FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "orders")
+        .join(load(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right")
+        .select($"c_custkey", $"o_orderkey")
+        .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
+    },
+
+    entry(
+      "join_full_outer",
+      """SELECT c_custkey, s_suppkey FROM customer
+        |FULL OUTER JOIN supplier ON c_nationkey = s_nationkey
+        |ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .join(load(s, dir, "supplier"), $"c_nationkey" === $"s_nationkey", "full")
+        .select($"c_custkey", $"s_suppkey")
+        .orderBy($"c_custkey".asc_nulls_first, $"s_suppkey".asc_nulls_first)
+    },
+
+    entry(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .join(load(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    entry(
+      "join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .join(load(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    entry(
+      "join_cross",
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "region").crossJoin(load(s, dir, "nation"))
+        .select($"r_regionkey", $"r_name", $"n_nationkey", $"n_name")
+        .orderBy($"r_regionkey", $"n_nationkey")
+    },
+
+    // Non-equi range join: same-user event pairs within a 5-minute window.
+    // Equi-key on user_id keeps it a hash/sort-merge join with a range
+    // residual — the scalable form (pure theta would be a BNLJ).
+    entry(
+      "join_theta_range",
+      """SELECT a.user_id, count(*) AS pair_cnt
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val ev = load(s, dir, "events")
+      val a = ev.select($"user_id", $"ts")
+      val b = ev.select($"user_id".as("b_uid"), $"ts".as("b_ts"))
+      a.join(b, $"user_id" === $"b_uid" && $"b_ts" > $"ts" &&
+          $"b_ts" <= $"ts" + expr("INTERVAL 5 MINUTE"))
+        .groupBy($"user_id").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy($"user_id")
+    },
+
+    // As-of join (no native batch as-of in Spark — SURVEY.md §7.3): latest
+    // prior 'view' per 'purchase' via range join + row_number pick.
+    entry(
+      "join_asof",
+      """SELECT p_id, user_id, v_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id, v.event_id AS v_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view') t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val ev = load(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      val v = ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id".as("v_uid"), $"ts".as("v_ts"))
+      val w = Window.partitionBy($"p_id").orderBy($"v_ts".desc, $"v_id".desc)
+      p.join(v, $"user_id" === $"v_uid" && $"v_ts" <= $"p_ts")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"p_id", $"user_id", $"v_id")
+        .orderBy($"p_id")
+    },
+
+    // TPC-H Q5-shaped star join; Catalyst broadcast-joins the dim chain and
+    // reorders — no manual scheduling (SURVEY.md §4.2).
+    entry(
+      "join_multiway_star",
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM region
+        |JOIN nation  ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders  ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "region").filter($"r_name" === "ASIA")
+        .join(load(s, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+        .join(load(s, dir, "customer"), $"c_nationkey" === $"n_nationkey")
+        .join(load(s, dir, "orders")
+          .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+            $"o_orderdate" < to_timestamp(lit("1998-01-01"))),
+          $"o_custkey" === $"c_custkey")
+        .join(load(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+        .orderBy($"n_name")
+    }
+  )
+
+  // ---- §2.5 aggregation -------------------------------------------------
+
+  val aggs: Seq[Entry] = Seq(
+    entry(
+      "agg_global",
+      """SELECT count(*) AS n_rows, round(sum(l_quantity),4) AS sum_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(min(l_extendedprice),4) AS min_price,
+        |  round(max(l_extendedprice),4) AS max_price
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(min($"l_extendedprice"), 4).as("min_price"),
+        round(max($"l_extendedprice"), 4).as("max_price"))
+    },
+
+    entry(
+      "agg_count_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("uniq_users"))
+        .orderBy($"event_type")
+    },
+
+    // HLL sketch — differs from the exact oracle by construction → no
+    // oracle; unit-tested within ±2% of exact (SURVEY.md §2.5).
+    entryNoOracle("agg_approx_distinct") { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .orderBy($"event_type")
+    },
+
+    // remove_outliers (reference agent.py:65): two-phase mean/stddev then
+    // |z| filter. Stats computed once and broadcast — no per-row subquery.
+    entry(
+      "agg_stats_zscore",
+      """WITH s AS (SELECT avg(l_extendedprice) AS mu,
+        |                  stddev_samp(l_extendedprice) AS sd FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, round((l_extendedprice - mu)/sd, 4) AS z
+        |FROM lineitem, s WHERE abs((l_extendedprice - mu)/sd) > 2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val li = load(s, dir, "lineitem")
+      val stats = li.agg(avg($"l_extendedprice").as("mu"),
+        stddev_samp($"l_extendedprice").as("sd"))
+      li.crossJoin(broadcast(stats))
+        .withColumn("z", ($"l_extendedprice" - $"mu") / $"sd")
+        .filter(abs($"z") > 2)
+        .select($"l_orderkey", $"l_linenumber", round($"z", 4).as("z"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    entry(
+      "agg_having",
+      """SELECT c_nationkey, count(*) AS cnt FROM customer
+        |GROUP BY c_nationkey HAVING count(*) >= 5 ORDER BY c_nationkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 5)
+        .orderBy($"c_nationkey")
+    },
+
+    entry(
+      "agg_rollup",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+        |  count(*) AS cnt, round(sum(c_acctbal),4) AS total_bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY seg, nk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .withColumn("nk0", $"c_nationkey".cast("string"))
+        .rollup($"c_mktsegment", $"nk0")
+        .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 4).as("total_bal"))
+        .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"),
+          coalesce($"nk0", lit("ALL")).as("nk"), $"cnt", $"total_bal")
+        .orderBy($"seg", $"nk")
+    },
+
+    entry(
+      "agg_cube",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+        |  count(*) AS cnt FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+        |ORDER BY seg, nk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .withColumn("nk0", $"c_nationkey".cast("string"))
+        .cube($"c_mktsegment", $"nk0")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce($"c_mktsegment", lit("ALL")).as("seg"),
+          coalesce($"nk0", lit("ALL")).as("nk"), $"cnt")
+        .orderBy($"seg", $"nk")
+    },
+
+    entry(
+      "agg_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS cnt, round(sum(o_totalprice),4) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin
+    ) { (s, dir) =>
+      load(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS prio,
+          |  count(*) AS cnt, round(sum(o_totalprice),4) AS total
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+          |ORDER BY status, prio""".stripMargin)
+    },
+
+    // Pivot with an explicit value list (no extra distinct pass); missing
+    // combos coalesced to 0 to match the oracle's conditional counts.
+    entry(
+      "agg_pivot",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(count(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = load(s, dir, "events")
+        .withColumn("day", dayStr(date_trunc("day", $"ts")))
+        .groupBy($"day").pivot("event_type", types).count()
+      p.select($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy($"day")
+    },
+
+    // Exact percentiles for the oracle match; at 100 TB the same entry
+    // swaps to percentile_approx (SURVEY.md §2.5).
+    entry(
+      "agg_percentile",
+      """SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+        |  round(quantile_cont(value, 0.9),4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy($"event_type")
+    }
+  )
+
+  // ---- §2.6 window functions --------------------------------------------
+
+  val windows: Seq[Entry] = Seq(
+    entry(
+      "win_row_number_topn",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    entry(
+      "win_rank_dense",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS drnk
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+    },
+
+    // top_performers (reference agent.py:66): top 10% by balance.
+    entry(
+      "win_percent_topk",
+      """SELECT c_custkey, c_acctbal, round(pr, 4) AS pr FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |         percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pr
+        |  FROM customer) t WHERE pr <= 0.10
+        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+      load(s, dir, "customer")
+        .withColumn("pr0", percent_rank().over(w))
+        .filter($"pr0" <= 0.10)
+        .select($"c_custkey", $"c_acctbal", round($"pr0", 4).as("pr"))
+        .orderBy($"c_acctbal".desc_nulls_last, $"c_custkey")
+    },
+
+    entry(
+      "win_lag_lead",
+      """SELECT user_id, event_id,
+        |  round(value - lag(value) OVER w, 4) AS delta,
+        |  lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          round($"value" - lag($"value", 1).over(w), 4).as("delta"),
+          lead($"event_type", 1).over(w).as("next_type"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    entry(
+      "win_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 4).as("run_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // RANGE frame over a numeric day index (Spark rangeBetween requires a
+    // numeric ORDER BY key): trailing 30-day revenue per customer.
+    entry(
+      "win_range_frame",
+      """SELECT o_custkey, o_orderkey, day,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS mv_total
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |      FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-30, 0)
+      load(s, dir, "orders")
+        .withColumn("day", datediff(to_date($"o_orderdate"), to_date(lit("1995-01-01"))).cast("long"))
+        .select($"o_custkey", $"o_orderkey", $"day",
+          round(sum($"o_totalprice").over(w), 4).as("mv_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    entry(
+      "win_first_last",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(w).as("first_price"),
+          last($"o_totalprice").over(w).as("last_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }
+  )
+
+  // ---- §2.7 sort / limit / top-k / set ops ------------------------------
+
+  val sortSet: Seq[Entry] = Seq(
+    entry(
+      "sort_multi",
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .orderBy($"c_mktsegment".asc_nulls_first, $"c_acctbal".desc_nulls_last, $"c_custkey")
+    },
+
+    // ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
+    // heap, no global sort (SURVEY.md §4.2).
+    entry(
+      "topk_order_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    entry(
+      "limit_offset",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40"
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+        .offset(40).limit(20)
+    },
+
+    entry(
+      "set_union_all",
+      """SELECT id, src FROM (
+        |  SELECT c_custkey AS id, 'c' AS src FROM customer
+        |  UNION ALL SELECT s_suppkey AS id, 's' AS src FROM supplier) t
+        |ORDER BY src, id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val c = load(s, dir, "customer").select($"c_custkey".as("id"), lit("c").as("src"))
+      val sup = load(s, dir, "supplier").select($"s_suppkey".as("id"), lit("s").as("src"))
+      c.unionByName(sup).orderBy($"src", $"id")
+    },
+
+    entry(
+      "set_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer").select($"c_nationkey".as("nk"))
+        .union(load(s, dir, "supplier").select($"s_nationkey"))
+        .distinct()
+        .orderBy($"nk")
+    },
+
+    entry(
+      "set_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer").select($"c_nationkey".as("nk"))
+        .intersect(load(s, dir, "supplier").select($"s_nationkey".as("nk")))
+        .orderBy($"nk")
+    },
+
+    entry(
+      "set_except",
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "customer").select($"c_custkey".as("id"))
+        .except(load(s, dir, "orders").select($"o_custkey".as("id")))
+        .orderBy($"id")
+    }
+  )
+
+  /** Catalog temp-view SQL surface — the Spark-native replacement for the
+    * reference's `CURRENT_TABLE` path substitution (engine.py:58-63):
+    * `createOrReplaceTempView` + `spark.sql`, catalog-backed instead of
+    * string-spliced.
+    */
+  val sqlEntry = entry(
+    "sql_entry",
+    """SELECT l_returnflag, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    load(s, dir, "lineitem").createOrReplaceTempView("current_table")
+    s.sql(
+      """SELECT l_returnflag, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        |  count(*) AS cnt
+        |FROM current_table GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val entries: Seq[Entry] =
+    Seq(q1) ++ projFilter ++ joins ++ aggs ++ windows ++ sortSet ++ Seq(sqlEntry)
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Time-series windowing over the `events` table (SURVEY.md §2.9, batch
+  * forms). The same `window`/`session_window` expressions run unchanged on
+  * a Structured Streaming source — streaming execution semantics
+  * (watermarks, late data) are covered by MemoryStream unit tests, not
+  * oracles.
+  */
+object TimeSeriesQ {
+
+  val entries: Seq[Entry] = Seq(
+    entry(
+      "ts_tumbling",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("total"))
+        .select(dayStr($"window.start").as("day"), $"event_type", $"cnt", $"total")
+        .orderBy($"day", $"event_type")
+    },
+
+    // Sliding 1h windows every 30min: each event belongs to exactly two
+    // windows (the 30-min floor and the one before it) — the oracle
+    // materializes the same two starts per event via unnest.
+    entry(
+      "ts_sliding",
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt
+        |FROM (SELECT event_type,
+        |        unnest([to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))::TIMESTAMP,
+        |                to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))::TIMESTAMP
+        |                  - INTERVAL 30 MINUTE]) AS ws
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(tsStrSec($"window.start").as("ws"), $"event_type", $"cnt")
+        .orderBy($"ws", $"event_type")
+    },
+
+    // Session windows, 30-minute gap. Spark `session_window` closes a
+    // session when the next event is >= gap after the previous one; the
+    // oracle reproduces that with gaps-and-islands (lag + cumulative sum).
+    entry(
+      "ts_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      load(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(min($"ts").as("mn"), max($"ts").as("mx"), count(lit(1)).as("cnt"))
+        .select($"user_id", tsStr($"mn").as("s_start"), tsStr($"mx").as("s_end"), $"cnt")
+        .orderBy($"user_id", $"s_start")
+    }
+  )
+}
