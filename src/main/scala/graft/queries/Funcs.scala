@@ -182,7 +182,8 @@ object Funcs {
     ) { (s, dir) =>
       import s.implicits._
       load(s, dir, "events")
-        .withColumn("m", from_json($"props", "map<string,bigint>"))
+        .withColumn("m", from_json($"props",
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
         .select(
           $"event_id",
           element_at($"m", "k").as("k_val"),
