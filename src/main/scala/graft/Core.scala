@@ -33,6 +33,20 @@ object Core {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default. We read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
+    * TimestampType via integral division — `ts div 1000` stays in Long
+    * (double division would lose precision above 2^53 ns). DuckDB reads
+    * the same column as TIMESTAMP_NS and truncates to µs on strftime, so
+    * both engines agree on the instant.
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Timestamp columns are stringified in declared outputs: parquet
     * timestamp annotations (isAdjustedToUTC, unit) vary between writers
     * and would hash-mismatch against the DuckDB oracle even when the

@@ -181,7 +181,7 @@ object Funcs {
         |FROM events ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .withColumn("m", from_json($"props",
           org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
         .select(
@@ -199,7 +199,7 @@ object Funcs {
         |FROM events ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events").select(
+      loadEvents(s, dir).select(
         $"event_id",
         get_json_object($"props", "$.k").as("k_str"),
         get_json_object($"props", "$.k").cast("long").as("k_num")

@@ -66,15 +66,21 @@ object Relational {
     entry(
       "proj_arith",
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice*(1-l_discount),4) AS net_price,
-        |  round(l_extendedprice*(1-l_discount)*(1+l_tax),4) AS charge
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2))),4) AS DOUBLE) AS net_price,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))*(1-CAST(l_discount AS DECIMAL(4,2)))*(1+CAST(l_tax AS DECIMAL(4,2))),4) AS DOUBLE) AS charge
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
+      // Money columns are 2-decimal values stored as double; casting to
+      // decimal before the product makes the arithmetic exact in both
+      // engines (double-product round(x,4) disagrees at 1-ulp boundaries).
+      val price = $"l_extendedprice".cast("decimal(12,2)")
+      val disc  = lit(1) - $"l_discount".cast("decimal(4,2)")
+      val tax   = lit(1) + $"l_tax".cast("decimal(4,2)")
       load(s, dir, "lineitem").select(
         $"l_orderkey", $"l_linenumber",
-        round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("net_price"),
-        round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 4).as("charge")
+        round(price * disc, 4).cast("double").as("net_price"),
+        round(price * disc * tax, 4).cast("double").as("charge")
       ).orderBy($"l_orderkey", $"l_linenumber")
     },
 
@@ -111,7 +117,7 @@ object Relational {
         |ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .na.drop(Seq("props", "value", "user_id"))
         .select($"event_id", $"user_id", $"value")
         .orderBy($"event_id")
@@ -264,7 +270,7 @@ object Relational {
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val ev = load(s, dir, "events")
+      val ev = loadEvents(s, dir)
       val a = ev.select($"user_id", $"ts")
       val b = ev.select($"user_id".as("b_uid"), $"ts".as("b_ts"))
       a.join(b, $"user_id" === $"b_uid" && $"b_ts" > $"ts" &&
@@ -287,7 +293,7 @@ object Relational {
         |WHERE rn = 1 ORDER BY p_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val ev = load(s, dir, "events")
+      val ev = loadEvents(s, dir)
       val p = ev.filter($"event_type" === "purchase")
         .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
       val v = ev.filter($"event_type" === "view")
@@ -356,7 +362,7 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy($"event_type")
         .agg(countDistinct($"user_id").as("uniq_users"))
         .orderBy($"event_type")
@@ -366,7 +372,7 @@ object Relational {
     // oracle; unit-tested within ±2% of exact (SURVEY.md §2.5).
     entryNoOracle("agg_approx_distinct") { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
         .orderBy($"event_type")
@@ -473,7 +479,7 @@ object Relational {
     ) { (s, dir) =>
       import s.implicits._
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val p = load(s, dir, "events")
+      val p = loadEvents(s, dir)
         .withColumn("day", dayStr(date_trunc("day", $"ts")))
         .groupBy($"day").pivot("event_type", types).count()
       p.select($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
@@ -489,7 +495,7 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy($"event_type")
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"))
@@ -563,7 +569,7 @@ object Relational {
     ) { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .select($"user_id", $"event_id",
           round($"value" - lag($"value", 1).over(w), 4).as("delta"),
           lead($"event_type", 1).over(w).as("next_type"))

@@ -19,7 +19,7 @@ object TimeSeriesQ {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy(window($"ts", "1 day"), $"event_type")
         .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("total"))
         .select(dayStr($"window.start").as("day"), $"event_type", $"cnt", $"total")
@@ -40,7 +40,7 @@ object TimeSeriesQ {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
         .agg(count(lit(1)).as("cnt"))
         .select(tsStrSec($"window.start").as("ws"), $"event_type", $"cnt")
@@ -69,7 +69,7 @@ object TimeSeriesQ {
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      load(s, dir, "events")
+      loadEvents(s, dir)
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(min($"ts").as("mn"), max($"ts").as("mx"), count(lit(1)).as("cnt"))
         .select($"user_id", tsStr($"mn").as("s_start"), tsStr($"mx").as("s_end"), $"cnt")
