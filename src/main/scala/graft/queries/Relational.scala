@@ -293,16 +293,23 @@ object Relational {
         |WHERE rn = 1 ORDER BY p_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val ev = loadEvents(s, dir)
-      val p = ev.filter($"event_type" === "purchase")
-        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
-      val v = ev.filter($"event_type" === "view")
-        .select($"event_id".as("v_id"), $"user_id".as("v_uid"), $"ts".as("v_ts"))
-      val w = Window.partitionBy($"p_id").orderBy($"v_ts".desc, $"v_id".desc)
-      p.join(v, $"user_id" === $"v_uid" && $"v_ts" <= $"p_ts")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"p_id", $"user_id", $"v_id")
+      // Scale-safe as-of: instead of the unbounded range self-join
+      // (quadratic per hot user — views×purchases materialized before the
+      // rank picks one), union both event kinds and carry the latest view
+      // forward with last(_, ignoreNulls) over a rows-frame window: ONE
+      // linear shuffle on user_id, O(events) state. Views sort before
+      // purchases at equal ts (kind 0 < 1) so v.ts <= p.ts ties count;
+      // same-ts views resolve to max event_id, matching the oracle's
+      // ORDER BY v.ts DESC, v.event_id DESC pick.
+      val ev = loadEvents(s, dir).filter($"event_type".isin("view", "purchase"))
+      val tagged = ev.select($"event_id", $"user_id", $"ts",
+        when($"event_type" === "view", 0).otherwise(1).as("kind"),
+        when($"event_type" === "view", $"event_id").as("v_event"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("v_id", last($"v_event", ignoreNulls = true).over(w))
+        .filter($"kind" === 1 && $"v_id".isNotNull)
+        .select($"event_id".as("p_id"), $"user_id", $"v_id")
         .orderBy($"p_id")
     },
 
@@ -525,37 +532,46 @@ object Relational {
 
     entry(
       "win_rank_dense",
-      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
-        |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS rnk,
-        |  CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS drnk
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER (PARTITION BY l_partkey ORDER BY l_quantity) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY l_partkey ORDER BY l_quantity) AS BIGINT) AS drnk
         |FROM lineitem
-        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_partkey, l_quantity, l_orderkey, l_linenumber""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      // Window partitioned on the high-cardinality l_partkey (≈ SF×200k
+      // keys): partitions stay small at any scale. The previous
+      // l_returnflag key has ~3 values → 3 straggler tasks each sorting a
+      // third of the table at 100×.
+      val w = Window.partitionBy($"l_partkey").orderBy($"l_quantity")
       load(s, dir, "lineitem")
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+        .select($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
           rank().over(w).cast("long").as("rnk"),
           dense_rank().over(w).cast("long").as("drnk"))
-        .orderBy($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_partkey", $"l_quantity", $"l_orderkey", $"l_linenumber")
     },
 
     // top_performers (reference agent.py:66): top 10% by balance.
     entry(
       "win_percent_topk",
-      """SELECT c_custkey, c_acctbal, round(pr, 4) AS pr FROM (
-        |  SELECT c_custkey, c_acctbal,
-        |         percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pr
-        |  FROM customer) t WHERE pr <= 0.10
-        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal >= (SELECT quantile_cont(c_acctbal, 0.9) FROM customer)
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
-      load(s, dir, "customer")
-        .withColumn("pr0", percent_rank().over(w))
-        .filter($"pr0" <= 0.10)
-        .select($"c_custkey", $"c_acctbal", round($"pr0", 4).as("pr"))
-        .orderBy($"c_acctbal".desc_nulls_last, $"c_custkey")
+      // Top-10%-by-sales (`top_performers`, reference agent.py:66) in the
+      // scale-safe two-pass form: distributed exact percentile → 1-row
+      // broadcast → map-side filter. The previous unpartitioned
+      // percent_rank() window funneled the whole table through a single
+      // partition ("No Partition Defined for Window" → OOM at 100×).
+      // Spark `percentile` and DuckDB `quantile_cont` both linearly
+      // interpolate at (n-1)*p in double — identical thresholds.
+      val cust = load(s, dir, "customer")
+      val thr = cust.agg(percentile($"c_acctbal", lit(0.9)).as("thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter($"c_acctbal" >= $"thr")
+        .select($"c_custkey", $"c_acctbal")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
     },
 
     entry(
