@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators (SURVEY.md §2.9 U-rows). Each transform
+  * takes an already-streaming DataFrame (`readStream`/MemoryStream) and
+  * returns the transformed streaming frame — source-agnostic so the same
+  * code path serves MemoryStream specs here and Kafka/file streams on a
+  * real cluster.
+  *
+  * Scale notes: every stateful op below keys its state by a
+  * high-cardinality column (user_id / event_id) so state shards across
+  * executors; watermarks bound state size (no unbounded retention).
+  */
+object Streams {
+
+  /** Event record for typed stateful ops. */
+  final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                      ts: Timestamp, value: Double)
+
+  final case class SessionAgg(user_id: Long, n_events: Long, total: Double)
+
+  /** Tumbling 1-minute window counts with a 2-minute watermark — the
+    * streaming analogue of ts_tumbling (reference's batch day-bucket,
+    * engine.py SQL surface). Late rows beyond the watermark are dropped.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * `dropDuplicates` + watermark is the supported bounded-state form.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Custom per-user running state via mapGroupsWithState: running count
+    * and value sum per user, emitted on every trigger (Update mode).
+    */
+  def statefulUserTotals(events: Dataset[Ev]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n_events, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = SessionAgg(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Append-mode tumbling agg whose emitted results EXCLUDE
+    * beyond-watermark late data — the observable late-data contract:
+    * a row older than (max event time - 2 min) never changes a window
+    * that the watermark has already closed.
+    */
+  def lateDataCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Convenience: run a streaming frame to a named in-memory sink table,
+    * processing all currently-available input synchronously.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions.{base64, length}
+import java.nio.file.Files
+
+/** SURVEY.md §2.2 U-rows: ingestion/serving edges round-trip through real
+  * files in a temp dir.
+  */
+class IngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-ingest").toString
+
+  test("src_csv_scan: header+inferSchema round-trip") {
+    val p = s"$tmp/in.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      "id,name,score\n1,alpha,2.5\n2,beta,4.0\n")
+    val df = Ingest.readCsv(spark, p)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.as[(Int, String, Double)].collect().sorted.toSeq ==
+      Seq((1, "alpha", 2.5), (2, "beta", 4.0)))
+  }
+
+  test("src_csv_scan: explicit schema skips inference") {
+    val p = s"$tmp/in2.csv"
+    Files.writeString(java.nio.file.Paths.get(p), "id,v\n1,x\n")
+    val df = Ingest.readCsv(spark, p, Some("id LONG, v STRING"))
+    assert(df.schema("id").dataType.typeName == "long")
+  }
+
+  test("src_json_scan: json-lines round-trip") {
+    val p = s"$tmp/in.jsonl"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"id":1,"tag":"a"}""" + "\n" + """{"id":2,"tag":"b"}""" + "\n")
+    val df = Ingest.readJson(spark, p)
+    assert(df.select($"id", $"tag").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("sink_parquet_bronze + re-read: lake round-trip") {
+    val src = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    Ingest.writeBronze(src, tmp, "bronze_t")
+    val back = spark.read.parquet(s"$tmp/bronze_t.parquet")
+    assert(back.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("sink_csv_export: header preserved") {
+    val src = Seq((1L, "x")).toDF("k", "v")
+    Ingest.exportCsv(src, s"$tmp/out_csv")
+    val back = Ingest.readCsv(spark, s"$tmp/out_csv")
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 1)
+  }
+
+  test("sink_json_serve: bounded, ordered head-N") {
+    val src = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Ingest.serveJsonHead(src, "k", 2)
+    assert(out == Seq("""{"k":1,"v":"a"}""", """{"k":2,"v":"b"}"""))
+  }
+
+  test("src_pdf_scan stub: one row per 1024-byte page slice") {
+    val p = s"$tmp/fake.pdf"
+    Files.write(java.nio.file.Paths.get(p), Array.fill[Byte](3000)(65))
+    val pages = Ingest.readPdfPages(spark, p)
+    assert(pages.columns.toSeq == Seq("path", "page", "content"))
+    val b64len = spark.read.format("binaryFile").load(p)
+      .select(length(base64($"content"))).as[Int].collect().head
+    val expected = math.ceil(b64len / 1024.0).toInt
+    val n = pages.count()
+    assert(n == expected, s"base64 len $b64len -> $expected pages, got $n")
+    assert(pages.select("page").as[Int].collect().sorted.toSeq == (1 to expected).toSeq)
+    // pages reassemble to the original payload
+    val joined = pages.orderBy($"page").select($"content").as[String].collect().mkString
+    assert(joined.filter(_ != '\n').length >= 4000)
+  }
+}

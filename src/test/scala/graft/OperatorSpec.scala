@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Semantics + plan-shape specs for the operators whose scale design
+  * matters most (SURVEY.md §5.2): as-of correctness on crafted edges,
+  * near-dedup recall on planted pairs, and no-all-pairs plan assertions.
+  */
+class OperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("join_asof carry-forward: purchase with no prior view is dropped; ties pick max view id") {
+    // Inline timeline: user 1 -> view(10:00) v1, view(10:00) v2 (tie),
+    // purchase(10:00) p3 (same instant: views count), purchase(10:05) p4;
+    // user 2 -> purchase with no view ever (must drop).
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val t5 = Timestamp.valueOf("2026-01-01 10:05:00")
+    val df = Seq(
+      (1L, 1L, "view", t0), (2L, 1L, "view", t0), (3L, 1L, "purchase", t0),
+      (4L, 1L, "purchase", t5), (5L, 2L, "purchase", t0)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select($"event_id", $"user_id", $"ts",
+      when($"event_type" === "view", 0).otherwise(1).as("kind"),
+      when($"event_type" === "view", $"event_id").as("v_event"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = tagged.withColumn("v_id", last($"v_event", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"v_id".isNotNull)
+      .select($"event_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((3L, 2L), (4L, 2L)), s"got $out")
+  }
+
+  test("join_asof on testdata matches the quadratic reference form") {
+    val ev = Core.loadEvents(spark, sf("sf0.001"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_uid"), $"ts".as("v_ts"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"p_id").orderBy($"v_ts".desc, $"v_id".desc)
+    val reference = p.join(v, $"user_id" === $"v_uid" && $"v_ts" <= $"p_ts")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    val fast = SparkEntry.queries("join_asof")(spark, sf("sf0.001"))
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == reference)
+  }
+
+  test("text_dedup_near recovers every identical-token-set pair (planted dups)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", array_sort(array_distinct(graft.Core.tokens(lower($"text")))).as("toks"))
+    val truth = docs.as("a").join(docs.as("b"),
+        $"a.toks" === $"b.toks" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("text_dedup_near")(spark, sf("sf0.001"))
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted identical token sets")
+    assert((truth -- got).isEmpty,
+      s"minhash-LSH missed ${(truth -- got).size} of ${truth.size} planted pairs")
+  }
+
+  test("no all-pairs product in the bucketed/banded plans") {
+    for (q <- Seq("text_dedup_near", "text_simhash_dedup", "text_ngram_jaccard", "join_asof")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has BNLJ")
+    }
+  }
+
+  test("vec_knn_topk: scores in [-1,1], 5 rows, descending") {
+    val rows = SparkEntry.queries("vec_knn_topk")(spark, sf("sf0.001"))
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.length == 5)
+    assert(rows.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+  }
+
+  test("vec_knn_join_lsh candidates are a subset re-rank: rnk<=3 per vector, scores valid") {
+    val rows = SparkEntry.queries("vec_knn_join_lsh")(spark, sf("sf0.001"))
+      .select($"a_id", $"rnk", $"score").as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 <= 3))
+    assert(rows.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == g.length))
+  }
+
+  test("agg_approx_distinct within 2% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
+    val cols = approx.columns
+    val ev = Core.loadEvents(spark, sf("sf0.01"))
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact"))
+    val joined = approx.join(exact, "event_type")
+      .select(col(cols(1)).cast("double"), $"exact".cast("double"))
+      .as[(Double, Double)].collect()
+    joined.foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** SURVEY.md §2.9 U-rows: scripted MemoryStream timelines with
+  * deterministic assertions (watermark semantics, bounded-state dedup,
+  * custom state, late-data drop).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$sec%02d")
+
+  test("stream_tumbling_wm: tumbling window counts with watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, 1, "view", ts(0, 10), 1.0),
+      Ev(2, 1, "view", ts(0, 40), 2.0),
+      Ev(3, 2, "click", ts(1, 5), 3.0))
+    Streams.runToMemory(Streams.tumblingCounts(in.toDF()), "tumbling_out", OutputMode.Complete())
+    val rows = spark.table("tumbling_out")
+      .select($"w_start".cast("string"), $"event_type", $"n", $"total")
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      ("2026-01-01 10:00:00", "view", 2L, 3.0),
+      ("2026-01-01 10:01:00", "click", 1L, 3.0)))
+  }
+
+  test("stream_dedup: duplicate event_ids within watermark are dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, 1, "view", ts(0), 1.0),
+      Ev(1, 1, "view", ts(0), 1.0), // exact dup
+      Ev(2, 1, "view", ts(0, 30), 2.0))
+    Streams.runToMemory(Streams.dedupStream(in.toDF()), "dedup_out", OutputMode.Append())
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("stream_stateful: mapGroupsWithState accumulates across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.statefulUserTotals(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Ev(1, 7, "view", ts(0), 1.5), Ev(2, 7, "view", ts(1), 2.5))
+    q.processAllAvailable()
+    in.addData(Ev(3, 7, "buy", ts(2), 6.0)) // second batch: state must carry
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("stateful_out")
+      .as[Streams.SessionAgg].collect().maxBy(_.n_events)
+    assert(last == Streams.SessionAgg(7, 3, 10.0))
+  }
+
+  test("stream_late_data: row older than watermark never reopens a closed window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.lateDataCounts(in.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, 1, "view", ts(0, 10), 1.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark: closes 10:00 window
+    in.addData(Ev(2, 1, "view", ts(10), 1.0))
+    q.processAllAvailable()
+    // late arrival into the already-closed 10:00 window
+    in.addData(Ev(3, 1, "view", ts(0, 50), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, 1, "view", ts(20), 1.0)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("late_out")
+      .select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    assert(closed.get("2026-01-01 10:00:00").contains(1L),
+      s"late row must NOT be counted into the closed window: $closed")
+  }
+}
