@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the vector hot path (SURVEY.md §2.10).
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * interpreted per element — a lambda-variable bind and an allocated
+  * intermediate array per row. For a k-NN join that's
+  * pairs × dims × 3 interpreted steps and dominates the bench. This
+  * expression compiles to a tight primitive loop inside whole-stage
+  * codegen (`doGenCode`), with a matching fast interpreted `nullSafeEval`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dotp"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotp requires array<double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two SORTED string arrays via linear merge — no
+  * per-row allocation, unlike `array_intersect` (new array + hash set per
+  * row), which dominated the set-similarity verify stage. Inputs MUST be
+  * sorted ascending (`array_sort`); duplicates are counted once per
+  * distinct value (inputs here are distinct token sets).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _                                                   => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_size requires array<string>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Idempotently register `dotp(arr, arr)` with a session so query code
+    * can use `expr("dotp(a, b)")` inside codegen'd projections.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val dotId = FunctionIdentifier("dotp")
+    if (!registry.functionExists(dotId)) {
+      registry.registerFunction(
+        dotId,
+        new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+    val isId = FunctionIdentifier("sorted_intersect_size")
+    if (!registry.functionExists(isId)) {
+      registry.registerFunction(
+        isId,
+        new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+        (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
+    }
+  }
+}

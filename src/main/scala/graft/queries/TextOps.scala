@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Core._
+import graft.functions.VectorExprs
 
 /** Text-analysis / LLM-training-pipeline operators over the `documents`
   * table (SURVEY.md §2.10; reference SearchIndexer engine.py:65-98 plus
@@ -143,24 +144,50 @@ object TextOps {
         |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      // Exact token-set Jaccard ≥ 0.8 via inverted-index join: shuffle on
-      // term, count shared terms per pair, then |A∩B|/(|A|+|B|-|A∩B|).
-      // Never materializes an all-pairs product — the pair space is bounded
-      // by co-occurring terms (see scale note in the object doc).
-      val t = load(s, dir, "documents")
-        .select($"doc_id", explode(dToks).as("term"))
-      val n = t.groupBy($"doc_id").agg(count("*").as("nt"))
-      val inter = t.as("a").join(t.as("b"),
-          $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count("*").as("inter"))
-      val jac = $"inter" / ($"na.nt" + $"nb.nt" - $"inter")
-      inter
-        .join(n.as("na"), $"d1" === $"na.doc_id")
-        .join(n.as("nb"), $"d2" === $"nb.doc_id")
+      import org.apache.spark.sql.expressions.Window
+      // Exact token-set Jaccard ≥ 0.8, AllPairs/PPJoin-style:
+      // 1. collapse docs to DISTINCT token sets (duplicates ride along in
+      //    `ids` and re-expand at the end);
+      // 2. candidate pairs must share a token in each set's RARE-TERM
+      //    prefix (length n - ceil(0.8n) + 1 under a global rarity order)
+      //    AND satisfy the size bound 4*max(|A|,|B|) <= 5*min(|A|,|B|) —
+      //    both necessary conditions of J >= 0.8, so exactness is kept;
+      // 3. exact array_intersect verify on the surviving pairs only.
+      // vs. the naive inverted-index join this cuts the shuffled pair-term
+      // rows by the prefix ratio (~5x) times the duplicate-set ratio.
+      VectorExprs.register(s)
+      val docSets = load(s, dir, "documents")
+        .select($"doc_id", array_sort(dToks).as("toks"))
+      val sets = docSets.groupBy($"toks")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+        .withColumn("nt", size($"toks"))
+      val t = sets.select($"sid", $"nt", explode($"toks").as("term"))
+      val dfreq = t.groupBy($"term").agg(count("*").as("df"))
+      val prefLen = $"nt" - (($"nt" * 4 + lit(4)) / lit(5)).cast("int") + lit(1)
+      val prefix = t.join(dfreq, "term")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"sid").orderBy($"df", $"term")))
+        .filter($"rk" <= prefLen)
+        .select($"term", $"sid", $"nt")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.term" === $"b.term" && $"a.sid" < $"b.sid" &&
+          greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5)
+        .select($"a.sid".as("s1"), $"b.sid".as("s2")).distinct()
+      val sA = sets.select($"sid".as("s1"), $"toks".as("t1"), $"ids".as("ids1"), $"nt".as("n1"))
+      val sB = sets.select($"sid".as("s2"), $"toks".as("t2"), $"ids".as("ids2"), $"nt".as("n2"))
+      val inter = call_function("sorted_intersect_size", $"t1", $"t2").cast("double")
+      val jac   = inter / ($"n1" + $"n2" - inter)
+      val cross = cand.join(sA, "s1").join(sB, "s2")
         .filter(jac >= 0.8)
-        .select($"d1", $"d2", round(jac, 4).as("jaccard"))
-        .orderBy($"d1", $"d2")
+        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
+        .select($"jaccard", $"da", explode($"ids2").as("db"))
+        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
+      val intra = sets.filter(size($"ids") > 1)
+        .select(explode($"ids").as("da"), $"ids")
+        .select($"da", explode($"ids").as("db"))
+        .filter($"da" < $"db")
+        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(intra).orderBy($"d1", $"d2")
     },
 
     // ---- Q-gated (hash functions are engine-specific → no SQL oracle; ----
@@ -171,29 +198,41 @@ object TextOps {
       // MinHash + LSH banding (north-star near-dedup). 16 minhashes from
       // seeded xxhash64, 4 bands × 4 rows; candidate pairs only within a
       // band bucket (no all-pairs product anywhere); exact Jaccard verify
-      // at 0.9 on the candidates. At 100 TB the band join shuffles on
+      // at 0.9 on the candidates. Signatures are computed once per
+      // DISTINCT token set (duplicate docs re-expand at the end — the
+      // planted exact-dup population would otherwise recompute sigs and
+      // collide in every band). At 100 TB the band join shuffles on
       // (band, band_hash) and the candidate count is bucket-bounded.
+      VectorExprs.register(s)
       val sigN = 16; val bands = 4; val rows = 4
-      val docs = load(s, dir, "documents").select($"doc_id", dToks.as("toks"))
+      val sets = load(s, dir, "documents")
+        .select($"doc_id", array_sort(dToks).as("toks"))
+        .groupBy($"toks")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
       val sig = transform(sequence(lit(0), lit(sigN - 1)),
         i => array_min(transform($"toks", t => xxhash64(concat(t, lit("#"), i.cast("string"))))))
       val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), v => v.cast("string")))))
-      val banded = docs
-        .select($"doc_id", posexplode(bandHashes).as(Seq("band", "bh")))
+      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
       val cand = banded.as("x").join(banded.as("y"),
-          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2")).distinct()
-      val withToks = cand
-        .join(docs.select($"doc_id".as("d1"), $"toks".as("t1")), "d1")
-        .join(docs.select($"doc_id".as("d2"), $"toks".as("t2")), "d2")
-      val inter = size(array_intersect($"t1", $"t2")).cast("double")
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
+        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+      val sA = sets.select($"sid".as("s1"), $"toks".as("t1"), $"ids".as("ids1"))
+      val sB = sets.select($"sid".as("s2"), $"toks".as("t2"), $"ids".as("ids2"))
+      val inter = call_function("sorted_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / (size($"t1") + size($"t2") - inter)
-      withToks
-        .select($"d1", $"d2", round(jac, 4).as("jaccard"))
-        .filter($"jaccard" >= 0.9)
-        .orderBy($"d1", $"d2")
+      val cross = cand.join(sA, "s1").join(sB, "s2")
+        .filter(jac >= 0.9)
+        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
+        .select($"jaccard", $"da", explode($"ids2").as("db"))
+        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
+      val intra = sets.filter(size($"ids") > 1)
+        .select(explode($"ids").as("da"), $"ids")
+        .select($"da", explode($"ids").as("db"))
+        .filter($"da" < $"db")
+        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(intra).orderBy($"d1", $"d2")
     },
 
     entryNoOracle("text_simhash_dedup") { (s, dir) =>
@@ -202,24 +241,39 @@ object TextOps {
       // band trick: split the signature into 4×16-bit chunks and join on
       // chunk equality (distance ≤3 ⇒ ≥1 chunk identical), then verify
       // with bit_count(xor). Candidates are chunk-bucket-bounded.
-      val docs = load(s, dir, "documents")
-        .select($"doc_id", dToks.as("toks"))
+      // Signature once per DISTINCT token set; duplicate docs expand at
+      // the end (intra-set pairs have hamming 0 by construction).
+      val sets = load(s, dir, "documents")
+        .select($"doc_id", array_sort(dToks).as("toks"))
+        .groupBy($"toks")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
         .withColumn("sim", expr(
           """aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc +
             |  if(aggregate(toks, 0, (s, t) ->
             |       s + if((shiftright(xxhash64(t), j) & 1) = 1, 1, -1)) > 0,
             |     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin))
-      val chunked = docs.select($"doc_id", $"sim",
+      val chunked = sets.select($"sid", $"sim",
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftrightunsigned(sim, c * 16) & 65535)"))
             .as(Seq("chunk", "ch")))
-      chunked.as("x").join(chunked.as("y"),
-          $"x.chunk" === $"y.chunk" && $"x.ch" === $"y.ch" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+      val cand = chunked.as("x").join(chunked.as("y"),
+          $"x.chunk" === $"y.chunk" && $"x.ch" === $"y.ch" && $"x.sid" < $"y.sid")
+        .select($"x.sid".as("s1"), $"y.sid".as("s2"),
           bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
         .distinct()
         .filter($"hamming" <= 3)
-        .orderBy($"d1", $"d2")
+      val cross = cand
+        .join(sets.select($"sid".as("s1"), $"ids".as("ids1")), "s1")
+        .join(sets.select($"sid".as("s2"), $"ids".as("ids2")), "s2")
+        .select($"hamming", explode($"ids1").as("da"), $"ids2")
+        .select($"hamming", $"da", explode($"ids2").as("db"))
+        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"hamming")
+      val intra = sets.filter(size($"ids") > 1)
+        .select(explode($"ids").as("da"), $"ids")
+        .select($"da", explode($"ids").as("db"))
+        .filter($"da" < $"db")
+        .select($"da".as("d1"), $"db".as("d2"), lit(0).cast("int").as("hamming"))
+      cross.unionByName(intra).orderBy($"d1", $"d2")
     },
 
     entryNoOracle("text_fingerprint") { (s, dir) =>

@@ -4,16 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Core._
+import graft.functions.VectorExprs
 
 /** Vector-similarity operators over the `embeddings` table (64-dim
   * float arrays; SURVEY.md §2.10, reference SearchIndexer query path
   * engine.py:95-98 — cosine top-5).
   *
-  * All similarity math is built-in higher-order functions
-  * (`zip_with` + `aggregate`), fully codegen'd — no UDFs, no vector DB.
-  * Floats are cast to double before arithmetic so both engines sum in
-  * double; scores are rounded to 6 decimals BEFORE ranking so tie-breaks
-  * are deterministic across engines.
+  * Hot-path arithmetic is the native codegen'd `dotp` Catalyst
+  * expression (graft.functions.DotProduct) — higher-order
+  * `zip_with`/`aggregate` forms are interpreted per element and were
+  * 4-5× slower on the k-NN join. Norms are precomputed once per vector
+  * (not per pair). Scores are rounded to 6 decimals BEFORE ranking so
+  * tie-breaks are deterministic across engines.
   *
   * Scale notes (100 TB): the exact forms below are correct at any SF but
   * all-pairs k-NN is O(n²) — the scale path is `vec_knn_join_lsh`
@@ -23,16 +25,28 @@ import graft.Core._
   */
 object VecOps {
 
+  /** Interpreted higher-order fallback — used only by the tiny
+    * hash-embed path; hot paths use the codegen'd `dotp`.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  private def dotp(a: Column, b: Column): Column = call_function("dotp", a, b)
+
+  /** cosine from precomputed norms: one dotp per pair instead of three. */
+  private def cosFast(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotp(a, b) / (na * nb)
+
+  /** Embeddings with per-vector norm precomputed (single scan). */
   private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(s)
     import s.implicits._
     load(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"), $"label")
+      .withColumn("norm", sqrt(dotp($"emb", $"emb")))
   }
 
   /** Deterministic 64-dim feature-hash embedding of a token array —
@@ -60,10 +74,10 @@ object VecOps {
       // The 1-row query side is broadcast; ORDER BY+LIMIT lowers to
       // TakeOrderedAndProject (no global sort materialization).
       val e = emb(s, dir)
-      val q = e.filter($"vec_id" === 0).select($"emb".as("qemb"))
+      val q = e.filter($"vec_id" === 0).select($"emb".as("qemb"), $"norm".as("qnorm"))
       e.filter($"vec_id" =!= 0)
         .crossJoin(broadcast(q))
-        .select($"vec_id", round(cosine($"emb", $"qemb"), 6).as("score"))
+        .select($"vec_id", round(cosFast($"emb", $"qemb", $"norm", $"qnorm"), 6).as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
     },
@@ -82,11 +96,11 @@ object VecOps {
       // At 100 TB use vec_knn_join_lsh — this exact form is O(n²) by
       // definition of exact k-NN.
       val e = emb(s, dir)
-      val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
-      val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
+      val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
+      val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n"))
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
       a.join(broadcast(b), $"a_id" =!= $"b_id")
-        .select($"a_id", $"b_id", round(cosine($"a_emb", $"b_emb"), 6).as("score"))
+        .select($"a_id", $"b_id", round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .select($"a_id", $"rnk", $"b_id", $"score")
@@ -106,10 +120,10 @@ object VecOps {
       // corpus max of ~0.51 so the result is non-trivial). Exact form;
       // the LSH entry is the 100 TB path.
       val e = emb(s, dir)
-      val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
-      val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
+      val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
+      val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n"))
       a.join(broadcast(b), $"a_id" < $"b_id")
-        .select($"a_id", $"b_id", round(cosine($"a_emb", $"b_emb"), 6).as("sim"))
+        .select($"a_id", $"b_id", round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("sim"))
         .filter($"sim" > 0.4)
         .orderBy($"a_id", $"b_id")
     },
@@ -129,18 +143,23 @@ object VecOps {
       val pl  = typedlit(planes)
       val e   = emb(s, dir)
       val bits = transform(sequence(lit(0), lit(15)),
-        p => when(dot($"emb", element_at(pl, p + lit(1))) > 0, 1L).otherwise(0L))
+        p => when(dotp($"emb", element_at(pl, p + lit(1))) > 0, 1L).otherwise(0L))
       val bandKeys = transform(sequence(lit(0), lit(3)), b =>
         concat_ws(":", transform(slice(bits, b * lit(4) + lit(1), lit(4)), v => v.cast("string"))))
+      // Bands carry ids only: the distinct() dedups narrow (a_id, b_id)
+      // pairs, and embeddings re-join afterward — shuffling 64-double
+      // arrays through the candidate dedup was the dominant cost.
       val sigd = e.withColumn("bands", bandKeys)
-        .select($"vec_id", $"emb", posexplode($"bands").as(Seq("band", "bk")))
+        .select($"vec_id", posexplode($"bands").as(Seq("band", "bk")))
       val cand = sigd.as("x").join(sigd.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
-        .select($"x.vec_id".as("a_id"), $"x.emb".as("a_emb"),
-                $"y.vec_id".as("b_id"), $"y.emb".as("b_emb"))
+        .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
         .distinct()
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
-      cand.select($"a_id", $"b_id", round(cosine($"a_emb", $"b_emb"), 6).as("score"))
+      cand
+        .join(e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n")), "a_id")
+        .join(e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n")), "b_id")
+        .select($"a_id", $"b_id", round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .select($"a_id", $"rnk", $"b_id", $"score")
@@ -157,20 +176,22 @@ object VecOps {
       // scan of ~nprobe/ncells of the data.
       val e = emb(s, dir)
       val cents = e.filter(pmod($"vec_id", lit(64)) === 0)
-        .select($"vec_id".as("c_id"), $"emb".as("c_emb"))
+        .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
       val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"c_id")
       val assigned = e.join(broadcast(cents))
-        .select($"vec_id", $"emb", $"c_id", round(cosine($"emb", $"c_emb"), 6).as("d"))
+        .select($"vec_id", $"emb", $"norm", $"c_id",
+          round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6).as("d"))
         .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
-        .select($"vec_id", $"emb", $"c_id")
-      val q = assigned.filter($"vec_id" === 0).select($"emb".as("qemb"))
+        .select($"vec_id", $"emb", $"norm", $"c_id")
+      val q = assigned.filter($"vec_id" === 0)
+        .select($"emb".as("qemb"), $"norm".as("qnorm"))
       val probed = cents.crossJoin(broadcast(q))
-        .select($"c_id", round(cosine($"c_emb", $"qemb"), 6).as("qd"))
+        .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"))
         .orderBy($"qd".desc, $"c_id").limit(3)
       assigned.join(broadcast(probed), "c_id")
         .filter($"vec_id" =!= 0)
         .crossJoin(broadcast(q))
-        .select($"vec_id", round(cosine($"emb", $"qemb"), 6).as("score"))
+        .select($"vec_id", round(cosFast($"emb", $"qemb", $"norm", $"qnorm"), 6).as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
     },
@@ -181,14 +202,31 @@ object VecOps {
       // join at engine.py:84): embed the query text with the deterministic
       // feature-hash embedder, embed each document the same way, cosine
       // top-5, join document metadata back on.
+      //
+      // Docs are embedded via explode + groupBy — one pass over tokens —
+      // instead of the per-dimension hashEmbed aggregate (64 passes per
+      // doc). Same math: token t adds ±1 to dim xxhash64(t) mod 64.
+      VectorExprs.register(s)
       val docs = load(s, dir, "documents")
-      val dEmb = docs.select($"doc_id", $"lang", $"source",
-        hashEmbed(tokens(lower($"text"))).as("demb"))
+      val sign = (t: Column) =>
+        when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
+               .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+      val dEmb = docs
+        .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+        .select($"doc_id", pmod(xxhash64($"t"), lit(64)).as("dim"), sign($"t").as("v"))
+        .groupBy($"doc_id", $"dim").agg(sum($"v").as("sv"))
+        .groupBy($"doc_id")
+        .agg(map_from_entries(collect_list(struct($"dim", $"sv"))).as("m"))
+        .select($"doc_id", transform(sequence(lit(0L), lit(63L)),
+          d => coalesce(element_at($"m", d), lit(0.0))).as("demb"))
+        .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
       val q = s.range(1).select(
         hashEmbed(tokens(lower(lit("spark join fast query table")))).as("qemb"))
       dEmb.crossJoin(broadcast(q))
         .select($"doc_id", $"lang", $"source",
-          round(cosine($"demb", $"qemb"), 6).as("score"))
+          round(call_function("dotp", $"demb", $"qemb") /
+            (sqrt(call_function("dotp", $"demb", $"demb")) *
+             sqrt(call_function("dotp", $"qemb", $"qemb"))), 6).as("score"))
         .orderBy($"score".desc, $"doc_id")
         .limit(5)
     }
