@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.11: typed-Aggregator UDAF correctness and the
+  * SparkSessionExtensions deployment path for the native expressions.
+  */
+class ExtensibilitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("agg_welford_udaf matches built-in avg/stddev_samp to 1e-9 relative") {
+    val got = SparkEntry.queries("agg_welford_udaf")(spark, sf("sf0.01"))
+      .select($"o_orderpriority", $"n", $"mean", $"stddev")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    val exp = Core.load(spark, sf("sf0.01"), "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count("*").as("n"), round(avg($"o_totalprice"), 4).as("mean"),
+        round(stddev_samp($"o_totalprice"), 4).as("sd"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case ((g1, gn, gm, gs), (e1, en, em, es)) =>
+      assert(g1 == e1 && gn == en)
+      assert(math.abs(gm - em) <= math.abs(em) * 1e-9 + 1e-4, s"$g1 mean $gm vs $em")
+      assert(math.abs(gs - es) <= math.abs(es) * 1e-9 + 1e-4, s"$g1 stddev $gs vs $es")
+    }
+  }
+
+  test("welford merge agrees across repartitionings (float-tolerance, not bitwise)") {
+    val wf = udaf(functions.Welford.agg)
+    val df = Core.load(spark, sf("sf0.001"), "lineitem")
+    def stats(parts: Int): (Long, Double, Double) =
+      df.repartition(parts).agg(wf($"l_extendedprice").as("st"))
+        .select($"st.n", $"st.mean", $"st.stddev")
+        .as[(Long, Double, Double)].collect()(0)
+    val (n2, m2v, s2) = stats(2)
+    val (n13, m13, s13) = stats(13)
+    assert(n2 == n13)
+    assert(math.abs(m2v - m13) <= math.abs(m13) * 1e-12)
+    assert(math.abs(s2 - s13) <= math.abs(s13) * 1e-10)
+  }
+
+  test("native expressions resolve through the SQL function registry") {
+    graft.functions.VectorExprs.register(spark)
+    val d = spark.sql(
+      "SELECT dotp(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val i = spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS i")
+      .collect()(0).getInt(0)
+    assert(i == 2)
+  }
+
+  test("GraftExtensions injection builder produces working expressions") {
+    // `spark.sql.extensions` is a static conf — it cannot retrofit the
+    // suite's live SparkContext, so the full conf path is driven in a
+    // fresh JVM (see .claude/skills/verify). Here: the injector must
+    // accept the extension points, and the injected builders must
+    // evaluate correctly at the catalyst level.
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+    val dp = graft.functions.DotProduct(
+      Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)), ArrayType(DoubleType)),
+      Literal.create(ArrayData.toArrayData(Array(3.0, 4.0)), ArrayType(DoubleType)))
+    assert(dp.eval(null) == 11.0)
+    val is = graft.functions.SortedIntersectSize(
+      Literal.create(ArrayData.toArrayData(
+        Array("a", "b", "c").map(UTF8String.fromString)), ArrayType(StringType)),
+      Literal.create(ArrayData.toArrayData(
+        Array("b", "c", "d").map(UTF8String.fromString)), ArrayType(StringType)))
+    assert(is.eval(null) == 2)
+  }
+}
