@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape audit (SURVEY.md §4.2): the properties that make these
+  * plans survive a 100× scale-up are asserted here so a regression in
+  * filter pushdown, column pruning, broadcast selection, or partial
+  * aggregation fails CI — not just slows the bench.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = formatted("filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("IsNotNull"), p)
+  }
+
+  test("proj_select prunes the read schema to selected columns") {
+    val p = formatted("proj_select")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty)
+    // lineitem has 16 columns; the projection must not read them all
+    assert(!readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
+  }
+
+  test("join_multiway_star broadcasts the dimension chain") {
+    val p = formatted("join_multiway_star")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+  }
+
+  test("q1 aggregation is two-phase (partial then final)") {
+    val p = formatted("q1_pricing_summary")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected map-side partial + final HashAggregate")
+  }
+
+  test("agg_stats_zscore broadcasts the 1-row stats side") {
+    val p = formatted("agg_stats_zscore")
+    assert(p.contains("Broadcast"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("win_percent_topk has no unpartitioned window") {
+    val p = formatted("win_percent_topk")
+    assert(!p.contains("Window"), "threshold form should not use a window at all")
+  }
+
+  test("topk_order_limit lowers to TakeOrderedAndProject") {
+    val p = formatted("topk_order_limit")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER BY+LIMIT must not global-sort")
+  }
+}
