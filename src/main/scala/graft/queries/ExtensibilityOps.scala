@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.Core._
 import graft.functions.Welford
 
+/* (salted aggregation lives here too — see agg_group_salted below) */
+
 /** SURVEY.md §2.11 extensibility rows exercised as declared operators.
   * Q-gated: the Welford UDAF's float-op order differs from the oracle
   * engine's variance algorithm, so equality is asserted in ScalaTest
@@ -27,6 +29,28 @@ object ExtensibilityOps {
           round($"st.mean", 4).as("mean"),
           round($"st.stddev", 4).as("stddev"))
         .orderBy($"o_orderpriority")
+    },
+
+    entry(
+      "agg_group_salted",
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Skew-safe two-phase aggregation (events.user_id is skewed —
+      // SURVEY.md §4.2): phase 1 aggregates on (user_id, salt) so a hot
+      // key spreads over 16 reducers; phase 2 merges the 16 partials.
+      // Identical result to a plain GROUP BY (the oracle), same two
+      // shuffles a wide agg would need — but no single-reducer hot spot.
+      // values are exact 2-decimal amounts, so round(·,4) absorbs any
+      // summation-order drift between the two phases and the oracle.
+      val salted = loadEvents(s, dir)
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+        .groupBy($"user_id", $"salt")
+        .agg(count(lit(1)).as("pn"), sum($"value").as("pt"))
+      salted.groupBy($"user_id")
+        .agg(sum($"pn").as("n"), round(sum($"pt"), 4).as("total"))
+        .orderBy($"user_id")
     }
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY.md §5.2 property tests: the native expressions and the Welford
+  * aggregator hold their algebraic contracts on generated inputs (no
+  * Spark session needed — catalyst eval + plain Scala). Driven by
+  * scalacheck's own runner (the scalatest bridge artifact is not in the
+  * offline cache); a failed property surfaces via the status assert.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def dLit(xs: Seq[Double]) =
+    Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
+  private def sLit(xs: Seq[String]) =
+    Literal.create(ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray),
+      ArrayType(StringType))
+
+  private val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+
+  test("dotp equals the Scala dot product") {
+    check("dotp", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val got = graft.functions.DotProduct(dLit(a), dLit(b)).eval(null)
+        .asInstanceOf[Double]
+      val exp = a.zip(b).map { case (x, y) => x * y }.sum
+      math.abs(got - exp) <= math.abs(exp) * 1e-12 + 1e-12
+    })
+  }
+
+  test("sorted_intersect_size equals Set intersection size on distinct sorted input") {
+    val setGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)))
+      .map(_.distinct.sorted)
+    check("sorted_intersect_size", Prop.forAll(setGen, setGen) { (a, b) =>
+      val got = graft.functions.SortedIntersectSize(sLit(a), sLit(b)).eval(null)
+        .asInstanceOf[Int]
+      got == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("welford reduce-then-merge equals whole-stream reduce for any split point") {
+    val xsGen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+    check("welford-merge", Prop.forAll(xsGen, Gen.choose(0, 100)) { (xs, cut0) =>
+      val agg = graft.functions.Welford.agg
+      val cut = cut0 % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val whole  = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                             r.foldLeft(agg.zero)(agg.reduce))
+      whole.n == merged.n &&
+        math.abs(whole.mean - merged.mean) <= math.abs(whole.mean) * 1e-9 + 1e-9 &&
+        math.abs(whole.m2 - merged.m2) <= math.abs(whole.m2) * 1e-6 + 1e-6
+    })
+  }
+
+  test("welford variance equals two-pass variance") {
+    val xsGen = Gen.listOfN(50, Gen.choose(-1e4, 1e4))
+    check("welford-variance", Prop.forAll(xsGen) { xs =>
+      val agg = graft.functions.Welford.agg
+      val st = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val mean = xs.sum / xs.length
+      val twoPass = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      math.abs(st.variance - twoPass) <= math.abs(twoPass) * 1e-9 + 1e-9
+    })
+  }
+}
