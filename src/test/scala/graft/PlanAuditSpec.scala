@@ -52,4 +52,26 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = formatted("topk_order_limit")
     assert(p.contains("TakeOrderedAndProject"), "ORDER BY+LIMIT must not global-sort")
   }
+
+  test("no query plan contains a cartesian product or an unpartitioned window") {
+    // Sweep every declared query. Exceptions are intentional 1-row or
+    // bounded-small broadcast sides (threshold scalars, knn query rows,
+    // dimension cross products) — BNLJ with a 1-row broadcast is O(n).
+    val bnljAllowed = Set(
+      "vec_knn_topk", "vec_knn_join", "vec_cosine_pairs", "vec_ann_ivf",
+      "semantic_search_e2e", "win_percent_topk", "agg_stats_zscore",
+      "join_cross", "join_theta_range", "sql_entry")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      val cartesian = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      val unpartWin = p.linesIterator.exists(l =>
+        l.trim.startsWith("Window ") && l.contains("partitionBy=[]"))
+      if (cartesian || bnlj || unpartWin)
+        Some(s"$name: cartesian=$cartesian bnlj=$bnlj unpartitionedWindow=$unpartWin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
