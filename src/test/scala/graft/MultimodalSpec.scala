@@ -44,6 +44,17 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("binary assets round-trip through parquet (lake persistence)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    val assets = Multimodal.syntheticAssets(spark, 12)
+    assets.toDF().write.mode("overwrite").parquet(s"$dir/assets.parquet")
+    val back = spark.read.parquet(s"$dir/assets.parquet").as[Multimodal.Asset]
+    val f1 = Multimodal.featurize(assets).collect().sortBy(_.asset_id).map(_.features.toSeq).toSeq
+    val f2 = Multimodal.featurize(back).collect().sortBy(_.asset_id).map(_.features.toSeq).toSeq
+    assert(f1 == f2, "features must be identical after a parquet round-trip")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
