@@ -121,6 +121,64 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays via linear merge — the
+  * integer-domain sibling of [[SortedIntersectSize]] for token sets that
+  * have been dictionary-encoded (term → unique id). Long compares beat
+  * UTF8String compares ~5× in the set-similarity verify stage.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_intersect_size requires array<bigint>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Idempotently register `dotp(arr, arr)` with a session so query code
     * can use `expr("dotp(a, b)")` inside codegen'd projections.
@@ -140,6 +198,13 @@ object VectorExprs {
         isId,
         new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
         (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
+    }
+    val liId = FunctionIdentifier("sorted_long_intersect_size")
+    if (!registry.functionExists(liId)) {
+      registry.registerFunction(
+        liId,
+        new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_long_intersect_size"),
+        (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1)))
     }
   }
 }
