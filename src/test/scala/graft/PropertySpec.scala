@@ -47,6 +47,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted_long_intersect_size equals Set intersection size on distinct sorted longs") {
+    val setGen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+      .map(_.distinct.sorted)
+    def lLit(xs: Seq[Long]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray),
+        ArrayType(org.apache.spark.sql.types.LongType))
+    check("sorted_long_intersect_size", Prop.forAll(setGen, setGen) { (a, b) =>
+      val got = graft.functions.SortedLongIntersectSize(lLit(a), lLit(b)).eval(null)
+        .asInstanceOf[Int]
+      got == a.toSet.intersect(b.toSet).size
+    })
+  }
+
   test("welford reduce-then-merge equals whole-stream reduce for any split point") {
     val xsGen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
     check("welford-merge", Prop.forAll(xsGen, Gen.choose(0, 100)) { (xs, cut0) =>
