@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expression for the vector hot path (SURVEY.md §2.10).
   *
@@ -179,6 +180,50 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a token array in one eval: for each token t and bit
+  * j, bit j of xxhash64(t, seed=42) votes +1/-1; signature bit j is set
+  * when the vote sum is positive. Bit-identical to the SQL form
+  * `aggregate(sequence(0,63), ...)` but evaluated as one tight JVM loop
+  * instead of 64 × |tokens| interpreted lambda steps. CodegenFallback:
+  * one virtual call per row, loop cost dominates either way.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var k = 0
+    val n = arr.numElements()
+    while (k < n) {
+      val s = arr.getUTF8String(k)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+        j += 1
+      }
+      k += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (cnt(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Idempotently register `dotp(arr, arr)` with a session so query code
     * can use `expr("dotp(a, b)")` inside codegen'd projections.
@@ -205,6 +250,13 @@ object VectorExprs {
         liId,
         new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_long_intersect_size"),
         (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1)))
+    }
+    val shId = FunctionIdentifier("simhash64")
+    if (!registry.functionExists(shId)) {
+      registry.registerFunction(
+        shId,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head))
     }
   }
 }

@@ -243,6 +243,7 @@ object TextOps {
 
     entryNoOracle("text_simhash_dedup") { (s, dir) =>
       import s.implicits._
+      VectorExprs.register(s)
       // 64-bit SimHash per doc + Hamming-≤3 pairing via the pigeonhole
       // band trick: split the signature into 4×16-bit chunks and join on
       // chunk equality (distance ≤3 ⇒ ≥1 chunk identical), then verify
@@ -253,11 +254,10 @@ object TextOps {
         .select($"doc_id", array_sort(dToks).as("toks"))
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-        .withColumn("sim", expr(
-          """aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) -> acc +
-            |  if(aggregate(toks, 0, (s, t) ->
-            |       s + if((shiftright(xxhash64(t), j) & 1) = 1, 1, -1)) > 0,
-            |     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin))
+        // native SimHash64 expression: one JVM loop per set instead of
+        // 64 x |tokens| interpreted lambda steps (bit-identical to the
+        // SQL aggregate form — A/B checked on the full corpus).
+        .withColumn("sim", call_function("simhash64", $"toks"))
       val chunked = sets.select($"sid", $"sim",
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftrightunsigned(sim, c * 16) & 65535)"))

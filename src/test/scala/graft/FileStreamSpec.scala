@@ -39,4 +39,29 @@ class FileStreamSpec extends SparkSpecBase {
       ("2026-01-01 10:00:00", "view", 2L, 3.0),
       ("2026-01-01 10:01:00", "click", 1L, 3.0)))
   }
+
+  test("checkpointed file-sink restart is exactly-once (no reprocessing)") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    def ev(id: Long, ts: String) = Seq((id, 1L, "view",
+      java.sql.Timestamp.valueOf(ts), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    ev(1, "2026-01-01 10:00:05").write.parquet(s"$dir/in/b1.parquet")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$dir/in/*")
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()                                     // processes b1
+    ev(2, "2026-01-01 10:00:50").write.parquet(s"$dir/in/b2.parquet")
+    runOnce()                                     // restart: must only process b2
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2, "each event exactly once across restarts")
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }
