@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SortedIntersectSize}
+import graft.functions.{DotProduct, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Cluster-grade registration of the engine's native expressions:
   *
@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_long_intersect_size"),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_long_intersect_size"),
+      (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }
