@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
+import graft.functions.{DotProduct, MinHash16, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Cluster-grade registration of the engine's native expressions:
   *
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (children: Seq[Expression]) => MinHash16(children.head)))
   }
 }

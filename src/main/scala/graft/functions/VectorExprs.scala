@@ -224,6 +224,45 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 16 MinHash values of a pre-hashed element array in one pass: for each
+  * element hash h and signature slot i, candidate = xxh64(h, seed=i);
+  * slot i keeps the minimum. Replaces 16 interpreted `transform` passes
+  * (16 × |elements| lambda steps) with one tight JVM loop.
+  */
+case class MinHash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash16 requires array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(16)(Long.MaxValue)
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) {
+      val h = arr.getLong(k)
+      var i = 0
+      while (i < 16) {
+        val v = XXH64.hashLong(h, i.toLong)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash16 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Idempotently register `dotp(arr, arr)` with a session so query code
     * can use `expr("dotp(a, b)")` inside codegen'd projections.
@@ -257,6 +296,13 @@ object VectorExprs {
         shId,
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => SimHash64(children.head))
+    }
+    val mhId = FunctionIdentifier("minhash16")
+    if (!registry.functionExists(mhId)) {
+      registry.registerFunction(
+        mhId,
+        new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+        (children: Seq[Expression]) => MinHash16(children.head))
     }
   }
 }

@@ -198,6 +198,49 @@ object TextOps {
     // ---- Q-gated (hash functions are engine-specific → no SQL oracle; ----
     // ---- covered by ScalaTest specs on planted duplicates).           ----
 
+    entryNoOracle("text_dedup_shingle") { (s, dir) =>
+      import s.implicits._
+      // Character-shingle MinHash (the classic shingle→minhash→band→
+      // bucket-join pipeline): 5-char shingles hashed directly to longs
+      // (never materialized as strings), 16 minhashes via seed-mixing the
+      // shingle hash (one hash per shingle, 16 cheap mixes — not 16
+      // hash passes), 4 bands × 4 rows, candidates within buckets only,
+      // exact shingle-set Jaccard verify at 0.8. Catches near-dups that
+      // token-set Jaccard misses (word-order and substring edits).
+      VectorExprs.register(s)
+      val docs = load(s, dir, "documents").select($"doc_id",
+        expr("""array_sort(array_distinct(transform(
+               |  sequence(1, greatest(length(text) - 4, 1)),
+               |  i -> xxhash64(substring(text, i, 5)))))""".stripMargin).as("sh"))
+      val sets = docs.groupBy($"sh")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+      // native MinHash16: one pass over the shingle hashes instead of 16
+      // interpreted transform passes
+      val sig = call_function("minhash16", $"sh")
+      val bandHashes = transform(sequence(lit(0), lit(3)), b =>
+        xxhash64(concat_ws("_",
+          transform(slice(sig, b * lit(4) + lit(1), lit(4)), v => v.cast("string")))))
+      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
+      val cand = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
+        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+      val sA = sets.select($"sid".as("s1"), $"sh".as("t1"), $"ids".as("ids1"))
+      val sB = sets.select($"sid".as("s2"), $"sh".as("t2"), $"ids".as("ids2"))
+      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
+      val jac   = inter / (size($"t1") + size($"t2") - inter)
+      val cross = cand.join(sA, "s1").join(sB, "s2")
+        .filter(jac >= 0.8)
+        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
+        .select($"jaccard", $"da", explode($"ids2").as("db"))
+        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
+      val intra = sets.filter(size($"ids") > 1)
+        .select(explode($"ids").as("da"), $"ids")
+        .select($"da", explode($"ids").as("db"))
+        .filter($"da" < $"db")
+        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(intra).orderBy($"d1", $"d2")
+    },
+
     entryNoOracle("text_dedup_near") { (s, dir) =>
       import s.implicits._
       // MinHash + LSH banding (north-star near-dedup). 16 minhashes from
@@ -214,8 +257,9 @@ object TextOps {
         .select($"doc_id", array_sort(dToks).as("toks"))
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-      val sig = transform(sequence(lit(0), lit(sigN - 1)),
-        i => array_min(transform($"toks", t => xxhash64(concat(t, lit("#"), i.cast("string"))))))
+      // tokens hash once to longs; native MinHash16 takes the 16 minima
+      // in a single pass (was sigN interpreted passes over string concats)
+      val sig = call_function("minhash16", transform($"toks", t => xxhash64(t)))
       val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), v => v.cast("string")))))
