@@ -29,6 +29,50 @@ object TextOps {
   /** Distinct lowercase tokens of `text`. */
   private def dToks: Column = array_distinct(tokens(lower(col("text"))))
 
+  /** MinHash + LSH near-dup pairs (shared by text_dedup_near and the
+    * clustering/keep operators). 16 minhashes (native MinHash16 over
+    * xxhash64'd tokens), 4 bands × 4 rows; candidate pairs only within a
+    * band bucket (no all-pairs product anywhere); exact Jaccard verify at
+    * 0.9 on candidates. Signatures once per DISTINCT token set; duplicate
+    * docs re-expand at the end. At 100 TB the band join shuffles on
+    * (band, band_hash) and the candidate count is bucket-bounded.
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      VectorExprs.register(s)
+      val sigN = 16; val bands = 4; val rows = 4
+      val sets = load(s, dir, "documents")
+        .select($"doc_id", array_sort(dToks).as("toks"))
+        .groupBy($"toks")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+      // tokens hash once to longs; native MinHash16 takes the 16 minima
+      // in a single pass (was sigN interpreted passes over string concats)
+      val sig = call_function("minhash16", transform($"toks", t => xxhash64(t)))
+      val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), v => v.cast("string")))))
+      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
+      val cand = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
+        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+      val enc = sets.withColumn("tids", array_sort(transform($"toks", t => xxhash64(t))))
+      val sA = enc.select($"sid".as("s1"), $"tids".as("t1"), $"ids".as("ids1"))
+      val sB = enc.select($"sid".as("s2"), $"tids".as("t2"), $"ids".as("ids2"))
+      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
+      val jac   = inter / (size($"t1") + size($"t2") - inter)
+      val cross = cand.join(sA, "s1").join(sB, "s2")
+        .filter(jac >= 0.9)
+        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
+        .select($"jaccard", $"da", explode($"ids2").as("db"))
+        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
+      val intra = sets.filter(size($"ids") > 1)
+        .select(explode($"ids").as("da"), $"ids")
+        .select($"da", explode($"ids").as("db"))
+        .filter($"da" < $"db")
+        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entry(
@@ -243,47 +287,53 @@ object TextOps {
 
     entryNoOracle("text_dedup_near") { (s, dir) =>
       import s.implicits._
-      // MinHash + LSH banding (north-star near-dedup). 16 minhashes from
-      // seeded xxhash64, 4 bands × 4 rows; candidate pairs only within a
-      // band bucket (no all-pairs product anywhere); exact Jaccard verify
-      // at 0.9 on the candidates. Signatures are computed once per
-      // DISTINCT token set (duplicate docs re-expand at the end — the
-      // planted exact-dup population would otherwise recompute sigs and
-      // collide in every band). At 100 TB the band join shuffles on
-      // (band, band_hash) and the candidate count is bucket-bounded.
-      VectorExprs.register(s)
-      val sigN = 16; val bands = 4; val rows = 4
-      val sets = load(s, dir, "documents")
-        .select($"doc_id", array_sort(dToks).as("toks"))
-        .groupBy($"toks")
-        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-      // tokens hash once to longs; native MinHash16 takes the 16 minima
-      // in a single pass (was sigN interpreted passes over string concats)
-      val sig = call_function("minhash16", transform($"toks", t => xxhash64(t)))
-      val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), v => v.cast("string")))))
-      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
-      val cand = banded.as("x").join(banded.as("y"),
-          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
-        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
-      val enc = sets.withColumn("tids", array_sort(transform($"toks", t => xxhash64(t))))
-      val sA = enc.select($"sid".as("s1"), $"tids".as("t1"), $"ids".as("ids1"))
-      val sB = enc.select($"sid".as("s2"), $"tids".as("t2"), $"ids".as("ids2"))
-      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
-      val jac   = inter / (size($"t1") + size($"t2") - inter)
-      val cross = cand.join(sA, "s1").join(sB, "s2")
-        .filter(jac >= 0.9)
-        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
-        .select($"jaccard", $"da", explode($"ids2").as("db"))
-        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
-      val intra = sets.filter(size($"ids") > 1)
-        .select(explode($"ids").as("da"), $"ids")
-        .select($"da", explode($"ids").as("db"))
-        .filter($"da" < $"db")
-        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
-      cross.unionByName(intra).orderBy($"d1", $"d2")
+      nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
+
+    entryNoOracle("text_dedup_cluster") { (s, dir) =>
+      import s.implicits._
+      // Near-dup CLUSTERING — what a training pipeline actually runs:
+      // connected components over the MinHash pair graph via min-label
+      // propagation (8 fixed rounds; near-dup components are clique-like,
+      // diameter << 8), then canonical selection keep = (doc_id ==
+      // cluster min). Each round is one shuffle join on doc_id — at
+      // 100 TB that is 8 bounded shuffles, no driver-side graph.
+      val pairs = nearDupPairs(s, dir).select($"d1", $"d2").cache()
+      val docs  = load(s, dir, "documents").select($"doc_id")
+      val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+        .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      var labels = docs.select($"doc_id", $"doc_id".as("label"))
+      for (_ <- 1 to 8) {
+        val nbrMin = edges.join(labels, $"src" === $"doc_id")
+          .groupBy($"dst").agg(min($"label").as("nl"))
+        labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+          .select(labels("doc_id"),
+            least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
+          // truncate lineage each round: an 8-deep self-referential plan
+          // makes Catalyst analysis explode (observed 96s -> ~8s). On a
+          // cluster this is checkpoint() to durable storage.
+          .localCheckpoint()
+      }
+      labels
+        .select($"doc_id", $"label".as("cluster"),
+          ($"doc_id" === $"label").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    entryNoOracle("text_dedup_keep") { (s, dir) =>
+      import s.implicits._
+      // The deduplicated corpus: canonical doc per near-dup cluster
+      // (non-keepers dropped). Composes text_dedup_cluster with a
+      // semi-join back to the full rows.
+      val keepers = entries.find(_.name == "text_dedup_cluster").get
+        .fn(s, dir).filter(col("keep")).select(col("doc_id"))
+      load(s, dir, "documents")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+
+
 
     entryNoOracle("text_simhash_dedup") { (s, dir) =>
       import s.implicits._

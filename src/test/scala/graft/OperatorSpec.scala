@@ -89,6 +89,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == g.length))
   }
 
+  test("text_dedup_cluster: pairs never split across clusters; keepers are cluster minima") {
+    val cl = SparkEntry.queries("text_dedup_cluster")(spark, sf("sf0.001")).cache()
+    val pairs = SparkEntry.queries("text_dedup_near")(spark, sf("sf0.001"))
+      .select($"d1", $"d2")
+    val lab = cl.select($"doc_id", $"cluster")
+    val split = pairs
+      .join(lab.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster", "c1"), "d1")
+      .join(lab.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster", "c2"), "d2")
+      .filter($"c1" =!= $"c2").count()
+    assert(split == 0, s"$split near-dup pairs split across clusters")
+    val badKeeper = cl.groupBy($"cluster")
+      .agg(min($"doc_id").as("mn"))
+      .join(cl.filter($"keep"), Seq("cluster"))
+      .filter($"doc_id" =!= $"mn").count()
+    assert(badKeeper == 0, "keeper must be the cluster minimum")
+    val keep = SparkEntry.queries("text_dedup_keep")(spark, sf("sf0.001")).count()
+    assert(keep == cl.filter($"keep").count())
+  }
+
   test("agg_approx_distinct within 2% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
     val cols = approx.columns
