@@ -310,9 +310,10 @@ object TextOps {
           .select(labels("doc_id"),
             least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
           // truncate lineage each round: an 8-deep self-referential plan
-          // makes Catalyst analysis explode (observed 96s -> ~8s). On a
+          // makes Catalyst analysis explode (observed 96s -> ~16s; lazy
+          // checkpointing saves the 8 blocking materializations). On a
           // cluster this is checkpoint() to durable storage.
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       labels
         .select($"doc_id", $"label".as("cluster"),
