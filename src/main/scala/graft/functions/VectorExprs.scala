@@ -37,7 +37,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // silent truncation to the shorter array would mask a corrupt
+    // embedding with a plausible-but-wrong score — fail loudly instead
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dotp: mismatched vector lengths $n vs ${y.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -50,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dotp: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -264,45 +274,37 @@ case class MinHash16(child: Expression)
 }
 
 object VectorExprs {
-  /** Idempotently register `dotp(arr, arr)` with a session so query code
-    * can use `expr("dotp(a, b)")` inside codegen'd projections.
+
+  /** Single source of truth for the engine's native functions — consumed
+    * by both the per-session `register` path and the cluster-wide
+    * `GraftExtensions` injector so the two can never drift.
+    */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (c: Seq[Expression]) => SortedIntersectSize(c(0), c(1))),
+    (FunctionIdentifier("sorted_long_intersect_size"),
+      new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_long_intersect_size"),
+      (c: Seq[Expression]) => SortedLongIntersectSize(c(0), c(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (c: Seq[Expression]) => SimHash64(c.head)),
+    (FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (c: Seq[Expression]) => MinHash16(c.head)))
+
+  /** Idempotently register every native function with a session so query
+    * code can use them via `expr`/`call_function`.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val dotId = FunctionIdentifier("dotp")
-    if (!registry.functionExists(dotId)) {
-      registry.registerFunction(
-        dotId,
-        new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    }
-    val isId = FunctionIdentifier("sorted_intersect_size")
-    if (!registry.functionExists(isId)) {
-      registry.registerFunction(
-        isId,
-        new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-        (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
-    }
-    val liId = FunctionIdentifier("sorted_long_intersect_size")
-    if (!registry.functionExists(liId)) {
-      registry.registerFunction(
-        liId,
-        new ExpressionInfo(classOf[SortedLongIntersectSize].getName, "sorted_long_intersect_size"),
-        (children: Seq[Expression]) => SortedLongIntersectSize(children(0), children(1)))
-    }
-    val shId = FunctionIdentifier("simhash64")
-    if (!registry.functionExists(shId)) {
-      registry.registerFunction(
-        shId,
-        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        (children: Seq[Expression]) => SimHash64(children.head))
-    }
-    val mhId = FunctionIdentifier("minhash16")
-    if (!registry.functionExists(mhId)) {
-      registry.registerFunction(
-        mhId,
-        new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-        (children: Seq[Expression]) => MinHash16(children.head))
+    registrations.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }

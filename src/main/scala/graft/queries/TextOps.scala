@@ -29,6 +29,30 @@ object TextOps {
   /** Distinct lowercase tokens of `text`. */
   private def dToks: Column = array_distinct(tokens(lower(col("text"))))
 
+  /** Expand verified distinct-set pairs (s1, s2, <score>) plus intra-set
+    * duplicate groups into doc-id pairs (d1 < d2) — shared by every
+    * banded/bucketed similarity operator so threshold/score changes land
+    * in one place.
+    */
+  private def expandPairs(verified: org.apache.spark.sql.DataFrame,
+                          sets: org.apache.spark.sql.DataFrame,
+                          scoreCol: String,
+                          intraScore: Column): org.apache.spark.sql.DataFrame = {
+    val cross = verified
+      .join(sets.select(col("sid").as("s1"), col("ids").as("ids1")), "s1")
+      .join(sets.select(col("sid").as("s2"), col("ids").as("ids2")), "s2")
+      .select(col(scoreCol), explode(col("ids1")).as("da"), col("ids2"))
+      .select(col(scoreCol), col("da"), explode(col("ids2")).as("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+              greatest(col("da"), col("db")).as("d2"), col(scoreCol))
+    val intra = sets.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"), intraScore.as(scoreCol))
+    cross.unionByName(intra)
+  }
+
   /** MinHash + LSH near-dup pairs (shared by text_dedup_near and the
     * clustering/keep operators). 16 minhashes (native MinHash16 over
     * xxhash64'd tokens), 4 bands × 4 rows; candidate pairs only within a
@@ -41,8 +65,12 @@ object TextOps {
       import s.implicits._
       VectorExprs.register(s)
       val sigN = 16; val bands = 4; val rows = 4
+      // empty token sets are excluded: they are trivially "identical" to
+      // each other but invisible to the term-join oracle form, and their
+      // jaccard is 0/0
       val sets = load(s, dir, "documents")
         .select($"doc_id", array_sort(dToks).as("toks"))
+        .filter(size($"toks") > 0)
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
       // tokens hash once to longs; native MinHash16 takes the 16 minima
@@ -56,21 +84,14 @@ object TextOps {
           $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
         .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
       val enc = sets.withColumn("tids", array_sort(transform($"toks", t => xxhash64(t))))
-      val sA = enc.select($"sid".as("s1"), $"tids".as("t1"), $"ids".as("ids1"))
-      val sB = enc.select($"sid".as("s2"), $"tids".as("t2"), $"ids".as("ids2"))
+      val sA = enc.select($"sid".as("s1"), $"tids".as("t1"))
+      val sB = enc.select($"sid".as("s2"), $"tids".as("t2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / (size($"t1") + size($"t2") - inter)
-      val cross = cand.join(sA, "s1").join(sB, "s2")
+      val verified = cand.join(sA, "s1").join(sB, "s2")
         .filter(jac >= 0.9)
-        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
-        .select($"jaccard", $"da", explode($"ids2").as("db"))
-        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
-      val intra = sets.filter(size($"ids") > 1)
-        .select(explode($"ids").as("da"), $"ids")
-        .select($"da", explode($"ids").as("db"))
-        .filter($"da" < $"db")
-        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
-      cross.unionByName(intra)
+        .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+      expandPairs(verified, sets, "jaccard", lit(1.0))
   }
 
   val entries: Seq[Entry] = Seq(
@@ -202,6 +223,9 @@ object TextOps {
       VectorExprs.register(s)
       val docSets = load(s, dir, "documents")
         .select($"doc_id", array_sort(dToks).as("toks"))
+        // token-less docs are invisible to the oracle's term join and
+        // have undefined (0/0) jaccard — exclude before set-collapse
+        .filter(size($"toks") > 0)
       val sets = docSets.groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
         .withColumn("nt", size($"toks"))
@@ -222,21 +246,14 @@ object TextOps {
           $"a.term" === $"b.term" && $"a.sid" < $"b.sid" &&
           greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5)
         .select($"a.sid".as("s1"), $"b.sid".as("s2")).distinct()
-      val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"ids".as("ids1"), $"nt".as("n1"))
-      val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"ids".as("ids2"), $"nt".as("n2"))
+      val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"))
+      val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / ($"n1" + $"n2" - inter)
-      val cross = cand.join(sA, "s1").join(sB, "s2")
+      val verified = cand.join(sA, "s1").join(sB, "s2")
         .filter(jac >= 0.8)
-        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
-        .select($"jaccard", $"da", explode($"ids2").as("db"))
-        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
-      val intra = sets.filter(size($"ids") > 1)
-        .select(explode($"ids").as("da"), $"ids")
-        .select($"da", explode($"ids").as("db"))
-        .filter($"da" < $"db")
-        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
-      cross.unionByName(intra).orderBy($"d1", $"d2")
+        .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+      expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
     // ---- Q-gated (hash functions are engine-specific → no SQL oracle; ----
@@ -268,21 +285,14 @@ object TextOps {
       val cand = banded.as("x").join(banded.as("y"),
           $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
         .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
-      val sA = sets.select($"sid".as("s1"), $"sh".as("t1"), $"ids".as("ids1"))
-      val sB = sets.select($"sid".as("s2"), $"sh".as("t2"), $"ids".as("ids2"))
+      val sA = sets.select($"sid".as("s1"), $"sh".as("t1"))
+      val sB = sets.select($"sid".as("s2"), $"sh".as("t2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / (size($"t1") + size($"t2") - inter)
-      val cross = cand.join(sA, "s1").join(sB, "s2")
+      val verified = cand.join(sA, "s1").join(sB, "s2")
         .filter(jac >= 0.8)
-        .select(round(jac, 4).as("jaccard"), explode($"ids1").as("da"), $"ids2")
-        .select($"jaccard", $"da", explode($"ids2").as("db"))
-        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"jaccard")
-      val intra = sets.filter(size($"ids") > 1)
-        .select(explode($"ids").as("da"), $"ids")
-        .select($"da", explode($"ids").as("db"))
-        .filter($"da" < $"db")
-        .select($"da".as("d1"), $"db".as("d2"), lit(1.0).as("jaccard"))
-      cross.unionByName(intra).orderBy($"d1", $"d2")
+        .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+      expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
     entryNoOracle("text_dedup_near") { (s, dir) =>
@@ -303,19 +313,30 @@ object TextOps {
       val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
         .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
       var labels = docs.select($"doc_id", $"doc_id".as("label"))
-      for (_ <- 1 to 8) {
+      // min-label propagation to a FIXPOINT: sum(label) is strictly
+      // decreasing until convergence, so equal sums mean no label moved
+      // and the components (any diameter) are fully merged. The eager
+      // localCheckpoint already materializes each round, so the sum is a
+      // cheap scan; lineage truncation is required regardless — an
+      // n-deep self-referential plan makes Catalyst analysis explode
+      // (~6x slower). On a real cluster this is checkpoint() to durable
+      // storage.
+      var prevSum = Long.MinValue
+      var converged = false
+      var round = 0
+      while (round < 32 && !converged) {
         val nbrMin = edges.join(labels, $"src" === $"doc_id")
           .groupBy($"dst").agg(min($"label").as("nl"))
         labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
           .select(labels("doc_id"),
             least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
-          // truncate lineage each round: an 8-deep self-referential plan
-          // makes Catalyst analysis explode (~6x slower without this).
-          // Eager measured faster than lazy end-to-end (26.9s vs 33.7s
-          // for cluster+keep at sf0.1). On a real cluster this is
-          // checkpoint() to durable storage.
           .localCheckpoint()
+        val labelSum = labels.agg(sum($"label")).first().getLong(0)
+        converged = labelSum == prevSum
+        prevSum = labelSum
+        round += 1
       }
+      pairs.unpersist()
       labels
         .select($"doc_id", $"label".as("cluster"),
           ($"doc_id" === $"label").as("keep"))
@@ -348,6 +369,7 @@ object TextOps {
       // the end (intra-set pairs have hamming 0 by construction).
       val sets = load(s, dir, "documents")
         .select($"doc_id", array_sort(dToks).as("toks"))
+        .filter(size($"toks") > 0)
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
         // native SimHash64 expression: one JVM loop per set instead of
@@ -364,18 +386,8 @@ object TextOps {
           bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
         .distinct()
         .filter($"hamming" <= 3)
-      val cross = cand
-        .join(sets.select($"sid".as("s1"), $"ids".as("ids1")), "s1")
-        .join(sets.select($"sid".as("s2"), $"ids".as("ids2")), "s2")
-        .select($"hamming", explode($"ids1").as("da"), $"ids2")
-        .select($"hamming", $"da", explode($"ids2").as("db"))
-        .select(least($"da", $"db").as("d1"), greatest($"da", $"db").as("d2"), $"hamming")
-      val intra = sets.filter(size($"ids") > 1)
-        .select(explode($"ids").as("da"), $"ids")
-        .select($"da", explode($"ids").as("db"))
-        .filter($"da" < $"db")
-        .select($"da".as("d1"), $"db".as("d2"), lit(0).cast("int").as("hamming"))
-      cross.unionByName(intra).orderBy($"d1", $"d2")
+      expandPairs(cand, sets, "hamming", lit(0).cast("int"))
+        .orderBy($"d1", $"d2")
     },
 
     entryNoOracle("text_fingerprint") { (s, dir) =>

@@ -223,10 +223,14 @@ object VecOps {
       val q = s.range(1).select(
         hashEmbed(tokens(lower(lit("spark join fast query table")))).as("qemb"))
       dEmb.crossJoin(broadcast(q))
+        // zero-norm doc embeddings (signed contributions cancelling)
+        // would score 0/0 = NaN, and Spark sorts NaN above every double —
+        // filter them out before ranking
+        .withColumn("dnorm", sqrt(call_function("dotp", $"demb", $"demb")))
+        .filter($"dnorm" > 0)
         .select($"doc_id", $"lang", $"source",
           round(call_function("dotp", $"demb", $"qemb") /
-            (sqrt(call_function("dotp", $"demb", $"demb")) *
-             sqrt(call_function("dotp", $"qemb", $"qemb"))), 6).as("score"))
+            ($"dnorm" * sqrt(call_function("dotp", $"qemb", $"qemb"))), 6).as("score"))
         .orderBy($"score".desc, $"doc_id")
         .limit(5)
     }

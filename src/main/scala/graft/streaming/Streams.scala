@@ -34,13 +34,16 @@ object Streams {
       .agg(count("*").as("n"), sum("value").as("total"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
 
-  /** Streaming exact dedup on event_id within the watermark horizon —
-    * `dropDuplicates` + watermark is the supported bounded-state form.
+  /** Streaming exact dedup on event_id within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys state on event_id ALONE, so a
+    * redelivered event_id with a re-stamped timestamp (at-least-once
+    * sources with ingestion-time assignment) is still dropped; plain
+    * `dropDuplicates("event_id", "ts")` would pass it through.
     */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom per-user running state via mapGroupsWithState: running count
     * and value sum per user, emitted on every trigger (Update mode).

@@ -32,12 +32,13 @@ class StreamingSpec extends SparkSpecBase {
       ("2026-01-01 10:01:00", "click", 1L, 3.0)))
   }
 
-  test("stream_dedup: duplicate event_ids within watermark are dropped") {
+  test("stream_dedup: duplicate event_ids within watermark are dropped, even re-stamped") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
     in.addData(
       Ev(1, 1, "view", ts(0), 1.0),
-      Ev(1, 1, "view", ts(0), 1.0), // exact dup
+      Ev(1, 1, "view", ts(0), 1.0),     // exact dup
+      Ev(1, 1, "view", ts(0, 45), 1.0), // redelivery with re-stamped ts
       Ev(2, 1, "view", ts(0, 30), 2.0))
     Streams.runToMemory(Streams.dedupStream(in.toDF()), "dedup_out", OutputMode.Append())
     assert(spark.table("dedup_out").count() == 2)

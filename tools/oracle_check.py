@@ -20,8 +20,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return f"{v:.6f}"
+            if np.isinf(v):
+                return "inf" if v > 0 else "-inf"
             return f"{v:.6f}"
         if isinstance(v, (np.floating,)):
             return f"{float(v):.6f}"
