@@ -51,6 +51,30 @@ object ExtensibilityOps {
       salted.groupBy($"user_id")
         .agg(sum($"pn").as("n"), round(sum($"pt"), 4).as("total"))
         .orderBy($"user_id")
+    },
+
+    // ---- Multimodal plumbing surfaced as declared operators (rows-only:
+    // ---- the asset table is the deterministic synthetic generator —
+    // ---- the lake has no binary fixture — so outputs are stable but
+    // ---- not SQL-oracle-expressible).
+
+    entryNoOracle("mm_featurize") { (s, _) =>
+      import s.implicits._
+      graft.operators.Multimodal
+        .featurize(graft.operators.Multimodal.syntheticAssets(s, 120))
+        .toDF().orderBy($"asset_id")
+    },
+
+    entryNoOracle("mm_frame_sample") { (s, _) =>
+      import s.implicits._
+      // emit (len, hash) of each frame, not raw bytes: stable comparable
+      // output for the gate, and the serving shape a catalog would index
+      graft.operators.Multimodal
+        .sampleFrames(graft.operators.Multimodal.syntheticAssets(s, 120), 250L)
+        .toDF()
+        .select($"asset_id", $"frame_idx",
+          length($"frame").as("frame_len"), xxhash64($"frame").as("frame_hash"))
+        .orderBy($"asset_id", $"frame_idx")
     }
   )
 }

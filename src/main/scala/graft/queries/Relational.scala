@@ -648,6 +648,27 @@ object Relational {
           first($"o_totalprice").over(w).as("first_price"),
           last($"o_totalprice").over(w).as("last_price"))
         .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    entry(
+      "win_ntile_cume",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Quartile bucketing + cumulative distribution per market segment —
+      // partitioned on c_mktsegment with a unique (acctbal, custkey)
+      // order so both functions are deterministic.
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      load(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
     }
   )
 
