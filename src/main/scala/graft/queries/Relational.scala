@@ -507,6 +507,37 @@ object Relational {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"))
         .orderBy($"event_type")
+    },
+
+    entry(
+      "agg_median",
+      """SELECT event_type, round(median(value), 4) AS med
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      loadEvents(s, dir)
+        .groupBy($"event_type")
+        .agg(round(median($"value"), 4).as("med"))
+        .orderBy($"event_type")
+    },
+
+    entry(
+      "sql_correlated_agg",
+      """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Correlated-aggregate subquery in its decorrelated Spark form:
+      // segment averages (tiny) broadcast-joined back to the fact — the
+      // plan Catalyst's decorrelation would produce, stated explicitly.
+      val cust = load(s, dir, "customer")
+      val segAvg = cust.groupBy($"c_mktsegment").agg(avg($"c_acctbal").as("seg_avg"))
+      cust.join(broadcast(segAvg), "c_mktsegment")
+        .filter($"c_acctbal" > $"seg_avg")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .orderBy($"c_custkey")
     }
   )
 

@@ -327,6 +327,9 @@ object TextOps {
       while (round < 32 && !converged) {
         val nbrMin = edges.join(labels, $"src" === $"doc_id")
           .groupBy($"dst").agg(min($"label").as("nl"))
+        // (pointer jumping was measured here and reverted: near-dup
+        // components are clique-like with tiny diameter, so the extra
+        // label-of-label join per round cost more than the rounds saved)
         labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
           .select(labels("doc_id"),
             least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
