@@ -42,6 +42,12 @@ object Core {
     * both engines agree on the instant.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    // Our own mains/specs set this at session construction; this set
+    // covers DRIVER-owned sessions (Verify/Bench contract: fn(spark, dir)
+    // with an externally built session). It is session-global by nature —
+    // the conf is consulted lazily at scan execution, so a save-and-
+    // restore here would break the read it enables. Scoped alternative
+    // documented: none exists short of a per-relation option upstream.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

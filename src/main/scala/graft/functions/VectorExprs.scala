@@ -46,7 +46,14 @@ case class DotProduct(left: Expression, right: Expression)
     }
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // a null element read via getDouble would silently contribute 0 —
+      // the same silent-corruption class the length check guards against
+      if (x.isNullAt(i) || y.isNullAt(i)) {
+        throw new IllegalArgumentException(s"dotp: null element at index $i")
+      }
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -63,6 +70,9 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException("dotp: null element at index " + $i);
+         |  }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -102,6 +112,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          "sorted_intersect_size: null array element")
+      }
       val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -119,6 +133,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; int $c = 0;
          |int $n = $a.numElements(); int $m = $b.numElements();
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException("sorted_intersect_size: null array element");
+         |  }
          |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
@@ -159,6 +176,10 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          "sorted_long_intersect_size: null array element")
+      }
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -177,6 +198,9 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
          |int $i = 0; int $j = 0; int $c = 0;
          |int $n = $a.numElements(); int $m = $b.numElements();
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException("sorted_long_intersect_size: null array element");
+         |  }
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
@@ -215,6 +239,9 @@ case class SimHash64(child: Expression)
     var k = 0
     val n = arr.numElements()
     while (k < n) {
+      if (arr.isNullAt(k)) {
+        throw new IllegalArgumentException("simhash64: null array element")
+      }
       val s = arr.getUTF8String(k)
       val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
@@ -257,6 +284,9 @@ case class MinHash16(child: Expression)
     val n = arr.numElements()
     var k = 0
     while (k < n) {
+      if (arr.isNullAt(k)) {
+        throw new IllegalArgumentException("minhash16: null array element")
+      }
       val h = arr.getLong(k)
       var i = 0
       while (i < 16) {

@@ -60,9 +60,19 @@ object ExtensibilityOps {
 
     entryNoOracle("mm_featurize") { (s, _) =>
       import s.implicits._
+      // Raw array<float> is not a comparable-output shape (the gate's
+      // canonicalizer sorts column values) — emit stable scalars instead:
+      // the dim, a rounded checksum of the feature vector, and a
+      // content hash, mirroring mm_frame_sample's (len, hash) contract.
       graft.operators.Multimodal
         .featurize(graft.operators.Multimodal.syntheticAssets(s, 120))
-        .toDF().orderBy($"asset_id")
+        .toDF()
+        .select($"asset_id", $"modality", $"dim",
+          round(aggregate(transform($"features", f => f.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 4).as("feat_sum"),
+          xxhash64(concat_ws(",", transform($"features", f => f.cast("string"))))
+            .as("feat_hash"))
+        .orderBy($"asset_id")
     },
 
     entryNoOracle("mm_frame_sample") { (s, _) =>

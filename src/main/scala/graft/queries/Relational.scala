@@ -234,15 +234,22 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // Anti-join against a date-filtered subset: every customer has SOME
+    // order at sf0.01, so the unfiltered form passes vacuously on 0 rows.
+    // "No order since 2000" yields 135 rows at sf0.01 — a wrong join type
+    // can no longer hash-match by accident.
     entry(
       "join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
+      val recent = load(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
       load(s, dir, "customer")
-        .join(load(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left_anti")
+        .join(recent, $"o_custkey" === $"c_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     },
@@ -387,23 +394,25 @@ object Relational {
 
     // remove_outliers (reference agent.py:65): two-phase mean/stddev then
     // |z| filter. Stats computed once and broadcast — no per-row subquery.
+    // Runs over events.value (heavy-tailed: 496 rows past 2σ at sf0.01) —
+    // lineitem prices are uniform enough that NOTHING is 2σ out, which
+    // made the old form pass vacuously on 0 rows.
     entry(
       "agg_stats_zscore",
-      """WITH s AS (SELECT avg(l_extendedprice) AS mu,
-        |                  stddev_samp(l_extendedprice) AS sd FROM lineitem)
-        |SELECT l_orderkey, l_linenumber, round((l_extendedprice - mu)/sd, 4) AS z
-        |FROM lineitem, s WHERE abs((l_extendedprice - mu)/sd) > 2
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      """WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+        |SELECT event_id, round((value - mu)/sd, 4) AS z
+        |FROM events, s WHERE abs((value - mu)/sd) > 2
+        |ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val li = load(s, dir, "lineitem")
-      val stats = li.agg(avg($"l_extendedprice").as("mu"),
-        stddev_samp($"l_extendedprice").as("sd"))
-      li.crossJoin(broadcast(stats))
-        .withColumn("z", ($"l_extendedprice" - $"mu") / $"sd")
+      val ev = loadEvents(s, dir)
+      val stats = ev.agg(avg($"value").as("mu"),
+        stddev_samp($"value").as("sd"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("z", ($"value" - $"mu") / $"sd")
         .filter(abs($"z") > 2)
-        .select($"l_orderkey", $"l_linenumber", round($"z", 4).as("z"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"event_id", round($"z", 4).as("z"))
+        .orderBy($"event_id")
     },
 
     entry(
@@ -778,14 +787,20 @@ object Relational {
         .orderBy($"nk")
     },
 
+    // EXCEPT against a date-filtered subset: every custkey appears in
+    // unfiltered orders, so the unrestricted form passed vacuously on
+    // 0 rows. "Customers with no order since Aug 2000" = 322 at sf0.01.
     entry(
       "set_except",
       """SELECT c_custkey AS id FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY id""".stripMargin
+        |EXCEPT SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-08-01' ORDER BY id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
       load(s, dir, "customer").select($"c_custkey".as("id"))
-        .except(load(s, dir, "orders").select($"o_custkey".as("id")))
+        .except(load(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2000-08-01").cast("timestamp"))
+          .select($"o_custkey".as("id")))
         .orderBy($"id")
     }
   )

