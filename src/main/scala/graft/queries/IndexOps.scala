@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+import graft.functions.VectorExprs
+
+/** Persisted similarity index (reference SearchIndexer lifecycle,
+  * engine.py:72-98: build a reusable index ONCE, then serve many
+  * queries against it). The in-plan dedup operators (TextOps) recompute
+  * signatures per run — right for one-shot batch dedup, wrong for a
+  * serving path. Here the MinHash/LSH structures are materialized to
+  * the lake as two parquet tables:
+  *
+  *   sets(sid, ids, tids)   — one row per distinct token set
+  *   bands(sid, band, bh)   — 4 LSH band hashes per set
+  *
+  * and the probe entry answers a query by (1) signing ONLY the 1-row
+  * query side, (2) an equi-join on (band, bh) against the persisted
+  * bands — the probe plan contains a parquet scan of the index and NO
+  * corpus-wide signature recompute — and (3) exact Jaccard re-rank of
+  * the bucket-bounded candidates via the persisted tids.
+  *
+  * Scale notes (100 TB): the build is the same one-pass signature
+  * pipeline as dedup (bounded by distinct sets); the probe touches
+  * O(buckets hit) index rows, and with the bands table bucketed/
+  * partitioned by `bh` a real cluster serves probes with partition
+  * pruning instead of a full index scan. Index location is keyed by the
+  * source dir, so sf0.01 and sf0.1 never share an index.
+  */
+object IndexOps {
+
+  /** Lake location of the index for a given source dir (kept under the
+    * build's target/ so local runs never write outside the repo).
+    */
+  private[graft] def indexDir(dir: String): String =
+    "target/simindex/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Build (overwrite) the persisted index for `dir`; returns its path. */
+  private[queries] def buildIndex(s: SparkSession, dir: String): String = {
+    val path = indexDir(dir)
+    val sig = TextOps.signatureTable(s, dir)
+    sig.select(col("sid"), col("ids"), col("tids"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+    path
+  }
+
+  /** Probe-side guard: build on first use so entry order never matters
+    * (the driver iterates `queries` in map order).
+    */
+  private def ensureIndex(s: SparkSession, dir: String): String = {
+    val path = indexDir(dir)
+    if (!new java.io.File(s"$path/bands.parquet").exists()) buildIndex(s, dir)
+    path
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    entryNoOracle("sim_index_build") { (s, dir) =>
+      import s.implicits._
+      val path = buildIndex(s, dir)
+      // Declared output = deterministic stats OF THE PERSISTED TABLES
+      // (read back, not recomputed): proves the index landed on disk.
+      val bands = s.read.parquet(s"$path/bands.parquet")
+      val sets  = s.read.parquet(s"$path/sets.parquet")
+      bands.groupBy($"band")
+        .agg(count(lit(1)).as("n_sigs"), countDistinct($"bh").as("n_buckets"))
+        .crossJoin(broadcast(sets.agg(
+          count(lit(1)).as("n_sets"),
+          sum(size($"ids")).as("n_docs"))))
+        .orderBy($"band")
+    },
+
+    entryNoOracle("sim_index_probe") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureIndex(s, dir)
+      // Query = doc 0's text (pushed-down single-row read — the ONLY
+      // touch of the corpus table; guarantees a non-vacuous result:
+      // the probe always finds at least its own set at jaccard 1).
+      val q = load(s, dir, "documents")
+        .filter($"doc_id" === 0)
+        .select(array_sort(array_distinct(tokens(lower($"text")))).as("toks"))
+        .select(array_sort(transform($"toks", t => xxhash64(t))).as("qtids"))
+        .withColumn("bands", TextOps.bandHashes(call_function("minhash16", $"qtids")))
+      // qtids rides along with the band rows so the 1-row query subplan
+      // is referenced ONCE — a second reference would re-scan documents
+      val qBands = q.select(posexplode($"bands").as(Seq("band", "bh")), $"qtids")
+      val cand = s.read.parquet(s"$path/bands.parquet")
+        .join(broadcast(qBands), Seq("band", "bh"))
+        .select($"sid", $"qtids").distinct()
+      val sets = s.read.parquet(s"$path/sets.parquet")
+      val inter = call_function("sorted_long_intersect_size", $"tids", $"qtids").cast("double")
+      val jac   = inter / (size($"tids") + size($"qtids") - inter)
+      cand.join(sets, "sid")
+        .filter(jac >= 0.9)
+        .select(explode($"ids").as("doc_id"), round(jac, 4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"doc_id")
+    }
+  )
+}

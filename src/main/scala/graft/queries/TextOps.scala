@@ -53,39 +53,53 @@ object TextOps {
     cross.unionByName(intra)
   }
 
+  /** LSH band hashes of a 16-slot minhash signature: 4 bands × 4 rows. */
+  private[queries] def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      b => xxhash64(concat_ws("_",
+        transform(slice(sig, b * lit(4) + lit(1), lit(4)), v => v.cast("string")))))
+
+  /** One row per DISTINCT token set: (sid, ids, tids, bands) — sid is the
+    * canonical (min) doc_id, ids the docs sharing the set, tids the
+    * sorted xxhash64'd tokens (dictionary-encoded once; long compares
+    * beat UTF8String ~5× in the verify stage), bands the 4 LSH band
+    * hashes of the 16-slot native MinHash16 signature. Shared by the
+    * in-plan near-dup pipeline and the persisted-index build
+    * (IndexOps) so signature semantics can never drift between them.
+    * Empty token sets are excluded: trivially "identical" to each other
+    * but invisible to the term-join oracle form, and jaccard is 0/0.
+    */
+  private[queries] def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    VectorExprs.register(s)
+    load(s, dir, "documents")
+      .select(col("doc_id"), array_sort(dToks).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .groupBy(col("toks"))
+      .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
+      // tokens hash once to longs; native MinHash16 takes the 16 minima
+      // in a single pass (min is order-insensitive, so hashing the sorted
+      // tids gives the same signature as the raw token order)
+      .withColumn("tids", array_sort(transform(col("toks"), t => xxhash64(t))))
+      .withColumn("bands", bandHashes(call_function("minhash16", col("tids"))))
+      .drop("toks")
+  }
+
   /** MinHash + LSH near-dup pairs (shared by text_dedup_near and the
-    * clustering/keep operators). 16 minhashes (native MinHash16 over
-    * xxhash64'd tokens), 4 bands × 4 rows; candidate pairs only within a
-    * band bucket (no all-pairs product anywhere); exact Jaccard verify at
-    * 0.9 on candidates. Signatures once per DISTINCT token set; duplicate
+    * clustering/keep operators). Candidate pairs only within a band
+    * bucket (no all-pairs product anywhere); exact Jaccard verify at 0.9
+    * on candidates. Signatures once per DISTINCT token set; duplicate
     * docs re-expand at the end. At 100 TB the band join shuffles on
     * (band, band_hash) and the candidate count is bucket-bounded.
     */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      VectorExprs.register(s)
-      val sigN = 16; val bands = 4; val rows = 4
-      // empty token sets are excluded: they are trivially "identical" to
-      // each other but invisible to the term-join oracle form, and their
-      // jaccard is 0/0
-      val sets = load(s, dir, "documents")
-        .select($"doc_id", array_sort(dToks).as("toks"))
-        .filter(size($"toks") > 0)
-        .groupBy($"toks")
-        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-      // tokens hash once to longs; native MinHash16 takes the 16 minima
-      // in a single pass (was sigN interpreted passes over string concats)
-      val sig = call_function("minhash16", transform($"toks", t => xxhash64(t)))
-      val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), v => v.cast("string")))))
-      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
+      val sets = signatureTable(s, dir)
+      val banded = sets.select($"sid", posexplode($"bands").as(Seq("band", "bh")))
       val cand = banded.as("x").join(banded.as("y"),
           $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
         .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
-      val enc = sets.withColumn("tids", array_sort(transform($"toks", t => xxhash64(t))))
-      val sA = enc.select($"sid".as("s1"), $"tids".as("t1"))
-      val sB = enc.select($"sid".as("s2"), $"tids".as("t2"))
+      val sA = sets.select($"sid".as("s1"), $"tids".as("t1"))
+      val sB = sets.select($"sid".as("s2"), $"tids".as("t2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / (size($"t1") + size($"t2") - inter)
       val verified = cand.join(sA, "s1").join(sB, "s2")
