@@ -84,28 +84,48 @@ object TextOps {
       .drop("toks")
   }
 
-  /** MinHash + LSH near-dup pairs (shared by text_dedup_near and the
-    * clustering/keep operators). Candidate pairs only within a band
-    * bucket (no all-pairs product anywhere); exact Jaccard verify at 0.9
-    * on candidates. Signatures once per DISTINCT token set; duplicate
-    * docs re-expand at the end. At 100 TB the band join shuffles on
-    * (band, band_hash) and the candidate count is bucket-bounded.
+  /** Verified MinHash/LSH set-level near-dup structure, MEMOIZED
+    * (persisted) per (session, dir, shuffle.partitions): `verified` =
+    * (s1, s2, jaccard) sid pairs with exact Jaccard ≥ 0.9, `sets` = the
+    * signature table. Candidate pairs only within a band bucket (no
+    * all-pairs product anywhere). Three declared entries consume this
+    * (near, cluster, keep) — whichever runs first materializes it, the
+    * rest reuse the cached blocks. The SET-level structure is what's
+    * cached, not the expanded doc-pair list: near-dup cliques blow the
+    * doc-pair expansion up quadratically (~950k pairs at sf0.1 from
+    * ~3k duplicated docs), so expansion stays lazy and clustering never
+    * touches it at all.
+    */
+  private val vsCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    vsCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        import s.implicits._
+        val sets = signatureTable(s, dir).persist()
+        val banded = sets.select($"sid", posexplode($"bands").as(Seq("band", "bh")))
+        val cand = banded.as("x").join(banded.as("y"),
+            $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
+          .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+        val sA = sets.select($"sid".as("s1"), $"tids".as("t1"))
+        val sB = sets.select($"sid".as("s2"), $"tids".as("t2"))
+        val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
+        val jac   = inter / (size($"t1") + size($"t2") - inter)
+        val verified = cand.join(sA, "s1").join(sB, "s2")
+          .filter(jac >= 0.9)
+          .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+          .persist()
+        (verified, sets)
+      })
+
+  /** Doc-level near-dup pairs: the lazily expanded view of
+    * [[verifiedSets]] (cliques make this quadratic in clique size — it
+    * is a declared OUTPUT shape, never an intermediate).
     */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      val sets = signatureTable(s, dir)
-      val banded = sets.select($"sid", posexplode($"bands").as(Seq("band", "bh")))
-      val cand = banded.as("x").join(banded.as("y"),
-          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
-        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
-      val sA = sets.select($"sid".as("s1"), $"tids".as("t1"))
-      val sB = sets.select($"sid".as("s2"), $"tids".as("t2"))
-      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
-      val jac   = inter / (size($"t1") + size($"t2") - inter)
-      val verified = cand.join(sA, "s1").join(sB, "s2")
-        .filter(jac >= 0.9)
-        .select($"s1", $"s2", round(jac, 4).as("jaccard"))
-      expandPairs(verified, sets, "jaccard", lit(1.0))
+    val (verified, sets) = verifiedSets(s, dir)
+    expandPairs(verified, sets, "jaccard", lit(1.0))
   }
 
   /** Near-dup CLUSTERING — what a training pipeline actually runs:
@@ -137,11 +157,28 @@ object TextOps {
     labelsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
-        val pairs = nearDupPairs(s, dir).select($"d1", $"d2").cache()
-        val docs  = load(s, dir, "documents").select($"doc_id")
-        val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
-          .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
-        var labels = docs.select($"doc_id", $"doc_id".as("label"))
+        // Propagate over the SET-level graph, not expanded doc pairs:
+        // star edges sid↔member connect docs sharing a token set, and
+        // verified s1↔s2 edges connect similar sets. Components are
+        // identical to the doc-pair graph's (every doc-pair edge is a
+        // ≤3-hop star/sid path), but the edge count is |docs in dup
+        // sets| + |verified set pairs| instead of sum of clique² — a
+        // 1000-doc clique contributes 1000 star edges, not 500k pairs.
+        val (verified, sets) = verifiedSets(s, dir)
+        val stars = sets.select($"sid", explode($"ids").as("doc"))
+          .filter($"doc" =!= $"sid")
+          .select($"sid".as("a"), $"doc".as("b"))
+        val sidPairs = verified.select($"s1".as("a"), $"s2".as("b"))
+        val half = stars.unionByName(sidPairs)
+        val edges = half.select($"a".as("src"), $"b".as("dst"))
+          .unionByName(half.select($"b".as("src"), $"a".as("dst")))
+          .localCheckpoint()
+        // Only edge-touched docs participate in propagation — singleton
+        // docs (no near-dup) can never change label, so they skip the
+        // loop entirely and rejoin at the end. At 100 TB the loop then
+        // scales with the DUPLICATED subset, not the corpus.
+        var labels = edges.select($"src".as("doc_id")).distinct()
+          .select($"doc_id", $"doc_id".as("label"))
         var prevSum = Long.MinValue
         var converged = false
         var round = 0
@@ -160,8 +197,9 @@ object TextOps {
           prevSum = labelSum
           round += 1
         }
-        pairs.unpersist()
-        labels
+        load(s, dir, "documents").select($"doc_id")
+          .join(labels.withColumnRenamed("label", "nl"), Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"nl", $"doc_id").as("label"))
       })
 
   val entries: Seq[Entry] = Seq(
