@@ -319,40 +319,46 @@ object TextOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       // Exact token-set Jaccard ≥ 0.8, AllPairs/PPJoin-style:
-      // 1. collapse docs to DISTINCT token sets (duplicates ride along in
-      //    `ids` and re-expand at the end);
+      // 1. dictionary-encode tokens to xxhash64 longs IMMEDIATELY and
+      //    collapse docs to DISTINCT hashed sets (long-array groupBy and
+      //    compares are ~5x cheaper than string arrays; a cross-set hash
+      //    collision is ~n²/2^64 — at lake scale use a 128-bit hash);
       // 2. candidate pairs must share a token in each set's RARE-TERM
       //    prefix (length n - ceil(0.8n) + 1 under a global rarity order)
-      //    AND satisfy the size bound 4*max(|A|,|B|) <= 5*min(|A|,|B|) —
-      //    both necessary conditions of J >= 0.8, so exactness is kept;
-      // 3. exact array_intersect verify on the surviving pairs only.
-      // vs. the naive inverted-index join this cuts the shuffled pair-term
-      // rows by the prefix ratio (~5x) times the duplicate-set ratio.
+      //    AND satisfy the size bound 4*max(|A|,|B|) <= 5*min(|A|,|B|)
+      //    AND the PPJoin POSITIONAL bound: matching at rarity positions
+      //    (pa, pb), total overlap can't exceed 1 + min(n1-pa, n2-pb),
+      //    which must reach the overlap threshold α = ceil(4(n1+n2)/9)
+      //    implied by J ≥ 0.8. All three are necessary conditions, so
+      //    exactness is kept (the FIRST common term of a true pair
+      //    always passes the positional test);
+      // 3. exact merge-intersect verify on the surviving pairs only.
+      // On a shared-vocabulary corpus the prefix filter alone leaves
+      // ~half of all-pairs as candidates; the positional bound is what
+      // keeps the verify stage bucket-bounded.
       VectorExprs.register(s)
       val docSets = load(s, dir, "documents")
-        .select($"doc_id", array_sort(dToks).as("toks"))
+        .select($"doc_id",
+          array_sort(transform(dToks, t => xxhash64(t))).as("tids"))
         // token-less docs are invisible to the oracle's term join and
         // have undefined (0/0) jaccard — exclude before set-collapse
-        .filter(size($"toks") > 0)
-      val sets = docSets.groupBy($"toks")
+        .filter(size($"tids") > 0)
+      val sets = docSets.groupBy($"tids")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-        .withColumn("nt", size($"toks"))
-        // dictionary-encode the token set once per distinct set: xxhash64
-        // is a pure injective-modulo-2^-64 map, so integer merge-intersect
-        // counts equal string intersect counts (oracle-verified); long
-        // compares are ~5x cheaper than UTF8String in the verify stage.
-        .withColumn("tids", array_sort(transform($"toks", t => xxhash64(t))))
-      val t = sets.select($"sid", $"nt", explode($"toks").as("term"))
-      val dfreq = t.groupBy($"term").agg(count("*").as("df"))
+        .withColumn("nt", size($"tids"))
+      val t = sets.select($"sid", $"nt", explode($"tids").as("tid"))
+      val dfreq = t.groupBy($"tid").agg(count("*").as("df"))
       val prefLen = $"nt" - (($"nt" * 4 + lit(4)) / lit(5)).cast("int") + lit(1)
-      val prefix = t.join(dfreq, "term")
+      val prefix = t.join(dfreq, "tid")
         .withColumn("rk", row_number().over(
-          Window.partitionBy($"sid").orderBy($"df", $"term")))
+          Window.partitionBy($"sid").orderBy($"df", $"tid")))
         .filter($"rk" <= prefLen)
-        .select($"term", $"sid", $"nt")
+        .select($"tid", $"sid", $"nt", $"rk")
       val cand = prefix.as("a").join(prefix.as("b"),
-          $"a.term" === $"b.term" && $"a.sid" < $"b.sid" &&
-          greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5)
+          $"a.tid" === $"b.tid" && $"a.sid" < $"b.sid" &&
+          greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5 &&
+          (lit(1) + least($"a.nt" - $"a.rk", $"b.nt" - $"b.rk")) * 9 >=
+            ($"a.nt" + $"b.nt") * 4)
         .select($"a.sid".as("s1"), $"b.sid".as("s2")).distinct()
       val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"))
       val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
