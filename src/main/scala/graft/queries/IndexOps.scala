@@ -98,6 +98,63 @@ object IndexOps {
         .filter(jac >= 0.9)
         .select(explode($"ids").as("doc_id"), round(jac, 4).as("jaccard"))
         .orderBy($"jaccard".desc, $"doc_id")
+    },
+
+    // ---- Persisted VECTOR index (the reference's Chroma collection is
+    // ---- a vector store — engine.py:74-93 — so this is the closest
+    // ---- structural analogue: embed-and-index once, probe many).
+
+    entryNoOracle("vec_index_build") { (s, dir) =>
+      import s.implicits._
+      val path = buildVecIndex(s, dir)
+      val bands = s.read.parquet(s"$path/vec_bands.parquet")
+      val vecs  = s.read.parquet(s"$path/vecs.parquet")
+      bands.groupBy($"band")
+        .agg(count(lit(1)).as("n_sigs"), countDistinct($"bk").as("n_buckets"))
+        .crossJoin(broadcast(vecs.agg(count(lit(1)).as("n_vecs"))))
+        .orderBy($"band")
+    },
+
+    entryNoOracle("vec_index_probe") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureVecIndex(s, dir)
+      // Query = vector 0 (pushed-down single-row read of the corpus
+      // table — its only appearance in the probe plan); band keys ride
+      // along so the 1-row subplan is referenced once.
+      val q = load(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>").as("qemb"))
+        .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+        .withColumn("bands", VecOps.lshBandKeys($"qemb"))
+      val qBands = q.select(posexplode($"bands").as(Seq("band", "bk")), $"qemb", $"qnorm")
+      val cand = s.read.parquet(s"$path/vec_bands.parquet")
+        .join(broadcast(qBands), Seq("band", "bk"))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"qemb", $"qnorm").distinct()
+      cand.join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+        .select($"vec_id",
+          round(call_function("dotp", $"emb", $"qemb") / ($"norm" * $"qnorm"), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
     }
   )
+
+  /** Build (overwrite) the persisted vector index for `dir`. */
+  private[graft] def buildVecIndex(s: SparkSession, dir: String): String = {
+    val path = indexDir(dir)
+    val e = VecOps.emb(s, dir)
+    e.select(col("vec_id"), col("emb"), col("norm"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
+    e.select(col("vec_id"),
+        posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
+    path
+  }
+
+  private def ensureVecIndex(s: SparkSession, dir: String): String = {
+    val path = indexDir(dir)
+    if (!new java.io.File(s"$path/vec_bands.parquet").exists()) buildVecIndex(s, dir)
+    path
+  }
 }

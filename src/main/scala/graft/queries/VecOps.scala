@@ -40,8 +40,27 @@ object VecOps {
   private def cosFast(a: Column, b: Column, na: Column, nb: Column): Column =
     dotp(a, b) / (na * nb)
 
+  /** Seeded random-hyperplane set for sign-bit LSH: 16 planes of ±1
+    * over 64 dims (shared by the in-plan LSH join and the persisted
+    * vector index so signatures can never drift).
+    */
+  private[queries] val lshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** 4 LSH band keys (4 sign bits each) of an embedding column. */
+  private[queries] def lshBandKeys(e: Column): Column = {
+    val pl = typedlit(lshPlanes)
+    val bits = transform(sequence(lit(0), lit(15)),
+      p => when(call_function("dotp", e, element_at(pl, p + lit(1))) > 0, 1L)
+             .otherwise(0L))
+    transform(sequence(lit(0), lit(3)), b =>
+      concat_ws(":", transform(slice(bits, b * lit(4) + lit(1), lit(4)), v => v.cast("string"))))
+  }
+
   /** Embeddings with per-vector norm precomputed (single scan). */
-  private def emb(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(s)
     import s.implicits._
     load(s, dir, "embeddings")
@@ -140,19 +159,11 @@ object VecOps {
       // 4 bands × 4 bits; candidates only within a band bucket, exact
       // cosine re-rank, top-3 per vector. Shuffles on (band, bits) —
       // bucket-bounded, never all-pairs.
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
-      val pl  = typedlit(planes)
-      val e   = emb(s, dir)
-      val bits = transform(sequence(lit(0), lit(15)),
-        p => when(dotp($"emb", element_at(pl, p + lit(1))) > 0, 1L).otherwise(0L))
-      val bandKeys = transform(sequence(lit(0), lit(3)), b =>
-        concat_ws(":", transform(slice(bits, b * lit(4) + lit(1), lit(4)), v => v.cast("string"))))
+      val e = emb(s, dir)
       // Bands carry ids only: the distinct() dedups narrow (a_id, b_id)
       // pairs, and embeddings re-join afterward — shuffling 64-double
       // arrays through the candidate dedup was the dominant cost.
-      val sigd = e.withColumn("bands", bandKeys)
+      val sigd = e.withColumn("bands", lshBandKeys($"emb"))
         .select($"vec_id", posexplode($"bands").as(Seq("band", "bk")))
       val cand = sigd.as("x").join(sigd.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")

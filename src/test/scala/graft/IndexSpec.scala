@@ -49,4 +49,41 @@ class IndexSpec extends SparkSpecBase {
     assert(got.map(_._1).toSet == expected,
       s"probe set ${got.map(_._1).toSet} != near-dup partners $expected")
   }
+
+  test("vec_index_build persists vecs+bands; summary covers the corpus") {
+    val summary = SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    assert(summary.length == 4, "one summary row per LSH band")
+    val nVecs = summary.head.getAs[Long]("n_vecs")
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(nVecs == corpus, s"index covers $nVecs of $corpus vectors")
+  }
+
+  test("vec_index_probe re-ranks persisted candidates with exact cosine") {
+    SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    val probe = SparkEntry.queries("vec_index_probe")(spark, dir)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("simindex"), "probe must scan the persisted index")
+    val corpusScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 1, s"probe plan scans embeddings $corpusScans times (expected ≤1: the 1-row query side)")
+
+    val got = probe.as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.length <= 5)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "scores must be descending")
+    assert(!got.exists(_._1 == 0L), "query vector must not match itself")
+    // Re-rank exactness: each returned score equals the exact cosine
+    // between vector 0 and the returned id (LSH only bounds WHICH
+    // candidates are scored, never the score itself).
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (id, score) =>
+      val exact = BigDecimal(cos(e(0L), e(id)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - score) < 1e-9, s"id $id: probe $score vs exact $exact")
+    }
+  }
 }
