@@ -75,6 +75,19 @@ object ExtensibilityOps {
         .orderBy($"asset_id")
     },
 
+    entryNoOracle("mm_resize") { (s, _) =>
+      import s.implicits._
+      // Resize pass over image assets (non-images pass through): declared
+      // output is the scalar shape contract — dimensions, payload length,
+      // payload hash — per the comparable-output rule.
+      graft.operators.Multimodal
+        .resizeImages(graft.operators.Multimodal.syntheticAssets(s, 120), 4, 4)
+        .toDF()
+        .select($"asset_id", $"modality", $"width", $"height",
+          length($"data").as("data_len"), xxhash64($"data").as("data_hash"))
+        .orderBy($"asset_id")
+    },
+
     entryNoOracle("mm_frame_sample") { (s, _) =>
       import s.implicits._
       // emit (len, hash) of each frame, not raw bytes: stable comparable
