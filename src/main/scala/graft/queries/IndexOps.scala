@@ -39,11 +39,15 @@ object IndexOps {
   /** Build (overwrite) the persisted index for `dir`; returns its path. */
   private[queries] def buildIndex(s: SparkSession, dir: String): String = {
     val path = indexDir(dir)
-    val sig = TextOps.signatureTable(s, dir)
-    sig.select(col("sid"), col("ids"), col("tids"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
-    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+    // two tables derive from one signature pass — persist it so the
+    // pipeline runs once, not once per written table
+    val sig = TextOps.signatureTable(s, dir).persist()
+    try {
+      sig.select(col("sid"), col("ids"), col("tids"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+      sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+    } finally sig.unpersist()
     path
   }
 
@@ -143,12 +147,14 @@ object IndexOps {
   /** Build (overwrite) the persisted vector index for `dir`. */
   private[graft] def buildVecIndex(s: SparkSession, dir: String): String = {
     val path = indexDir(dir)
-    val e = VecOps.emb(s, dir)
-    e.select(col("vec_id"), col("emb"), col("norm"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
-    e.select(col("vec_id"),
-        posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
+    val e = VecOps.emb(s, dir).persist()
+    try {
+      e.select(col("vec_id"), col("emb"), col("norm"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
+      e.select(col("vec_id"),
+          posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
+    } finally e.unpersist()
     path
   }
 
