@@ -233,6 +233,35 @@ object TextOps {
     },
 
     entry(
+      "text_tfidf",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, round(tf * ln(n*1.0/df), 4) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |ORDER BY doc_id, term""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TF-IDF weighting of the inverted index (the relevance-ranking
+      // layer a lexical search serving path puts over text_index_build).
+      // tf and df derive from ONE tokenize pass; the corpus size N is a
+      // broadcast 1-row aggregate, same shape as agg_stats_zscore.
+      val docs = load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfq, "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", $"tf",
+          round($"tf" * log($"n" / $"df"), 4).as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    },
+
+    entry(
       "text_token_count",
       """SELECT doc_id,
         |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_ws_tokens,

@@ -46,6 +46,15 @@ object Ingest {
   def serveJsonHead(df: DataFrame, orderCol: String, n: Int): Seq[String] =
     df.orderBy(col(orderCol)).limit(n).toJSON.collect().toSeq
 
+  /** ORC lake edge (built into spark-sql — the columnar sibling of the
+    * parquet bronze layer for lakes standardized on ORC).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, lakeDir: String, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(s"$lakeDir/$name.orc")
+
   /** Excel ingestion is a documented out-of-engine converter in this
     * offline build (no spark-excel jar; SURVEY.md §7.4): convert
     * `.xlsx` → CSV upstream, then `readCsv`. Kept as an explicit,

@@ -76,6 +76,48 @@ object Streams {
       .agg(count("*").as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension row. The static side is broadcast (dims stay
+    * broadcastable at 100 TB — they grow with entities, not events), so
+    * enrichment is map-side per micro-batch with no streaming state.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Multi-emit custom state via flatMapGroupsWithState: per user, emit
+    * one row each time the running value total crosses another multiple
+    * of `step` (0, 1 or many rows per input batch — the shape
+    * mapGroupsWithState cannot express). Update mode, no timeout; state
+    * is one (count, total) pair per user, bounded by user cardinality.
+    */
+  final case class Crossing(user_id: Long, milestone: Double, at_total: Double)
+
+  def milestoneCrossings(events: Dataset[Ev], step: Double): Dataset[Crossing] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, Crossing](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0.0))
+          // deterministic fold order: MemoryStream batches preserve input
+          // order within a group; production sources should pre-sort by
+          // event time upstream of this operator
+          val evs = rows.toSeq
+          var total = prev.total
+          val out = Seq.newBuilder[Crossing]
+          evs.foreach { e =>
+            val before = math.floor(total / step)
+            total += e.value
+            val after = math.floor(total / step)
+            var m = before + 1
+            while (m <= after) { out += Crossing(uid, m * step, total); m += 1 }
+          }
+          state.update(SessionAgg(uid, prev.n_events + evs.size, total))
+          out.result().iterator
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

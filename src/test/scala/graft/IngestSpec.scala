@@ -60,6 +60,18 @@ class IngestSpec extends SparkSpecBase {
     assert(out == Seq("""{"k":1,"v":"a"}""", """{"k":2,"v":"b"}"""))
   }
 
+  test("src_orc_scan + sink_orc: lake round-trip preserves schema and rows") {
+    val src = Seq((1L, "x", 2.5), (2L, "y", 4.0)).toDF("k", "v", "w")
+    Ingest.writeOrc(src, tmp, "orc_t")
+    val back = Ingest.readOrc(spark, s"$tmp/orc_t.orc")
+    // names+types survive; nullability widens on file-source read (same
+    // as parquet), so compare the data-shape, not the nullable flags
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "x", 2.5), (2L, "y", 4.0)))
+  }
+
   test("src_pdf_scan stub: one row per 1024-byte page slice") {
     val p = s"$tmp/fake.pdf"
     Files.write(java.nio.file.Paths.get(p), Array.fill[Byte](3000)(65))

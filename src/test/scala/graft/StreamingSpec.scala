@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(last == Streams.SessionAgg(7, 3, 10.0))
   }
 
+  test("stream_static_join: events enrich from a broadcast static dim") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, 1, "view", ts(0), 1.0),
+      Ev(2, 2, "view", ts(1), 2.0),
+      Ev(3, 9, "view", ts(2), 3.0)) // no dim row -> null tier (left join)
+    Streams.runToMemory(
+      Streams.enrichWithDim(in.toDF(), dim, "user_id"), "enrich_out", OutputMode.Append())
+    val rows = spark.table("enrich_out")
+      .select($"event_id", $"tier").as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+
+  test("stream_flatmap_state: milestone crossings emit 0..n rows per batch, state carries") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.milestoneCrossings(in.toDS(), 5.0).toDF()
+      .writeStream.format("memory").queryName("milestone_out")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Ev(1, 7, "buy", ts(0), 3.0))  // total 3.0 -> no crossing
+    q.processAllAvailable()
+    in.addData(Ev(2, 7, "buy", ts(1), 13.0)) // total 16.0 -> crosses 5 and 10 and 15
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("milestone_out")
+      .as[Streams.Crossing].collect().sortBy(_.milestone)
+    assert(rows.toSeq == Seq(
+      Streams.Crossing(7, 5.0, 16.0),
+      Streams.Crossing(7, 10.0, 16.0),
+      Streams.Crossing(7, 15.0, 16.0)))
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
