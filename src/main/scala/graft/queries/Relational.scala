@@ -518,6 +518,20 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // The declared 100 TB percentile path: t-digest-style sketch
+    // (percentile_approx), single-pass, mergeable partials — no per-group
+    // sort/materialization. Q-gated (sketch internals are
+    // engine-specific); OperatorSpec pins it within tolerance of exact.
+    entryNoOracle("agg_percentile_approx") { (s, dir) =>
+      import s.implicits._
+      loadEvents(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          round(percentile_approx($"value", lit(0.5), lit(1000)), 4).as("p50"),
+          round(percentile_approx($"value", lit(0.9), lit(1000)), 4).as("p90"))
+        .orderBy($"event_type")
+    },
+
     entry(
       "agg_median",
       """SELECT event_type, round(median(value), 4) AS med

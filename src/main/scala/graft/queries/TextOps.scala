@@ -262,6 +262,42 @@ object TextOps {
     },
 
     entry(
+      "text_bm25",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |g AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents)
+        |SELECT doc_id, term,
+        |  round(ln((n - df + 0.5)/(df + 0.5) + 1) *
+        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g
+        |ORDER BY doc_id, term""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // BM25 (k1=1.2, b=0.75) — the ranking function a lexical search
+      // serving layer actually uses. Same one-pass tokenize shape as
+      // text_tfidf; per-doc length and corpus (N, avgdl) fold in as a
+      // groupBy and a broadcast 1-row aggregate respectively.
+      val docs = load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val g = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))
+      val idf = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1))
+      val score = idf * $"tf" * lit(2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      tf.join(dfq, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(g))
+        .select($"doc_id", $"term", round(score, 4).as("bm25"))
+        .orderBy($"doc_id", $"term")
+    },
+
+    entry(
       "text_token_count",
       """SELECT doc_id,
         |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_ws_tokens,

@@ -186,21 +186,41 @@ object VecOps {
       // hash-ordered sample — TakeOrderedAndProject keeps K rows in one
       // map-side pass, so broadcast size and per-vector assignment cost
       // are O(K) at ANY corpus size; the old every-64th-vector scheme
-      // grew the broadcast O(n)). Assign every vector to its nearest
-      // centroid, probe the query's nprobe=3 nearest cells, exact re-rank
-      // inside the probed cells only. At 100 TB the cell assignment
-      // replaces the all-pairs product with a partition-pruned scan of
-      // ~nprobe/K of the data. A production build would k-means-refine
-      // the same K seeds; the sample keeps the demo deterministic.
+      // grew the broadcast O(n)), k-means-refined with 2 Lloyd rounds
+      // (assign via broadcast centroids → per-cell mean via groupBy —
+      // two bounded map+shuffle passes, deterministic because
+      // assignment ties break on c_id and means are exact sums/counts).
+      // Assign every vector to its refined nearest centroid, probe the
+      // query's nprobe=3 nearest cells, exact re-rank inside the probed
+      // cells only. At 100 TB the cell assignment replaces the
+      // all-pairs product with a partition-pruned scan of ~nprobe/K.
       val e = emb(s, dir)
-      val cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
+      def assignTo(cents: DataFrame): DataFrame = {
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"c_id")
+        e.join(broadcast(cents))
+          .select($"vec_id", $"emb", $"norm", $"c_id",
+            round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6).as("d"))
+          .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
+          .select($"vec_id", $"emb", $"norm", $"c_id")
+      }
+      var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
         .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"c_id")
-      val assigned = e.join(broadcast(cents))
-        .select($"vec_id", $"emb", $"norm", $"c_id",
-          round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6).as("d"))
-        .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
-        .select($"vec_id", $"emb", $"norm", $"c_id")
+      for (_ <- 1 to 2) {
+        // Lloyd round: mean of each cell's members becomes the new
+        // centroid (cells keep their seed's c_id; empty cells drop out)
+        cents = assignTo(cents)
+          .select($"c_id", posexplode($"emb").as(Seq("dim", "x")))
+          // round(·,6) absorbs summation-order drift so the refined
+          // centroids — and every downstream assignment — stay
+          // byte-identical across partitioning (determinism audit)
+          .groupBy($"c_id", $"dim").agg(round(avg($"x"), 6).as("m"))
+          .groupBy($"c_id")
+          .agg(map_from_entries(collect_list(struct($"dim", $"m"))).as("mm"))
+          .select($"c_id",
+            transform(sequence(lit(0), lit(63)), d => element_at($"mm", d)).as("c_emb"))
+          .withColumn("c_n", sqrt(call_function("dotp", $"c_emb", $"c_emb")))
+      }
+      val assigned = assignTo(cents)
       val q = assigned.filter($"vec_id" === 0)
         .select($"emb".as("qemb"), $"norm".as("qnorm"))
       val probed = cents.crossJoin(broadcast(q))

@@ -108,6 +108,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(keep == cl.filter($"keep").count())
   }
 
+  test("agg_percentile_approx within 5% of exact per group") {
+    val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf("sf0.01"))
+    val exact  = SparkEntry.queries("agg_percentile")(spark, sf("sf0.01"))
+      .withColumnRenamed("p50", "e50").withColumnRenamed("p90", "e90")
+    val joined = approx.join(exact, "event_type")
+      .select($"p50", $"e50", $"p90", $"e90")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (p50, e50, p90, e90) =>
+      assert(math.abs(p50 - e50) / math.max(math.abs(e50), 1e-9) <= 0.05, s"p50 $p50 vs $e50")
+      assert(math.abs(p90 - e90) / math.max(math.abs(e90), 1e-9) <= 0.05, s"p90 $p90 vs $e90")
+    }
+  }
+
   test("agg_approx_distinct within 2% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
     val cols = approx.columns
