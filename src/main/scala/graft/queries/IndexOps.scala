@@ -104,6 +104,37 @@ object IndexOps {
         .orderBy($"jaccard".desc, $"doc_id")
     },
 
+    entryNoOracle("sim_index_incremental") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureIndex(s, dir)
+      // Incremental dedup — the production daily-ingest shape: sign ONLY
+      // the new batch (here: doc_id % 10 == 7, a pushed-down filtered
+      // scan), probe the persisted index, emit (batch doc → indexed
+      // near-dup) pairs. Corpus signatures are never recomputed; cost
+      // scales with the batch, not the lake.
+      val batch = load(s, dir, "documents")
+        .filter(pmod($"doc_id", lit(10)) === 7)
+        .select($"doc_id".as("b_doc"),
+          array_sort(transform(array_distinct(tokens(lower($"text"))), t => xxhash64(t)))
+            .as("btids"))
+        .filter(size($"btids") > 0)
+        .withColumn("bands", TextOps.bandHashes(call_function("minhash16", $"btids")))
+      val qb = batch.select($"b_doc", $"btids",
+        posexplode($"bands").as(Seq("band", "bh")))
+      val cand = s.read.parquet(s"$path/bands.parquet")
+        .join(qb, Seq("band", "bh"))
+        .select($"b_doc", $"btids", $"sid").distinct()
+      val sets = s.read.parquet(s"$path/sets.parquet")
+      val inter = call_function("sorted_long_intersect_size", $"tids", $"btids").cast("double")
+      val jac   = inter / (size($"tids") + size($"btids") - inter)
+      cand.join(sets, "sid")
+        .filter(jac >= 0.9)
+        .select($"b_doc", explode($"ids").as("match_doc"), round(jac, 4).as("jaccard"))
+        .filter($"match_doc" =!= $"b_doc")
+        .orderBy($"b_doc", $"match_doc")
+    },
+
     // ---- Persisted VECTOR index (the reference's Chroma collection is
     // ---- a vector store — engine.py:74-93 — so this is the closest
     // ---- structural analogue: embed-and-index once, probe many).

@@ -50,6 +50,26 @@ class IndexSpec extends SparkSpecBase {
       s"probe set ${got.map(_._1).toSet} != near-dup partners $expected")
   }
 
+  test("sim_index_incremental: batch-vs-index dedup matches the in-plan pair graph") {
+    SparkEntry.queries("sim_index_build")(spark, dir).collect()
+    val inc = SparkEntry.queries("sim_index_incremental")(spark, dir)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("simindex"), "incremental dedup must scan the persisted index")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 1, s"plan scans documents $corpusScans times (expected ≤1: the batch read)")
+
+    val got = inc.select($"b_doc", $"match_doc").as[(Long, Long)].collect().toSet
+    // Expected: every near-dup pair (threshold 0.9, incl. identical-set
+    // partners) with a batch-side member, oriented batch-first.
+    val pairs = SparkEntry.queries("text_dedup_near")(spark, dir)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val expected = pairs.flatMap { case (d1, d2) =>
+      Seq(d1 -> d2, d2 -> d1)
+    }.filter { case (b, _) => b % 10 == 7 }.toSet
+    assert(got == expected, s"incremental ${got.size} pairs vs expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture should give the batch at least one near-dup")
+  }
+
   test("vec_index_build persists vecs+bands; summary covers the corpus") {
     val summary = SparkEntry.queries("vec_index_build")(spark, dir).collect()
     assert(summary.length == 4, "one summary row per LSH band")
