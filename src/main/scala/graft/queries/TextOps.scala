@@ -278,13 +278,16 @@ object TextOps {
     ) { (s, dir) =>
       import s.implicits._
       // BM25 (k1=1.2, b=0.75) — the ranking function a lexical search
-      // serving layer actually uses. Same one-pass tokenize shape as
-      // text_tfidf; per-doc length and corpus (N, avgdl) fold in as a
-      // groupBy and a broadcast 1-row aggregate respectively.
+      // serving layer actually uses. EVERYTHING derives from the single
+      // (doc, term) tf aggregation: dl = Σ tf per doc, df = rows per
+      // term, so the tokenize scan + its (doc_id, term) exchange are
+      // computed once and reused (ReusedExchange) instead of
+      // re-tokenizing the corpus per statistic. Corpus stats (N, avgdl)
+      // fold in as a broadcast 1-row aggregate.
       val docs = load(s, dir, "documents")
       val tok = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val g = docs.agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))

@@ -60,6 +60,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("native expressions throw on null array elements instead of silently corrupting") {
+    val withNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](1.0, null, 3.0)),
+      ArrayType(DoubleType, containsNull = true))
+    val clean = dLit(Seq(1.0, 2.0, 3.0))
+    intercept[IllegalArgumentException] {
+      graft.functions.DotProduct(withNull, clean).eval(null)
+    }
+    val sWithNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](UTF8String.fromString("a"), null)),
+      ArrayType(StringType, containsNull = true))
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedIntersectSize(sWithNull, sLit(Seq("a", "b"))).eval(null)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SimHash64(sWithNull).eval(null)
+    }
+    val lWithNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](1L, null)),
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = true))
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHash16(lWithNull).eval(null)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedLongIntersectSize(lWithNull, lWithNull).eval(null)
+    }
+  }
+
   test("welford reduce-then-merge equals whole-stream reduce for any split point") {
     val xsGen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
     check("welford-merge", Prop.forAll(xsGen, Gen.choose(0, 100)) { (xs, cut0) =>
