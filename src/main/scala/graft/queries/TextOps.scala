@@ -71,17 +71,20 @@ object TextOps {
     */
   private[queries] def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     VectorExprs.register(s)
+    // tokens dictionary-encode to xxhash64 longs BEFORE the set-collapse:
+    // the groupBy keys and every downstream compare are long arrays, not
+    // string arrays (~5x cheaper to hash/order). Two distinct token sets
+    // colliding to one tids array is ~n²/2^64 — at lake scale swap in a
+    // 128-bit hash. MinHash16 takes the 16 minima in one native pass
+    // (min is order-insensitive, so sorted tids give the same signature
+    // as raw token order).
     load(s, dir, "documents")
-      .select(col("doc_id"), array_sort(dToks).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .groupBy(col("toks"))
+      .select(col("doc_id"),
+        array_sort(transform(dToks, t => xxhash64(t))).as("tids"))
+      .filter(size(col("tids")) > 0)
+      .groupBy(col("tids"))
       .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
-      // tokens hash once to longs; native MinHash16 takes the 16 minima
-      // in a single pass (min is order-insensitive, so hashing the sorted
-      // tids gives the same signature as the raw token order)
-      .withColumn("tids", array_sort(transform(col("toks"), t => xxhash64(t))))
       .withColumn("bands", bandHashes(call_function("minhash16", col("tids"))))
-      .drop("toks")
   }
 
   /** Verified MinHash/LSH set-level near-dup structure, MEMOIZED
