@@ -545,6 +545,23 @@ object Relational {
     },
 
     entry(
+      "agg_corr_covar",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Bivariate statistics per group — single-pass, mergeable partials
+      // (same two-phase shape as every agg here).
+      load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 4).as("qp_corr"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("qp_covar"))
+        .orderBy($"l_returnflag")
+    },
+
+    entry(
       "sql_correlated_agg",
       """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal FROM customer c
         |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2

@@ -236,6 +236,27 @@ object TextOps {
     },
 
     entry(
+      "text_topk_terms",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        |FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Corpus vocabulary head: document frequency + collection frequency
+      // per term, top-20 by df (unique term tie-break). The stopband a
+      // set-similarity join would drop at scale — TakeOrderedAndProject,
+      // no global sort.
+      load(s, dir, "documents")
+        .select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+        .groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+        .orderBy($"df".desc, $"term")
+        .limit(20)
+    },
+
+    entry(
       "text_tfidf",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term

@@ -118,6 +118,26 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding 5 minutes. BOTH sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * the interval — bounded state, keyed by user (shards evenly).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 minutes")
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 minutes")
+    p.join(v,
+      col("p_uid") === col("v_uid") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+      .select(col("p_id"), col("v_id"), col("p_uid").as("user_id"))
+  }
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

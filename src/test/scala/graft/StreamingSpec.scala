@@ -94,6 +94,26 @@ class StreamingSpec extends SparkSpecBase {
       Streams.Crossing(7, 15.0, 16.0)))
   }
 
+  test("stream_stream_join: purchases match same-user views within the 5-minute interval") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    views.addData(
+      Ev(10, 1, "view", ts(0), 0.0),   // in-window for p20 (10:03)
+      Ev(11, 1, "view", ts(1), 0.0),   // in-window for p20
+      Ev(12, 2, "view", ts(0), 0.0),   // other user
+      Ev(13, 1, "view", ts(20), 0.0))  // far future: out of window
+    purchases.addData(
+      Ev(20, 1, "purchase", ts(3), 1.0),
+      Ev(21, 3, "purchase", ts(3), 1.0)) // user with no views: no match
+    Streams.runToMemory(
+      Streams.viewPurchaseJoin(views.toDF(), purchases.toDF()),
+      "ssjoin_out", OutputMode.Append())
+    val rows = spark.table("ssjoin_out")
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(rows == Seq((20L, 10L), (20L, 11L)), s"got $rows")
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
