@@ -172,6 +172,38 @@ object IndexOps {
           round(call_function("dotp", $"emb", $"qemb") / ($"norm" * $"qnorm"), 6).as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
+    },
+
+    entryNoOracle("vec_index_incremental") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureVecIndex(s, dir)
+      // Incremental ANN lookup for a NEW embedding batch (vec_id % 10
+      // == 7 stands in for today's ingest): sign only the batch, band-
+      // join the persisted index, exact-cosine top-3 per batch vector.
+      // Corpus signatures come from the lake; cost scales with the
+      // batch. The near-duplicate filter a training pipeline runs
+      // before adding embeddings to the store.
+      val batch = load(s, dir, "embeddings")
+        .filter(pmod($"vec_id", lit(10)) === 7)
+        .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
+        .withColumn("b_n", sqrt(call_function("dotp", $"b_emb", $"b_emb")))
+        .withColumn("bands", VecOps.lshBandKeys($"b_emb"))
+      val qb = batch.select($"b_id", $"b_emb", $"b_n",
+        posexplode($"bands").as(Seq("band", "bk")))
+      val cand = s.read.parquet(s"$path/vec_bands.parquet")
+        .join(qb, Seq("band", "bk"))
+        .filter($"vec_id" =!= $"b_id")
+        .select($"b_id", $"b_emb", $"b_n", $"vec_id").distinct()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
+      cand.join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+        .select($"b_id", $"vec_id",
+          round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"b_id", $"rnk", $"vec_id", $"score")
+        .orderBy($"b_id", $"rnk")
     }
   )
 

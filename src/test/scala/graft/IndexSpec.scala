@@ -70,6 +70,25 @@ class IndexSpec extends SparkSpecBase {
     assert(expected.nonEmpty, "fixture should give the batch at least one near-dup")
   }
 
+  test("vec_index_incremental: batch top-3 from persisted index, exact re-rank scores") {
+    SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    val inc = SparkEntry.queries("vec_index_incremental")(spark, dir)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("simindex"), "must scan the persisted index")
+    assert("embeddings\\.parquet".r.findAllIn(plan).length <= 1,
+      "only the batch read may touch the corpus table")
+    val got = inc.select($"b_id", $"rnk", $"vec_id", $"score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (b, r, v, _) => b % 10 == 7 && r <= 3 && v != b })
+    // per-batch-vector ranks are unique and scores descending
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
   test("vec_index_build persists vecs+bands; summary covers the corpus") {
     val summary = SparkEntry.queries("vec_index_build")(spark, dir).collect()
     assert(summary.length == 4, "one summary row per LSH band")
