@@ -60,6 +60,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minhash16 equals the per-slot minimum of seed-mixed hashes") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.types.LongType
+    val hGen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).suchThat(_.nonEmpty)
+    def lLit(xs: Seq[Long]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    check("minhash16", Prop.forAll(hGen) { hs =>
+      val got = graft.functions.MinHash16(lLit(hs)).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val exp = (0 until 16).map(i => hs.map(h => XXH64.hashLong(h, i.toLong)).min)
+      got == exp
+    })
+  }
+
+  test("simhash64 equals the bit-vote reference") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val tokGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+      .suchThat(_.nonEmpty)
+    check("simhash64", Prop.forAll(tokGen) { toks =>
+      val got = graft.functions.SimHash64(sLit(toks)).eval(null).asInstanceOf[Long]
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val u = UTF8String.fromString(t)
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      val exp = (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc
+      }
+      got == exp
+    })
+  }
+
   test("native expressions throw on null array elements instead of silently corrupting") {
     val withNull = Literal.create(
       ArrayData.toArrayData(Array[Any](1.0, null, 3.0)),
