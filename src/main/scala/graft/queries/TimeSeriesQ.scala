@@ -13,6 +13,45 @@ object TimeSeriesQ {
 
   val entries: Seq[Entry] = Seq(
     entry(
+      "ts_resample_ffill",
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.day, d.v FROM grid g LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Resample to a dense per-user daily grid and forward-fill gaps —
+      // the time-series regularization step before any daily feature
+      // join. The grid explodes per user from that user's own observed
+      // range (no cross join with a global calendar), the fill is one
+      // partitioned window; daily sums round BEFORE filling so the
+      // carried value is byte-stable.
+      val daily = loadEvents(s, dir)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+        .groupBy($"user_id", $"day")
+        .agg(round(sum($"value"), 4).as("v"))
+      val grid = daily.groupBy($"user_id")
+        .agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select($"user_id",
+          explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+        .select($"user_id", dayStr($"day").as("day"), $"filled",
+          $"v".isNull.as("is_gap"))
+        .orderBy($"user_id", $"day")
+    },
+
+    entry(
       "ts_tumbling",
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS cnt, round(sum(value), 4) AS total
