@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g thrashed GC at local[32]/sf0.1 (one bench run showed a 6.7x
   // swing on the dedup family); 24g is comfortable on the 128 GiB box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~94 queries of whole-stage codegen overflow the default 240m JIT
+  // code cache mid-bench — methods then run interpreted and the heavy
+  // similarity queries nondeterministically degrade 5x. 512m holds the
+  // full suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )
