@@ -518,6 +518,24 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // Two-level mergeable-sketch distinct count: per-day HLL sketches
+    // union into a monthly estimate — the pre-aggregation shape that
+    // answers "distinct users this month" from daily partials WITHOUT
+    // rescanning raw events. Q-gated (sketch bytes are engine-specific);
+    // OperatorSpec pins the estimate within tolerance of exact.
+    entryNoOracle("agg_hll_merge") { (s, dir) =>
+      import s.implicits._
+      val daily = loadEvents(s, dir)
+        .select(date_format($"ts", "yyyy-MM").as("month"),
+          dayStr($"ts").as("day"), $"user_id")
+        .groupBy($"month", $"day")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      daily.groupBy($"month")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy($"month")
+    },
+
     // The declared 100 TB percentile path: t-digest-style sketch
     // (percentile_approx), single-pass, mergeable partials — no per-group
     // sort/materialization. Q-gated (sketch internals are

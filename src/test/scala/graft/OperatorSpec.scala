@@ -122,6 +122,20 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_hll_merge: unioned daily sketches estimate monthly distincts within 5%") {
+    val approx = SparkEntry.queries("agg_hll_merge")(spark, sf("sf0.01"))
+      .select($"month", $"approx_users").as[(String, Long)].collect().toMap
+    val exact = Core.loadEvents(spark, sf("sf0.01"))
+      .select(date_format($"ts", "yyyy-MM").as("month"), $"user_id")
+      .groupBy($"month").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (m, a) =>
+      val e = exact(m)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$m: sketch $a vs exact $e")
+    }
+  }
+
   test("agg_approx_distinct within 2% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
     val cols = approx.columns
