@@ -530,6 +530,20 @@ object TextOps {
 
 
 
+    entryNoOracle("text_cluster_stats") { (s, dir) =>
+      import s.implicits._
+      // Dedup report — the number a pipeline owner actually reads:
+      // cluster-size histogram plus the corpus reduction it implies.
+      // Reuses the memoized labels; costs one extra aggregation.
+      val sizes = clusterLabels(s, dir)
+        .groupBy($"label").agg(count(lit(1)).as("csize"))
+      sizes.groupBy($"csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * $"csize").as("n_docs"),
+          (count(lit(1)) * ($"csize" - 1)).as("docs_removed"))
+        .orderBy($"csize")
+    },
+
     entryNoOracle("text_simhash_dedup") { (s, dir) =>
       import s.implicits._
       VectorExprs.register(s)
