@@ -303,6 +303,73 @@ case class MinHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** Sorted distinct xxhash64 values of a string's 5-character shingles in
+  * ONE pass — bit-identical to the SQL form
+  * `array_sort(array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),
+  *    i -> xxhash64(substring(text, i, 5)))))`
+  * (A/B checked in PropertySpec) but without |text| interpreted lambda
+  * steps, |text| UTF8String substring allocations, and two array
+  * rewrites per row. Character positions are code points, matching SQL
+  * `substring`; each shingle hashes its UTF8 bytes with Spark's
+  * xxhash64 seed (42), so values equal the SQL form's exactly.
+  * CodegenFallback: one virtual call per row, loop cost dominates.
+  */
+case class Shingles64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles64 requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    // code-point start offsets (byte positions), so multi-byte text
+    // shingles the same way SQL substring does
+    val nc = s.numChars()
+    val charOff = new Array[Int](nc + 1)
+    var ci = 0
+    var b = 0
+    while (b < nb) {
+      charOff(ci) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      ci += 1
+    }
+    charOff(nc) = nb
+    // greatest(length-4, 1): short/empty text yields ONE shingle — the
+    // whole (possibly empty) string, exactly like substring(text, 1, 5)
+    val nSh = math.max(nc - 4, 1)
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val s0 = charOff(i)
+      val s1 = charOff(math.min(i + 5, nc))
+      hs(i) = XXH64.hashUnsafeBytes(base, off + s0, s1 - s0, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < nSh) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (w == nSh) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles64 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Single source of truth for the engine's native functions — consumed
@@ -324,7 +391,10 @@ object VectorExprs {
       (c: Seq[Expression]) => SimHash64(c.head)),
     (FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-      (c: Seq[Expression]) => MinHash16(c.head)))
+      (c: Seq[Expression]) => MinHash16(c.head)),
+    (FunctionIdentifier("shingles64"),
+      new ExpressionInfo(classOf[Shingles64].getName, "shingles64"),
+      (c: Seq[Expression]) => Shingles64(c.head)))
 
   /** Idempotently register every native function with a session so query
     * code can use them via `expr`/`call_function`.

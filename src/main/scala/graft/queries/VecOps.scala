@@ -196,11 +196,25 @@ object VecOps {
       // all-pairs product with a partition-pruned scan of ~nprobe/K.
       val e = emb(s, dir)
       def assignTo(cents: DataFrame): DataFrame = {
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"d".desc, $"c_id")
+        // Pure-primitive argmin: pack (1 − d)·10⁶ (d pre-rounded to 6dp,
+        // so the product is an exact integer ≤ 2·10⁶ < 2²¹) and c_id
+        // into ONE long; min over it = max similarity with ties on
+        // smallest c_id — identical selection to the old row_number()
+        // window. A primitive-long min gets whole-stage-codegen'd
+        // HashAggregate with map-side partial reduction: each vector's
+        // 64 candidate rows collapse to one 16-byte row BEFORE the
+        // shuffle — no n×64 window sort (the r4 regression), and no
+        // SortAggregate over struct buffers (min(struct(…)) planned as
+        // a map-side SORT of n×64 embedding-carrying rows). Packing
+        // holds while c_id < 2⁴² — any realistic corpus id space.
+        val enc = shiftleft(
+          round((lit(1) - round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6)) * 1e6)
+            .cast("long"), 42) + $"c_id"
         e.join(broadcast(cents))
-          .select($"vec_id", $"emb", $"norm", $"c_id",
-            round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6).as("d"))
-          .withColumn("r", row_number().over(wAssign)).filter($"r" === 1)
+          .groupBy($"vec_id")
+          .agg(min(enc).as("enc"))
+          .select($"vec_id", $"enc".bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
+          .join(e, "vec_id")
           .select($"vec_id", $"emb", $"norm", $"c_id")
       }
       var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)

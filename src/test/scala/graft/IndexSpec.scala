@@ -50,6 +50,30 @@ class IndexSpec extends SparkSpecBase {
       s"probe set ${got.map(_._1).toSet} != near-dup partners $expected")
   }
 
+  test("stale or uncommitted persisted index is rebuilt, not served") {
+    SparkEntry.queries("sim_index_build")(spark, dir).collect()
+    val stamp = new java.io.File(graft.queries.IndexOps.indexDir(dir) + "/sim.version")
+    assert(stamp.exists(), "build must write a signature-logic stamp")
+
+    // an index written by OLDER signature logic (different stamp) must
+    // be rebuilt on probe instead of silently answering with stale
+    // semantics
+    java.nio.file.Files.write(stamp.toPath, "sim-v0:obsolete".getBytes("UTF-8"))
+    SparkEntry.queries("sim_index_probe")(spark, dir).collect()
+    val restamped = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+    assert(restamped == graft.queries.IndexOps.simIndexVersion,
+      s"probe served an index stamped '$restamped' without rebuilding")
+
+    // a crashed build (no parquet _SUCCESS commit marker) must also
+    // trigger a rebuild
+    val success = new java.io.File(
+      graft.queries.IndexOps.indexDir(dir) + "/bands.parquet/_SUCCESS")
+    assert(success.exists())
+    success.delete()
+    SparkEntry.queries("sim_index_probe")(spark, dir).collect()
+    assert(success.exists(), "probe served an uncommitted index without rebuilding")
+  }
+
   test("sim_index_incremental: batch-vs-index dedup matches the in-plan pair graph") {
     SparkEntry.queries("sim_index_build")(spark, dir).collect()
     val inc = SparkEntry.queries("sim_index_incremental")(spark, dir)

@@ -53,6 +53,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), "ORDER BY+LIMIT must not global-sort")
   }
 
+  test("tfidf and bm25 rank against the memoized postings cache, not re-tokenized scans") {
+    // Exchange reuse can't unify the consumers' tf subtrees (each branch
+    // prunes different columns), so the postings frame is persisted once
+    // and every statistic branch must read the CACHE — a re-tokenize
+    // regression would surface as a branch bypassing InMemoryTableScan.
+    for (name <- Seq("text_tfidf", "text_bm25")) {
+      val p = formatted(name)
+      val cacheScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheScans >= 2,
+        s"$name: expected >=2 InMemoryTableScan branches, got $cacheScans")
+    }
+  }
+
+  test("vec_ann_ivf centroid assignment is a partial aggregation, not a window sort") {
+    // r4 regression guard: the argmin over n×64 candidate rows must
+    // reduce map-side (packed-long min → HashAggregate), never sort the
+    // full candidate set through a per-vector window.
+    val p = formatted("vec_ann_ivf")
+    assert(!p.contains("Window"), "assignment must not use a window argmin")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("no query plan contains a cartesian product or an unpartitioned window") {
     // Sweep every declared query. Exceptions are intentional 1-row or
     // bounded-small broadcast sides (threshold scalars, knn query rows,

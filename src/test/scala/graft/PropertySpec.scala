@@ -95,6 +95,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("shingles64 equals the sorted distinct hashes of SQL-substring 5-grams") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // reference via UTF8String.substringSQL — the same code-point
+    // semantics SQL substring(text, i, 5) uses, computed independently
+    // of the expression's offset-table walk; multi-byte chars included
+    val txtGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', 'é', '中')).map(_.mkString)
+    check("shingles64", Prop.forAll(txtGen) { txt =>
+      val u = UTF8String.fromString(txt)
+      val got = graft.functions.Shingles64(Literal.create(u, StringType))
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val nSh = math.max(u.numChars() - 4, 1)
+      val exp = (1 to nSh).map { i =>
+        val sub = u.substringSQL(i, 5)
+        XXH64.hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset, sub.numBytes, 42L)
+      }.distinct.sorted
+      got == exp
+    })
+  }
+
   test("native expressions throw on null array elements instead of silently corrupting") {
     val withNull = Literal.create(
       ArrayData.toArrayData(Array[Any](1.0, null, 3.0)),
