@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Training-data curation operators over the `documents` table — the
+  * steps a large-scale pretraining pipeline runs between raw ingest and
+  * the tokenizer, beyond dedup (TextOps) and similarity (VecOps):
+  * deterministic dataset splitting, PII/entity scrubbing, repetition-
+  * based quality filtering, and benchmark-contamination checks
+  * (north-star requirements alongside SURVEY.md §2.10; the reference's
+  * corpus-prep surface is engine.py:65-98).
+  *
+  * All four are oracled (exact SQL semantics, no engine-specific
+  * hashes): determinism discipline per SURVEY §2.1 — total ORDER BY
+  * with unique keys, round(·,4) on ratios, integer hash arithmetic
+  * that both engines evaluate identically.
+  *
+  * Scale notes (100 TB):
+  * - `sample_split`: a pure map over the corpus (multiplicative hash of
+  *   the key, no RNG state, no shuffle before the summary agg) —
+  *   reproducible split membership at any parallelism, the property
+  *   that matters when train/val must stay disjoint across reruns.
+  * - `text_pii_scrub`: map-only regex pass, embarrassingly parallel.
+  * - `text_repetition_filter`: derives from the SAME memoized postings
+  *   materialization as tfidf/bm25 (one tokenize for the whole quality
+  *   layer).
+  * - `text_contamination`: the benchmark n-gram set is tiny by
+  *   construction (eval suites are ~10⁴ docs, the corpus 10⁹) — it
+  *   broadcasts, and the corpus side stays a map + partial-agg with no
+  *   corpus-wide shuffle of n-grams (PlanAuditSpec asserts the
+  *   broadcast).
+  */
+object PipelineOps {
+
+  val entries: Seq[Entry] = Seq(
+
+    entry(
+      "sample_split",
+      """WITH s AS (SELECT lang, n_chars,
+        |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Deterministic 80/10/10 train/valid/test split: bucket by a
+      // Knuth multiplicative hash of the stable key (doc_id × 2654435761
+      // mod p mod 100) — engine-independent integer arithmetic, so the
+      // SAME rows land in the same split on any engine, any partitioning,
+      // any rerun (unlike randomSplit, whose assignment depends on
+      // partition layout). Declared output = per-(split, lang) summary,
+      // auditing both proportions and stratification.
+      val bucket = ($"doc_id" * lit(2654435761L)) % lit(1000000007L) % lit(100)
+      load(s, dir, "documents")
+        .select($"lang", $"n_chars",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"n_chars"), 4).as("avg_chars"))
+        .orderBy($"split", $"lang")
+    },
+
+    entry(
+      "text_pii_scrub",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\bcustomer\b')) AS n_redacted,
+        |  length(text) AS len_before,
+        |  length(regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g')) AS len_after
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Sensitive-entity scrub: redact every match of a pattern list and
+      // report per-doc redaction counts — the PII-removal pass of a
+      // training pipeline (emails/phones/ids in production; this
+      // fixture's stand-in entity is the 'customer' token, the one
+      // sensitive-looking term the synthetic corpus actually contains,
+      // so the oracle row is non-vacuous). Map-only: no shuffle at all
+      // before the ordered output.
+      load(s, dir, "documents").select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit("\\bcustomer\\b"), lit(0))).as("n_redacted"),
+        length($"text").as("len_before"),
+        length(regexp_replace($"text", "\\bcustomer\\b", "<ENTITY>")).as("len_after")
+      ).orderBy($"doc_id")
+    },
+
+    entry(
+      "text_repetition_filter",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max(c) * 1.0 / sum(c), 4) AS top_ratio,
+        |  CASE WHEN max(c) * 1.0 / sum(c) <= 0.1 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Repetition quality filter (the Gopher-style "top word frequency"
+      // rule): a doc whose single most frequent token exceeds 10% of its
+      // tokens is flagged as repetitive. Derives from the memoized
+      // postings frame — the whole quality layer (tfidf/bm25/this)
+      // tokenizes the corpus once. The keep/drop boundary compares the
+      // UNROUNDED ratio: max/sum of integers divides to the identical
+      // IEEE double on both engines, so the verdict can't straddle a
+      // rounding difference.
+      val tf = TextOps.termFreq(s, dir)
+      val ratio = max($"tf") * lit(1.0) / sum($"tf")
+      tf.groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"),
+          round(ratio, 4).as("top_ratio"),
+          when(ratio <= 0.1, "keep").otherwise("drop").as("verdict"))
+        .orderBy($"doc_id")
+    },
+
+    entry(
+      "text_contamination",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+        |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 3)
+        |SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_shared
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Benchmark-contamination check: flag corpus docs sharing any word
+      // 3-gram with a held-out benchmark set (deterministic stand-in:
+      // doc_id % 97 == 3), reporting how many distinct 3-grams leak.
+      // The benchmark side is DISTINCT + broadcast — at 100 TB the eval
+      // suites are orders of magnitude smaller than the corpus, so the
+      // check is a map + broadcast-join + partial agg over the corpus,
+      // never an n-gram shuffle of the lake.
+      val toks = tokens(lower($"text"))
+      val grams = load(s, dir, "documents")
+        .select($"doc_id",
+          // sequence(1, n) DESCENDS when n < 1 — guard short docs to an
+          // empty gram list (the oracle's range(len-2) is empty there)
+          explode(when(size(toks) >= 3,
+              transform(sequence(lit(1), size(toks) - 2),
+                i => concat_ws(" ", slice(toks, i, lit(3)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
+      grams.filter($"doc_id" % 97 =!= 3)
+        .join(broadcast(bench), "gram")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gram").as("n_shared"))
+        .orderBy($"doc_id")
+    }
+  )
+}

@@ -45,7 +45,7 @@ object TextOps {
   private val tfCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
-  private def termFreq(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private[queries] def termFreq(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cacheLock.synchronized { tfCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._

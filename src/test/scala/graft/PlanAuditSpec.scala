@@ -75,6 +75,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("text_contamination broadcasts the benchmark n-gram side") {
+    // the eval-suite side is tiny by construction; the corpus side must
+    // stay a map + broadcast join, never an n-gram shuffle of the lake
+    val p = formatted("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("text_repetition_filter derives from the memoized postings cache") {
+    val p = formatted("text_repetition_filter")
+    assert(p.contains("InMemoryTableScan"), "quality filter must reuse the postings frame")
+  }
+
   test("no query plan contains a cartesian product or an unpartitioned window") {
     // Sweep every declared query. Exceptions are intentional 1-row or
     // bounded-small broadcast sides (threshold scalars, knn query rows,
