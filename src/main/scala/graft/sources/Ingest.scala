@@ -36,6 +36,21 @@ object Ingest {
   def writeBronze(df: DataFrame, lakeDir: String, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/$name.parquet")
 
+  /** Partitioned bronze persist: hive-layout `col=value/` directories on
+    * the partition columns. THE lake-layout decision at 100 TB — a scan
+    * filtered on a partition column prunes to the matching directories
+    * before reading a byte (PartitionFilters in the scan, asserted in
+    * IngestSpec), so per-lang / per-day jobs touch only their slice.
+    * Partition columns must be low-cardinality (lang, date); high-
+    * cardinality keys belong in bucketBy, not partitionBy (a directory
+    * per value kills the file system first).
+    */
+  def writeBronzePartitioned(df: DataFrame, lakeDir: String, name: String,
+                             partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$lakeDir/$name.parquet")
+
   /** CSV export with header (app.py:247-248). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -64,6 +64,22 @@ object Streams {
       }
   }
 
+  /** Streaming session windows: per-user sessions that close after a
+    * 5-minute event-time gap (the streaming analogue of ts_session).
+    * `session_window` + watermark keeps ONLY open sessions in state —
+    * a session is emitted and evicted once the watermark passes its
+    * close, so state is bounded by concurrently-active users, not
+    * history. Keyed by user_id (high cardinality → shards evenly).
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"), sum("value").as("total"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total"))
+
   /** Append-mode tumbling agg whose emitted results EXCLUDE
     * beyond-watermark late data — the observable late-data contract:
     * a row older than (max event time - 2 min) never changes a window

@@ -46,6 +46,22 @@ class IngestSpec extends SparkSpecBase {
     assert(back.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("sink_parquet_partitioned: hive layout + partition-pruned read-back") {
+    val src = Seq((1L, "de", 10), (2L, "de", 20), (3L, "es", 30), (4L, "fr", 40))
+      .toDF("id", "lang", "x")
+    Ingest.writeBronzePartitioned(src, tmp, "part_t", Seq("lang"))
+    // hive directory layout: one lang=<value>/ dir per partition value
+    assert(new java.io.File(s"$tmp/part_t.parquet/lang=de").isDirectory)
+    val back = spark.read.parquet(s"$tmp/part_t.parquet").filter($"lang" === "de")
+    assert(back.count() == 2)
+    // the filter must prune PARTITIONS (directory-level), not just rows:
+    // it appears in PartitionFilters, and the scan reads only lang=de
+    val p = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"partition filter not pushed: $pf")
+  }
+
   test("sink_csv_export: header preserved") {
     val src = Seq((1L, "x")).toDF("k", "v")
     Ingest.exportCsv(src, s"$tmp/out_csv")

@@ -114,6 +114,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows == Seq((20L, 10L), (20L, 11L)), s"got $rows")
   }
 
+  test("stream_session_wm: gap-separated bursts form distinct sessions; closed sessions emit once") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionWindowCounts(in.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append()).start()
+    // burst 1: two events 1 minute apart → one session (gap < 5 min)
+    in.addData(Ev(1, 7, "view", ts(0), 1.0), Ev(2, 7, "view", ts(1), 2.0))
+    q.processAllAvailable()
+    // burst 2: 19 minutes later → new session for user 7, and the
+    // advancing watermark (10:18) closes+emits burst 1's session
+    in.addData(Ev(3, 7, "view", ts(20), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_out")
+      .select($"s_start".cast("string"), $"s_end".cast("string"),
+        $"user_id", $"n_events", $"total")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // only the CLOSED session is emitted (burst 2 is still open when the
+    // stream stops) — session end = last event + 5-minute gap
+    assert(rows == Seq(("2026-01-01 10:00:00", "2026-01-01 10:06:00", 7L, 2L, 3.0)),
+      s"got $rows")
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
