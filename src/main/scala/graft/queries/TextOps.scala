@@ -222,39 +222,36 @@ object TextOps {
     cacheLock.synchronized { labelsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
-        // Propagate over the SET-level graph, not expanded doc pairs:
-        // star edges sid↔member connect docs sharing a token set, and
-        // verified s1↔s2 edges connect similar sets. Components are
-        // identical to the doc-pair graph's (every doc-pair edge is a
-        // ≤3-hop star/sid path), but the edge count is |docs in dup
-        // sets| + |verified set pairs| instead of sum of clique² — a
-        // 1000-doc clique contributes 1000 star edges, not 500k pairs.
+        // Propagate over the SET graph ONLY (nodes = sids that have a
+        // verified edge, edges = verified s1↔s2 pairs): intra-set
+        // members share their component by construction, so star edges
+        // don't need to participate in the fixpoint at all — the doc
+        // labeling is ONE post-loop join (doc → its set's component
+        // label). Components are identical to the doc-pair graph's, and
+        // the iterated frame shrinks from |docs in dup sets| to
+        // |sets with a cross-set edge| — at 100 TB the loop scales with
+        // the count of DISTINCT near-dup set families, not documents.
+        // The component label (min sid) IS the min member doc: sid is
+        // its set's minimum doc_id, so min over a component's sids
+        // equals min over its docs.
         val (verified, sets) = verifiedSets(s, dir)
-        val stars = sets.select($"sid", explode($"ids").as("doc"))
-          .filter($"doc" =!= $"sid")
-          .select($"sid".as("a"), $"doc".as("b"))
-        val sidPairs = verified.select($"s1".as("a"), $"s2".as("b"))
-        val half = stars.unionByName(sidPairs)
+        val half = verified.select($"s1".as("a"), $"s2".as("b"))
         val edges = half.select($"a".as("src"), $"b".as("dst"))
           .unionByName(half.select($"b".as("src"), $"a".as("dst")))
           .localCheckpoint()
-        // Only edge-touched docs participate in propagation — singleton
-        // docs (no near-dup) can never change label, so they skip the
-        // loop entirely and rejoin at the end. At 100 TB the loop then
-        // scales with the DUPLICATED subset, not the corpus.
-        var labels = edges.select($"src".as("doc_id")).distinct()
-          .select($"doc_id", $"doc_id".as("label"))
+        var labels = edges.select($"src".as("sid")).distinct()
+          .select($"sid", $"sid".as("label"))
         var prevSum = Long.MinValue
         var converged = false
         var round = 0
         while (round < 32 && !converged) {
-          val nbrMin = edges.join(labels, $"src" === $"doc_id")
+          val nbrMin = edges.join(labels, $"src" === $"sid")
             .groupBy($"dst").agg(min($"label").as("nl"))
           // (pointer jumping was measured here and reverted: near-dup
           // components are clique-like with tiny diameter, so the extra
           // label-of-label join per round cost more than the rounds saved)
-          labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-            .select(labels("doc_id"),
+          labels = labels.join(nbrMin, labels("sid") === nbrMin("dst"), "left")
+            .select(labels("sid"),
               least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
             .localCheckpoint()
           val labelSum = labels.agg(sum($"label")).first().getLong(0)
@@ -262,9 +259,15 @@ object TextOps {
           prevSum = labelSum
           round += 1
         }
+        // doc → its set's sid (docs with no token set have no sid), then
+        // sid → component label (edge-less sets keep label = sid)
+        val docSid = sets.select(explode($"ids").as("doc_id"), $"sid")
+        val setLab = labels.select($"sid", $"label".as("nl"))
         load(s, dir, "documents").select($"doc_id")
-          .join(labels.withColumnRenamed("label", "nl"), Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"nl", $"doc_id").as("label"))
+          .join(docSid, Seq("doc_id"), "left")
+          .join(setLab, Seq("sid"), "left")
+          .select($"doc_id",
+            coalesce($"nl", $"sid", $"doc_id").as("label"))
       })
     }
 
