@@ -514,11 +514,19 @@ object TextOps {
           (lit(1) + least($"a.nt" - $"a.rk", $"b.nt" - $"b.rk")) * 9 >=
             ($"a.nt" + $"b.nt") * 4)
         .select($"a.sid".as("s1"), $"b.sid".as("s2")).distinct()
+      // The verify join BROADCASTS the set dictionary: on a shared-
+      // vocabulary corpus the prefix filter leaves a large candidate
+      // pair list, and shuffling it twice with tids arrays attached was
+      // the dominant cost — the dictionary itself is one row per
+      // DISTINCT set and fits comfortably. (This entry is the exact
+      // small-scale oracle anchor, like vec_cosine_pairs; at lake scale
+      // the set dictionary outgrows a broadcast and the banded MinHash
+      // path — text_dedup_near — is the declared form.)
       val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"))
       val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
       val jac   = inter / ($"n1" + $"n2" - inter)
-      val verified = cand.join(sA, "s1").join(sB, "s2")
+      val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
         .filter(jac >= 0.8)
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")

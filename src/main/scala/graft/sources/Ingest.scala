@@ -51,6 +51,63 @@ object Ingest {
       .partitionBy(partitionCols: _*)
       .parquet(s"$lakeDir/$name.parquet")
 
+  /** Keyed upsert into a bronze table (SCD-1: new version of a key wins,
+    * unmatched keys append) — the daily-ingest merge shape on a plain-
+    * parquet lake. Expressed as anti-join + union: existing rows whose
+    * key is NOT in the batch survive, the batch replaces the rest. The
+    * result is staged to a temp dir and swapped in, because Spark cannot
+    * overwrite a path that one of the plan's scans is still reading.
+    * At 100 TB: both sides shuffle on the key once (or zero times with
+    * a bucketed table); a format with transactional MERGE (Delta/
+    * Iceberg) replaces the swap, not the plan shape.
+    */
+  def upsertBronze(batch: DataFrame, lakeDir: String, name: String,
+                   key: String): Unit = {
+    val spark = batch.sparkSession
+    val path = s"$lakeDir/$name.parquet"
+    val target = new java.io.File(path)
+    if (!target.exists()) {
+      batch.write.parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val merged = existing.join(batch.select(col(key)), Seq(key), "left_anti")
+      .unionByName(batch)
+    val tmpPath = s"$lakeDir/$name.parquet.__staging__"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    // swap: the staged result becomes the table (non-transactional on a
+    // local FS — the documented seam a table format makes atomic)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(target)
+    require(new java.io.File(tmpPath).renameTo(target),
+      s"staging swap failed for $path")
+  }
+
+  /** Compact a bronze table to `nFiles` output files — the small-file
+    * remedy (thousands of tiny parquet files kill scan throughput and
+    * NameNode/listing at scale; compaction restores fewer, larger
+    * row-groups). Stage-and-swap like upsertBronze. `repartition(n)`
+    * round-robins rows evenly; partition/bucket columns would use
+    * `repartition(n, cols…)` to preserve clustering.
+    */
+  def compactBronze(spark: SparkSession, lakeDir: String, name: String,
+                    nFiles: Int): Unit = {
+    val path = s"$lakeDir/$name.parquet"
+    val tmpPath = s"$lakeDir/$name.parquet.__staging__"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(path))
+    require(new java.io.File(tmpPath).renameTo(new java.io.File(path)),
+      s"staging swap failed for $path")
+  }
+
   /** CSV export with header (app.py:247-248). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.Ingest
-import org.apache.spark.sql.functions.{base64, length}
+import org.apache.spark.sql.functions.{base64, length, sum}
 import java.nio.file.Files
 
 /** SURVEY.md §2.2 U-rows: ingestion/serving edges round-trip through real
@@ -60,6 +60,32 @@ class IngestSpec extends SparkSpecBase {
       org.apache.spark.sql.execution.FormattedMode)
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("lang"), s"partition filter not pushed: $pf")
+  }
+
+  test("sink_upsert: batch keys replace, new keys append, others survive") {
+    val t0 = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    Ingest.upsertBronze(t0, tmp, "upsert_t", "k")
+    // batch: updates k=2, inserts k=4
+    val batch = Seq((2L, "B", 2), (4L, "d", 2)).toDF("k", "v", "ver")
+    Ingest.upsertBronze(batch, tmp, "upsert_t", "k")
+    val back = spark.read.parquet(s"$tmp/upsert_t.parquet")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
+    assert(!new java.io.File(s"$tmp/upsert_t.parquet.__staging__").exists(),
+      "staging dir must be swapped away")
+  }
+
+  test("sink_compact: many small files become nFiles, data unchanged") {
+    val src = spark.range(1000).toDF("k").repartition(32)
+    Ingest.writeBronze(src, tmp, "compact_t")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(s"$tmp/compact_t.parquet") == 32)
+    Ingest.compactBronze(spark, tmp, "compact_t", 2)
+    assert(parts(s"$tmp/compact_t.parquet") == 2)
+    val back = spark.read.parquet(s"$tmp/compact_t.parquet")
+    assert(back.count() == 1000)
+    assert(back.agg(sum($"k")).as[Long].head() == 499500L)
   }
 
   test("sink_csv_export: header preserved") {
