@@ -104,6 +104,33 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(asset_id: Long, window_idx: Int,
+                               start_ms: Long, window: Array[Byte])
+
+  /** Overlapping fixed-length windows over audio assets — the
+    * spectrogram/feature-prep shape (window + hop). Offsets map time to
+    * payload bytes through a STUB bytes-per-ms rate (a real build
+    * decodes PCM and windows samples; the window/hop arithmetic, bounded
+    * output rows per asset, and iterator-batched execution are the real
+    * contract). Output rows per asset = ceil((duration-window)/hop)+1,
+    * bounded by duration — never unbounded amplification.
+    */
+  def windowAudio(assets: Dataset[Asset], windowMs: Long, hopMs: Long): Dataset[AudioWindow] = {
+    import assets.sparkSession.implicits._
+    val bytesPerMs = 1L // stub decode rate
+    assets.filter(_.modality == "audio").flatMap { a =>
+      val d = if (a.data == null) Array.emptyByteArray else a.data
+      val hop = math.max(hopMs, 1L)
+      val starts = 0L to math.max(a.duration_ms - windowMs, 0L) by hop
+      starts.zipWithIndex.map { case (startMs, i) =>
+        val b0 = ((startMs * bytesPerMs) % math.max(d.length, 1)).toInt
+        val b1 = math.min(b0 + (windowMs * bytesPerMs).toInt, d.length)
+        AudioWindow(a.asset_id, i, startMs,
+          java.util.Arrays.copyOfRange(d, b0, math.max(b1, b0)))
+      }
+    }
+  }
+
   /** Deterministic synthetic asset table for specs/demos: payload bytes
     * derived from asset_id, three modalities round-robin.
     */

@@ -98,6 +98,18 @@ object ExtensibilityOps {
         .select($"asset_id", $"frame_idx",
           length($"frame").as("frame_len"), xxhash64($"frame").as("frame_hash"))
         .orderBy($"asset_id", $"frame_idx")
+    },
+
+    entryNoOracle("mm_audio_windows") { (s, _) =>
+      import s.implicits._
+      // audio sibling of mm_frame_sample: overlapping 500ms windows at a
+      // 250ms hop; (len, hash) serving shape like the other mm entries
+      graft.operators.Multimodal
+        .windowAudio(graft.operators.Multimodal.syntheticAssets(s, 120), 500L, 250L)
+        .toDF()
+        .select($"asset_id", $"window_idx", $"start_ms",
+          length($"window").as("win_len"), xxhash64($"window").as("win_hash"))
+        .orderBy($"asset_id", $"window_idx")
     }
   )
 }

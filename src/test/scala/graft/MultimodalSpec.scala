@@ -44,6 +44,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("windowAudio: audio-only, hop-spaced starts, bounded window count") {
+    val out = Multimodal.windowAudio(Multimodal.syntheticAssets(spark, 9), 500L, 250L)
+      .collect().groupBy(_.asset_id)
+    val assets = Multimodal.syntheticAssets(spark, 9).collect()
+    assert(out.keySet == assets.filter(_.modality == "audio").map(_.asset_id).toSet,
+      "only audio assets produce windows")
+    for ((id, ws) <- out) {
+      val dur = assets.find(_.asset_id == id).get.duration_ms
+      val expected = ((dur - 500L) / 250L).toInt + 1
+      assert(ws.length == expected, s"asset $id: ${ws.length} windows, expected $expected")
+      val sorted = ws.sortBy(_.window_idx)
+      assert(sorted.map(_.start_ms).toSeq == (0 until expected).map(_ * 250L),
+        "starts must be hop-spaced from 0")
+      assert(ws.forall(_.window.length <= 500), "window bytes bounded by windowMs budget")
+    }
+  }
+
   test("binary assets round-trip through parquet (lake persistence)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
