@@ -74,15 +74,16 @@ object IndexOps {
   /** Build (overwrite) the persisted index for `dir`; returns its path. */
   private[queries] def buildIndex(s: SparkSession, dir: String): String = {
     val path = indexDir(dir)
-    // two tables derive from one signature pass — persist it so the
-    // pipeline runs once, not once per written table
-    val sig = TextOps.signatureTable(s, dir).persist()
-    try {
-      sig.select(col("sid"), col("ids"), col("tids"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
-      sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
-    } finally sig.unpersist()
+    // the session-memoized signature frame: both written tables derive
+    // from it, and it is SHARED with the in-plan dedup family — one
+    // signature pipeline per session regardless of which consumer runs
+    // first or how often the build is re-timed (lifecycle owned by
+    // TextOps.evictCaches)
+    val sig = TextOps.signatureTableCached(s, dir)
+    sig.select(col("sid"), col("ids"), col("tids"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
     // stamp AFTER both tables commit: a build that dies mid-way leaves a
     // missing/old stamp and the next ensureIndex rebuilds
     writeStamp(path, "sim", simIndexVersion)
