@@ -19,10 +19,13 @@ object Bench {
     // JIT compilation, codegen-class loading, and GC debt accumulated by
     // earlier queries; the second measures the plan. Round-over-round
     // deltas on unchanged queries were ±2s of pure JVM noise otherwise.
+    // A failed run times as +Inf so the min reports the SUCCESSFUL run
+    // (a fast crash must not masquerade as a speedup); a query failing
+    // both runs emits -1 as an explicit failure marker.
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => Double.PositiveInfinity }
     }
     // Named setup step: the dedup family (near/cluster/keep/stats) shares
     // one memoized label-propagation materialization (~20s at sf0.1).
@@ -37,7 +40,8 @@ object Bench {
       "setup_dedup_clusters" -> (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      val m = math.min(timed(fn), timed(fn))
+      name -> (if (m.isInfinity) -1.0 else m)
     } + setup
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

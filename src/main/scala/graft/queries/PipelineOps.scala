@@ -38,8 +38,8 @@ object PipelineOps {
     entry(
       "sample_split",
       """WITH s AS (SELECT lang, n_chars,
-        |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'valid'
+        |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 90 THEN 'valid'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
@@ -47,13 +47,18 @@ object PipelineOps {
     ) { (s, dir) =>
       import s.implicits._
       // Deterministic 80/10/10 train/valid/test split: bucket by a
-      // Knuth multiplicative hash of the stable key (doc_id × 2654435761
-      // mod p mod 100) — engine-independent integer arithmetic, so the
-      // SAME rows land in the same split on any engine, any partitioning,
-      // any rerun (unlike randomSplit, whose assignment depends on
-      // partition layout). Declared output = per-(split, lang) summary,
-      // auditing both proportions and stratification.
-      val bucket = ($"doc_id" * lit(2654435761L)) % lit(1000000007L) % lit(100)
+      // Knuth multiplicative hash of the stable key — engine-independent
+      // integer arithmetic, so the SAME rows land in the same split on
+      // any engine, any partitioning, any rerun (unlike randomSplit,
+      // whose assignment depends on partition layout). doc_id reduces
+      // mod p BEFORE the multiply: the product then stays < p·2654435761
+      // ≈ 2.7e18 < 2⁶³, so no signed overflow at 10⁹+ ids (ANSI Spark
+      // and DuckDB would error on the bare product; non-ANSI Spark
+      // would silently wrap negative — every variant breaks the split).
+      // Declared output = per-(split, lang) summary, auditing both
+      // proportions and stratification.
+      val bucket =
+        ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(100)
       load(s, dir, "documents")
         .select($"lang", $"n_chars",
           when(bucket < 80, "train").when(bucket < 90, "valid")

@@ -271,7 +271,13 @@ object TextOps {
             .select(labels("sid"),
               least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
             .localCheckpoint()
-          val labelSum = labels.agg(sum($"label")).first().getLong(0)
+          // coalesce: sum over an EMPTY labels frame is null (a corpus
+          // with intra-set dup groups but zero cross-set verified pairs
+          // has no edges at all) — getLong would NPE; 0 converges on the
+          // second round and the sid fallback below still labels the
+          // intra-set groups correctly
+          val labelSum = labels.agg(coalesce(sum($"label"), lit(0L)))
+            .first().getLong(0)
           converged = labelSum == prevSum
           prevSum = labelSum
           round += 1

@@ -66,6 +66,17 @@ object Ingest {
     val spark = batch.sparkSession
     val path = s"$lakeDir/$name.parquet"
     val target = new java.io.File(path)
+    // "new version of a key wins" is only well-defined for ONE version
+    // per key — a batch carrying two rows for a key would land both
+    // (the anti-join removes the old row, the union keeps every batch
+    // duplicate), silently corrupting the keyed contract. Fail loudly;
+    // resolving versions (e.g. keep max ts per key) is the caller's
+    // policy, upstream of the merge. Standard MERGE semantics error on
+    // multiple matches for the same reason.
+    val dupKeys = batch.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"upsertBronze: batch has multiple rows for some '$key' — resolve versions upstream")
     if (!target.exists()) {
       batch.write.parquet(path)
       return
@@ -73,17 +84,7 @@ object Ingest {
     val existing = spark.read.parquet(path)
     val merged = existing.join(batch.select(col(key)), Seq(key), "left_anti")
       .unionByName(batch)
-    val tmpPath = s"$lakeDir/$name.parquet.__staging__"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    // swap: the staged result becomes the table (non-transactional on a
-    // local FS — the documented seam a table format makes atomic)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(target)
-    require(new java.io.File(tmpPath).renameTo(target),
-      s"staging swap failed for $path")
+    stageAndSwap(merged, lakeDir, name)
   }
 
   /** Compact a bronze table to `nFiles` output files — the small-file
@@ -94,11 +95,20 @@ object Ingest {
     * `repartition(n, cols…)` to preserve clustering.
     */
   def compactBronze(spark: SparkSession, lakeDir: String, name: String,
-                    nFiles: Int): Unit = {
+                    nFiles: Int): Unit =
+    stageAndSwap(spark.read.parquet(s"$lakeDir/$name.parquet").repartition(nFiles),
+      lakeDir, name)
+
+  /** Write `df` to a staging dir, then swap it in as `{name}.parquet` —
+    * the one shared seam for in-place table rewrites. Non-transactional
+    * on a plain FS (a reader racing the swap can see a missing dir);
+    * a table format (Delta/Iceberg) replaces exactly this method with
+    * an atomic commit, nothing else changes.
+    */
+  private def stageAndSwap(df: DataFrame, lakeDir: String, name: String): Unit = {
     val path = s"$lakeDir/$name.parquet"
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    df.write.mode(SaveMode.Overwrite).parquet(tmpPath)
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmTree)
       f.delete(); ()

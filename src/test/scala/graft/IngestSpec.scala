@@ -73,6 +73,12 @@ class IngestSpec extends SparkSpecBase {
     assert(back == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
     assert(!new java.io.File(s"$tmp/upsert_t.parquet.__staging__").exists(),
       "staging dir must be swapped away")
+    // a batch with two versions of one key has no well-defined winner —
+    // must fail loudly, not land both rows
+    val dupBatch = Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "ver")
+    intercept[IllegalArgumentException] {
+      Ingest.upsertBronze(dupBatch, tmp, "upsert_t", "k")
+    }
   }
 
   test("sink_compact: many small files become nFiles, data unchanged") {
