@@ -53,6 +53,39 @@ object ExtensibilityOps {
         .orderBy($"user_id")
     },
 
+    entry(
+      "join_skew_salted",
+      """SELECT e.event_id, e.user_id, round(e.value, 4) AS value, u.c_name
+        |FROM events e JOIN customer u ON e.user_id % 1500 = u.c_custkey
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Skew-safe equi-join, the join sibling of agg_group_salted: the
+      // BIG side gets a deterministic salt from a secondary column; the
+      // SMALL side replicates once per salt value (explode over 0..S-1).
+      // The join key becomes (key, salt), so one hot key spreads over S
+      // reducers instead of one straggler. Result identical to the plain
+      // join (the oracle) — every (key, salt) pair still meets exactly
+      // its replicated partner. S=8 multiplies the small side 8×, which
+      // is the technique's cost model: salt the SMALL side only as far
+      // as its replicated size stays broadcast-insignificant. (With AQE,
+      // skewJoin handles this at runtime; explicit salting is the form
+      // that also works in static plans and on any engine.)
+      val e = loadEvents(s, dir)
+        .select($"event_id", $"user_id", $"value",
+          pmod($"user_id", lit(1500)).as("k"),
+          pmod(xxhash64($"event_id"), lit(8)).as("salt"))
+      val u = load(s, dir, "customer")
+        .select($"c_custkey".as("k"), $"c_name",
+          explode(sequence(lit(0L), lit(7L))).as("salt"))
+      // hint pins the SHUFFLE join the technique exists for — at the
+      // gate's scale Spark would auto-broadcast the dim and the salted
+      // exchange would never execute (a broadcast join can't skew)
+      e.join(u.hint("shuffle_hash"), Seq("k", "salt"))
+        .select($"event_id", $"user_id", round($"value", 4).as("value"), $"c_name")
+        .orderBy($"event_id")
+    },
+
     // ---- Multimodal plumbing surfaced as declared operators (rows-only:
     // ---- the asset table is the deterministic synthetic generator —
     // ---- the lake has no binary fixture — so outputs are stable but
