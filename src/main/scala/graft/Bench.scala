@@ -43,7 +43,11 @@ object Bench {
       val m = math.min(timed(fn), timed(fn))
       name -> (if (m.isInfinity) -1.0 else m)
     } + setup
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ascending by time: the driver's log capture keeps the TAIL of a
+    // long line, so the expensive (most informative) queries must sit at
+    // the end to survive head-truncation
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     queries.TextOps.evictCaches(spark)
