@@ -12,9 +12,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
-    // timed query doesn't absorb ~5s of JVM warmup.
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // timed query doesn't absorb ~5s of JVM warmup. One cheap query per
+    // module family — relational, text (tokenize/explode paths), vector
+    // (native dotp) — because each family JITs distinct codegen classes
+    // and whichever family ran first used to absorb its compile debt.
+    for (w <- Seq("q1_pricing_summary", "text_token_count", "vec_knn_topk"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // Each query is timed twice and the MIN reported: the first pass pays
     // JIT compilation, codegen-class loading, and GC debt accumulated by
     // earlier queries; the second measures the plan. Round-over-round
