@@ -16,9 +16,13 @@ object Bench {
     // module family — relational, text (tokenize/explode paths), vector
     // (native dotp) — because each family JITs distinct codegen classes
     // and whichever family ran first used to absorb its compile debt.
-    for (w <- Seq("q1_pricing_summary", "text_token_count", "vec_knn_topk"))
+    for (w <- Seq("q1_pricing_summary", "text_token_count", "vec_knn_topk")) {
+      // a stale name must fail loudly — a silently-skipped warmup hands
+      // that family's JIT debt back to its first timed query
+      require(SparkEntry.queries.contains(w), s"warmup query '$w' no longer exists")
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
+    }
     // Each query is timed twice and the MIN reported: the first pass pays
     // JIT compilation, codegen-class loading, and GC debt accumulated by
     // earlier queries; the second measures the plan. Round-over-round
@@ -39,9 +43,10 @@ object Bench {
     // once (it is memoized — a second run would measure the cache).
     val setup = {
       val t0 = System.nanoTime()
-      try queries.TextOps.warmDedupClusters(spark, sfDir)
-      catch { case _: Throwable => () }
-      "setup_dedup_clusters" -> (System.nanoTime() - t0) / 1e9
+      val ok = try { queries.TextOps.warmDedupClusters(spark, sfDir); true }
+               catch { case _: Throwable => false }
+      // same failure convention as timed(): -1, never elapsed-until-crash
+      "setup_dedup_clusters" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val m = math.min(timed(fn), timed(fn))
@@ -49,11 +54,16 @@ object Bench {
     } + setup
     // ascending by time: the driver's log capture keeps the TAIL of a
     // long line, so the expensive (most informative) queries must sit at
-    // the end to survive head-truncation
-    val qs = results.toSeq.sortBy(_._2)
+    // the end to survive head-truncation — and -1 failure markers sort
+    // LAST of all (a failure is at least as informative as the slowest
+    // query; at the head it would be the first thing truncated away)
+    val qs = results.toSeq
+      .sortBy { case (_, v) => if (v < 0) Double.PositiveInfinity else v }
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failures are excluded from the headline sum: a query regressing
+    // into a crash must not LOWER the total and read as a speedup
+    val total = results.values.filter(_ >= 0).sum
     queries.TextOps.evictCaches(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Short trailing duplicate of the headline number: the full line above

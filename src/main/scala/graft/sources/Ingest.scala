@@ -66,25 +66,31 @@ object Ingest {
     val spark = batch.sparkSession
     val path = s"$lakeDir/$name.parquet"
     val target = new java.io.File(path)
-    // "new version of a key wins" is only well-defined for ONE version
-    // per key — a batch carrying two rows for a key would land both
-    // (the anti-join removes the old row, the union keeps every batch
-    // duplicate), silently corrupting the keyed contract. Fail loudly;
-    // resolving versions (e.g. keep max ts per key) is the caller's
-    // policy, upstream of the merge. Standard MERGE semantics error on
-    // multiple matches for the same reason.
-    val dupKeys = batch.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"upsertBronze: batch has multiple rows for some '$key' — resolve versions upstream")
-    if (!target.exists()) {
-      batch.write.parquet(path)
-      return
-    }
-    val existing = spark.read.parquet(path)
-    val merged = existing.join(batch.select(col(key)), Seq(key), "left_anti")
-      .unionByName(batch)
-    stageAndSwap(merged, lakeDir, name)
+    // persist: the batch lineage is evaluated three times below (dup-key
+    // guard, anti-join key side, union side) — without this, a batch
+    // that is itself a pipeline recomputes per evaluation
+    val b = batch.persist()
+    try {
+      // "new version of a key wins" is only well-defined for ONE version
+      // per key — a batch carrying two rows for a key would land both
+      // (the anti-join removes the old row, the union keeps every batch
+      // duplicate), silently corrupting the keyed contract. Fail loudly;
+      // resolving versions (e.g. keep max ts per key) is the caller's
+      // policy, upstream of the merge. Standard MERGE semantics error on
+      // multiple matches for the same reason.
+      val dupKeys = b.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"upsertBronze: batch has multiple rows for some '$key' — resolve versions upstream")
+      if (!target.exists()) {
+        b.write.parquet(path)
+      } else {
+        val existing = spark.read.parquet(path)
+        val merged = existing.join(b.select(col(key)), Seq(key), "left_anti")
+          .unionByName(b)
+        stageAndSwap(merged, lakeDir, name)
+      }
+    } finally { b.unpersist(); () }
   }
 
   /** Compact a bronze table to `nFiles` output files — the small-file
