@@ -87,6 +87,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), "quality filter must reuse the postings frame")
   }
 
+  test("rank-filter plans get Spark's WindowGroupLimit (per-group partial top-k)") {
+    // InferWindowGroupLimit rewrites row_number()<=k filters into a
+    // map-side per-group limit BEFORE the window sort — the built-in
+    // form of the top-k-per-group operator (no custom exec needed; this
+    // pins the pattern so a future query-shape change that breaks the
+    // inference fails CI instead of silently re-sorting full groups).
+    for (name <- Seq("win_row_number_topn", "vec_knn_join", "vec_knn_join_lsh",
+                     "dedup_exact", "vec_index_incremental")) {
+      val p = formatted(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank filter no longer lowers to WindowGroupLimit")
+    }
+  }
+
   test("no query plan contains a cartesian product or an unpartitioned window") {
     // Sweep every declared query. Exceptions are intentional 1-row or
     // bounded-small broadcast sides (threshold scalars, knn query rows,
