@@ -122,6 +122,35 @@ object PipelineOps {
     },
 
     entry(
+      "mix_weights",
+      """WITH t AS (SELECT source,
+        |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM t)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(n_tokens * 1.0 / total, 4) AS share,
+        |  round(total * 1.0 / (ns * n_tokens), 4) AS weight
+        |FROM t, g ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Data-mixing weights: per-source token counts and the sampling
+      // multiplier that rebalances the mixture to a uniform target share
+      // (weight = target/actual; swap the uniform target for a config
+      // map in production). The number a pretraining run feeds its
+      // sampler. One map + two tiny aggregates — corpus-size work is the
+      // token count, everything after is a broadcast 1-row join.
+      val t = load(s, dir, "documents")
+        .select($"source", size(tokens(lower($"text"))).as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
+      t.crossJoin(broadcast(g))
+        .select($"source", $"n_tokens",
+          round($"n_tokens" * lit(1.0) / $"total", 4).as("share"),
+          round($"total" * lit(1.0) / ($"ns" * $"n_tokens"), 4).as("weight"))
+        .orderBy($"source")
+    },
+
+    entry(
       "text_contamination",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -116,7 +116,10 @@ object Ingest {
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
     df.write.mode(SaveMode.Overwrite).parquet(tmpPath)
     def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      // listFiles is null if the dir vanished under us (concurrent
+      // cleanup) — treat as already-deleted, not an NPE
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
       f.delete(); ()
     }
     rmTree(new java.io.File(path))

@@ -120,6 +120,40 @@ class IngestSpec extends SparkSpecBase {
       Seq((1L, "x", 2.5), (2L, "y", 4.0)))
   }
 
+  test("src_parquet_merge_schema: evolved columns union under mergeSchema") {
+    // schema evolution is routine on a long-lived lake: a new ingest
+    // adds a column, old files lack it — mergeSchema reads must union
+    // the schemas and null-fill the missing column
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$tmp/evolve_t.parquet/d=1")
+    Seq((2L, "b", 9)).toDF("k", "v", "extra").write.parquet(s"$tmp/evolve_t.parquet/d=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(s"$tmp/evolve_t.parquet")
+    assert(back.columns.toSet == Set("k", "v", "extra", "d"))
+    val rows = back.select($"k", $"extra").as[(Long, Option[Int])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(9))), "old files null-fill the new column")
+  }
+
+  test("src_parquet_corrupt: ignoreCorruptFiles skips the bad file, keeps the rest") {
+    // at lake scale some file is always corrupt (partial upload, bit
+    // rot) — the read must be able to degrade to the intact files
+    // instead of failing the whole job
+    Seq((1L, "ok")).toDF("k", "v").write.parquet(s"$tmp/corrupt_t.parquet")
+    val part = new java.io.File(s"$tmp/corrupt_t.parquet").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.write(
+      new java.io.File(part.getParentFile, "part-corrupt.snappy.parquet").toPath,
+      Array.fill[Byte](64)(0x13))
+    intercept[Exception] { // default: corrupt file fails the read
+      spark.read.parquet(s"$tmp/corrupt_t.parquet").count()
+    }
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(s"$tmp/corrupt_t.parquet").count() == 1)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None    => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("src_pdf_scan stub: one row per 1024-byte page slice") {
     val p = s"$tmp/fake.pdf"
     Files.write(java.nio.file.Paths.get(p), Array.fill[Byte](3000)(65))
