@@ -122,6 +122,41 @@ object PipelineOps {
     },
 
     entry(
+      "profile_table",
+      """SELECT 'o_custkey' AS col, count(*) AS n, count(o_custkey) AS n_nonnull,
+        |       count(DISTINCT o_custkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |       count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |       count(DISTINCT o_totalprice) FROM orders
+        |ORDER BY col""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Table profiler — the engine-side analogue of the reference's
+      // preview/dtype panels (app.py:214 head preview, app.py:236
+      // numeric-column introspection) and the first thing a pipeline
+      // owner runs on a new table: per-column row/non-null/distinct
+      // counts. ONE scan: all statistics come from a single aggregate
+      // (multiple exact count-distincts plan through one Expand), then
+      // stack() unpivots to a row per column — the oracle's UNION ALL
+      // form scans three times, this scans once.
+      val a = load(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        count($"o_custkey").as("nn1"), countDistinct($"o_custkey").as("nd1"),
+        count($"o_orderstatus").as("nn2"), countDistinct($"o_orderstatus").as("nd2"),
+        count($"o_totalprice").as("nn3"), countDistinct($"o_totalprice").as("nd3"))
+      a.select($"n", expr(
+          """stack(3,
+            |  'o_custkey',    nn1, nd1,
+            |  'o_orderstatus', nn2, nd2,
+            |  'o_totalprice', nn3, nd3) AS (col, n_nonnull, n_distinct)""".stripMargin))
+        .select($"col", $"n", $"n_nonnull", $"n_distinct")
+        .orderBy($"col")
+    },
+
+    entry(
       "mix_weights",
       """WITH t AS (SELECT source,
         |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens

@@ -154,6 +154,29 @@ object Streams {
       .select(col("p_id"), col("v_id"), col("p_uid").as("user_id"))
   }
 
+  /** Streaming keyed upsert into a bronze table: per micro-batch, keep
+    * the latest row per key (by `versionCol`, descending) and merge it
+    * via Ingest.upsertBronze — the streaming SCD-1 ingest shape.
+    * foreachBatch is at-least-once, and this sink is IDEMPOTENT under
+    * batch replay: re-upserting the same latest-per-key rows yields the
+    * same table, which is exactly the property that makes at-least-once
+    * safe here (asserted in StreamingSpec). Ties on versionCol are the
+    * caller's contract to avoid (provide a monotonic version).
+    */
+  def upsertToLake(events: DataFrame, lakeDir: String, name: String,
+                   key: String, versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(versionCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.Ingest.upsertBronze(latest, lakeDir, name, key)
+        ()
+      }
+      .start()
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

@@ -138,6 +138,34 @@ class StreamingSpec extends SparkSpecBase {
       s"got $rows")
   }
 
+  test("stream_upsert: latest-per-key wins across batches; replay is idempotent") {
+    implicit val sc = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+    val in = MemoryStream[Ev]
+    val q = Streams.upsertToLake(in.toDF(), lake, "user_state", "user_id", "ts")
+    // batch 1: users 1 and 2 (user 2 twice — latest within batch wins)
+    in.addData(
+      Ev(1, 1, "view", ts(0), 1.0),
+      Ev(2, 2, "view", ts(0), 2.0),
+      Ev(3, 2, "buy", ts(1), 3.0))
+    q.processAllAvailable()
+    // batch 2: newer state for user 2, new user 3
+    in.addData(Ev(4, 2, "view", ts(5), 9.0), Ev(5, 3, "view", ts(5), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    def table() = spark.read.parquet(s"$lake/user_state.parquet")
+      .select($"user_id", $"event_id", $"value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val afterStream = table()
+    assert(afterStream == Seq((1L, 1L, 1.0), (2L, 4L, 9.0), (3L, 5L, 4.0)),
+      s"latest per key must win: $afterStream")
+    // at-least-once safety: re-delivering batch 2 must not change the table
+    val replay = Seq(
+      Ev(4, 2, "view", ts(5), 9.0), Ev(5, 3, "view", ts(5), 4.0)).toDF()
+    graft.sources.Ingest.upsertBronze(replay, lake, "user_state", "user_id")
+    assert(table() == afterStream, "replaying a batch must be a no-op")
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
