@@ -598,6 +598,15 @@ object TextOps {
 
     entryNoOracle("text_dedup_near") { (s, dir) =>
       import s.implicits._
+      // Q-gated DELIBERATELY (measured, not assumed): 4×4 MinHash
+      // banding recall against the exact all-pairs ≥0.9 oracle is
+      // 99.0% at sf0.001 (113/11025 pairs missed) and 99.7% at sf0.01
+      // (25/9020) — every missed pair sits in the 0.90-0.94 band where
+      // the S-curve is steepest, exactly as LSH theory predicts. An
+      // exact-SQL oracle would therefore hash-mismatch; the exact-form
+      // anchor for this family is text_ngram_jaccard (lossless prefix
+      // filter), and the planted-dup spec pins that identical sets
+      // (jaccard 1, always recalled) are never missed.
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
