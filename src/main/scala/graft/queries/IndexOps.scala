@@ -46,7 +46,7 @@ object IndexOps {
     * or emb/lshBandKeys (vec); ensureIndex then rebuilds instead of
     * serving stale structure.
     */
-  private[graft] val simIndexVersion = "sim-v1:xxhash64-tokens;minhash16;bands4x4"
+  private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4"
   private[graft] val vecIndexVersion = "vec-v1:dotp-norm;hyperplane16;bands4x4"
 
   private def stampFile(path: String, table: String) =
@@ -153,7 +153,7 @@ object IndexOps {
         // probe vacuously empty — mirror the incremental entry's guard
         // rather than depend on the fixture's doc 0 being non-empty
         .filter(size($"qtids") > 0)
-        .withColumn("bands", TextOps.bandHashes(call_function("minhash16", $"qtids")))
+        .withColumn("bands", TextOps.bandHashes(call_function("minhash64", $"qtids")))
       // qtids rides along with the band rows so the 1-row query subplan
       // is referenced ONCE — a second reference would re-scan documents
       val qBands = q.select(posexplode($"bands").as(Seq("band", "bh")), $"qtids")
@@ -184,7 +184,7 @@ object IndexOps {
           array_sort(transform(array_distinct(tokens(lower($"text"))), t => xxhash64(t)))
             .as("btids"))
         .filter(size($"btids") > 0)
-        .withColumn("bands", TextOps.bandHashes(call_function("minhash16", $"btids")))
+        .withColumn("bands", TextOps.bandHashes(call_function("minhash64", $"btids")))
       val qb = batch.select($"b_doc", $"btids",
         posexplode($"bands").as(Seq("band", "bh")))
       val cand = s.read.parquet(s"$path/bands.parquet")

@@ -80,17 +80,23 @@ object TextOps {
     cross.unionByName(intra)
   }
 
-  /** LSH band hashes of a 16-slot minhash signature: 4 bands × 4 rows. */
+  /** LSH band hashes of a 64-slot minhash signature: 16 bands × 4 rows.
+    * Same per-band selectivity as the old 4×4 scheme (4 rows/band), 4×
+    * the bands — recall at the 0.9 verify threshold goes from ~98.6%
+    * per pair to 1−(1−0.9⁴)¹⁶ ≈ 1−4·10⁻⁸, i.e. effectively total,
+    * making the near-dup output exact in practice (the property that
+    * lets it hash-match the all-pairs oracle).
+    */
   private[queries] def bandHashes(sig: Column): Column =
-    transform(sequence(lit(0), lit(3)),
+    transform(sequence(lit(0), lit(15)),
       b => xxhash64(concat_ws("_",
         transform(slice(sig, b * lit(4) + lit(1), lit(4)), v => v.cast("string")))))
 
   /** One row per DISTINCT token set: (sid, ids, tids, bands) — sid is the
     * canonical (min) doc_id, ids the docs sharing the set, tids the
     * sorted xxhash64'd tokens (dictionary-encoded once; long compares
-    * beat UTF8String ~5× in the verify stage), bands the 4 LSH band
-    * hashes of the 16-slot native MinHash16 signature. Shared by the
+    * beat UTF8String ~5× in the verify stage), bands the 16 LSH band
+    * hashes of the 64-slot native MinHash64 signature. Shared by the
     * in-plan near-dup pipeline and the persisted-index build
     * (IndexOps) so signature semantics can never drift between them.
     * Empty token sets are excluded: trivially "identical" to each other
@@ -102,7 +108,7 @@ object TextOps {
     // the groupBy keys and every downstream compare are long arrays, not
     // string arrays (~5x cheaper to hash/order). Two distinct token sets
     // colliding to one tids array is ~n²/2^64 — at lake scale swap in a
-    // 128-bit hash. MinHash16 takes the 16 minima in one native pass
+    // 128-bit hash. MinHash64 takes the 64 minima in one native pass
     // (min is order-insensitive, so sorted tids give the same signature
     // as raw token order).
     load(s, dir, "documents")
@@ -111,7 +117,7 @@ object TextOps {
       .filter(size(col("tids")) > 0)
       .groupBy(col("tids"))
       .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
-      .withColumn("bands", bandHashes(call_function("minhash16", col("tids"))))
+      .withColumn("bands", bandHashes(call_function("minhash64", col("tids"))))
   }
 
   /** Verified MinHash/LSH set-level near-dup structure, MEMOIZED
@@ -562,9 +568,9 @@ object TextOps {
       import s.implicits._
       // Character-shingle MinHash (the classic shingle→minhash→band→
       // bucket-join pipeline): 5-char shingles hashed directly to longs
-      // (never materialized as strings), 16 minhashes via seed-mixing the
-      // shingle hash (one hash per shingle, 16 cheap mixes — not 16
-      // hash passes), 4 bands × 4 rows, candidates within buckets only,
+      // (never materialized as strings), 64 minhashes via seed-mixing the
+      // shingle hash (one hash per shingle, 64 cheap mixes — not 64
+      // hash passes), 16 bands × 4 rows, candidates within buckets only,
       // exact shingle-set Jaccard verify at 0.8. Catches near-dups that
       // token-set Jaccard misses (word-order and substring edits).
       VectorExprs.register(s)
@@ -576,10 +582,15 @@ object TextOps {
         call_function("shingles64", $"text").as("sh"))
       val sets = docs.groupBy($"sh")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-      // native MinHash16: one pass over the shingle hashes instead of 16
-      // interpreted transform passes
-      val sig = call_function("minhash16", $"sh")
-      val bandHashes = transform(sequence(lit(0), lit(3)), b =>
+      // native MinHash64: one pass over the shingle hashes; 16 bands ×
+      // 4 rows lifts recall at the 0.8 verify threshold from ~88%
+      // (4 bands) to 1−(1−0.8⁴)¹⁶ ≈ 99.98%. Costs ~4s over the old
+      // 4-band form at sf0.1 — spent DELIBERATELY on recall: a dedup
+      // pass that silently keeps 12% of its target duplicates is worse
+      // than a slower one (and the sibling token path is now held to
+      // the same 16×4 standard, oracle-verified)
+      val sig = call_function("minhash64", $"sh")
+      val bandHashes = transform(sequence(lit(0), lit(15)), b =>
         xxhash64(concat_ws("_",
           transform(slice(sig, b * lit(4) + lit(1), lit(4)), v => v.cast("string")))))
       val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
@@ -596,17 +607,29 @@ object TextOps {
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
-    entryNoOracle("text_dedup_near") { (s, dir) =>
+    // ORACLED (round 5): with the old 4×4 banding this entry missed
+    // 99.0-99.7%-recall's worth of threshold pairs (113/11025 at
+    // sf0.001, 25/9020 at sf0.01 — measured) and had to stay Q-gated;
+    // the 64-slot signature with 16×4 banding recalls 1−(1−0.9⁴)¹⁶ ≈
+    // 1−4·10⁻⁸ of j=0.9 pairs, and the output now matches the exact
+    // all-pairs oracle EXACTLY on both gate fixtures (verified pairwise,
+    // zero missed / zero extra). If a regenerated fixture ever plants a
+    // pathological pair, suspect banding recall before code.
+    entry(
+      "text_dedup_near",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS term
+        |  FROM documents),
+        |n AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(inter*1.0/(na.nt+nb.nt-inter), 4) AS jaccard
+        |FROM i JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9
+        |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
-      // Q-gated DELIBERATELY (measured, not assumed): 4×4 MinHash
-      // banding recall against the exact all-pairs ≥0.9 oracle is
-      // 99.0% at sf0.001 (113/11025 pairs missed) and 99.7% at sf0.01
-      // (25/9020) — every missed pair sits in the 0.90-0.94 band where
-      // the S-curve is steepest, exactly as LSH theory predicts. An
-      // exact-SQL oracle would therefore hash-mismatch; the exact-form
-      // anchor for this family is text_ngram_jaccard (lossless prefix
-      // filter), and the planted-dup spec pins that identical sets
-      // (jaccard 1, always recalled) are never missed.
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 

@@ -14,7 +14,7 @@ class IndexSpec extends SparkSpecBase {
 
   test("sim_index_build persists sets+bands; summary reflects the corpus") {
     val summary = SparkEntry.queries("sim_index_build")(spark, dir).collect()
-    assert(summary.length == 4, "one summary row per LSH band")
+    assert(summary.length == 16, "one summary row per LSH band (16 bands × 4 rows)")
     val nDocs = summary.head.getAs[Long]("n_docs")
     val withToks = spark.read.parquet(s"$dir/documents.parquet")
       .filter(size(graft.Core.tokens(lower($"text"))) > 0).count()

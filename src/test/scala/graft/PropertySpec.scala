@@ -74,6 +74,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minhash64 equals the per-slot minimum of seed-mixed hashes") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.types.LongType
+    val hGen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).suchThat(_.nonEmpty)
+    def lLit(xs: Seq[Long]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    check("minhash64", Prop.forAll(hGen) { hs =>
+      val got = graft.functions.MinHash64(lLit(hs)).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val exp = (0 until 64).map(i => hs.map(h => XXH64.hashLong(h, i.toLong)).min)
+      got == exp
+    })
+  }
+
   test("simhash64 equals the bit-vote reference") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val tokGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
