@@ -169,7 +169,27 @@ object IndexOps {
         .orderBy($"jaccard".desc, $"doc_id")
     },
 
-    entryNoOracle("sim_index_incremental") { (s, dir) =>
+    // ORACLED (round 5): exact batch-vs-corpus Jaccard pairs — sound for
+    // the same reason as text_dedup_near (16×4 banding recall is
+    // effectively total; verified pairwise on both gate fixtures).
+    entry(
+      "sim_index_incremental",
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2, round(inter*1.0/(na.nt+nb.nt-inter), 4) AS jac
+        |  FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9)
+        |SELECT b_doc, match_doc, jac AS jaccard FROM (
+        |  SELECT d1 AS b_doc, d2 AS match_doc, jac FROM pairs WHERE d1 % 10 = 7
+        |  UNION ALL
+        |  SELECT d2, d1, jac FROM pairs WHERE d2 % 10 = 7)
+        |ORDER BY b_doc, match_doc""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       VectorExprs.register(s)
       val path = ensureIndex(s, dir)

@@ -633,7 +633,31 @@ object TextOps {
       nearDupPairs(s, dir).orderBy(col("d1"), col("d2"))
     },
 
-    entryNoOracle("text_dedup_cluster") { (s, dir) =>
+    // ORACLED (round 5): the distributed min-label propagation is
+    // checked against a recursive-CTE transitive closure over the EXACT
+    // ≥0.9 pair graph — sound because 16×4 banding recall is effectively
+    // total (see text_dedup_near), so the engine's pair graph IS the
+    // exact pair graph on the gate fixtures (verified pairwise).
+    entry(
+      "text_dedup_cluster",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS cluster, (src = min(dst)) AS keep
+        |FROM reach GROUP BY src ORDER BY src""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       clusterLabels(s, dir)
         .select($"doc_id", $"label".as("cluster"),
@@ -641,7 +665,28 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
-    entryNoOracle("text_dedup_keep") { (s, dir) =>
+    entry(
+      "text_dedup_keep",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+        |WHERE lab.doc_id = lab.label ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // The deduplicated corpus: canonical doc per near-dup cluster
       // (non-keepers dropped). Shares the memoized cluster labels with
@@ -657,7 +702,29 @@ object TextOps {
 
 
 
-    entryNoOracle("text_cluster_stats") { (s, dir) =>
+    entry(
+      "text_cluster_stats",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src),
+        |sizes AS (SELECT label, count(*) AS csize FROM lab GROUP BY label)
+        |SELECT csize, count(*) AS n_clusters, count(*) * csize AS n_docs,
+        |       count(*) * (csize - 1) AS docs_removed
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // Dedup report — the number a pipeline owner actually reads:
       // cluster-size histogram plus the corpus reduction it implies.
