@@ -564,7 +564,27 @@ object TextOps {
     // ---- Q-gated (hash functions are engine-specific → no SQL oracle; ----
     // ---- covered by ScalaTest specs on planted duplicates).           ----
 
-    entryNoOracle("text_dedup_shingle") { (s, dir) =>
+    // ORACLED (round 5): exact all-pairs Jaccard over the 5-char shingle
+    // SETS — sound because (a) hashed-domain Jaccard equals string-domain
+    // Jaccard absent collisions, and (b) 16×4 banding recall at 0.8 is
+    // ~99.98% and verified pairwise-total on both gate fixtures. The
+    // oracle's substr() shingles match shingles64's code-point semantics
+    // exactly (PropertySpec pins the expression side).
+    entry(
+      "text_dedup_shingle",
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i + 1, 5))) AS sh
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |n AS (SELECT doc_id, count(*) AS ns FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(inter*1.0/(na.ns+nb.ns-inter), 4) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |WHERE inter*1.0/(na.ns+nb.ns-inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // Character-shingle MinHash (the classic shingle→minhash→band→
       // bucket-join pipeline): 5-char shingles hashed directly to longs
