@@ -89,6 +89,51 @@ class OperatorSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == g.length))
   }
 
+  test("vec_knn_join_lsh recall vs exact 3-NN stays above the measured floor") {
+    // quantitative contract for the approximate path: a plane-seed or
+    // band-config change that silently collapses recall must fail here,
+    // not surface as mysteriously-worse downstream dedup. Floor is the
+    // measured value at this seed/config minus a safety margin (LSH
+    // recall on this random corpus is ~50% per neighbor by design —
+    // these are low-cosine neighbors; threshold pairs recall far higher).
+    val exact = SparkEntry.queries("vec_knn_join")(spark, sf("sf0.001"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("vec_knn_join_lsh")(spark, sf("sf0.001"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // compare on the exact entry's query subset (vec_id % 4 == 0)
+    val approxOnSubset = approx.filter(_._1 % 4 == 0)
+    val recall = exact.intersect(approxOnSubset).size.toDouble / exact.size
+    assert(recall >= 0.30, f"LSH 3-NN recall collapsed to $recall%.3f (floor 0.30)")
+  }
+
+  test("text_simhash_dedup: pigeonhole banding recalls EVERY hamming<=3 pair (exhaustive)") {
+    // 4x16-bit chunk banding is exact for hamming<=3 by pigeonhole (3
+    // flipped bits cannot touch all 4 chunks) — verify exhaustively
+    // against brute-force hamming over all distinct-token-set signature
+    // pairs, not just planted dups
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.{call_function, array_sort, lower, size => ssize, min => smin}
+    val sims = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", array_sort(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.Core.tokens(lower($"text")))).as("toks"))
+      .filter(ssize($"toks") > 0)
+      .groupBy($"toks").agg(smin($"doc_id").as("sid"))
+      .select($"sid", call_function("simhash64", $"toks").as("sim"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      if java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 3
+    } yield (math.min(sims(i)._1, sims(j)._1), math.max(sims(i)._1, sims(j)._1))).toSet
+    val got = SparkEntry.queries("text_simhash_dedup")(spark, sf("sf0.001"))
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // got also contains intra-set pairs (hamming 0 by construction) and
+    // cross-set pairs; every brute-force sid pair must be present
+    assert(expected.subsetOf(got),
+      s"banding missed ${(expected -- got).size} of ${expected.size} hamming<=3 pairs")
+  }
+
   test("text_dedup_cluster: pairs never split across clusters; keepers are cluster minima") {
     val cl = SparkEntry.queries("text_dedup_cluster")(spark, sf("sf0.001")).cache()
     val pairs = SparkEntry.queries("text_dedup_near")(spark, sf("sf0.001"))
