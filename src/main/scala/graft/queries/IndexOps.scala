@@ -292,6 +292,38 @@ object IndexOps {
     }
   )
 
+  /** Batch-mode novelty filter against the persisted index: the subset
+    * of `batch` (doc_id, text, …) with NO ≥0.9-Jaccard match among the
+    * indexed corpus — the gate a streaming ingest applies before
+    * admitting documents (Streams.dedupIngest drives this per
+    * micro-batch). Same signature plumbing as every other consumer;
+    * cost scales with the batch (corpus signatures come from the lake).
+    * Token-less docs pass through as trivially novel.
+    */
+  private[graft] def novelDocs(s: SparkSession, dir: String,
+                               batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    VectorExprs.register(s)
+    val path = ensureIndex(s, dir)
+    val b = batch.select(col("doc_id"),
+        array_sort(transform(array_distinct(graft.Core.tokens(lower(col("text")))),
+          t => xxhash64(t))).as("btids"))
+      .filter(size(col("btids")) > 0)
+      .withColumn("bands", TextOps.bandHashes(call_function("minhash64", col("btids"))))
+    val qb = b.select(col("doc_id"), col("btids"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = s.read.parquet(s"$path/bands.parquet")
+      .join(qb, Seq("band", "bh"))
+      .select(col("doc_id"), col("btids"), col("sid")).distinct()
+    val sets = s.read.parquet(s"$path/sets.parquet")
+    val inter = call_function("sorted_long_intersect_size", col("tids"), col("btids")).cast("double")
+    val jac   = inter / (size(col("tids")) + size(col("btids")) - inter)
+    val dupIds = cand.join(sets, "sid")
+      .filter(jac >= 0.9)
+      .select(col("doc_id")).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Build (overwrite) the persisted vector index for `dir`. */
   private[graft] def buildVecIndex(s: SparkSession, dir: String): String = {
     val path = indexDir(dir)

@@ -52,6 +52,48 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_funnel",
+      """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.tc GROUP BY 1)
+        |SELECT v.user_id,
+        |  strftime(tv, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+        |  strftime(tc, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+        |  strftime(tp, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+        |  1 + CASE WHEN tc IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS depth
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Funnel / event-sequence match (view → click → purchase): per
+      // user, the first view, the first click strictly after it, the
+      // first purchase strictly after that — the conversion-analysis
+      // shape. Three conditional min-aggregations + two joins; each
+      // stage's frame shrinks to users who reached it, so at scale the
+      // deep-funnel joins touch progressively less data. The oracle
+      // truncates DuckDB's ns timestamps to µs (ts::TIMESTAMP) so both
+      // engines compare the same instants (Spark reads µs).
+      val e = loadEvents(s, dir)
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("tv"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"tv").groupBy($"user_id").agg(min($"ts").as("tc"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"tc").groupBy($"user_id").agg(min($"ts").as("tp"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          tsStr($"tv").as("t_view"), tsStr($"tc").as("t_click"),
+          tsStr($"tp").as("t_purchase"),
+          (lit(1) + when($"tc".isNotNull, 1).otherwise(0)
+                  + when($"tp".isNotNull, 1).otherwise(0)).as("depth"))
+        .orderBy($"user_id")
+    },
+
+    entry(
       "ts_tumbling",
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS cnt, round(sum(value), 4) AS total

@@ -177,6 +177,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingest dedup against the persisted similarity index: per
+    * micro-batch, drop documents with a ≥0.9-Jaccard near-duplicate in
+    * the indexed corpus and append only the NOVEL ones to the lake —
+    * the admission gate a training-data pipeline runs on every arriving
+    * shard (batch analogue: sim_index_incremental). Corpus signatures
+    * come from the persisted index; per-batch cost scales with the
+    * batch, not the lake.
+    */
+  def dedupIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
+                  name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.IndexOps.novelDocs(batch.sparkSession, corpusDir, batch)
+          .write.mode("append").parquet(s"$lakeDir/$name.parquet")
+        ()
+      }
+      .start()
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

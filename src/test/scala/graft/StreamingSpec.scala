@@ -166,6 +166,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(table() == afterStream, "replaying a batch must be a no-op")
   }
 
+  test("stream_sim_dedup: near-dups of indexed docs are rejected, novel docs admitted") {
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    // ensure the persisted index exists for the corpus
+    SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
+    val lake = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    // doc 10000 = exact token-set copy of corpus doc 0 (a dup the index
+    // must catch); doc 10001 = vocabulary the corpus doesn't contain
+    val doc0Text = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter($"doc_id" === 0).select($"text").as[String].head()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), corpusDir, lake, "admitted")
+    in.addData((10000L, doc0Text), (10001L, "zzqx wvut ponm lkji hgfe dcba"))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(s"$lake/admitted.parquet")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(10001L),
+      s"expected only the novel doc admitted, got $admitted")
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
