@@ -191,31 +191,18 @@ object IndexOps {
         |ORDER BY b_doc, match_doc""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      VectorExprs.register(s)
-      val path = ensureIndex(s, dir)
       // Incremental dedup — the production daily-ingest shape: sign ONLY
       // the new batch (here: doc_id % 10 == 7, a pushed-down filtered
       // scan), probe the persisted index, emit (batch doc → indexed
       // near-dup) pairs. Corpus signatures are never recomputed; cost
-      // scales with the batch, not the lake.
-      val batch = load(s, dir, "documents")
-        .filter(pmod($"doc_id", lit(10)) === 7)
-        .select($"doc_id".as("b_doc"),
-          array_sort(transform(array_distinct(tokens(lower($"text"))), t => xxhash64(t)))
-            .as("btids"))
-        .filter(size($"btids") > 0)
-        .withColumn("bands", TextOps.bandHashes(call_function("minhash64", $"btids")))
-      val qb = batch.select($"b_doc", $"btids",
-        posexplode($"bands").as(Seq("band", "bh")))
-      val cand = s.read.parquet(s"$path/bands.parquet")
-        .join(qb, Seq("band", "bh"))
-        .select($"b_doc", $"btids", $"sid").distinct()
-      val sets = s.read.parquet(s"$path/sets.parquet")
-      val inter = call_function("sorted_long_intersect_size", $"tids", $"btids").cast("double")
-      val jac   = inter / (size($"tids") + size($"btids") - inter)
-      cand.join(sets, "sid")
-        .filter(jac >= 0.9)
-        .select($"b_doc", explode($"ids").as("match_doc"), round(jac, 4).as("jaccard"))
+      // scales with the batch, not the lake. Shares signDocs/probeMatches
+      // with the streaming admission gate so the two can never disagree
+      // about what counts as a duplicate.
+      val path = ensureIndex(s, dir)
+      val signed = signDocs(s,
+        load(s, dir, "documents").filter(pmod($"doc_id", lit(10)) === 7))
+      probeMatches(s, path, signed)
+        .select($"b_doc", explode($"ids").as("match_doc"), $"jaccard")
         .filter($"match_doc" =!= $"b_doc")
         .orderBy($"b_doc", $"match_doc")
     },
@@ -292,36 +279,94 @@ object IndexOps {
     }
   )
 
-  /** Batch-mode novelty filter against the persisted index: the subset
-    * of `batch` (doc_id, text, …) with NO ≥0.9-Jaccard match among the
-    * indexed corpus — the gate a streaming ingest applies before
-    * admitting documents (Streams.dedupIngest drives this per
-    * micro-batch). Same signature plumbing as every other consumer;
-    * cost scales with the batch (corpus signatures come from the lake).
-    * Token-less docs pass through as trivially novel.
+  /** Sign a (doc_id, text, …) frame with the shared token-set signature:
+    * (b_doc, btids, bands). Token-less docs drop out (no signature — and
+    * downstream they pass any novelty gate as trivially novel).
     */
-  private[graft] def novelDocs(s: SparkSession, dir: String,
-                               batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
+  private def signDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     VectorExprs.register(s)
-    val path = ensureIndex(s, dir)
-    val b = batch.select(col("doc_id"),
+    docs.select(col("doc_id").as("b_doc"),
         array_sort(transform(array_distinct(graft.Core.tokens(lower(col("text")))),
           t => xxhash64(t))).as("btids"))
       .filter(size(col("btids")) > 0)
       .withColumn("bands", TextOps.bandHashes(call_function("minhash64", col("btids"))))
-    val qb = b.select(col("doc_id"), col("btids"),
+  }
+
+  /** Probe the persisted index with a signed batch: verified matches
+    * (b_doc, sid, ids, jaccard) at ≥ 0.9 — ONE definition of "duplicate
+    * of the indexed corpus", shared by the batch entry and the streaming
+    * admission gate so the two can never drift.
+    */
+  private def probeMatches(s: SparkSession, path: String, signed: DataFrame): DataFrame = {
+    val qb = signed.select(col("b_doc"), col("btids"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val cand = s.read.parquet(s"$path/bands.parquet")
       .join(qb, Seq("band", "bh"))
-      .select(col("doc_id"), col("btids"), col("sid")).distinct()
+      .select(col("b_doc"), col("btids"), col("sid")).distinct()
     val sets = s.read.parquet(s"$path/sets.parquet")
     val inter = call_function("sorted_long_intersect_size", col("tids"), col("btids")).cast("double")
     val jac   = inter / (size(col("tids")) + size(col("btids")) - inter)
-    val dupIds = cand.join(sets, "sid")
+    cand.join(sets, "sid")
       .filter(jac >= 0.9)
-      .select(col("doc_id")).distinct()
-    batch.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("b_doc"), col("sid"), col("ids"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Batch-mode novelty filter against the persisted index AND within
+    * the batch itself: the subset of `batch` (doc_id, text, …) that a
+    * streaming ingest should ADMIT (Streams.dedupIngest drives this per
+    * micro-batch, then grows the index with what it admitted):
+    *
+    *  - vs the INDEX: docs with a ≥0.9 match among indexed sets are
+    *    dropped — except self-matches (`ids` containing the doc's own
+    *    id), so a REPLAYED batch whose docs were already appended to
+    *    the index re-admits identically instead of rejecting itself
+    *    (the idempotence foreachBatch's at-least-once delivery needs);
+    *  - WITHIN the batch: a doc with a ≥0.9 partner of smaller doc_id
+    *    in the same batch is dropped (covers exact copies, jaccard 1).
+    *    Greedy, not transitive: over chains A~B~C it can drop C even
+    *    though its kept partner was itself dropped — over-rejection is
+    *    the safe direction for an admission gate, and no two ADMITTED
+    *    docs are ever ≥0.9-similar.
+    */
+  private[graft] def novelDocs(s: SparkSession, dir: String,
+                               batch: DataFrame): DataFrame = {
+    val path = ensureIndex(s, dir)
+    val signed = signDocs(s, batch)
+    val dupVsIndex = probeMatches(s, path, signed)
+      .filter(!array_contains(col("ids"), col("b_doc")))
+      .select(col("b_doc").as("doc_id")).distinct()
+    val sb = signed.select(col("b_doc"), col("btids"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val winter = call_function("sorted_long_intersect_size",
+      col("btids"), col("otids")).cast("double")
+    val wjac = winter / (size(col("btids")) + size(col("otids")) - winter)
+    val dupInBatch = sb.as("x").join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.b_doc") > col("y.b_doc"))
+      .select(col("x.b_doc").as("b_doc"), col("x.btids").as("btids"),
+        col("y.btids").as("otids")).distinct()
+      .filter(wjac >= 0.9)
+      .select(col("b_doc").as("doc_id")).distinct()
+    batch.join(dupVsIndex.unionByName(dupInBatch), Seq("doc_id"), "left_anti")
+  }
+
+  /** Grow the persisted index with newly admitted docs (each its own
+    * 1-doc set) — the streaming gate calls this after admission so the
+    * NEXT batch sees this batch's documents. Parquet append; replayed
+    * appends add duplicate rows, which is benign for probe correctness
+    * (candidates are distinct-ed, matches identical) and is the
+    * compaction concern `sink_compact` exists for.
+    */
+  private[graft] def appendToIndex(s: SparkSession, dir: String,
+                                   admitted: DataFrame): Unit = {
+    val path = ensureIndex(s, dir)
+    val signed = signDocs(s, admitted)
+    signed.select(col("b_doc").as("sid"), array(col("b_doc")).as("ids"),
+        col("btids").as("tids"))
+      .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
+    signed.select(col("b_doc").as("sid"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
   }
 
   /** Build (overwrite) the persisted vector index for `dir`. */

@@ -561,9 +561,6 @@ object TextOps {
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
-    // ---- Q-gated (hash functions are engine-specific → no SQL oracle; ----
-    // ---- covered by ScalaTest specs on planted duplicates).           ----
-
     // ORACLED (round 5): exact all-pairs Jaccard over the 5-char shingle
     // SETS — sound because (a) hashed-domain Jaccard equals string-domain
     // Jaccard absent collisions, and (b) 16×4 banding recall at 0.8 is
@@ -757,6 +754,11 @@ object TextOps {
           (count(lit(1)) * ($"csize" - 1)).as("docs_removed"))
         .orderBy($"csize")
     },
+
+    // ---- Q-gated from here: SimHash bits and bottom-k fingerprints are
+    // ---- engine-specific hash VALUES (not set-derived scores), so no
+    // ---- SQL oracle can reproduce them; covered by exhaustive
+    // ---- pigeonhole-recall and planted-dup specs instead.
 
     entryNoOracle("text_simhash_dedup") { (s, dir) =>
       import s.implicits._

@@ -179,19 +179,32 @@ object Streams {
 
   /** Streaming ingest dedup against the persisted similarity index: per
     * micro-batch, drop documents with a ≥0.9-Jaccard near-duplicate in
-    * the indexed corpus and append only the NOVEL ones to the lake —
-    * the admission gate a training-data pipeline runs on every arriving
-    * shard (batch analogue: sim_index_incremental). Corpus signatures
-    * come from the persisted index; per-batch cost scales with the
+    * the indexed corpus OR earlier in the same batch, append only the
+    * NOVEL ones to the lake, then grow the index with what was admitted
+    * so the NEXT batch is gated against this one too — the admission
+    * gate a training-data pipeline runs on every arriving shard (batch
+    * analogue: sim_index_incremental). Per-batch cost scales with the
     * batch, not the lake.
+    *
+    * At-least-once safety: the admitted rows land in a per-batchId
+    * directory with Overwrite (replay rewrites the same dir, never
+    * double-appends), and novelDocs ignores a doc's own indexed copy,
+    * so a replayed batch admits identically even though its docs were
+    * already appended to the index. Readers see `batch` as a partition
+    * column of the admitted table.
     */
   def dedupIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
                   name: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.queries.IndexOps.novelDocs(batch.sparkSession, corpusDir, batch)
-          .write.mode("append").parquet(s"$lakeDir/$name.parquet")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val batchDir = s"$lakeDir/$name.parquet/batch=$batchId"
+        graft.queries.IndexOps.novelDocs(s, corpusDir, batch)
+          .write.mode("overwrite").parquet(batchDir)
+        // index growth reads BACK the committed admission (no lineage
+        // recompute, and exactly what replay would overwrite)
+        graft.queries.IndexOps.appendToIndex(s, corpusDir, s.read.parquet(batchDir))
         ()
       }
       .start()

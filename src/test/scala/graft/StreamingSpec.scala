@@ -166,26 +166,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(table() == afterStream, "replaying a batch must be a no-op")
   }
 
-  test("stream_sim_dedup: near-dups of indexed docs are rejected, novel docs admitted") {
+  test("stream_sim_dedup: rejects index/cross-batch/intra-batch dups; replay is idempotent") {
     implicit val sc = spark.sqlContext
     val corpusDir = sf("sf0.001")
-    // ensure the persisted index exists for the corpus
+    // fresh index for the corpus (rebuilt again at the end — this test
+    // deliberately GROWS the shared index with admitted docs)
     SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
     val lake = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
-    // doc 10000 = exact token-set copy of corpus doc 0 (a dup the index
-    // must catch); doc 10001 = vocabulary the corpus doesn't contain
     val doc0Text = spark.read.parquet(s"$corpusDir/documents.parquet")
       .filter($"doc_id" === 0).select($"text").as[String].head()
+    val textA = "zzqx wvut ponm lkji hgfe dcba"
+    val textB = "qqzz aabb ccdd eeff gghh iijj"
     val in = MemoryStream[(Long, String)]
     val q = Streams.dedupIngest(
       in.toDF().toDF("doc_id", "text"), corpusDir, lake, "admitted")
-    in.addData((10000L, doc0Text), (10001L, "zzqx wvut ponm lkji hgfe dcba"))
+    // batch 1: a copy of indexed doc 0 (rejected) + novel text A (admitted)
+    in.addData((10000L, doc0Text), (10001L, textA))
+    q.processAllAvailable()
+    // batch 2: text A AGAIN (cross-batch dup of the just-admitted 10001
+    // — only caught because admission grew the index) + novel text B
+    // twice in ONE batch (intra-batch: smaller id wins)
+    in.addData((10002L, textA), (10003L, textB), (10004L, textB))
     q.processAllAvailable()
     q.stop()
     val admitted = spark.read.parquet(s"$lake/admitted.parquet")
       .select($"doc_id").as[Long].collect().toSet
-    assert(admitted == Set(10001L),
-      s"expected only the novel doc admitted, got $admitted")
+    assert(admitted == Set(10001L, 10003L),
+      s"expected {10001, 10003} admitted, got $admitted")
+    // replay semantics: re-running batch 2's admission AFTER its docs
+    // were appended to the index must admit the same rows (self-matches
+    // ignored), not reject everything — the at-least-once contract
+    val replay = Seq((10002L, textA), (10003L, textB), (10004L, textB))
+      .toDF("doc_id", "text")
+    val readmitted = graft.queries.IndexOps.novelDocs(spark, corpusDir, replay)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(readmitted == Set(10003L), s"replay must re-admit identically: $readmitted")
+    // restore the pristine corpus index for any later consumer
+    SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
   }
 
   test("stream_late_data: row older than watermark never reopens a closed window") {
