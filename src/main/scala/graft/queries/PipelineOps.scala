@@ -186,6 +186,46 @@ object PipelineOps {
     },
 
     entry(
+      "text_decontaminate",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 <> 3)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 97 <> 3
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // The actionable half of the contamination check (detect → act,
+      // like cluster → keep): the training corpus with benchmark docs
+      // AND every doc leaking a benchmark 3-gram removed — what actually
+      // ships to the tokenizer. Same broadcast n-gram probe as
+      // text_contamination, inverted into an anti-join.
+      val toks = tokens(lower($"text"))
+      val docs = load(s, dir, "documents")
+      val grams = docs
+        .select($"doc_id",
+          explode(when(size(toks) >= 3,
+              transform(sequence(lit(1), size(toks) - 2),
+                i => concat_ws(" ", slice(toks, i, lit(3)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
+      val bad = grams.filter($"doc_id" % 97 =!= 3)
+        .join(broadcast(bench), "gram")
+        .select($"doc_id").distinct()
+      docs.filter($"doc_id" % 97 =!= 3)
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "text_contamination",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
