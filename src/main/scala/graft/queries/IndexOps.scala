@@ -384,6 +384,64 @@ object IndexOps {
     path
   }
 
+  /** Vector-side novelty filter against the persisted ANN index: the
+    * subset of `batch` (vec_id, embedding, …) with NO indexed vector of
+    * cosine ≥ `minCos` — the embedding twin of [[novelDocs]] for a
+    * streaming embedding feed (candidates from the persisted hyperplane
+    * bands, exact-cosine verify, self-matches ignored so replays
+    * re-admit identically). Within-batch: a vector with a ≥minCos
+    * partner of smaller vec_id in the same batch is dropped (greedy,
+    * over-rejecting on chains — the safe direction for admission).
+    */
+  private[graft] def novelVectors(s: SparkSession, dir: String,
+                                  batch: DataFrame, minCos: Double): DataFrame = {
+    VectorExprs.register(s)
+    val path = ensureVecIndex(s, dir)
+    val signed = batch.select(col("vec_id").as("b_id"),
+        col("embedding").cast("array<double>").as("b_emb"))
+      .withColumn("b_n", sqrt(call_function("dotp", col("b_emb"), col("b_emb"))))
+      .filter(col("b_n") > 0)
+      .withColumn("bands", VecOps.lshBandKeys(col("b_emb")))
+    val qb = signed.select(col("b_id"), col("b_emb"), col("b_n"),
+      posexplode(col("bands")).as(Seq("band", "bk")))
+    val cos = call_function("dotp", col("emb"), col("b_emb")) / (col("norm") * col("b_n"))
+    val dupVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
+      .join(qb, Seq("band", "bk"))
+      .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
+      .select(col("b_id"), col("b_emb"), col("b_n"), col("vec_id")).distinct()
+      .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+      .filter(cos >= minCos)
+      .select(col("b_id").as("vec_id")).distinct()
+    val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
+    val dupInBatch = qb.as("x").join(qb.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.b_id") > col("y.b_id"))
+      .select(col("x.b_id").as("b_id"), col("x.b_emb").as("b_emb"), col("x.b_n").as("b_n"),
+        col("y.b_emb").as("o_emb"), col("y.b_n").as("o_n")).distinct()
+      .filter(wcos >= minCos)
+      .select(col("b_id").as("vec_id")).distinct()
+    batch.join(dupVsIndex.unionByName(dupInBatch), Seq("vec_id"), "left_anti")
+  }
+
+  /** Grow the persisted vector index with admitted vectors — the
+    * embedding twin of [[appendToIndex]]; replayed appends add benign
+    * duplicate rows (compaction's concern, not correctness's).
+    */
+  private[graft] def appendToVecIndex(s: SparkSession, dir: String,
+                                      admitted: DataFrame): Unit = {
+    VectorExprs.register(s)
+    val path = ensureVecIndex(s, dir)
+    val signed = admitted.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
+      .filter(col("norm") > 0)
+    signed.select(col("vec_id"), col("emb"), col("norm"))
+      .write.mode(SaveMode.Append).parquet(s"$path/vecs.parquet")
+    signed.select(col("vec_id"),
+        posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
+      .write.mode(SaveMode.Append).parquet(s"$path/vec_bands.parquet")
+  }
+
   private def ensureVecIndex(s: SparkSession, dir: String): String = {
     val path = indexDir(dir)
     if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecIndexVersion))

@@ -209,6 +209,25 @@ object Streams {
       }
       .start()
 
+  /** Embedding twin of [[dedupIngest]]: per micro-batch, drop vectors
+    * with a ≥`minCos` neighbor in the persisted ANN index or earlier in
+    * the batch, append the novel ones to the lake (per-batchId dir,
+    * replay-idempotent), and grow the index with what was admitted.
+    */
+  def dedupVecIngest(vecs: DataFrame, corpusDir: String, lakeDir: String,
+                     name: String, minCos: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val batchDir = s"$lakeDir/$name.parquet/batch=$batchId"
+        graft.queries.IndexOps.novelVectors(s, corpusDir, batch, minCos)
+          .write.mode("overwrite").parquet(batchDir)
+        graft.queries.IndexOps.appendToVecIndex(s, corpusDir, s.read.parquet(batchDir))
+        ()
+      }
+      .start()
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

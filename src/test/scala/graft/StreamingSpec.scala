@@ -205,6 +205,34 @@ class StreamingSpec extends SparkSpecBase {
     SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
   }
 
+  test("stream_vec_dedup: cosine-dup vectors rejected vs index, cross-batch, and intra-batch") {
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    SparkEntry.queries("vec_index_build")(spark, corpusDir).collect()
+    val lake = java.nio.file.Files.createTempDirectory("graft-vdedup").toString
+    val v0 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val negV0 = v0.map(-_)       // cos -1 vs vec 0, |cos| < ~0.52 vs rest
+    val revV0 = v0.reverse       // novel direction, far from 0.99
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.dedupVecIngest(
+      in.toDF().toDF("vec_id", "embedding"), corpusDir, lake, "vadmitted", 0.99)
+    // batch 1: exact copy of indexed vec 0 (rejected) + novel negV0 (admitted)
+    in.addData((20000L, v0), (20001L, negV0))
+    q.processAllAvailable()
+    // batch 2: negV0 again (cross-batch dup of admitted 20001 — caught
+    // only because admission grew the index) + revV0 twice in one batch
+    in.addData((20002L, negV0), (20003L, revV0), (20004L, revV0))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(s"$lake/vadmitted.parquet")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted == Set(20001L, 20003L),
+      s"expected {20001, 20003} admitted, got $admitted")
+    // restore the pristine vector index for any later consumer
+    SparkEntry.queries("vec_index_build")(spark, corpusDir).collect()
+  }
+
   test("stream_late_data: row older than watermark never reopens a closed window") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
