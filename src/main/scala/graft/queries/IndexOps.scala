@@ -13,7 +13,8 @@ import graft.functions.VectorExprs
   * the lake as two parquet tables:
   *
   *   sets(sid, ids, tids)   — one row per distinct token set
-  *   bands(sid, band, bh)   — 4 LSH band hashes per set
+  *   bands(sid, band, bh)   — 16 LSH band hashes per set (16 bands × 4
+  *                            minhash rows; TextOps.bandHashes)
   *
   * and the probe entry answers a query by (1) signing ONLY the 1-row
   * query side, (2) an equi-join on (band, bh) against the persisted
@@ -32,9 +33,16 @@ object IndexOps {
 
   /** Lake location of the index for a given source dir (kept under the
     * build's target/ so local runs never write outside the repo).
+    *
+    * `ns` separates independently-grown index NAMESPACES over the same
+    * corpus: the oracled batch entries probe the pristine corpus index
+    * (ns = ""), while each streaming admission gate grows a private
+    * namespace seeded from the corpus — a gate appending admitted docs
+    * must never change what the documents-only SQL oracles see.
     */
-  private[graft] def indexDir(dir: String): String =
-    "target/simindex/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+  private[graft] def indexDir(dir: String, ns: String = ""): String =
+    "target/simindex/" +
+      (dir + (if (ns.isEmpty) "" else "@" + ns)).replaceAll("[^A-Za-z0-9.]+", "_")
 
   /** Signature-logic fingerprints, persisted beside each index and
     * checked on probe. A persisted index encodes the BUILD-TIME
@@ -47,12 +55,12 @@ object IndexOps {
     * serving stale structure.
     */
   private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4"
-  private[graft] val vecIndexVersion = "vec-v1:dotp-norm;hyperplane16;bands4x4"
+  private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2"
 
   private def stampFile(path: String, table: String) =
     new java.io.File(s"$path/$table.version")
 
-  private def writeStamp(path: String, table: String, v: String): Unit = {
+  private[queries] def writeStamp(path: String, table: String, v: String): Unit = {
     val f = stampFile(path, table)
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, v.getBytes("UTF-8"))
@@ -62,8 +70,8 @@ object IndexOps {
     * (a crashed build leaves no _SUCCESS) AND its version stamp matches
     * the running code's signature semantics.
     */
-  private def indexCurrent(path: String, tables: Seq[String], stamp: String,
-                           version: String): Boolean = {
+  private[queries] def indexCurrent(path: String, tables: Seq[String], stamp: String,
+                                    version: String): Boolean = {
     val committed = tables.forall(t =>
       new java.io.File(s"$path/$t.parquet/_SUCCESS").exists())
     val f = stampFile(path, stamp)
@@ -72,8 +80,8 @@ object IndexOps {
   }
 
   /** Build (overwrite) the persisted index for `dir`; returns its path. */
-  private[queries] def buildIndex(s: SparkSession, dir: String): String = {
-    val path = indexDir(dir)
+  private[queries] def buildIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val path = indexDir(dir, ns)
     // the session-memoized signature frame: both written tables derive
     // from it, and it is SHARED with the in-plan dedup family — one
     // signature pipeline per session regardless of which consumer runs
@@ -93,12 +101,53 @@ object IndexOps {
   /** Probe-side guard: build on first use so entry order never matters
     * (the driver iterates `queries` in map order); rebuild when the
     * persisted index predates the running signature logic.
+    *
+    * A REBUILD re-signs the BASE CORPUS only — it cannot know about docs
+    * a streaming gate appended (they live in the gate's lake table, not
+    * the corpus). Callers that grow an index (Streams.dedupIngest) must
+    * therefore use [[ensureIndexStatus]] and re-append their admitted
+    * lake table whenever `rebuilt` comes back true, or the gate's
+    * "no two admitted docs are ≥0.9-similar" invariant silently breaks
+    * for docs admitted before the rebuild.
     */
-  private def ensureIndex(s: SparkSession, dir: String): String = {
-    val path = indexDir(dir)
+  private def ensureIndex(s: SparkSession, dir: String, ns: String = ""): String =
+    ensureIndexStatus(s, dir, ns)._1
+
+  /** [[ensureIndex]] + whether it had to rebuild (version bump, crashed
+    * append, first use) — the signal an index-growing caller needs to
+    * restore its admission history.
+    */
+  private[graft] def ensureIndexStatus(s: SparkSession, dir: String,
+                                       ns: String = ""): (String, Boolean) = {
+    val path = indexDir(dir, ns)
     if (!indexCurrent(path, Seq("sets", "bands"), "sim", simIndexVersion))
-      buildIndex(s, dir)
-    path
+      (buildIndex(s, dir, ns), true)
+    else (path, false)
+  }
+
+  /** Compact an index namespace in place: streaming appends add one
+    * small file set per micro-batch (and a replayed append adds
+    * byte-identical duplicate rows), so a long-lived gate degrades into
+    * the small-file pathology `sink_compact` exists to fix. Rewrites
+    * each present index table to `nFiles` files via stage-and-swap,
+    * dropping exact-duplicate rows (safe: every index row is
+    * content-addressed by its columns — a sid's set row and a
+    * (sid, band, bh) row are identical across replays, so distinct()
+    * changes no probe answer). Restamps after the swap because the swap
+    * itself removes the _SUCCESS marker indexCurrent checks.
+    */
+  private[graft] def compactIndex(s: SparkSession, dir: String, ns: String = "",
+                                  nFiles: Int = 4): Unit = {
+    val path = indexDir(dir, ns)
+    val present = Seq("sets" -> "sim", "bands" -> "sim",
+        "vecs" -> "vec", "vec_bands" -> "vec")
+      .filter { case (t, _) => new java.io.File(s"$path/$t.parquet/_SUCCESS").exists() }
+    for ((t, _) <- present)
+      graft.sources.Ingest.stageAndSwap(
+        s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles), path, t)
+    for (stamp <- present.map(_._2).distinct)
+      writeStamp(path, stamp,
+        if (stamp == "sim") simIndexVersion else vecIndexVersion)
   }
 
   val entries: Seq[Entry] = Seq(
@@ -121,11 +170,12 @@ object IndexOps {
     // Oracled (r4 #7): the oracle is the EXACT all-pairs Jaccard of doc 0
     // against the corpus — promotion is sound because banding recall was
     // verified total on both gate fixtures (sf0.001 finds a genuine
-    // 0.9412 partner through the bands; sf0.01 the self-match). With
-    // 4 bands × 4 rows, worst-case per-pair recall at j=0.9 is ~98.6%,
-    // so REGENERATED data could in principle plant a pair the bands
-    // miss — if the fixtures ever change, re-verify before trusting a
-    // hash mismatch here as a code bug.
+    // 0.9412 partner through the bands; sf0.01 the self-match). With the
+    // shipped 16 bands × 4 rows (TextOps.bandHashes), per-pair recall at
+    // j=0.9 is 1−(1−0.9⁴)¹⁶ ≈ 1−4·10⁻⁸ — effectively total, which is
+    // WHY the oracle promotion is sound. Still: REGENERATED data could
+    // in principle plant a pair the bands miss — if the fixtures ever
+    // change, re-verify before trusting a hash mismatch as a code bug.
     entry(
       "sim_index_probe",
       """WITH t AS (SELECT doc_id,
@@ -166,6 +216,11 @@ object IndexOps {
       cand.join(sets, "sid")
         .filter(jac >= 0.9)
         .select(explode($"ids").as("doc_id"), round(jac, 4).as("jaccard"))
+        // a replay-duplicated index row (k copies of a sid in
+        // sets.parquet) would otherwise multiply its matches k× — the
+        // duplicates are byte-identical and each doc_id belongs to
+        // exactly one set, so distinct() restores exactly-once rows
+        .distinct()
         .orderBy($"jaccard".desc, $"doc_id")
     },
 
@@ -234,7 +289,11 @@ object IndexOps {
         .select($"embedding".cast("array<double>").as("qemb"))
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
         .withColumn("bands", VecOps.lshBandKeys($"qemb"))
+      // Hamming-≤3 multi-probe: the 1-row query expands to 4×697 probe
+      // keys (still a trivial broadcast); the stored index keeps one row
+      // per (vector, band). See VecOps.probeMasksWide.
       val qBands = q.select(posexplode($"bands").as(Seq("band", "bk")), $"qemb", $"qnorm")
+        .select($"band", explode(VecOps.probeKeysWide($"bk")).as("bk"), $"qemb", $"qnorm")
       val cand = s.read.parquet(s"$path/vec_bands.parquet")
         .join(broadcast(qBands), Seq("band", "bk"))
         .filter($"vec_id" =!= 0)
@@ -261,8 +320,14 @@ object IndexOps {
         .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
         .withColumn("b_n", sqrt(call_function("dotp", $"b_emb", $"b_emb")))
         .withColumn("bands", VecOps.lshBandKeys($"b_emb"))
+      // wide (Hamming-≤3) multi-probe on the batch (query) side: ×697
+      // narrow key rows, joined against the one-row-per-(vector, band)
+      // persisted index — the batch is the bounded side, so the extra
+      // Hamming ring costs key rows, not candidate blowup
       val qb = batch.select($"b_id", $"b_emb", $"b_n",
-        posexplode($"bands").as(Seq("band", "bk")))
+          posexplode($"bands").as(Seq("band", "bk")))
+        .select($"b_id", $"b_emb", $"b_n", $"band",
+          explode(VecOps.probeKeysWide($"bk")).as("bk"))
       val cand = s.read.parquet(s"$path/vec_bands.parquet")
         .join(qb, Seq("band", "bk"))
         .filter($"vec_id" =!= $"b_id")
@@ -309,6 +374,10 @@ object IndexOps {
     cand.join(sets, "sid")
       .filter(jac >= 0.9)
       .select(col("b_doc"), col("sid"), col("ids"), round(jac, 4).as("jaccard"))
+      // exactly-once per (b_doc, sid) even when a replayed append left k
+      // byte-identical copies of a set row in the index (compaction
+      // removes them at rest; this guards the window before it runs)
+      .distinct()
   }
 
   /** Batch-mode novelty filter against the persisted index AND within
@@ -329,8 +398,8 @@ object IndexOps {
     *    docs are ever ≥0.9-similar.
     */
   private[graft] def novelDocs(s: SparkSession, dir: String,
-                               batch: DataFrame): DataFrame = {
-    val path = ensureIndex(s, dir)
+                               batch: DataFrame, ns: String = ""): DataFrame = {
+    val path = ensureIndex(s, dir, ns)
     val signed = signDocs(s, batch)
     val dupVsIndex = probeMatches(s, path, signed)
       .filter(!array_contains(col("ids"), col("b_doc")))
@@ -353,13 +422,12 @@ object IndexOps {
   /** Grow the persisted index with newly admitted docs (each its own
     * 1-doc set) — the streaming gate calls this after admission so the
     * NEXT batch sees this batch's documents. Parquet append; replayed
-    * appends add duplicate rows, which is benign for probe correctness
-    * (candidates are distinct-ed, matches identical) and is the
-    * compaction concern `sink_compact` exists for.
+    * appends add byte-identical duplicate rows, which probeMatches
+    * dedups at read time and [[compactIndex]] removes at rest.
     */
   private[graft] def appendToIndex(s: SparkSession, dir: String,
-                                   admitted: DataFrame): Unit = {
-    val path = ensureIndex(s, dir)
+                                   admitted: DataFrame, ns: String = ""): Unit = {
+    val path = ensureIndex(s, dir, ns)
     val signed = signDocs(s, admitted)
     signed.select(col("b_doc").as("sid"), array(col("b_doc")).as("ids"),
         col("btids").as("tids"))
@@ -370,8 +438,8 @@ object IndexOps {
   }
 
   /** Build (overwrite) the persisted vector index for `dir`. */
-  private[graft] def buildVecIndex(s: SparkSession, dir: String): String = {
-    val path = indexDir(dir)
+  private[graft] def buildVecIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val path = indexDir(dir, ns)
     val e = VecOps.emb(s, dir).persist()
     try {
       e.select(col("vec_id"), col("emb"), col("norm"))
@@ -388,15 +456,24 @@ object IndexOps {
     * subset of `batch` (vec_id, embedding, …) with NO indexed vector of
     * cosine ≥ `minCos` — the embedding twin of [[novelDocs]] for a
     * streaming embedding feed (candidates from the persisted hyperplane
-    * bands, exact-cosine verify, self-matches ignored so replays
-    * re-admit identically). Within-batch: a vector with a ≥minCos
-    * partner of smaller vec_id in the same batch is dropped (greedy,
-    * over-rejecting on chains — the safe direction for admission).
+    * bands with Hamming-≤2 multi-probe, exact-cosine verify,
+    * self-matches ignored so replays re-admit identically).
+    * Within-batch: a vector with a ≥minCos partner of smaller vec_id in
+    * the same batch is dropped (greedy, over-rejecting on chains — the
+    * safe direction for admission).
+    *
+    * ZERO-NORM vectors (cosine undefined — the vector twin of a
+    * token-less doc) cannot be signed and are admitted unconditionally,
+    * in every batch: they are never gated against the index or each
+    * other. Same trivially-novel contract as novelDocs; a feed that can
+    * produce all-zero embeddings should filter or exact-dedup them
+    * upstream of the gate.
     */
   private[graft] def novelVectors(s: SparkSession, dir: String,
-                                  batch: DataFrame, minCos: Double): DataFrame = {
+                                  batch: DataFrame, minCos: Double,
+                                  ns: String = ""): DataFrame = {
     VectorExprs.register(s)
-    val path = ensureVecIndex(s, dir)
+    val path = ensureVecIndex(s, dir, ns)
     val signed = batch.select(col("vec_id").as("b_id"),
         col("embedding").cast("array<double>").as("b_emb"))
       .withColumn("b_n", sqrt(call_function("dotp", col("b_emb"), col("b_emb"))))
@@ -404,16 +481,21 @@ object IndexOps {
       .withColumn("bands", VecOps.lshBandKeys(col("b_emb")))
     val qb = signed.select(col("b_id"), col("b_emb"), col("b_n"),
       posexplode(col("bands")).as(Seq("band", "bk")))
+    // multi-probe side: one probe row per (batch vector, band, mask)
+    val qprobe = qb.select(col("b_id"), col("b_emb"), col("b_n"), col("band"),
+      explode(VecOps.probeKeys(col("bk"))).as("bk"))
     val cos = call_function("dotp", col("emb"), col("b_emb")) / (col("norm") * col("b_n"))
     val dupVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
-      .join(qb, Seq("band", "bk"))
+      .join(qprobe, Seq("band", "bk"))
       .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
       .select(col("b_id"), col("b_emb"), col("b_n"), col("vec_id")).distinct()
       .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
       .filter(cos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
-    val dupInBatch = qb.as("x").join(qb.as("y"),
+    // within-batch: probe-expanded x side vs stored-key y side — same
+    // Hamming-≤2 candidate rule as the index probe
+    val dupInBatch = qprobe.as("x").join(qb.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.b_id") > col("y.b_id"))
       .select(col("x.b_id").as("b_id"), col("x.b_emb").as("b_emb"), col("x.b_n").as("b_n"),
@@ -424,13 +506,16 @@ object IndexOps {
   }
 
   /** Grow the persisted vector index with admitted vectors — the
-    * embedding twin of [[appendToIndex]]; replayed appends add benign
-    * duplicate rows (compaction's concern, not correctness's).
+    * embedding twin of [[appendToIndex]]; replayed appends add
+    * byte-identical duplicate rows ([[compactIndex]] removes them at
+    * rest; probes distinct candidate ids, so answers are unaffected).
+    * Zero-norm vectors are unsignable and excluded — consistent with
+    * [[novelVectors]] never gating them.
     */
   private[graft] def appendToVecIndex(s: SparkSession, dir: String,
-                                      admitted: DataFrame): Unit = {
+                                      admitted: DataFrame, ns: String = ""): Unit = {
     VectorExprs.register(s)
-    val path = ensureVecIndex(s, dir)
+    val path = ensureVecIndex(s, dir, ns)
     val signed = admitted.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
@@ -442,10 +527,15 @@ object IndexOps {
       .write.mode(SaveMode.Append).parquet(s"$path/vec_bands.parquet")
   }
 
-  private def ensureVecIndex(s: SparkSession, dir: String): String = {
-    val path = indexDir(dir)
+  private def ensureVecIndex(s: SparkSession, dir: String, ns: String = ""): String =
+    ensureVecIndexStatus(s, dir, ns)._1
+
+  /** Vec twin of [[ensureIndexStatus]] — see the rebuild caveat there. */
+  private[graft] def ensureVecIndexStatus(s: SparkSession, dir: String,
+                                          ns: String = ""): (String, Boolean) = {
+    val path = indexDir(dir, ns)
     if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecIndexVersion))
-      buildVecIndex(s, dir)
-    path
+      (buildVecIndex(s, dir, ns), true)
+    else (path, false)
   }
 }

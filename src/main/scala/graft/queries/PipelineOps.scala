@@ -207,14 +207,14 @@ object PipelineOps {
       // AND every doc leaking a benchmark 3-gram removed — what actually
       // ships to the tokenizer. Same broadcast n-gram probe as
       // text_contamination, inverted into an anti-join.
-      val toks = tokens(lower($"text"))
+      //
+      // The gram frame is the MEMOIZED shared materialization
+      // (TextOps.wordGrams): this plan references it twice (benchmark
+      // side + probe side) and text_contamination probes it again — one
+      // tokenize+explode per session instead of ~4 per bench run
+      // (PlanAuditSpec asserts both plans read the cache).
       val docs = load(s, dir, "documents")
-      val grams = docs
-        .select($"doc_id",
-          explode(when(size(toks) >= 3,
-              transform(sequence(lit(1), size(toks) - 2),
-                i => concat_ws(" ", slice(toks, i, lit(3)))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+      val grams = TextOps.wordGrams(s, dir)
       val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
       val bad = grams.filter($"doc_id" % 97 =!= 3)
         .join(broadcast(bench), "gram")
@@ -247,16 +247,9 @@ object PipelineOps {
       // The benchmark side is DISTINCT + broadcast — at 100 TB the eval
       // suites are orders of magnitude smaller than the corpus, so the
       // check is a map + broadcast-join + partial agg over the corpus,
-      // never an n-gram shuffle of the lake.
-      val toks = tokens(lower($"text"))
-      val grams = load(s, dir, "documents")
-        .select($"doc_id",
-          // sequence(1, n) DESCENDS when n < 1 — guard short docs to an
-          // empty gram list (the oracle's range(len-2) is empty there)
-          explode(when(size(toks) >= 3,
-              transform(sequence(lit(1), size(toks) - 2),
-                i => concat_ws(" ", slice(toks, i, lit(3)))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+      // never an n-gram shuffle of the lake. Both sides read the shared
+      // memoized gram frame (TextOps.wordGrams).
+      val grams = TextOps.wordGrams(s, dir)
       val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
       grams.filter($"doc_id" % 97 =!= 3)
         .join(broadcast(bench), "gram")

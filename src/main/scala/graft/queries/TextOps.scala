@@ -56,6 +56,36 @@ object TextOps {
       })
     }
 
+  /** Shared (doc_id, gram) word-3-gram frame — the contamination
+    * family's analogue of [[termFreq]]: text_contamination and
+    * text_decontaminate both derive their benchmark-gram set AND their
+    * corpus probe side from this ONE materialization (decontaminate's
+    * plan previously tokenized+exploded the corpus three times in one
+    * run, and contamination rebuilt the identical frame again — the same
+    * repeated-subtree shape the postings cache fixed for tfidf/bm25).
+    * MEMOIZED + persisted per (session, dir, partitions); released via
+    * [[evictCaches]]. Short docs (<3 tokens) contribute no grams.
+    */
+  private val gramsCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private[queries] def wordGrams(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cacheLock.synchronized { gramsCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        import s.implicits._
+        val toks = tokens(lower($"text"))
+        load(s, dir, "documents")
+          .select($"doc_id",
+            // sequence(1, n) DESCENDS when n < 1 — guard short docs to
+            // an empty gram list (the oracle's range(len-2) is empty)
+            explode(when(size(toks) >= 3,
+                transform(sequence(lit(1), size(toks) - 2),
+                  i => concat_ws(" ", slice(toks, i, lit(3)))))
+              .otherwise(array().cast("array<string>"))).as("gram"))
+          .persist()
+      })
+    }
+
   /** Expand verified distinct-set pairs (s1, s2, <score>) plus intra-set
     * duplicate groups into doc-id pairs (d1 < d2) — shared by every
     * banded/bucketed similarity operator so threshold/score changes land
@@ -173,6 +203,9 @@ object TextOps {
       tfCache.keys.filter(_._1 eq s).foreach { k =>
         tfCache.remove(k).foreach(_.unpersist())
       }
+      gramsCache.keys.filter(_._1 eq s).foreach { k =>
+        gramsCache.remove(k).foreach(_.unpersist())
+      }
       sigCache.keys.filter(_._1 eq s).foreach { k =>
         sigCache.remove(k).foreach(_.unpersist())
       }
@@ -230,20 +263,41 @@ object TextOps {
     * self-referential plan makes Catalyst analysis explode (~6x slower).
     * On a real cluster this is checkpoint() to durable storage.
     *
-    * The final (doc_id, label) frame is MEMOIZED per (session, dir,
-    * shuffle.partitions): text_dedup_cluster and text_dedup_keep both
-    * consume it, so the 20s+ propagation runs once per session/SF, not
-    * once per declared entry. The checkpointed blocks are what's reused —
-    * no recompute on second reference. (shuffle.partitions is in the key
-    * so the determinism audit's 4-vs-7-partition runs don't share one
-    * materialization.)
+    * The final (doc_id, label) frame is a VERSION-STAMPED LAKE ARTIFACT
+    * (labels.parquet beside the sim index's sets/bands): the labels
+    * depend only on (corpus, signature semantics, threshold) — exactly
+    * what stamps the persisted index — so no session should re-run the
+    * propagation over a static corpus (it was 21% of the whole bench).
+    * clusterLabels serves from the lake when the stamp is current,
+    * rebuilds + persists on mismatch (version bump, crashed write), and
+    * memoizes the lake read per (session, dir, partitions) so the three
+    * consuming entries share one scan. Build-once-serve-many, the same
+    * lifecycle the reference's index follows (engine.py:72-98).
     */
+  private[graft] val labelsVersion = IndexOps.simIndexVersion + ";jac0.9;cc-minlabel-v1"
+
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cacheLock.synchronized { labelsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        val path = IndexOps.indexDir(dir)
+        if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", labelsVersion)) {
+          computeLabels(s, dir)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$path/labels.parquet")
+          // stamp AFTER the table commits (crashed build → rebuild)
+          IndexOps.writeStamp(path, "labels", labelsVersion)
+        }
+        s.read.parquet(s"$path/labels.parquet")
+      })
+    }
+
+  /** The label propagation itself — runs only when the lake artifact is
+    * missing or stale (see [[clusterLabels]]).
+    */
+  private def computeLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
         import s.implicits._
         // Propagate over the SET graph ONLY (nodes = sids that have a
         // verified edge, edges = verified s1↔s2 pairs): intra-set
@@ -297,8 +351,7 @@ object TextOps {
           .join(setLab, Seq("sid"), "left")
           .select($"doc_id",
             coalesce($"nl", $"sid", $"doc_id").as("label"))
-      })
-    }
+  }
 
   val entries: Seq[Entry] = Seq(
 

@@ -40,24 +40,76 @@ object VecOps {
   private def cosFast(a: Column, b: Column, na: Column, nb: Column): Column =
     dotp(a, b) / (na * nb)
 
-  /** Seeded random-hyperplane set for sign-bit LSH: 16 planes of ±1
+  /** Seeded random-hyperplane set for sign-bit LSH: 64 planes of ±1
     * over 64 dims (shared by the in-plan LSH join and the persisted
     * vector index so signatures can never drift).
+    *
+    * 64 planes → 4 bands × 16 bits = 65,536 buckets PER BAND. The old
+    * 16-plane / 4-bit-band config had only 16 buckets per band, so
+    * candidate generation was Θ(n²/16) — a constant-factor discount on
+    * all-pairs, not bucket-bounded. With 2¹⁶ buckets the expected bucket
+    * occupancy stays ~n/65536, and the candidate set scales like
+    * n²·(probes/65536) — at 50k vectors that is ~n²/240 with the
+    * Hamming-≤2 multi-probe below, vs n²/8 before. At larger n, widen
+    * the band (bits ∝ log n) to hold occupancy constant.
     */
-  private[queries] val lshPlanes: Seq[Seq[Double]] = {
+  private[graft] val lshPlanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** 4 LSH band keys (4 sign bits each) of an embedding column. */
-  private[queries] def lshBandKeys(e: Column): Column = {
+  /** 4 LSH band keys of an embedding column: 16 sign bits each, packed
+    * into a long in [0, 65536) (bit i of band b = sign of plane 16b+i).
+    */
+  private[graft] def lshBandKeys(e: Column): Column = {
     val pl = typedlit(lshPlanes)
-    val bits = transform(sequence(lit(0), lit(15)),
-      p => when(call_function("dotp", e, element_at(pl, p + lit(1))) > 0, 1L)
-             .otherwise(0L))
+    // each bit carries its in-band weight 2^(i mod 16) so a band key is
+    // just the sum of its 16 weighted bits
+    val weights = typedlit((0 until 64).map(i => 1L << (i % 16)))
+    val bits = transform(sequence(lit(0), lit(63)),
+      p => when(call_function("dotp", e, element_at(pl, p + lit(1))) > 0,
+             element_at(weights, p + lit(1))).otherwise(lit(0L)))
     transform(sequence(lit(0), lit(3)), b =>
-      concat_ws(":", transform(slice(bits, b * lit(4) + lit(1), lit(4)), v => v.cast("string"))))
+      aggregate(slice(bits, b * lit(16) + lit(1), lit(16)), lit(0L), (s, x) => s + x))
   }
+
+  /** Multi-probe masks: every 16-bit pattern with ≤2 bits set (1 + 16 +
+    * 120 = 137). Wide bands buy selectivity at the cost of per-band
+    * recall (p¹⁶ per pair); multi-probe LSH (Lv et al., VLDB'07) buys
+    * the recall back by ALSO looking in the buckets whose key differs
+    * from the query's in ≤2 bits — per-band hit probability becomes
+    * P(Hamming(sig_a, sig_b) ≤ 2 over the band's 16 planes), e.g. ~97%
+    * over 4 bands at cosine 0.9 — while the candidate set stays bounded
+    * by 137/65536 of each band's pair mass. The probe side expands 137×;
+    * the stored index keeps ONE row per (vector, band).
+    */
+  private[graft] val probeMasks: Seq[Long] = {
+    val one = (0 until 16).map(i => 1L << i)
+    Seq(0L) ++ one ++
+      (for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1L << i) | (1L << j))
+  }
+
+  /** The 137 bucket keys within Hamming distance 2 of a band key. */
+  private[graft] def probeKeys(bk: Column): Column =
+    transform(typedlit(probeMasks), m => bk.bitwiseXOR(lit(m)))
+
+  /** Wide multi-probe: ≤3 bits (137 + 560 = 697 masks). The recall/cost
+    * dial one notch further — used by the QUERY-BOUNDED probe paths
+    * (vec_index_probe / vec_index_incremental), where the probe side is
+    * one row or one batch and 697 narrow key rows per (vector, band)
+    * cost nothing, but the extra Hamming ring roughly triples the
+    * per-band hit probability for mid-cosine neighbors. The all-PAIRS
+    * paths (vec_knn_join_lsh, the admission gates) stay at ≤2: their
+    * probe side is the whole corpus, so each extra ring multiplies the
+    * candidate mass, and the gates operate at cosine ≥0.9 where ≤2
+    * already recalls ~97%.
+    */
+  private[graft] val probeMasksWide: Seq[Long] = probeMasks ++
+    (for { i <- 0 until 16; j <- (i + 1) until 16; k <- (j + 1) until 16 }
+      yield (1L << i) | (1L << j) | (1L << k))
+
+  private[graft] def probeKeysWide(bk: Column): Column =
+    transform(typedlit(probeMasksWide), m => bk.bitwiseXOR(lit(m)))
 
   /** Embeddings with per-vector norm precomputed (single scan). */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame = {
@@ -155,17 +207,22 @@ object VecOps {
 
     entryNoOracle("vec_knn_join_lsh") { (s, dir) =>
       import s.implicits._
-      // Random-hyperplane LSH: 16 sign bits from seeded ±1 hyperplanes,
-      // 4 bands × 4 bits; candidates only within a band bucket, exact
-      // cosine re-rank, top-3 per vector. Shuffles on (band, bits) —
-      // bucket-bounded, never all-pairs.
+      // Random-hyperplane LSH: 64 sign bits from seeded ±1 hyperplanes,
+      // 4 bands × 16 bits (65,536 buckets per band), Hamming-≤2
+      // multi-probe for recall, exact cosine re-rank, top-3 per vector.
+      // Candidates are pairs agreeing on ≥14 of some band's 16 planes —
+      // a 137/65536 slice of each band's pair mass, never all-pairs.
       val e = emb(s, dir)
       // Bands carry ids only: the distinct() dedups narrow (a_id, b_id)
       // pairs, and embeddings re-join afterward — shuffling 64-double
       // arrays through the candidate dedup was the dominant cost.
       val sigd = e.withColumn("bands", lshBandKeys($"emb"))
         .select($"vec_id", posexplode($"bands").as(Seq("band", "bk")))
-      val cand = sigd.as("x").join(sigd.as("y"),
+      // one side expands to its 137 probe keys; x's probe key equals
+      // y's stored key exactly when their band signatures differ in ≤2
+      // bits (the XOR of the keys IS the flipped-bit mask)
+      val probes = sigd.select($"vec_id", $"band", explode(probeKeys($"bk")).as("bk"))
+      val cand = probes.as("x").join(sigd.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
         .distinct()

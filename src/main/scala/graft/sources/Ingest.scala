@@ -111,7 +111,7 @@ object Ingest {
     * a table format (Delta/Iceberg) replaces exactly this method with
     * an atomic commit, nothing else changes.
     */
-  private def stageAndSwap(df: DataFrame, lakeDir: String, name: String): Unit = {
+  private[graft] def stageAndSwap(df: DataFrame, lakeDir: String, name: String): Unit = {
     val path = s"$lakeDir/$name.parquet"
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
     df.write.mode(SaveMode.Overwrite).parquet(tmpPath)

@@ -177,6 +177,21 @@ object Streams {
       }
       .start()
 
+  /** Index namespace of an admission gate: each gate grows a PRIVATE
+    * copy-on-first-use index (seeded from the corpus) keyed by its lake
+    * destination, so gate growth can never change what the batch
+    * entries' documents-only SQL oracles see in the shared corpus index,
+    * and two gates over the same corpus never interleave appends.
+    */
+  def gateNamespace(lakeDir: String, name: String): String =
+    f"gate${(lakeDir + "/" + name).hashCode}%08x"
+
+  /** Compaction cadence: every Nth micro-batch the gate rewrites its
+    * index namespace (appends add one small file set per batch —
+    * unbounded, the small-file pathology sink_compact exists for).
+    */
+  private val compactEvery = 8L
+
   /** Streaming ingest dedup against the persisted similarity index: per
     * micro-batch, drop documents with a ≥0.9-Jaccard near-duplicate in
     * the indexed corpus OR earlier in the same batch, append only the
@@ -192,41 +207,68 @@ object Streams {
     * so a replayed batch admits identically even though its docs were
     * already appended to the index. Readers see `batch` as a partition
     * column of the admitted table.
+    *
+    * Rebuild recovery: if the gate's index namespace had to rebuild
+    * (signature-version bump, crashed append), the rebuild re-signs the
+    * BASE corpus only — so before gating, every previously-admitted doc
+    * is re-appended from the lake table. Without this, a rebuild would
+    * silently reset admission history and later batches could admit
+    * near-duplicates of already-admitted docs.
     */
   def dedupIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
-                  name: String): org.apache.spark.sql.streaming.StreamingQuery =
+                  name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = gateNamespace(lakeDir, name)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val batchDir = s"$lakeDir/$name.parquet/batch=$batchId"
-        graft.queries.IndexOps.novelDocs(s, corpusDir, batch)
+        val tablePath = s"$lakeDir/$name.parquet"
+        val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(s, corpusDir, ns)
+        if (rebuilt && new java.io.File(tablePath).exists())
+          graft.queries.IndexOps.appendToIndex(s, corpusDir,
+            s.read.parquet(tablePath), ns)
+        val batchDir = s"$tablePath/batch=$batchId"
+        graft.queries.IndexOps.novelDocs(s, corpusDir, batch, ns)
           .write.mode("overwrite").parquet(batchDir)
         // index growth reads BACK the committed admission (no lineage
         // recompute, and exactly what replay would overwrite)
-        graft.queries.IndexOps.appendToIndex(s, corpusDir, s.read.parquet(batchDir))
+        graft.queries.IndexOps.appendToIndex(s, corpusDir, s.read.parquet(batchDir), ns)
+        if (batchId % compactEvery == compactEvery - 1)
+          graft.queries.IndexOps.compactIndex(s, corpusDir, ns)
         ()
       }
       .start()
+  }
 
   /** Embedding twin of [[dedupIngest]]: per micro-batch, drop vectors
     * with a ≥`minCos` neighbor in the persisted ANN index or earlier in
     * the batch, append the novel ones to the lake (per-batchId dir,
     * replay-idempotent), and grow the index with what was admitted.
+    * Same private-namespace, rebuild-recovery, and compaction lifecycle
+    * as the document gate.
     */
   def dedupVecIngest(vecs: DataFrame, corpusDir: String, lakeDir: String,
-                     name: String, minCos: Double): org.apache.spark.sql.streaming.StreamingQuery =
+                     name: String, minCos: Double): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = gateNamespace(lakeDir, name)
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val batchDir = s"$lakeDir/$name.parquet/batch=$batchId"
-        graft.queries.IndexOps.novelVectors(s, corpusDir, batch, minCos)
+        val tablePath = s"$lakeDir/$name.parquet"
+        val (_, rebuilt) = graft.queries.IndexOps.ensureVecIndexStatus(s, corpusDir, ns)
+        if (rebuilt && new java.io.File(tablePath).exists())
+          graft.queries.IndexOps.appendToVecIndex(s, corpusDir,
+            s.read.parquet(tablePath), ns)
+        val batchDir = s"$tablePath/batch=$batchId"
+        graft.queries.IndexOps.novelVectors(s, corpusDir, batch, minCos, ns)
           .write.mode("overwrite").parquet(batchDir)
-        graft.queries.IndexOps.appendToVecIndex(s, corpusDir, s.read.parquet(batchDir))
+        graft.queries.IndexOps.appendToVecIndex(s, corpusDir, s.read.parquet(batchDir), ns)
+        if (batchId % compactEvery == compactEvery - 1)
+          graft.queries.IndexOps.compactIndex(s, corpusDir, ns)
         ()
       }
       .start()
+  }
 
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.

@@ -28,4 +28,32 @@ class DeterminismSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("agg_percentile_approx: tolerance contract under repartitioning at sf0.01") {
+    // QuantileSummaries merges are order-dependent once per-partition
+    // compression engages, so BYTE equality across differing parallelism
+    // is not this entry's contract at scale (pinned at the entry
+    // declaration) — the contract is a ±5%-of-exact bound that must hold
+    // under ANY partitioning. Checked at the larger gate SF with the
+    // same 4-vs-7 split the byte audit uses.
+    import spark.implicits._
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf("sf0.01"))
+      .select($"event_type", $"p50", $"p90")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (parts <- Seq(4, 7)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf("sf0.01"))
+          .as[(String, Double, Double)].collect()
+        assert(approx.nonEmpty)
+        approx.foreach { case (k, p50, p90) =>
+          val (e50, e90) = exact(k)
+          assert(math.abs(p50 - e50) / math.max(math.abs(e50), 1e-9) <= 0.05,
+            s"parts=$parts $k: p50 $p50 vs exact $e50")
+          assert(math.abs(p90 - e90) / math.max(math.abs(e90), 1e-9) <= 0.05,
+            s"parts=$parts $k: p90 $p90 vs exact $e90")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+  }
 }

@@ -87,6 +87,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), "quality filter must reuse the postings frame")
   }
 
+  test("contamination family reads the shared memoized gram frame, not re-tokenized scans") {
+    // text_decontaminate references the gram frame twice (benchmark +
+    // probe subtrees) and text_contamination twice more — r5's plan
+    // tokenized+exploded the corpus ~3× per decontaminate run. All four
+    // references must now hit the ONE persisted materialization.
+    for (name <- Seq("text_contamination", "text_decontaminate")) {
+      val p = formatted(name)
+      val cacheScans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheScans >= 2,
+        s"$name: expected >=2 InMemoryTableScan branches over the gram cache, got $cacheScans")
+    }
+  }
+
   test("rank-filter plans get Spark's WindowGroupLimit (per-group partial top-k)") {
     // InferWindowGroupLimit rewrites row_number()<=k filters into a
     // map-side per-group limit BEFORE the window sort — the built-in

@@ -169,9 +169,12 @@ class StreamingSpec extends SparkSpecBase {
   test("stream_sim_dedup: rejects index/cross-batch/intra-batch dups; replay is idempotent") {
     implicit val sc = spark.sqlContext
     val corpusDir = sf("sf0.001")
-    // fresh index for the corpus (rebuilt again at the end — this test
-    // deliberately GROWS the shared index with admitted docs)
+    // the gate grows a PRIVATE index namespace seeded from the corpus —
+    // the shared corpus index the oracled batch entries probe is never
+    // touched (asserted at the end)
     SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
+    val sharedSets = spark.read.parquet(
+      graft.queries.IndexOps.indexDir(corpusDir) + "/sets.parquet").count()
     val lake = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
     val doc0Text = spark.read.parquet(s"$corpusDir/documents.parquet")
       .filter($"doc_id" === 0).select($"text").as[String].head()
@@ -194,15 +197,85 @@ class StreamingSpec extends SparkSpecBase {
     assert(admitted == Set(10001L, 10003L),
       s"expected {10001, 10003} admitted, got $admitted")
     // replay semantics: re-running batch 2's admission AFTER its docs
-    // were appended to the index must admit the same rows (self-matches
-    // ignored), not reject everything — the at-least-once contract
+    // were appended to the gate's index must admit the same rows
+    // (self-matches ignored), not reject everything — the at-least-once
+    // contract. The probe goes to the GATE's namespace, where admission
+    // history lives.
+    val ns = Streams.gateNamespace(lake, "admitted")
     val replay = Seq((10002L, textA), (10003L, textB), (10004L, textB))
       .toDF("doc_id", "text")
-    val readmitted = graft.queries.IndexOps.novelDocs(spark, corpusDir, replay)
+    val readmitted = graft.queries.IndexOps.novelDocs(spark, corpusDir, replay, ns)
       .select($"doc_id").as[Long].collect().toSet
     assert(readmitted == Set(10003L), s"replay must re-admit identically: $readmitted")
-    // restore the pristine corpus index for any later consumer
-    SparkEntry.queries("sim_index_build")(spark, corpusDir).collect()
+    // namespace isolation: the shared corpus index is unchanged by the
+    // gate's growth (the documents-only SQL oracles depend on this)
+    val sharedAfter = spark.read.parquet(
+      graft.queries.IndexOps.indexDir(corpusDir) + "/sets.parquet").count()
+    assert(sharedAfter == sharedSets,
+      s"gate growth leaked into the shared corpus index: $sharedSets -> $sharedAfter")
+  }
+
+  test("stream_sim_dedup: index rebuild restores admission history from the lake") {
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    val lake = java.nio.file.Files.createTempDirectory("graft-srebuild").toString
+    val name = "admitted"
+    val ns = Streams.gateNamespace(lake, name)
+    val textA = "zzqx wvut ponm lkji hgfe dcba"
+    val textB = "qqzz aabb ccdd eeff gghh iijj"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(in.toDF().toDF("doc_id", "text"), corpusDir, lake, name)
+    in.addData((30000L, textA))
+    q.processAllAvailable()
+    // simulate an index left by OLDER signature logic: the gate must
+    // rebuild from the corpus AND re-sign its admitted lake docs before
+    // gating the next batch — otherwise 30001 (a copy of admitted
+    // 30000) would be re-admitted and the gate invariant broken
+    val stamp = new java.io.File(
+      graft.queries.IndexOps.indexDir(corpusDir, ns) + "/sim.version")
+    java.nio.file.Files.write(stamp.toPath, "sim-v0:obsolete".getBytes("UTF-8"))
+    in.addData((30001L, textA), (30002L, textB))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(s"$lake/$name.parquet")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(30000L, 30002L),
+      s"rebuild must not reset admission history: $admitted")
+  }
+
+  test("gate index compaction: file count bounded, probe answers identical") {
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    val lake = java.nio.file.Files.createTempDirectory("graft-scompact").toString
+    val name = "admitted"
+    val ns = Streams.gateNamespace(lake, name)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(in.toDF().toDF("doc_id", "text"), corpusDir, lake, name)
+    // 9 batches of one novel doc each: batch ids 0..8 cross the
+    // every-8th-batch compaction trigger (batchId 7)
+    for (i <- 0 until 9) {
+      in.addData((40000L + i, s"novel doc number $i with unique tokens tok${i}a tok${i}b tok${i}c"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val idx = graft.queries.IndexOps.indexDir(corpusDir, ns)
+    def parquetFiles(t: String): Int =
+      Option(new java.io.File(s"$idx/$t.parquet").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    // without compaction: base build + 9 appends ≈ 10 file sets of up to
+    // 4 partitions each; compaction rewrote to 4 files at batch 7, so
+    // only batch 8's append sits on top
+    assert(parquetFiles("sets") <= 8,
+      s"sets.parquet has ${parquetFiles("sets")} files — compaction did not run")
+    // probe answers are unchanged by compaction: every admitted doc is
+    // still found in the gate index (replay self-match at jaccard 1)
+    val replay = (0 until 9).map(i =>
+      (40000L + i, s"novel doc number $i with unique tokens tok${i}a tok${i}b tok${i}c"))
+      .toDF("doc_id", "text")
+    val readmitted = graft.queries.IndexOps.novelDocs(spark, corpusDir, replay, ns)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(readmitted == (0 until 9).map(40000L + _).toSet,
+      "compaction changed probe answers (replayed docs must self-match and re-admit)")
   }
 
   test("stream_vec_dedup: cosine-dup vectors rejected vs index, cross-batch, and intra-batch") {
