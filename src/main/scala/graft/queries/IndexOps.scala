@@ -140,14 +140,17 @@ object IndexOps {
                                   nFiles: Int = 4): Unit = {
     val path = indexDir(dir, ns)
     val present = Seq("sets" -> "sim", "bands" -> "sim",
-        "vecs" -> "vec", "vec_bands" -> "vec")
+        "vecs" -> "vec", "vec_bands" -> "vec", "labels" -> "labels")
       .filter { case (t, _) => new java.io.File(s"$path/$t.parquet/_SUCCESS").exists() }
     for ((t, _) <- present)
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles), path, t)
     for (stamp <- present.map(_._2).distinct)
-      writeStamp(path, stamp,
-        if (stamp == "sim") simIndexVersion else vecIndexVersion)
+      writeStamp(path, stamp, stamp match {
+        case "sim"    => simIndexVersion
+        case "vec"    => vecIndexVersion
+        case "labels" => TextOps.labelsVersion
+      })
   }
 
   val entries: Seq[Entry] = Seq(

@@ -294,6 +294,53 @@ object TextOps {
       })
     }
 
+  /** Incremental cluster maintenance for a streaming admission gate:
+    * keep the gate namespace's labels artifact in step with its grown
+    * index WITHOUT re-running propagation. Correctness rests on the
+    * gate invariant — an ADMITTED doc has no ≥0.9 partner in the index
+    * or its batch (novelDocs), so in a from-scratch rebuild over
+    * (corpus + admitted) every admitted doc is a singleton component
+    * whose min-label is itself. The incremental update is therefore an
+    * exact append of (doc_id, doc_id) rows; StreamingSpec asserts
+    * equality against a from-scratch rebuild over the grown corpus.
+    *
+    * Lifecycle mirrors the gate index: on a missing/stale artifact,
+    * reseed by copying the base-corpus labels and recover ALL
+    * previously-admitted singletons from the lake table (replayed
+    * appends add byte-identical duplicate rows — [[gateLabels]] serves
+    * distinct, compaction removes them at rest).
+    */
+  private[graft] def maintainGateLabels(s: org.apache.spark.sql.SparkSession, dir: String,
+                                        ns: String, batchAdmitted: org.apache.spark.sql.DataFrame,
+                                        lakeTablePath: String): Unit = {
+    val path = IndexOps.indexDir(dir, ns)
+    val singles = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("doc_id"), col("doc_id").as("label"))
+    if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", labelsVersion)) {
+      clusterLabels(s, dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/labels.parquet")
+      IndexOps.writeStamp(path, "labels", labelsVersion)
+      // the lake already holds THIS batch (committed before the label
+      // update), so recovering the whole table covers it — no separate
+      // batch append on the reseed path, which would double-write
+      if (new java.io.File(lakeTablePath).exists())
+        singles(s.read.parquet(lakeTablePath))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/labels.parquet")
+    } else
+      singles(batchAdmitted)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/labels.parquet")
+  }
+
+  /** Serve a gate namespace's maintained labels (distinct: replayed
+    * appends leave byte-identical duplicate rows until compaction).
+    */
+  private[graft] def gateLabels(s: org.apache.spark.sql.SparkSession, dir: String,
+                                ns: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(IndexOps.indexDir(dir, ns) + "/labels.parquet").distinct()
+
   /** The label propagation itself — runs only when the lake artifact is
     * missing or stale (see [[clusterLabels]]).
     */

@@ -232,7 +232,12 @@ object Streams {
           .write.mode("overwrite").parquet(batchDir)
         // index growth reads BACK the committed admission (no lineage
         // recompute, and exactly what replay would overwrite)
-        graft.queries.IndexOps.appendToIndex(s, corpusDir, s.read.parquet(batchDir), ns)
+        val admitted = s.read.parquet(batchDir)
+        graft.queries.IndexOps.appendToIndex(s, corpusDir, admitted, ns)
+        // incremental cluster maintenance: admitted docs are singleton
+        // components by the gate invariant, so the labels artifact
+        // stays exactly equal to a from-scratch rebuild (spec'd)
+        graft.queries.TextOps.maintainGateLabels(s, corpusDir, ns, admitted, tablePath)
         if (batchId % compactEvery == compactEvery - 1)
           graft.queries.IndexOps.compactIndex(s, corpusDir, ns)
         ()

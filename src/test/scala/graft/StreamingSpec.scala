@@ -243,6 +243,41 @@ class StreamingSpec extends SparkSpecBase {
       s"rebuild must not reset admission history: $admitted")
   }
 
+  test("incremental cluster maintenance: gate labels equal a from-scratch rebuild over the grown corpus") {
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    val lake = java.nio.file.Files.createTempDirectory("graft-slabels").toString
+    val name = "admitted"
+    val ns = Streams.gateNamespace(lake, name)
+    val doc0Text = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .filter($"doc_id" === 0).select($"text").as[String].head()
+    val textA = "zzqx wvut ponm lkji hgfe dcba"
+    val textB = "qqzz aabb ccdd eeff gghh iijj"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(in.toDF().toDF("doc_id", "text"), corpusDir, lake, name)
+    // batch 1: novel A admitted, copy of corpus doc 0 rejected
+    in.addData((50001L, textA), (50002L, doc0Text))
+    q.processAllAvailable()
+    // batch 2: A again (cross-batch reject), novel B twice (intra-batch:
+    // 50003 admitted, 50004 rejected)
+    in.addData((50005L, textA), (50003L, textB), (50004L, textB))
+    q.processAllAvailable()
+    q.stop()
+    val gate = graft.queries.TextOps.gateLabels(spark, corpusDir, ns)
+      .as[(Long, Long)].collect().toSet
+    // from-scratch rebuild: CC over (corpus ∪ admitted) via the declared
+    // entry on a synthetic lake dir — the ground truth the incremental
+    // maintenance must reproduce exactly
+    val grown = java.nio.file.Files.createTempDirectory("graft-grown").toString
+    spark.read.parquet(s"$corpusDir/documents.parquet").select($"doc_id", $"text")
+      .unionByName(spark.read.parquet(s"$lake/$name.parquet").select($"doc_id", $"text"))
+      .write.parquet(s"$grown/documents.parquet")
+    val fresh = SparkEntry.queries("text_dedup_cluster")(spark, grown)
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect().toSet
+    assert(gate == fresh,
+      s"incremental labels diverge from rebuild: only-gate=${(gate -- fresh).take(5)} only-fresh=${(fresh -- gate).take(5)}")
+  }
+
   test("gate index compaction: file count bounded, probe answers identical") {
     implicit val sc = spark.sqlContext
     val corpusDir = sf("sf0.001")
