@@ -443,14 +443,13 @@ object IndexOps {
   /** Build (overwrite) the persisted vector index for `dir`. */
   private[graft] def buildVecIndex(s: SparkSession, dir: String, ns: String = ""): String = {
     val path = indexDir(dir, ns)
-    val e = VecOps.emb(s, dir).persist()
-    try {
-      e.select(col("vec_id"), col("emb"), col("norm"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
-      e.select(col("vec_id"),
-          posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
-    } finally e.unpersist()
+    VecOps.emb(s, dir).select(col("vec_id"), col("emb"), col("norm"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
+    // band rows come from the session-memoized signature frame — shared
+    // with the in-plan LSH join, so signatures are computed once per
+    // session no matter which consumer runs first (and can never drift)
+    VecOps.bandedSigs(s, dir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
     writeStamp(path, "vec", vecIndexVersion)
     path
   }

@@ -209,6 +209,9 @@ object TextOps {
       sigCache.keys.filter(_._1 eq s).foreach { k =>
         sigCache.remove(k).foreach(_.unpersist())
       }
+      // the vector side keeps its own memoized banded-signature frame —
+      // one lifecycle hook releases every family's blocks
+      VecOps.evictCaches(s)
     }
 
   /** Materialize the cluster labels eagerly — the bench's named setup

@@ -120,6 +120,35 @@ object VecOps {
       .withColumn("norm", sqrt(dotp($"emb", $"emb")))
   }
 
+  /** Memoized banded corpus signatures (vec_id, band, bk) — the
+    * termFreq pattern for the vector side: the LSH self-join references
+    * this frame on BOTH sides (probe-expanded and stored), and the
+    * persisted-index build writes the same rows, so one session signs
+    * the corpus once instead of once per subtree reference. Keyed by
+    * (session, dir, partitions); released via [[evictCaches]] (invoked
+    * from TextOps.evictCaches, the session-wide lifecycle hook).
+    */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cacheLock = new Object
+
+  private[queries] def bandedSigs(s: SparkSession, dir: String): DataFrame =
+    cacheLock.synchronized { sigCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        import s.implicits._
+        emb(s, dir)
+          .select($"vec_id", posexplode(lshBandKeys($"emb")).as(Seq("band", "bk")))
+          .persist()
+      })
+    }
+
+  private[graft] def evictCaches(s: SparkSession): Unit =
+    cacheLock.synchronized {
+      sigCache.keys.filter(_._1 eq s).foreach { k =>
+        sigCache.remove(k).foreach(_.unpersist())
+      }
+    }
+
   /** Deterministic 64-dim feature-hash embedding of a token array —
     * the offline stand-in for the reference's sentence-transformer
     * (engine.py:70): each token adds ±1 to dim xxhash64(t) mod 64.
@@ -213,11 +242,10 @@ object VecOps {
       // Candidates are pairs agreeing on ≥14 of some band's 16 planes —
       // a 137/65536 slice of each band's pair mass, never all-pairs.
       val e = emb(s, dir)
-      // Bands carry ids only: the distinct() dedups narrow (a_id, b_id)
-      // pairs, and embeddings re-join afterward — shuffling 64-double
-      // arrays through the candidate dedup was the dominant cost.
-      val sigd = e.withColumn("bands", lshBandKeys($"emb"))
-        .select($"vec_id", posexplode($"bands").as(Seq("band", "bk")))
+      // Bands carry ids only (embeddings re-join after the candidate
+      // stage — shuffling 64-double arrays through it was the dominant
+      // cost), and BOTH sides read the one memoized signature frame.
+      val sigd = bandedSigs(s, dir)
       // one side expands to its 137 probe keys; x's probe key equals
       // y's stored key exactly when their band signatures differ in ≤2
       // bits (the XOR of the keys IS the flipped-bit mask)
@@ -225,14 +253,19 @@ object VecOps {
       val cand = probes.as("x").join(sigd.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
-        .distinct()
+      // A pair can surface once per band (≤4 copies; measured ~1%
+      // duplication). Duplicates are EXACT ties under (score desc, b_id),
+      // so dense_rank ≡ row_number over the distinct pairs — dedup moves
+      // AFTER the rank filter onto ≤3 rows per vector (one small final
+      // distinct) instead of a pre-rank shuffle of the candidate set.
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
       cand
         .join(e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n")), "a_id")
         .join(e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n")), "b_id")
         .select($"a_id", $"b_id", round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("score"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", dense_rank().over(w))
         .filter($"rnk" <= 3)
+        .distinct()
         .select($"a_id", $"rnk", $"b_id", $"score")
         .orderBy($"a_id", $"rnk")
     },
