@@ -50,8 +50,12 @@ object VecOps {
     * all-pairs, not bucket-bounded. With 2¹⁶ buckets the expected bucket
     * occupancy stays ~n/65536, and the candidate set scales like
     * n²·(probes/65536) — at 50k vectors that is ~n²/240 with the
-    * Hamming-≤2 multi-probe below, vs n²/8 before. At larger n, widen
-    * the band (bits ∝ log n) to hold occupancy constant.
+    * Hamming-≤2 multi-probe below, vs n²/8 before. Sizing rule for a
+    * bigger corpus: pick bits ≈ log₂(n/16) so expected bucket occupancy
+    * stays ~16 — a CONFIG change (more planes, wider band), not
+    * auto-adaptivity: signatures are persisted index structure, so the
+    * width is pinned by `vecIndexVersion` and widening it is a stamped
+    * rebuild, never a silent drift.
     */
   private[graft] val lshPlanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
