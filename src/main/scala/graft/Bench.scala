@@ -35,23 +35,30 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => Double.PositiveInfinity }
     }
-    // Named setup step: the dedup family (near/cluster/keep/stats) shares
-    // one memoized label-propagation materialization (~20s at sf0.1).
-    // Materializing it HERE attributes that one-time cost to a line of
-    // its own, so the per-query numbers below are marginal costs instead
-    // of whichever family member ran first absorbing the setup. Timed
-    // once (it is memoized — a second run would measure the cache).
-    val setup = {
+    // Named setup steps, timed once each (they are memoized/persisted —
+    // a second run would measure the cache):
+    //  - setup_dedup_clusters: the (doc_id, label) lake artifact — serves
+    //    from labels.parquet when the version stamp is current, runs the
+    //    propagation only on a cold/stale lake;
+    //  - setup_shared_frames: the session-memoized shared materializations
+    //    (postings, word 3-grams, token-set signatures, vector band
+    //    signatures). With min-of-two timing the first consumer run would
+    //    silently absorb each cache build and the build cost would be
+    //    attributed NOWHERE; these lines own the one-time costs so every
+    //    per-query number below is an explicit warm marginal cost.
+    def setupStep(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { queries.TextOps.warmDedupClusters(spark, sfDir); true }
-               catch { case _: Throwable => false }
+      val ok = try { f; true } catch { case _: Throwable => false }
       // same failure convention as timed(): -1, never elapsed-until-crash
-      "setup_dedup_clusters" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val setups = Seq(
+      setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) },
+      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val m = math.min(timed(fn), timed(fn))
       name -> (if (m.isInfinity) -1.0 else m)
-    } + setup
+    } ++ setups
     // ascending by time: the driver's log capture keeps the TAIL of a
     // long line, so the expensive (most informative) queries must sit at
     // the end to survive head-truncation — and -1 failure markers sort

@@ -222,6 +222,21 @@ object TextOps {
     clusterLabels(s, dir).count(); ()
   }
 
+  /** Materialize every session-memoized shared frame (postings, word
+    * 3-grams, token-set signatures, vector band signatures) — the
+    * bench's second named setup step. With min-of-two timing the first
+    * run of a consumer would silently absorb the cache build and the
+    * reported numbers would all be warm marginal costs with the build
+    * attributed NOWHERE; this line owns it explicitly.
+    */
+  private[graft] def warmSharedFrames(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    termFreq(s, dir).count()
+    wordGrams(s, dir).count()
+    signatureTableCached(s, dir).count()
+    VecOps.bandedSigs(s, dir).count()
+    ()
+  }
+
   private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     cacheLock.synchronized { vsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {

@@ -24,6 +24,26 @@ class DeterminismSpec extends SparkSpecBase {
     assert(diff.isEmpty, s"nondeterministic under repartitioning: $diff")
   }
 
+  test("heavy similarity operators byte-identical at partitions 4 vs 32") {
+    // the wide split (4 vs 32) exercises partial-aggregation fan-in,
+    // collect_list grouping order, and checkpointed label propagation
+    // far harder than 4-vs-7 — re-pins the docs/SCALE.md claim in CI
+    // for the operators whose plans carry the most shuffle structure
+    val heavy = Seq("text_dedup_near", "text_dedup_cluster", "text_dedup_keep",
+      "text_ngram_jaccard", "text_dedup_shingle", "sim_index_incremental",
+      "vec_knn_join_lsh", "vec_cosine_pairs")
+    def run(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try heavy.map(n =>
+        n -> SparkEntry.queries(n)(spark, sf("sf0.001")).collect().map(_.toString).toSeq).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = run(4)
+    val b = run(32)
+    val diff = heavy.filter(k => a(k) != b(k))
+    assert(diff.isEmpty, s"nondeterministic under wide repartitioning: $diff")
+  }
+
   test("oracleSql keys are a subset of queries keys; entry returns rows") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
