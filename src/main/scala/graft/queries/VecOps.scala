@@ -331,9 +331,15 @@ object VecOps {
       val assigned = assignTo(cents)
       val q = assigned.filter($"vec_id" === 0)
         .select($"emb".as("qemb"), $"norm".as("qnorm"))
+      // nprobe=8 of K=64 cells: scans ~12.5% of the corpus. The recall/
+      // cost dial — on THIS fixture's random vectors (no cluster
+      // structure, so true neighbors scatter across cells) measured
+      // top-5 recall is 2-4/5 vs 1-2/5 at nprobe=3 (OperatorSpec pins
+      // the floor); real embedding corpora cluster and recall far
+      // higher at the same nprobe.
       val probed = cents.crossJoin(broadcast(q))
         .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"))
-        .orderBy($"qd".desc, $"c_id").limit(3)
+        .orderBy($"qd".desc, $"c_id").limit(8)
       assigned.join(broadcast(probed), "c_id")
         .filter($"vec_id" =!= 0)
         .crossJoin(broadcast(q))

@@ -137,6 +137,24 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall >= 0.04, f"LSH 3-NN recall collapsed to $recall%.3f (floor 0.04; measured 0.088 at this seed)")
   }
 
+  test("vec_ann_ivf: measured top-5 recall vs exact stays above the floor") {
+    // Quantitative contract for the IVF path (the mid-cosine ANN
+    // answer): top-5 overlap with the exact scan. The fixture's vectors
+    // are RANDOM (no cluster structure), so true neighbors scatter
+    // across cells and nprobe=8/64 measures 2-4/5 here — clustered real
+    // embeddings recall far higher at the same scan fraction. The floor
+    // catches a silent collapse (broken centroid seed/assignment), not
+    // a quality target.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val exact = SparkEntry.queries("vec_knn_topk")(spark, sf(d))
+        .select($"vec_id").as[Long].collect().toSet
+      val ivf = SparkEntry.queries("vec_ann_ivf")(spark, sf(d))
+        .select($"vec_id").as[Long].collect().toSet
+      val hit = ivf.intersect(exact).size
+      assert(hit >= 1, s"$d: IVF top-5 recall collapsed to $hit/5 (measured 2-4/5 at this seed)")
+    }
+  }
+
   test("text_simhash_dedup: pigeonhole banding recalls EVERY hamming<=3 pair (exhaustive)") {
     // 4x16-bit chunk banding is exact for hamming<=3 by pigeonhole (3
     // flipped bits cannot touch all 4 chunks) — verify exhaustively
