@@ -45,12 +45,34 @@ object TextOps {
   private val tfCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
+  /** Tokenized corpus (doc_id, toks) — the ONE pass over the raw text
+    * that every shared frame below derives from (postings, word 3-grams,
+    * token-set signatures). Three consumers used to scan+lower+split the
+    * documents table independently; at 100 TB each of those is a full
+    * corpus read, and materializing the tokenized intermediate once is
+    * exactly what a production curation pipeline does. Memoized +
+    * persisted per (session, dir, partitions); released via
+    * [[evictCaches]].
+    */
+  private val tokCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cacheLock.synchronized { tokCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        import s.implicits._
+        load(s, dir, "documents")
+          .select($"doc_id", tokens(lower($"text")).as("toks"))
+          .persist()
+      })
+    }
+
   private[queries] def termFreq(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cacheLock.synchronized { tfCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
-        load(s, dir, "documents")
-          .select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+        docTokens(s, dir)
+          .select($"doc_id", explode($"toks").as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
           .persist()
       })
@@ -73,14 +95,13 @@ object TextOps {
     cacheLock.synchronized { gramsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
-        val toks = tokens(lower($"text"))
-        load(s, dir, "documents")
+        docTokens(s, dir)
           .select($"doc_id",
             // sequence(1, n) DESCENDS when n < 1 — guard short docs to
             // an empty gram list (the oracle's range(len-2) is empty)
-            explode(when(size(toks) >= 3,
-                transform(sequence(lit(1), size(toks) - 2),
-                  i => concat_ws(" ", slice(toks, i, lit(3)))))
+            explode(when(size($"toks") >= 3,
+                transform(sequence(lit(1), size($"toks") - 2),
+                  i => concat_ws(" ", slice($"toks", i, lit(3)))))
               .otherwise(array().cast("array<string>"))).as("gram"))
           .persist()
       })
@@ -140,10 +161,11 @@ object TextOps {
     // colliding to one tids array is ~n²/2^64 — at lake scale swap in a
     // 128-bit hash. MinHash64 takes the 64 minima in one native pass
     // (min is order-insensitive, so sorted tids give the same signature
-    // as raw token order).
-    load(s, dir, "documents")
+    // as raw token order). Tokenization comes from the shared one-pass
+    // docTokens materialization.
+    docTokens(s, dir)
       .select(col("doc_id"),
-        array_sort(transform(dToks, t => xxhash64(t))).as("tids"))
+        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("tids"))
       .filter(size(col("tids")) > 0)
       .groupBy(col("tids"))
       .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
@@ -205,6 +227,9 @@ object TextOps {
       }
       gramsCache.keys.filter(_._1 eq s).foreach { k =>
         gramsCache.remove(k).foreach(_.unpersist())
+      }
+      tokCache.keys.filter(_._1 eq s).foreach { k =>
+        tokCache.remove(k).foreach(_.unpersist())
       }
       sigCache.keys.filter(_._1 eq s).foreach { k =>
         sigCache.remove(k).foreach(_.unpersist())
