@@ -368,19 +368,49 @@ object IndexOps {
   private def probeMatches(s: SparkSession, path: String, signed: DataFrame): DataFrame = {
     val qb = signed.select(col("b_doc"), col("btids"),
       posexplode(col("bands")).as(Seq("band", "bh")))
+    // NO distinct between the band join and the verify: a pair that
+    // collides in k bands flows through k times and computes its exact
+    // jaccard k times. That redundant compute is map-side and cheap
+    // (both join sides here are broadcast-sized); deduping the pairs
+    // FIRST — the previous shape — forced a shuffle of every candidate
+    // row still carrying its ~100-long btids signature array (measured
+    // 1.4M fat rows ≈ 1 GB shuffled at sf0.1, 3× the whole query's
+    // runtime). Verify-then-dedup shuffles only the matched skinny rows.
     val cand = s.read.parquet(s"$path/bands.parquet")
       .join(qb, Seq("band", "bh"))
-      .select(col("b_doc"), col("btids"), col("sid")).distinct()
+      .select(col("b_doc"), col("btids"), col("sid"))
     val sets = s.read.parquet(s"$path/sets.parquet")
-    val inter = call_function("sorted_long_intersect_size", col("tids"), col("btids")).cast("double")
-    val jac   = inter / (size(col("tids")) + size(col("btids")) - inter)
-    cand.join(sets, "sid")
-      .filter(jac >= 0.9)
-      .select(col("b_doc"), col("sid"), col("ids"), round(jac, 4).as("jaccard"))
-      // exactly-once per (b_doc, sid) even when a replayed append left k
-      // byte-identical copies of a set row in the index (compaction
-      // removes them at rest; this guards the window before it runs)
+    // The ≥0.9 test runs per CANDIDATE (millions of band-collision rows;
+    // the intersect walks two ~100-long arrays), so it is written to
+    // evaluate the intersect expression ONCE and only when it can
+    // matter:
+    //  - size guard first: jac ≥ 0.9 needs 19·min(|A|,|B|) ≥ 9·(|A|+|B|)
+    //    (best case inter = min); O(1), short-circuits the array walk
+    //    for size-incompatible pairs;
+    //  - integer form of the threshold: inter/(|A|+|B|−inter) ≥ 0.9 ⟺
+    //    19·inter ≥ 9·(|A|+|B|) — a single intersect reference, where
+    //    the double-division form cost 2 evaluations in the join
+    //    condition plus 2 more in the jaccard projection;
+    //  - the reported jaccard is then computed for SURVIVORS only.
+    val a = size(col("tids")); val b = size(col("btids"))
+    val inter = call_function("sorted_long_intersect_size", col("tids"), col("btids"))
+    val sizeOk  = lit(19) * least(a, b) >= lit(9) * (a + b)
+    val interOk = lit(19) * inter >= lit(9) * (a + b)
+    val jac = inter.cast("double") / (a + b - inter)
+    // dedup on the three SKINNY columns only — the `ids` family array
+    // (hundreds of doc ids for a big duplicate family) must not ride
+    // through the distinct's shuffle; it is re-attached afterwards from
+    // the same small sets table (an index read, not a corpus read).
+    // The distinct collapses k-band collision copies AND replayed-append
+    // duplicate set rows (compaction removes those at rest; this guards
+    // the window before it runs); the .distinct() on the ids projection
+    // keeps replayed duplicates from re-multiplying at the re-attach.
+    val verified = cand.join(sets.select(col("sid"), col("tids")), "sid")
+      .filter(sizeOk && interOk)
+      .select(col("b_doc"), col("sid"), round(jac, 4).as("jaccard"))
       .distinct()
+    verified.join(sets.select(col("sid"), col("ids")).distinct(), "sid")
+      .select(col("b_doc"), col("sid"), col("ids"), col("jaccard"))
   }
 
   /** Batch-mode novelty filter against the persisted index AND within
@@ -409,15 +439,20 @@ object IndexOps {
       .select(col("b_doc").as("doc_id")).distinct()
     val sb = signed.select(col("b_doc"), col("btids"),
       posexplode(col("bands")).as(Seq("band", "bh")))
+    // single-evaluation integer threshold + size guard, the probeMatches
+    // rewrite (19·inter ≥ 9·(|A|+|B|) ⟺ jac ≥ 0.9); verify-then-dedup:
+    // k-band collisions re-verify k times map-side rather than shuffling
+    // signature-carrying pair rows just to dedup candidates
+    val wa = size(col("btids")); val wb = size(col("otids"))
     val winter = call_function("sorted_long_intersect_size",
-      col("btids"), col("otids")).cast("double")
-    val wjac = winter / (size(col("btids")) + size(col("otids")) - winter)
+      col("btids"), col("otids"))
     val dupInBatch = sb.as("x").join(sb.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.b_doc") > col("y.b_doc"))
       .select(col("x.b_doc").as("b_doc"), col("x.btids").as("btids"),
-        col("y.btids").as("otids")).distinct()
-      .filter(wjac >= 0.9)
+        col("y.btids").as("otids"))
+      .filter(lit(19) * least(wa, wb) >= lit(9) * (wa + wb) &&
+              lit(19) * winter >= lit(9) * (wa + wb))
       .select(col("b_doc").as("doc_id")).distinct()
     batch.join(dupVsIndex.unionByName(dupInBatch), Seq("doc_id"), "left_anti")
   }

@@ -273,10 +273,17 @@ object TextOps {
           .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
         val sA = sets.select($"sid".as("s1"), $"tids".as("t1"))
         val sB = sets.select($"sid".as("s2"), $"tids".as("t2"))
-        val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
-        val jac   = inter / (size($"t1") + size($"t2") - inter)
+        // single-evaluation exact threshold: jac ≥ 0.9 ⟺ 19·inter ≥
+        // 9·(|A|+|B|) in integers (the double-division form evaluated
+        // the O(|A|+|B|) intersect 2× in the filter and 2× more in the
+        // projection), with an O(1) size-compatibility guard first so
+        // hopeless pairs never walk the arrays
+        val a1 = size($"t1"); val a2 = size($"t2")
+        val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
+        val jac   = inter.cast("double") / (a1 + a2 - inter)
         val verified = cand.join(sA, "s1").join(sB, "s2")
-          .filter(jac >= 0.9)
+          .filter(lit(19) * least(a1, a2) >= lit(9) * (a1 + a2) &&
+                  lit(19) * inter >= lit(9) * (a1 + a2))
           .select($"s1", $"s2", round(jac, 4).as("jaccard"))
           .persist()
         (verified, sets)
@@ -697,10 +704,13 @@ object TextOps {
       // path — text_dedup_near — is the declared form.)
       val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"))
       val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
-      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
-      val jac   = inter / ($"n1" + $"n2" - inter)
+      // single-evaluation exact threshold (the verifiedSets rewrite):
+      // jac ≥ 0.8 ⟺ 9·inter ≥ 4·(n1+n2), size guard short-circuits
+      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
+      val jac   = inter.cast("double") / ($"n1" + $"n2" - inter)
       val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
-        .filter(jac >= 0.8)
+        .filter(lit(9) * least($"n1", $"n2") >= lit(4) * ($"n1" + $"n2") &&
+                lit(9) * inter >= lit(4) * ($"n1" + $"n2"))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
@@ -760,10 +770,14 @@ object TextOps {
         .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
       val sA = sets.select($"sid".as("s1"), $"sh".as("t1"))
       val sB = sets.select($"sid".as("s2"), $"sh".as("t2"))
-      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2").cast("double")
-      val jac   = inter / (size($"t1") + size($"t2") - inter)
+      // single-evaluation exact threshold (the verifiedSets rewrite):
+      // jac ≥ 0.8 ⟺ 9·inter ≥ 4·(|A|+|B|), size guard short-circuits
+      val a1 = size($"t1"); val a2 = size($"t2")
+      val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
+      val jac   = inter.cast("double") / (a1 + a2 - inter)
       val verified = cand.join(sA, "s1").join(sB, "s2")
-        .filter(jac >= 0.8)
+        .filter(lit(9) * least(a1, a2) >= lit(4) * (a1 + a2) &&
+                lit(9) * inter >= lit(4) * (a1 + a2))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
