@@ -255,10 +255,24 @@ object TextOps {
     * attributed NOWHERE; this line owns it explicitly.
     */
   private[graft] def warmSharedFrames(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    termFreq(s, dir).count()
-    wordGrams(s, dir).count()
-    signatureTableCached(s, dir).count()
-    VecOps.bandedSigs(s, dir).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The base tokenized frame first — every text-side frame derives
+    // from it — then the derived builds CONCURRENTLY: they are
+    // independent Spark jobs and sequential counts left the scheduler
+    // idle at each job's tail (plan construction stays serialized under
+    // cacheLock; only materialization overlaps). verifiedSets rides the
+    // signature future (it derives from the signature table) so the
+    // near-dup pair-graph build is attributed here, not silently inside
+    // text_dedup_near's first timed run.
+    docTokens(s, dir).count()
+    val builds = Seq(
+      Future(termFreq(s, dir).count()),
+      Future(wordGrams(s, dir).count()),
+      Future { signatureTableCached(s, dir).count(); verifiedSets(s, dir)._1.count() },
+      Future(VecOps.bandedSigs(s, dir).count()))
+    builds.foreach(Await.result(_, Duration.Inf))
     ()
   }
 
