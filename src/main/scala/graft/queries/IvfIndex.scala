@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Core._
+import graft.functions.VectorExprs
+
+/** Persisted IVF (inverted-file) ANN index — the build-once/serve-many
+  * lifecycle (reference engine.py:72-98) applied to the coarse-quantizer
+  * ANN path. The in-plan `vec_ann_ivf` entry re-runs k-means on every
+  * query; that is right for a one-shot analysis and wrong for a serving
+  * path, exactly the distinction that motivated the persisted MinHash
+  * and hyperplane indexes (IndexOps). Here the quantizer and the cell
+  * assignment are materialized to the lake:
+  *
+  *   ivf_centroids(c_id, c_emb, c_n) — K=64 refined centroids (tiny,
+  *                                     always broadcast)
+  *   ivf_cells/c_id=N/…(vec_id, emb, norm) — every corpus vector,
+  *                                     PARTITIONED BY ITS CELL
+  *
+  * so a probe reads the centroid table (K rows), picks nprobe cells,
+  * and scans ONLY those parquet partitions — the "scan ~nprobe/K of the
+  * corpus" claim becomes literal `PartitionFilters` pruning instead of
+  * a post-scan filter. Both tables come from the same
+  * [[VecOps.kmeansCells]] definition the in-plan entry uses, so the
+  * serving path can never drift from the from-scratch path (IvfSpec
+  * asserts byte-equality of the two entries' answers).
+  *
+  * Scale notes (100 TB): the build is two bounded map+shuffle passes
+  * per Lloyd round (broadcast-K assignment, per-cell mean) plus one
+  * partitioned write; the probe touches nprobe/K of the data by
+  * partition pruning, independent of corpus size; the batch entry
+  * scales with |batch| × nprobe/K. Version-stamped like the other
+  * indexes — any quantizer change bumps [[ivfIndexVersion]] and stale
+  * persisted cells rebuild instead of answering with old geometry.
+  */
+object IvfIndex {
+
+  /** Bump with any change to kmeansCells (seed scheme, K, Lloyd rounds,
+    * rounding) or the cell layout — see IndexOps.simIndexVersion for
+    * why a stale persisted index must never serve silently.
+    */
+  private[graft] val ivfIndexVersion = "ivf-v1:kmeans64-lloyd2;cos6-argmin;cells-by-cid"
+
+  private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
+    val path = IndexOps.indexDir(dir)
+    val (cents, assigned) = VecOps.kmeansCells(s, dir)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids.parquet")
+    // one parquet partition per cell: nprobe-cell probes become
+    // PartitionFilters pruning, and a cell's vectors are co-located for
+    // the re-rank scan
+    assigned.write.partitionBy("c_id")
+      .mode(SaveMode.Overwrite).parquet(s"$path/ivf_cells.parquet")
+    // stamp AFTER both tables commit (crashed build → rebuild)
+    IndexOps.writeStamp(path, "ivf", ivfIndexVersion)
+    path
+  }
+
+  /** Build on first use so entry order never matters; rebuild when the
+    * persisted cells predate the running quantizer logic.
+    */
+  private[graft] def ensureIvfIndex(s: SparkSession, dir: String): String = {
+    val path = IndexOps.indexDir(dir)
+    if (!IndexOps.indexCurrent(path, Seq("ivf_centroids", "ivf_cells"),
+        "ivf", ivfIndexVersion))
+      buildIvfIndex(s, dir)
+    else path
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    entryNoOracle("ivf_index_build") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = buildIvfIndex(s, dir)
+      // Declared output = deterministic stats OF THE PERSISTED TABLES
+      // (read back, not recomputed): proves the index landed on disk.
+      val cells = s.read.parquet(s"$path/ivf_cells.parquet")
+      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      cells.groupBy($"c_id").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_cells"))))
+        .orderBy($"c_id")
+    },
+
+    entryNoOracle("ivf_index_probe") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureIvfIndex(s, dir)
+      // Query = vector 0 (pushed-down single-row read — the ONLY corpus
+      // touch in the probe plan; quantizer and cells come from the lake).
+      val q = load(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>").as("qemb"))
+        .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      // qemb/qnorm ride along with the probed rows so the 1-row query
+      // subplan is referenced once (see ivfRerank)
+      val probed = cents.crossJoin(broadcast(q))
+        .select($"c_id",
+          round(call_function("dotp", $"c_emb", $"qemb") / ($"c_n" * $"qnorm"), 6).as("qd"),
+          $"qemb", $"qnorm")
+        .orderBy($"qd".desc, $"c_id").limit(8)
+      // nprobe=8 of K=64: the broadcast 8-row probe side dynamically
+      // prunes the cells scan to those partitions (IvfSpec pins the
+      // pruning in the plan); identical selection to vec_ann_ivf, whose
+      // answer this must equal byte-for-byte.
+      val cells = s.read.parquet(s"$path/ivf_cells.parquet")
+      VecOps.ivfRerank(cells, probed, 5)
+    },
+
+    entryNoOracle("ivf_index_incremental") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureIvfIndex(s, dir)
+      // Batch ANN lookup for a NEW embedding batch (vec_id % 10 == 7
+      // stands in for today's ingest): assign each batch vector to its
+      // nprobe=4 nearest persisted centroids, scan only those cells,
+      // exact-cosine top-3 per batch vector. Corpus-side work scales
+      // with |batch| × nprobe/K — the quantizer is never recomputed.
+      val batch = load(s, dir, "embeddings")
+        .filter(pmod($"vec_id", lit(10)) === 7)
+        .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
+        .withColumn("b_n", sqrt(call_function("dotp", $"b_emb", $"b_emb")))
+      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      val cos = call_function("dotp", $"c_emb", $"b_emb") / ($"c_n" * $"b_n")
+      val w4 = Window.partitionBy($"b_id").orderBy($"qd".desc, $"c_id")
+      val probed = batch.join(broadcast(cents))
+        .select($"b_id", $"b_emb", $"b_n", $"c_id", round(cos, 6).as("qd"))
+        .withColumn("pr", row_number().over(w4))
+        .filter($"pr" <= 4)
+        .select($"b_id", $"b_emb", $"b_n", $"c_id")
+      val cells = s.read.parquet(s"$path/ivf_cells.parquet")
+      val score = round(
+        call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6)
+      val w = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
+      cells.join(probed, Seq("c_id"))
+        .filter($"vec_id" =!= $"b_id")
+        .select($"b_id", $"vec_id", score.as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"b_id", $"rnk", $"vec_id", $"score")
+        .orderBy($"b_id", $"rnk")
+    }
+  )
+}

@@ -153,6 +153,79 @@ object VecOps {
       }
     }
 
+  /** Deterministic K=64 k-means over the corpus embeddings — ONE
+    * definition of the IVF coarse quantizer, shared by the in-plan
+    * `vec_ann_ivf` entry and the persisted IVF index (IvfIndex) so the
+    * serving path can never drift from the in-plan path. Returns
+    * (centroids(c_id, c_emb, c_n), assigned(vec_id, emb, norm, c_id)).
+    *
+    * Seeds are a FIXED-K hash-ordered sample (TakeOrderedAndProject
+    * keeps K rows in one map-side pass — broadcast size and per-vector
+    * assignment cost are O(K) at any corpus size), refined with 2 Lloyd
+    * rounds. Deterministic at any parallelism: assignment ties break on
+    * smallest c_id, and cell means are round(avg, 6) so summation-order
+    * drift never reaches the persisted artifact (the determinism audit
+    * compares byte-identical outputs across 4/7/32 partitions).
+    */
+  private[graft] def kmeansCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = emb(s, dir)
+    def assignTo(cents: DataFrame): DataFrame = {
+      // Pure-primitive argmin: pack (1 − d)·10⁶ (d pre-rounded to 6dp,
+      // so the product is an exact integer ≤ 2·10⁶ < 2²¹) and c_id
+      // into ONE long; min over it = max similarity with ties on
+      // smallest c_id. A primitive-long min gets whole-stage-codegen'd
+      // HashAggregate with map-side partial reduction: each vector's
+      // 64 candidate rows collapse to one 16-byte row BEFORE the
+      // shuffle — no n×64 window sort, and no SortAggregate over
+      // struct buffers. Packing holds while c_id < 2⁴².
+      val enc = shiftleft(
+        round((lit(1) - round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6)) * 1e6)
+          .cast("long"), 42) + $"c_id"
+      e.join(broadcast(cents))
+        .groupBy($"vec_id")
+        .agg(min(enc).as("enc"))
+        .select($"vec_id", $"enc".bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
+        .join(e, "vec_id")
+        .select($"vec_id", $"emb", $"norm", $"c_id")
+    }
+    var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
+      .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
+    for (_ <- 1 to 2) {
+      // Lloyd round: mean of each cell's members becomes the new
+      // centroid (cells keep their seed's c_id; empty cells drop out).
+      // round(·,6) absorbs summation-order drift so the refined
+      // centroids — and every downstream assignment — stay
+      // byte-identical across partitioning (determinism audit).
+      cents = assignTo(cents)
+        .select($"c_id", posexplode($"emb").as(Seq("dim", "x")))
+        .groupBy($"c_id", $"dim").agg(round(avg($"x"), 6).as("m"))
+        .groupBy($"c_id")
+        .agg(map_from_entries(collect_list(struct($"dim", $"m"))).as("mm"))
+        .select($"c_id",
+          transform(sequence(lit(0), lit(63)), d => element_at($"mm", d)).as("c_emb"))
+        .withColumn("c_n", sqrt(call_function("dotp", $"c_emb", $"c_emb")))
+    }
+    (cents, assignTo(cents))
+  }
+
+  /** Exact cosine top-`k` within the probed cells only — the re-rank
+    * stage every IVF consumer ends with. `probed` carries (c_id, qemb,
+    * qnorm): the query columns RIDE ALONG with the nprobe rows so the
+    * 1-row query subplan is referenced exactly once upstream (a second
+    * crossJoin reference would re-scan the corpus table for the same
+    * row), and the broadcast probe side dynamically prunes a
+    * cell-partitioned `cells` scan to the probed partitions.
+    */
+  private[graft] def ivfRerank(cells: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+    cells.join(broadcast(probed), "c_id")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosFast(col("emb"), col("qemb"), col("norm"), col("qnorm")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic 64-dim feature-hash embedding of a token array —
     * the offline stand-in for the reference's sentence-transformer
     * (engine.py:70): each token adds ±1 to dim xxhash64(t) mod 64.
@@ -276,59 +349,15 @@ object VecOps {
 
     entryNoOracle("vec_ann_ivf") { (s, dir) =>
       import s.implicits._
-      // IVF-style ANN: FIXED-K coarse centroids (K=64, a deterministic
-      // hash-ordered sample — TakeOrderedAndProject keeps K rows in one
-      // map-side pass, so broadcast size and per-vector assignment cost
-      // are O(K) at ANY corpus size; the old every-64th-vector scheme
-      // grew the broadcast O(n)), k-means-refined with 2 Lloyd rounds
-      // (assign via broadcast centroids → per-cell mean via groupBy —
-      // two bounded map+shuffle passes, deterministic because
-      // assignment ties break on c_id and means are exact sums/counts).
-      // Assign every vector to its refined nearest centroid, probe the
-      // query's nprobe=3 nearest cells, exact re-rank inside the probed
-      // cells only. At 100 TB the cell assignment replaces the
-      // all-pairs product with a partition-pruned scan of ~nprobe/K.
-      val e = emb(s, dir)
-      def assignTo(cents: DataFrame): DataFrame = {
-        // Pure-primitive argmin: pack (1 − d)·10⁶ (d pre-rounded to 6dp,
-        // so the product is an exact integer ≤ 2·10⁶ < 2²¹) and c_id
-        // into ONE long; min over it = max similarity with ties on
-        // smallest c_id — identical selection to the old row_number()
-        // window. A primitive-long min gets whole-stage-codegen'd
-        // HashAggregate with map-side partial reduction: each vector's
-        // 64 candidate rows collapse to one 16-byte row BEFORE the
-        // shuffle — no n×64 window sort (the r4 regression), and no
-        // SortAggregate over struct buffers (min(struct(…)) planned as
-        // a map-side SORT of n×64 embedding-carrying rows). Packing
-        // holds while c_id < 2⁴² — any realistic corpus id space.
-        val enc = shiftleft(
-          round((lit(1) - round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6)) * 1e6)
-            .cast("long"), 42) + $"c_id"
-        e.join(broadcast(cents))
-          .groupBy($"vec_id")
-          .agg(min(enc).as("enc"))
-          .select($"vec_id", $"enc".bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
-          .join(e, "vec_id")
-          .select($"vec_id", $"emb", $"norm", $"c_id")
-      }
-      var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
-        .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
-      for (_ <- 1 to 2) {
-        // Lloyd round: mean of each cell's members becomes the new
-        // centroid (cells keep their seed's c_id; empty cells drop out)
-        cents = assignTo(cents)
-          .select($"c_id", posexplode($"emb").as(Seq("dim", "x")))
-          // round(·,6) absorbs summation-order drift so the refined
-          // centroids — and every downstream assignment — stay
-          // byte-identical across partitioning (determinism audit)
-          .groupBy($"c_id", $"dim").agg(round(avg($"x"), 6).as("m"))
-          .groupBy($"c_id")
-          .agg(map_from_entries(collect_list(struct($"dim", $"m"))).as("mm"))
-          .select($"c_id",
-            transform(sequence(lit(0), lit(63)), d => element_at($"mm", d)).as("c_emb"))
-          .withColumn("c_n", sqrt(call_function("dotp", $"c_emb", $"c_emb")))
-      }
-      val assigned = assignTo(cents)
+      // IVF-style ANN, in-plan: K=64 k-means coarse quantizer (shared
+      // [[kmeansCells]] definition — the persisted IvfIndex builds the
+      // SAME cells, so this entry is also the from-scratch oracle for
+      // the ivf_index_probe serving path), probe the query's nprobe=8
+      // nearest cells, exact re-rank inside the probed cells only. At
+      // 100 TB the cell assignment replaces the all-pairs product with
+      // a scan of ~nprobe/K of the corpus — and the persisted variant
+      // makes that literal partition pruning.
+      val (cents, assigned) = kmeansCells(s, dir)
       val q = assigned.filter($"vec_id" === 0)
         .select($"emb".as("qemb"), $"norm".as("qnorm"))
       // nprobe=8 of K=64 cells: scans ~12.5% of the corpus. The recall/
@@ -338,14 +367,10 @@ object VecOps {
       // the floor); real embedding corpora cluster and recall far
       // higher at the same nprobe.
       val probed = cents.crossJoin(broadcast(q))
-        .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"))
+        .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"),
+          $"qemb", $"qnorm")
         .orderBy($"qd".desc, $"c_id").limit(8)
-      assigned.join(broadcast(probed), "c_id")
-        .filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(q))
-        .select($"vec_id", round(cosFast($"emb", $"qemb", $"norm", $"qnorm"), 6).as("score"))
-        .orderBy($"score".desc, $"vec_id")
-        .limit(5)
+      ivfRerank(assigned, probed, 5)
     },
 
     entryNoOracle("semantic_search_e2e") { (s, dir) =>

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF ANN index: build-once-serve-many applied to the coarse
+  * quantizer. The load-bearing contracts: the serving path answers
+  * byte-identically to the in-plan `vec_ann_ivf` (same kmeansCells
+  * definition), the probe plan prunes the cells scan to the probed
+  * partitions instead of scanning the corpus, and a stale persisted
+  * quantizer rebuilds instead of serving old geometry.
+  */
+class IvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("ivf_index_build persists centroids + cell-partitioned vectors covering the corpus") {
+    val summary = SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val nCells = summary.head.getAs[Long]("n_cells")
+    assert(nCells >= 1 && nCells <= 64, s"K=64 quantizer produced $nCells cells")
+    assert(summary.length == nCells, "one summary row per non-empty cell")
+    val covered = summary.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(covered == corpus, s"cells cover $covered of $corpus vectors")
+    val base = graft.queries.IndexOps.indexDir(dir)
+    for (sub <- Seq("ivf_centroids.parquet", "ivf_cells.parquet"))
+      assert(new java.io.File(s"$base/$sub").exists())
+    // the cells table is physically partitioned by cell — the layout the
+    // probe's partition pruning depends on
+    val cellDirs = new java.io.File(s"$base/ivf_cells.parquet")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(cellDirs == nCells, s"$cellDirs c_id= partition dirs for $nCells cells")
+  }
+
+  test("ivf_index_probe answers byte-identically to the in-plan vec_ann_ivf") {
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val served = SparkEntry.queries("ivf_index_probe")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    val inPlan = SparkEntry.queries("vec_ann_ivf")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == inPlan,
+      s"persisted-quantizer probe $served drifted from in-plan answer $inPlan")
+  }
+
+  test("ivf_index_probe prunes: no quantizer recompute, cells scan partition-pruned") {
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val probe = SparkEntry.queries("ivf_index_probe")(spark, dir)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("simindex"), "probe must scan the persisted index")
+    // Every corpus access must be the pushed-down 1-row query read — a
+    // quantizer recompute (k-means over all embeddings) would appear as
+    // an UNFILTERED embeddings scan. (DPP's duplicating subquery may
+    // legitimately repeat the filtered 1-row scan; broadcast-exchange
+    // reuse elides it at execution.)
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"probe plan contains a non-query-row corpus scan:\n${corpusScans.mkString("\n")}")
+    // the cells scan must carry a dynamic partition filter on c_id
+    // (pruned by the broadcast nprobe-row probe side): the literal form
+    // of "a probe scans ~nprobe/K of the corpus"
+    val cellsScan = plan.linesIterator
+      .filter(_.contains("ivf_cells.parquet")).mkString("\n")
+    assert(cellsScan.contains("dynamicpruning"),
+      s"cells scan is not partition-pruned:\n$cellsScan")
+    probe.collect()
+  }
+
+  test("ivf_index_incremental: batch top-3, exact re-rank scores, quantizer from the lake") {
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val inc = SparkEntry.queries("ivf_index_incremental")(spark, dir)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("simindex"), "must scan the persisted index")
+    // every corpus access must be the pushed-down batch read (vec_id %
+    // 10 == 7) — an unfiltered scan would mean quantizer recompute
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("pmod(vec_id")),
+      s"plan contains a non-batch corpus scan:\n${corpusScans.mkString("\n")}")
+    // the cells scan is dynamically pruned to the batch's probed cells
+    val cellsScan = plan.linesIterator
+      .filter(_.contains("ivf_cells.parquet")).mkString("\n")
+    assert(cellsScan.contains("dynamicpruning"),
+      s"cells scan is not partition-pruned:\n$cellsScan")
+    val got = inc.as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (b, r, v, _) => b % 10 == 7 && r <= 3 && v != b })
+    // per-batch-vector ranks unique, scores descending
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+    // re-rank exactness: each reported score is the exact cosine of the
+    // pair (IVF bounds WHICH candidates are scored, never the score)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (b, _, v, score) =>
+      val exact = BigDecimal(cos(e(b), e(v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - score) < 1e-9, s"pair ($b,$v): reported $score vs exact $exact")
+    }
+  }
+
+  test("stale or uncommitted persisted quantizer is rebuilt, not served") {
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val stamp = new java.io.File(graft.queries.IndexOps.indexDir(dir) + "/ivf.version")
+    assert(stamp.exists(), "build must write a quantizer-logic stamp")
+    java.nio.file.Files.write(stamp.toPath, "ivf-v0:obsolete".getBytes("UTF-8"))
+    SparkEntry.queries("ivf_index_probe")(spark, dir).collect()
+    val restamped = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+    assert(restamped == graft.queries.IvfIndex.ivfIndexVersion,
+      s"probe served a quantizer stamped '$restamped' without rebuilding")
+    val success = new java.io.File(
+      graft.queries.IndexOps.indexDir(dir) + "/ivf_cells.parquet/_SUCCESS")
+    assert(success.exists())
+    success.delete()
+    SparkEntry.queries("ivf_index_probe")(spark, dir).collect()
+    assert(success.exists(), "probe served uncommitted cells without rebuilding")
+  }
+}

@@ -122,7 +122,9 @@ class PlanAuditSpec extends SparkSpecBase {
       "vec_knn_topk", "vec_knn_join", "vec_cosine_pairs", "vec_ann_ivf",
       "semantic_search_e2e", "win_percent_topk", "agg_stats_zscore",
       "join_cross", "join_theta_range", "sql_entry", "sim_index_build",
-      "vec_index_build", "text_tfidf", "text_bm25", "mix_weights")
+      "vec_index_build", "text_tfidf", "text_bm25", "mix_weights",
+      // IVF family: 1-row query / K=64 centroid broadcast sides
+      "ivf_index_build", "ivf_index_probe", "ivf_index_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
