@@ -271,7 +271,10 @@ object TextOps {
       Future(termFreq(s, dir).count()),
       Future(wordGrams(s, dir).count()),
       Future { signatureTableCached(s, dir).count(); verifiedSets(s, dir)._1.count() },
-      Future(VecOps.bandedSigs(s, dir).count()))
+      Future(VecOps.bandedSigs(s, dir).count()),
+      // the IVF coarse quantizer (counting `assigned` materializes the
+      // persisted centroids as its input)
+      Future(VecOps.kmeansCells(s, dir)._2.count()))
     builds.foreach(Await.result(_, Duration.Inf))
     ()
   }
