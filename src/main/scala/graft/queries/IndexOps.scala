@@ -145,11 +145,23 @@ object IndexOps {
     for ((t, _) <- present)
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles), path, t)
-    for (stamp <- present.map(_._2).distinct)
+    // the IVF cells table is CELL-PARTITIONED (one dir per c_id) and
+    // appendToIvfIndex adds one file per touched cell per batch — the
+    // same small-file growth, but compaction must preserve the layout:
+    // repartition ON the cell key and rewrite partitionBy(c_id), back
+    // to one file per cell. Centroids are overwrite-only (never grown).
+    val ivfCells = new java.io.File(s"$path/ivf_cells.parquet/_SUCCESS").exists()
+    if (ivfCells)
+      graft.sources.Ingest.stageAndSwap(
+        s.read.parquet(s"$path/ivf_cells.parquet").distinct()
+          .repartition(col("c_id")),
+        path, "ivf_cells", partitionBy = Seq("c_id"))
+    for (stamp <- present.map(_._2).distinct ++ (if (ivfCells) Seq("ivf") else Nil))
       writeStamp(path, stamp, stamp match {
         case "sim"    => simIndexVersion
         case "vec"    => vecIndexVersion
         case "labels" => TextOps.labelsVersion
+        case "ivf"    => IvfIndex.ivfIndexVersion
       })
   }
 

@@ -73,6 +73,47 @@ object IvfIndex {
     else path
   }
 
+  /** Grow the persisted IVF index with a new vector batch WITHOUT
+    * re-clustering — the daily-ingest shape for an ANN store: assign
+    * each new vector to its nearest persisted centroid (broadcast-K
+    * argmin, O(|batch|·K)) and append into that cell's partition dir.
+    * The quantizer is intentionally frozen: cell geometry is what the
+    * version stamp pins, and a drifting corpus is handled by a stamped
+    * REBUILD (new k-means), not by silently moving centroids under a
+    * serving path. Probes see appended vectors immediately — they live
+    * in exactly the partitions the probe prunes to. Zero-norm vectors
+    * (cosine undefined) are excluded, consistent with the other vector
+    * index paths. Replayed appends add byte-identical duplicate rows;
+    * like the band indexes, dedup is the probe's distinct-free top-k
+    * concern only if ids repeat — callers needing exactly-once should
+    * route through the gate machinery (per-batch overwrite dirs).
+    */
+  private[graft] def appendToIvfIndex(s: SparkSession, dir: String,
+                                      batch: DataFrame): Unit = {
+    VectorExprs.register(s)
+    val path = ensureIvfIndex(s, dir)
+    val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+    val signed = batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
+      .filter(col("norm") > 0)
+    // same packed-long argmin selection as kmeansCells.assignTo — max
+    // cosine, ties on smallest c_id — so an appended vector lands in
+    // the cell a full rebuild would assign it to
+    val enc = shiftleft(
+      round((lit(1) - round(call_function("dotp", col("emb"), col("c_emb")) /
+        (col("norm") * col("c_n")), 6)) * 1e6).cast("long"), 42) + col("c_id")
+    signed.join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(enc).as("enc"))
+      .select(col("vec_id"), col("enc").bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
+      .join(signed, "vec_id")
+      .select(col("vec_id"), col("emb"), col("norm"), col("c_id"))
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").mode(SaveMode.Append)
+      .parquet(s"$path/ivf_cells.parquet")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entryNoOracle("ivf_index_build") { (s, dir) =>

@@ -111,10 +111,12 @@ object Ingest {
     * a table format (Delta/Iceberg) replaces exactly this method with
     * an atomic commit, nothing else changes.
     */
-  private[graft] def stageAndSwap(df: DataFrame, lakeDir: String, name: String): Unit = {
+  private[graft] def stageAndSwap(df: DataFrame, lakeDir: String, name: String,
+                                  partitionBy: Seq[String] = Nil): Unit = {
     val path = s"$lakeDir/$name.parquet"
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
-    df.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmpPath)
     def rmTree(f: java.io.File): Unit = {
       // listFiles is null if the dir vanished under us (concurrent
       // cleanup) — treat as already-deleted, not an NPE

@@ -107,6 +107,65 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("appendToIvfIndex grows cells without re-clustering; rows land in their nearest cell") {
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val base = graft.queries.IndexOps.indexDir(dir)
+    val before = spark.read.parquet(s"$base/ivf_cells.parquet").count()
+    // batch = near-copies of corpus vectors under fresh ids
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .limit(5)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    graft.queries.IvfIndex.appendToIvfIndex(spark, dir, batch)
+    val cells = spark.read.parquet(s"$base/ivf_cells.parquet")
+    assert(cells.count() == before + 5, "append must add exactly the batch rows")
+    // the append must NOT invalidate the stamp (no rebuild on next use)
+    val stamp = new java.io.File(s"$base/ivf.version")
+    assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      == graft.queries.IvfIndex.ivfIndexVersion)
+    // each appended vector landed in its brute-force nearest cell (max
+    // cosine, ties on smallest c_id) — the same cell a rebuild's
+    // assignment pass would pick
+    val cents = spark.read.parquet(s"$base/ivf_centroids.parquet")
+      .as[(Long, Array[Double], Double)].collect()
+    val got = cells.filter($"vec_id" >= 800000L)
+      .select($"vec_id", $"emb", $"c_id".cast("long"))
+      .as[(Long, Array[Double], Long)].collect()
+    assert(got.length == 5)
+    got.foreach { case (vid, emb, cid) =>
+      val n = math.sqrt(emb.map(x => x * x).sum)
+      val best = cents.map { case (c, ce, cn) =>
+        val d = BigDecimal(emb.zip(ce).map { case (x, y) => x * y }.sum / (n * cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (-d, c)
+      }.min._2
+      assert(cid == best, s"vector $vid appended to cell $cid, nearest is $best")
+    }
+    // compaction: appends add one file per touched cell per batch —
+    // compactIndex must restore ~one file per cell while PRESERVING
+    // the cell-partitioned layout and every row (incl. the appends)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$base/ivf_cells.parquet"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val rowsBefore = cells.select($"vec_id", $"c_id".cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val filesGrown = dataFiles()
+    graft.queries.IndexOps.compactIndex(spark, dir)
+    val cellDirs = new java.io.File(s"$base/ivf_cells.parquet")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(dataFiles() <= cellDirs,
+      s"compaction left ${dataFiles()} files for $cellDirs cells (was $filesGrown)")
+    val rowsAfter = spark.read.parquet(s"$base/ivf_cells.parquet")
+      .select($"vec_id", $"c_id".cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction must preserve every (vec_id, c_id) row")
+    // restore the pristine corpus-only index for any later consumer
+    graft.queries.IvfIndex.buildIvfIndex(spark, dir)
+  }
+
   test("stale or uncommitted persisted quantizer is rebuilt, not served") {
     SparkEntry.queries("ivf_index_build")(spark, dir).collect()
     val stamp = new java.io.File(graft.queries.IndexOps.indexDir(dir) + "/ivf.version")
