@@ -107,6 +107,40 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf_index_incremental: measured top-3 recall vs exact stays above the floor") {
+    // The quantitative recall contract for the batch ANN lookup, the
+    // vec_ann_ivf convention: on THIS fixture's random vectors (no
+    // cluster structure — true neighbors sit at cosine ~0.3-0.5 and
+    // scatter uniformly across cells) nprobe=4 of K=64 scans ~6% of the
+    // corpus and measured top-3 recall is ~0.51-0.52 at both gate SFs;
+    // real embedding corpora cluster, recalling far higher at the same
+    // scan fraction. Floor at 0.35 so a broken quantizer, assignment, or
+    // probe regression fails CI instead of silently degrading answers.
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val got = SparkEntry.queries("ivf_index_incremental")(spark, dir)
+      .select($"b_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val batch = e.filter(_._1 % 10 == 7)
+    val hits = batch.map { case (b, bemb) =>
+      val exact = e.filter(_._1 != b)
+        .map { case (v, ve) =>
+          (BigDecimal(cos(bemb, ve)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v)
+        }
+        .sortBy { case (s, v) => (-s, v) }.take(3).map(_._2).toSet
+      exact.intersect(got.getOrElse(b, Set.empty)).size
+    }
+    val recall = hits.sum.toDouble / (batch.length * 3)
+    assert(recall >= 0.35,
+      f"IVF incremental top-3 recall $recall%.3f < 0.35 (measured 0.52 at this seed)")
+  }
+
   test("appendToIvfIndex grows cells without re-clustering; rows land in their nearest cell") {
     SparkEntry.queries("ivf_index_build")(spark, dir).collect()
     val base = graft.queries.IndexOps.indexDir(dir)
