@@ -98,6 +98,23 @@ object IndexOps {
     path
   }
 
+  /** [[buildIndex]] WITHOUT the final stamp — the rebuild-with-recovery
+    * path: tables land, the caller's recovery (re-appending a gate's
+    * admitted history) runs, and only then does [[ensureIndexStatus]]
+    * stamp. A crash anywhere before the stamp leaves the index
+    * non-current, so the next use rebuilds AND re-recovers instead of
+    * serving a corpus-only index that silently forgot its admissions.
+    */
+  private def buildIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
+    val path = indexDir(dir, ns)
+    val sig = TextOps.signatureTableCached(s, dir)
+    sig.select(col("sid"), col("ids"), col("tids"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+    path
+  }
+
   /** Probe-side guard: build on first use so entry order never matters
     * (the driver iterates `queries` in map order); rebuild when the
     * persisted index predates the running signature logic.
@@ -105,64 +122,80 @@ object IndexOps {
     * A REBUILD re-signs the BASE CORPUS only — it cannot know about docs
     * a streaming gate appended (they live in the gate's lake table, not
     * the corpus). Callers that grow an index (Streams.dedupIngest) must
-    * therefore use [[ensureIndexStatus]] and re-append their admitted
-    * lake table whenever `rebuilt` comes back true, or the gate's
-    * "no two admitted docs are ≥0.9-similar" invariant silently breaks
-    * for docs admitted before the rebuild.
+    * therefore use [[ensureIndexStatus]] with a `recover` hook that
+    * re-appends their admitted lake table, or the gate's "no two
+    * admitted docs are ≥0.9-similar" invariant silently breaks for docs
+    * admitted before the rebuild.
     */
   private def ensureIndex(s: SparkSession, dir: String, ns: String = ""): String =
     ensureIndexStatus(s, dir, ns)._1
 
   /** [[ensureIndex]] + whether it had to rebuild (version bump, crashed
-    * append, first use) — the signal an index-growing caller needs to
-    * restore its admission history.
+    * append, first use). On rebuild, `recover(path)` runs AFTER the base
+    * tables commit and BEFORE the version stamp is written: a crash
+    * inside recovery leaves the index non-current, so the next use
+    * rebuilds and retries the recovery instead of treating a
+    * half-recovered index as servable (recovery must therefore be
+    * idempotent — the gates' history re-append is: duplicate rows are
+    * read-time-distincted and compacted at rest).
     */
   private[graft] def ensureIndexStatus(s: SparkSession, dir: String,
-                                       ns: String = ""): (String, Boolean) = {
+                                       ns: String = "",
+                                       recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("sets", "bands"), "sim", simIndexVersion))
-      (buildIndex(s, dir, ns), true)
-    else (path, false)
+    if (!indexCurrent(path, Seq("sets", "bands"), "sim", simIndexVersion)) {
+      buildIndexUnstamped(s, dir, ns)
+      recover(path)
+      writeStamp(path, "sim", simIndexVersion)
+      (path, true)
+    } else (path, false)
   }
 
   /** Compact an index namespace in place: streaming appends add one
     * small file set per micro-batch (and a replayed append adds
     * byte-identical duplicate rows), so a long-lived gate degrades into
     * the small-file pathology `sink_compact` exists to fix. Rewrites
-    * each present index table to `nFiles` files via stage-and-swap,
-    * dropping exact-duplicate rows (safe: every index row is
-    * content-addressed by its columns — a sid's set row and a
-    * (sid, band, bh) row are identical across replays, so distinct()
-    * changes no probe answer). Restamps after the swap because the swap
-    * itself removes the _SUCCESS marker indexCurrent checks.
+    * each index table to `nFiles` files via stage-and-swap, dropping
+    * exact-duplicate rows (safe: every index row is content-addressed
+    * by its columns — a sid's set row and a (sid, band, bh) row are
+    * identical across replays, so distinct() changes no probe answer).
+    *
+    * Only families whose version stamp is CURRENT are touched: a stale
+    * family's rows carry old signature semantics and would only be
+    * laundered by a rewrite (re-stamping them was the round-6 review's
+    * finding — it defeated the staleness machinery entirely), and a
+    * family mid-crashed-append has no committed _SUCCESS to trust as a
+    * read source. Both rebuild through their ensure* path instead.
+    * No re-stamping is needed for the compacted families: stamps live
+    * outside the table dirs and stageAndSwap's fresh write carries its
+    * own _SUCCESS.
     */
   private[graft] def compactIndex(s: SparkSession, dir: String, ns: String = "",
                                   nFiles: Int = 4): Unit = {
     val path = indexDir(dir, ns)
-    val present = Seq("sets" -> "sim", "bands" -> "sim",
-        "vecs" -> "vec", "vec_bands" -> "vec", "labels" -> "labels")
-      .filter { case (t, _) => new java.io.File(s"$path/$t.parquet/_SUCCESS").exists() }
-    for ((t, _) <- present)
-      graft.sources.Ingest.stageAndSwap(
+    val flat = Seq(
+      "sim"    -> Seq("sets", "bands"),
+      "vec"    -> Seq("vecs", "vec_bands"),
+      "labels" -> Seq("labels"))
+    val version = Map("sim" -> simIndexVersion, "vec" -> vecIndexVersion,
+      "labels" -> TextOps.labelsVersion)
+    for {
+      (stamp, tables) <- flat
+      if indexCurrent(path, tables, stamp, version(stamp))
+      t <- tables
+    } graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles), path, t)
     // the IVF cells table is CELL-PARTITIONED (one dir per c_id) and
     // appendToIvfIndex adds one file per touched cell per batch — the
     // same small-file growth, but compaction must preserve the layout:
     // repartition ON the cell key and rewrite partitionBy(c_id), back
     // to one file per cell. Centroids are overwrite-only (never grown).
-    val ivfCells = new java.io.File(s"$path/ivf_cells.parquet/_SUCCESS").exists()
-    if (ivfCells)
+    if (indexCurrent(path, Seq("ivf_centroids", "ivf_cells"), "ivf",
+        IvfIndex.ivfIndexVersion))
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/ivf_cells.parquet").distinct()
           .repartition(col("c_id")),
         path, "ivf_cells", partitionBy = Seq("c_id"))
-    for (stamp <- present.map(_._2).distinct ++ (if (ivfCells) Seq("ivf") else Nil))
-      writeStamp(path, stamp, stamp match {
-        case "sim"    => simIndexVersion
-        case "vec"    => vecIndexVersion
-        case "labels" => TextOps.labelsVersion
-        case "ivf"    => IvfIndex.ivfIndexVersion
-      })
   }
 
   val entries: Seq[Entry] = Seq(
@@ -303,6 +336,9 @@ object IndexOps {
         .filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>").as("qemb"))
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+        // a zero-norm query (cosine undefined) must yield an empty
+        // result, not NaN scores that sort above every real neighbor
+        .filter($"qnorm" > 0)
         .withColumn("bands", VecOps.lshBandKeys($"qemb"))
       // Hamming-≤3 multi-probe: the 1-row query expands to 4×697 probe
       // keys (still a trivial broadcast); the stored index keeps one row
@@ -334,6 +370,10 @@ object IndexOps {
         .filter(pmod($"vec_id", lit(10)) === 7)
         .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
         .withColumn("b_n", sqrt(call_function("dotp", $"b_emb", $"b_emb")))
+        // zero-norm batch vectors have no defined cosine: excluded from
+        // the declared output (NaN scores would rank FIRST under desc),
+        // matching the novelVectors/append zero-norm contract
+        .filter($"b_n" > 0)
         .withColumn("bands", VecOps.lshBandKeys($"b_emb"))
       // wide (Hamming-≤3) multi-probe on the batch (query) side: ×697
       // narrow key rows, joined against the one-row-per-(vector, band)
@@ -476,8 +516,16 @@ object IndexOps {
     * dedups at read time and [[compactIndex]] removes at rest.
     */
   private[graft] def appendToIndex(s: SparkSession, dir: String,
-                                   admitted: DataFrame, ns: String = ""): Unit = {
-    val path = ensureIndex(s, dir, ns)
+                                   admitted: DataFrame, ns: String = ""): Unit =
+    appendToIndexAt(s, ensureIndex(s, dir, ns), admitted)
+
+  /** Append to an index at a KNOWN path, no ensure — the form a rebuild
+    * recovery hook must use ([[ensureIndexStatus]] invokes the hook
+    * before the stamp lands, so an ensure here would recurse into
+    * another rebuild).
+    */
+  private[graft] def appendToIndexAt(s: SparkSession, path: String,
+                                     admitted: DataFrame): Unit = {
     val signed = signDocs(s, admitted)
     signed.select(col("b_doc").as("sid"), array(col("b_doc")).as("ids"),
         col("btids").as("tids"))
@@ -489,6 +537,15 @@ object IndexOps {
 
   /** Build (overwrite) the persisted vector index for `dir`. */
   private[graft] def buildVecIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val path = buildVecIndexUnstamped(s, dir, ns)
+    writeStamp(path, "vec", vecIndexVersion)
+    path
+  }
+
+  /** Tables-only build — see [[buildIndexUnstamped]] for why the stamp
+    * is withheld on the rebuild-with-recovery path.
+    */
+  private def buildVecIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
     val path = indexDir(dir, ns)
     VecOps.emb(s, dir).select(col("vec_id"), col("emb"), col("norm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
@@ -497,7 +554,6 @@ object IndexOps {
     // session no matter which consumer runs first (and can never drift)
     VecOps.bandedSigs(s, dir)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
-    writeStamp(path, "vec", vecIndexVersion)
     path
   }
 
@@ -562,9 +618,13 @@ object IndexOps {
     * [[novelVectors]] never gating them.
     */
   private[graft] def appendToVecIndex(s: SparkSession, dir: String,
-                                      admitted: DataFrame, ns: String = ""): Unit = {
+                                      admitted: DataFrame, ns: String = ""): Unit =
+    appendToVecIndexAt(s, ensureVecIndex(s, dir, ns), admitted)
+
+  /** Known-path append, no ensure — see [[appendToIndexAt]]. */
+  private[graft] def appendToVecIndexAt(s: SparkSession, path: String,
+                                        admitted: DataFrame): Unit = {
     VectorExprs.register(s)
-    val path = ensureVecIndex(s, dir, ns)
     val signed = admitted.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
@@ -579,12 +639,18 @@ object IndexOps {
   private def ensureVecIndex(s: SparkSession, dir: String, ns: String = ""): String =
     ensureVecIndexStatus(s, dir, ns)._1
 
-  /** Vec twin of [[ensureIndexStatus]] — see the rebuild caveat there. */
+  /** Vec twin of [[ensureIndexStatus]] — same rebuild-with-recovery
+    * stamping order (tables → recover → stamp).
+    */
   private[graft] def ensureVecIndexStatus(s: SparkSession, dir: String,
-                                          ns: String = ""): (String, Boolean) = {
+                                          ns: String = "",
+                                          recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecIndexVersion))
-      (buildVecIndex(s, dir, ns), true)
-    else (path, false)
+    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecIndexVersion)) {
+      buildVecIndexUnstamped(s, dir, ns)
+      recover(path)
+      writeStamp(path, "vec", vecIndexVersion)
+      (path, true)
+    } else (path, false)
   }
 }

@@ -97,18 +97,10 @@ object IvfIndex {
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
       .filter(col("norm") > 0)
-    // same packed-long argmin selection as kmeansCells.assignTo — max
-    // cosine, ties on smallest c_id — so an appended vector lands in
-    // the cell a full rebuild would assign it to
-    val enc = shiftleft(
-      round((lit(1) - round(call_function("dotp", col("emb"), col("c_emb")) /
-        (col("norm") * col("c_n")), 6)) * 1e6).cast("long"), 42) + col("c_id")
-    signed.join(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(min(enc).as("enc"))
-      .select(col("vec_id"), col("enc").bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
-      .join(signed, "vec_id")
-      .select(col("vec_id"), col("emb"), col("norm"), col("c_id"))
+    // THE shared nearest-cell assignment (VecOps.assignToCells — one
+    // definition with the k-means Lloyd rounds), so an appended vector
+    // lands in exactly the cell a full rebuild would assign it to
+    VecOps.assignToCells(signed, cents)
       .repartition(col("c_id"))
       .write.partitionBy("c_id").mode(SaveMode.Append)
       .parquet(s"$path/ivf_cells.parquet")
@@ -152,7 +144,7 @@ object IvfIndex {
       // pruning in the plan); identical selection to vec_ann_ivf, whose
       // answer this must equal byte-for-byte.
       val cells = s.read.parquet(s"$path/ivf_cells.parquet")
-      VecOps.ivfRerank(cells, probed, 5)
+      VecOps.ivfRerank(cells, probed, 5, excludeId = lit(0))
     },
 
     entryNoOracle("ivf_index_incremental") { (s, dir) =>
@@ -168,6 +160,10 @@ object IvfIndex {
         .filter(pmod($"vec_id", lit(10)) === 7)
         .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
         .withColumn("b_n", sqrt(call_function("dotp", $"b_emb", $"b_emb")))
+        // zero-norm vectors have no defined cosine — excluded from the
+        // declared output rather than emitting NaN scores that would
+        // rank FIRST under desc ordering (the append path's contract)
+        .filter($"b_n" > 0)
       val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
       val cos = call_function("dotp", $"c_emb", $"b_emb") / ($"c_n" * $"b_n")
       val w4 = Window.partitionBy($"b_id").orderBy($"qd".desc, $"c_id")

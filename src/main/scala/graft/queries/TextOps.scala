@@ -387,7 +387,6 @@ object TextOps {
       clusterLabels(s, dir)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/labels.parquet")
-      IndexOps.writeStamp(path, "labels", labelsVersion)
       // the lake already holds THIS batch (committed before the label
       // update), so recovering the whole table covers it — no separate
       // batch append on the reseed path, which would double-write
@@ -395,6 +394,11 @@ object TextOps {
         singles(s.read.parquet(lakeTablePath))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(s"$path/labels.parquet")
+      // stamp only after BOTH the base overwrite and the lake recovery
+      // commit: a crash in between leaves the artifact non-current, so
+      // the next batch redoes the (idempotent) reseed instead of
+      // trusting a base-only labels table that forgot earlier batches
+      IndexOps.writeStamp(path, "labels", labelsVersion)
     } else
       singles(batchAdmitted)
         .write.mode(org.apache.spark.sql.SaveMode.Append)

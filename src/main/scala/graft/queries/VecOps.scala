@@ -189,28 +189,39 @@ object VecOps {
       })
     }
 
+  /** Nearest-cell assignment of (vec_id, emb, norm) rows to broadcast
+    * centroids (c_id, c_emb, c_n) — THE one definition of "which cell
+    * does this vector belong to", shared by the k-means Lloyd rounds
+    * and the persisted IVF index's incremental append
+    * (IvfIndex.appendToIvfIndex): an appended vector must land in
+    * exactly the cell a full rebuild would assign, so the formula must
+    * not exist in two drift-prone copies.
+    *
+    * Pure-primitive argmin: pack (1 − d)·10⁶ (d pre-rounded to 6dp,
+    * so the product is an exact integer ≤ 2·10⁶ < 2²¹) and c_id
+    * into ONE long; min over it = max similarity with ties on
+    * smallest c_id. A primitive-long min gets whole-stage-codegen'd
+    * HashAggregate with map-side partial reduction: each vector's
+    * K candidate rows collapse to one 16-byte row BEFORE the
+    * shuffle — no n×K window sort, and no SortAggregate over
+    * struct buffers. Packing holds while c_id < 2⁴².
+    */
+  private[graft] def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val enc = shiftleft(
+      round((lit(1) - round(cosFast(col("emb"), col("c_emb"), col("norm"), col("c_n")), 6)) * 1e6)
+        .cast("long"), 42) + col("c_id")
+    vectors.join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(enc).as("enc"))
+      .select(col("vec_id"), col("enc").bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
+      .join(vectors, "vec_id")
+      .select(col("vec_id"), col("emb"), col("norm"), col("c_id"))
+  }
+
   private def kmeansCellsUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val e = emb(s, dir)
-    def assignTo(cents: DataFrame): DataFrame = {
-      // Pure-primitive argmin: pack (1 − d)·10⁶ (d pre-rounded to 6dp,
-      // so the product is an exact integer ≤ 2·10⁶ < 2²¹) and c_id
-      // into ONE long; min over it = max similarity with ties on
-      // smallest c_id. A primitive-long min gets whole-stage-codegen'd
-      // HashAggregate with map-side partial reduction: each vector's
-      // 64 candidate rows collapse to one 16-byte row BEFORE the
-      // shuffle — no n×64 window sort, and no SortAggregate over
-      // struct buffers. Packing holds while c_id < 2⁴².
-      val enc = shiftleft(
-        round((lit(1) - round(cosFast($"emb", $"c_emb", $"norm", $"c_n"), 6)) * 1e6)
-          .cast("long"), 42) + $"c_id"
-      e.join(broadcast(cents))
-        .groupBy($"vec_id")
-        .agg(min(enc).as("enc"))
-        .select($"vec_id", $"enc".bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
-        .join(e, "vec_id")
-        .select($"vec_id", $"emb", $"norm", $"c_id")
-    }
+    def assignTo(cents: DataFrame): DataFrame = assignToCells(e, cents)
     var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
       .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
     for (_ <- 1 to 2) {
@@ -238,10 +249,14 @@ object VecOps {
     * crossJoin reference would re-scan the corpus table for the same
     * row), and the broadcast probe side dynamically prunes a
     * cell-partitioned `cells` scan to the probed partitions.
+    * `excludeId` is the query's own vec_id (it would otherwise top the
+    * list as a cosine-1.0 self-match) — a caller parameter, not a
+    * hardcoded 0, so consumers probing for other ids stay correct.
     */
-  private[graft] def ivfRerank(cells: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+  private[graft] def ivfRerank(cells: DataFrame, probed: DataFrame, k: Int,
+                               excludeId: Column): DataFrame = {
     cells.join(broadcast(probed), "c_id")
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         round(cosFast(col("emb"), col("qemb"), col("norm"), col("qnorm")), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
@@ -392,7 +407,7 @@ object VecOps {
         .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"),
           $"qemb", $"qnorm")
         .orderBy($"qd".desc, $"c_id").limit(8)
-      ivfRerank(assigned, probed, 5)
+      ivfRerank(assigned, probed, 5, excludeId = lit(0))
     },
 
     entryNoOracle("semantic_search_e2e") { (s, dir) =>

@@ -182,9 +182,15 @@ object Streams {
     * destination, so gate growth can never change what the batch
     * entries' documents-only SQL oracles see in the shared corpus index,
     * and two gates over the same corpus never interleave appends.
+    * Keyed by a 128-bit digest of the full destination path — a 32-bit
+    * String.hashCode namespace would birthday-collide two gates into
+    * one index dir (mutual cross-rejection, clobbering compactions) at
+    * realistic gate counts.
     */
   def gateNamespace(lakeDir: String, name: String): String =
-    f"gate${(lakeDir + "/" + name).hashCode}%08x"
+    "gate" + java.security.MessageDigest.getInstance("MD5")
+      .digest((lakeDir + "/" + name).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 
   /** Compaction cadence: every Nth micro-batch the gate rewrites its
     * index namespace (appends add one small file set per batch —
@@ -210,10 +216,14 @@ object Streams {
     *
     * Rebuild recovery: if the gate's index namespace had to rebuild
     * (signature-version bump, crashed append), the rebuild re-signs the
-    * BASE corpus only — so before gating, every previously-admitted doc
-    * is re-appended from the lake table. Without this, a rebuild would
-    * silently reset admission history and later batches could admit
-    * near-duplicates of already-admitted docs.
+    * BASE corpus only — so every previously-admitted doc is re-appended
+    * from the lake table via the ensure call's `recover` hook, which
+    * runs BEFORE the rebuilt index is stamped servable. Without the
+    * hook a rebuild would silently reset admission history; without the
+    * stamp ordering a crash BETWEEN stamping and re-appending would do
+    * the same (stamp already current → recovery never retried). The
+    * re-append is idempotent, which is what lets a crashed recovery
+    * simply run again.
     */
   def dedupIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
                   name: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -223,10 +233,9 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val tablePath = s"$lakeDir/$name.parquet"
-        val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(s, corpusDir, ns)
-        if (rebuilt && new java.io.File(tablePath).exists())
-          graft.queries.IndexOps.appendToIndex(s, corpusDir,
-            s.read.parquet(tablePath), ns)
+        graft.queries.IndexOps.ensureIndexStatus(s, corpusDir, ns, recover = p =>
+          if (new java.io.File(tablePath).exists())
+            graft.queries.IndexOps.appendToIndexAt(s, p, s.read.parquet(tablePath)))
         val batchDir = s"$tablePath/batch=$batchId"
         graft.queries.IndexOps.novelDocs(s, corpusDir, batch, ns)
           .write.mode("overwrite").parquet(batchDir)
@@ -260,10 +269,9 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val tablePath = s"$lakeDir/$name.parquet"
-        val (_, rebuilt) = graft.queries.IndexOps.ensureVecIndexStatus(s, corpusDir, ns)
-        if (rebuilt && new java.io.File(tablePath).exists())
-          graft.queries.IndexOps.appendToVecIndex(s, corpusDir,
-            s.read.parquet(tablePath), ns)
+        graft.queries.IndexOps.ensureVecIndexStatus(s, corpusDir, ns, recover = p =>
+          if (new java.io.File(tablePath).exists())
+            graft.queries.IndexOps.appendToVecIndexAt(s, p, s.read.parquet(tablePath)))
         val batchDir = s"$tablePath/batch=$batchId"
         graft.queries.IndexOps.novelVectors(s, corpusDir, batch, minCos, ns)
           .write.mode("overwrite").parquet(batchDir)

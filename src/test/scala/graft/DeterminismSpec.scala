@@ -33,6 +33,15 @@ class DeterminismSpec extends SparkSpecBase {
       "text_ngram_jaccard", "text_dedup_shingle", "sim_index_incremental",
       "vec_knn_join_lsh", "vec_cosine_pairs")
     def run(parts: Int): Map[String, Seq[String]] = {
+      // the cluster labels are a persisted lake artifact — without
+      // evicting the memo AND deleting the stamp, both runs would read
+      // the SAME labels.parquet and the cluster-family comparison would
+      // be vacuously equal (round-6 review finding). Forcing a rebuild
+      // per parallelism makes the propagation itself face the 4-vs-32
+      // split.
+      queries.TextOps.evictCaches(spark)
+      new java.io.File(
+        s"${queries.IndexOps.indexDir(sf("sf0.001"))}/labels.version").delete()
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try heavy.map(n =>
         n -> SparkEntry.queries(n)(spark, sf("sf0.001")).collect().map(_.toString).toSeq).toMap
