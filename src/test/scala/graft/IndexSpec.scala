@@ -187,6 +187,61 @@ class IndexSpec extends SparkSpecBase {
     assert(plan.contains("labels.parquet"), "warm path must serve labels from the lake")
   }
 
+  test("rebuild recovery runs BEFORE the stamp: a crashed recovery is retried, not trusted") {
+    // The gate crash-durability contract (round-6 review): when a
+    // rebuild's recovery hook dies mid-way, the index must NOT be left
+    // stamped servable — the next ensure must rebuild and re-run the
+    // recovery. Simulated by a hook that throws on its first invocation.
+    val ns = "crashspec"
+    val path = graft.queries.IndexOps.indexDir(dir, ns)
+    val admitted = Seq((900901L, "crashspec recovery sentinel tokens wholly unlike corpus text"))
+      .toDF("doc_id", "text")
+    // seed the namespace, then invalidate it as a version bump would
+    graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/sim.version").toPath, "sim-v0:obsolete".getBytes("UTF-8"))
+    intercept[RuntimeException] {
+      graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns,
+        recover = _ => throw new RuntimeException("simulated crash mid-recovery"))
+    }
+    val stamp = new java.io.File(s"$path/sim.version")
+    assert(!stamp.exists() ||
+      new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+        != graft.queries.IndexOps.simIndexVersion,
+      "a crashed recovery must not leave the index stamped current")
+    // next ensure: rebuilds again AND the recovery hook runs to completion
+    val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns,
+      recover = p => graft.queries.IndexOps.appendToIndexAt(spark, p, admitted))
+    assert(rebuilt, "post-crash ensure must rebuild (index was never stamped)")
+    assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      == graft.queries.IndexOps.simIndexVersion)
+    val recovered = spark.read.parquet(s"$path/sets.parquet")
+      .filter($"sid" === 900901L).count()
+    assert(recovered == 1, "recovery append must be visible in the rebuilt index")
+  }
+
+  test("compaction never re-stamps a family it did not validate (no stale-stamp laundering)") {
+    val ns = "compactspec"
+    val path = graft.queries.IndexOps.indexDir(dir, ns)
+    graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+    graft.queries.IndexOps.ensureVecIndexStatus(spark, dir, ns)
+    // sim family goes stale (an old code version built it); vec stays current
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/sim.version").toPath, "sim-v0:obsolete".getBytes("UTF-8"))
+    graft.queries.IndexOps.compactIndex(spark, dir, ns)
+    val simStamp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/sim.version").toPath), "UTF-8")
+    assert(simStamp == "sim-v0:obsolete",
+      s"compaction laundered a stale sim stamp into '$simStamp'")
+    // the current vec family was compacted and is still servable
+    assert(new java.io.File(s"$path/vecs.parquet/_SUCCESS").exists())
+    val (_, vecRebuilt) = graft.queries.IndexOps.ensureVecIndexStatus(spark, dir, ns)
+    assert(!vecRebuilt, "compaction must leave a current family servable")
+    // and the stale sim family still rebuilds through its ensure path
+    val (_, simRebuilt) = graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+    assert(simRebuilt, "stale family must still rebuild after compaction")
+  }
+
   test("vec_index_probe re-ranks persisted candidates with exact cosine") {
     SparkEntry.queries("vec_index_build")(spark, dir).collect()
     val probe = SparkEntry.queries("vec_index_probe")(spark, dir)
