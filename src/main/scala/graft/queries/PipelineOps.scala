@@ -157,6 +157,58 @@ object PipelineOps {
     },
 
     entry(
+      "pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 2048 AS BIGINT) AS seq_first,
+        |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Sequence packing — the step between a curated corpus and the
+      // trainer: documents are concatenated in deterministic doc_id
+      // order and chunked into fixed 2048-token training windows; each
+      // doc's global token offset decides the sequence ids it lands in
+      // (seq_first..seq_last — a doc straddling a boundary is split
+      // across windows, the standard concat-and-chunk regime).
+      //
+      // The global offset is a PREFIX SUM, and a naive window cumsum
+      // over doc_id order is a single-partition sort of the whole
+      // corpus — the classic scale trap (the oracle does exactly that,
+      // which is fine for DuckDB at gate SF). Here it is the two-level
+      // distributed form: per-bucket token totals (tiny frame, one row
+      // per 1000 docs) get a cumulative bucket offset via a window over
+      // that TINY frame only, broadcast back, and each doc adds its
+      // within-bucket running sum through a window PARTITIONED by
+      // bucket — bounded rows per partition, no global sort. At 100 TB
+      // add levels as needed (bucket the buckets); every stage stays
+      // bounded. Integer `DIV` throughout: token offsets exceed 2^53 at
+      // lake scale, where double-precision division would drift.
+      val docs = load(s, dir, "documents")
+        .select($"doc_id", size(tokens(lower($"text"))).cast("long").as("n_tokens"))
+      val t = docs.withColumn("bucket", expr("doc_id DIV 1000"))
+      val boff = t.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum($"btot").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bucket", $"boff")
+      val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(boff), "bucket")
+        .withColumn("tok_offset", $"boff" + coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"n_tokens", $"tok_offset",
+          expr("tok_offset DIV 2048").as("seq_first"),
+          expr("(tok_offset + greatest(n_tokens, 1) - 1) DIV 2048").as("seq_last"))
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "mix_weights",
       """WITH t AS (SELECT source,
         |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens

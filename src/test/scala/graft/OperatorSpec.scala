@@ -230,6 +230,32 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("pack_sequences: distributed prefix sum equals sequential concat-and-chunk") {
+    val got = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the two-level (bucket totals + within-bucket windows) offsets must
+    // equal the straight sequential scan a single machine would produce
+    var off = 0L
+    got.sortBy(_._1).foreach { case (id, nt, tokOff, seqFirst, seqLast) =>
+      assert(tokOff == off, s"doc $id: offset $tokOff != sequential $off")
+      assert(seqFirst == off / 2048, s"doc $id seq_first")
+      assert(seqLast == (off + math.max(nt, 1) - 1) / 2048, s"doc $id seq_last")
+      off += nt
+    }
+    // scale shape: the per-DOC cumsum window must be partitioned by
+    // bucket — a global single-partition sort of the corpus is exactly
+    // what the two-level form exists to avoid (the only unpartitioned
+    // window runs over the tiny bucket-totals frame, which orders by
+    // `bucket`, not doc_id)
+    val plan = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val docWindows = "windowspecdefinition\\([^)]*doc_id[^)]*\\)".r.findAllIn(plan).toSeq
+    assert(docWindows.nonEmpty, "expected a window over doc rows in the plan")
+    docWindows.foreach(wsd =>
+      assert(wsd.contains("bucket"), s"doc-level window is unpartitioned: $wsd"))
+  }
+
   test("agg_approx_distinct within 2% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
     val cols = approx.columns
