@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** ANN-aware top-k planning (SURVEY.md §4.3(b)): a library-declared
+  * EXACT cosine top-k whose plan an opt-in optimizer rule
+  * ([[AnnTopKRule]]) can swap for the persisted IVF index probe.
+  *
+  * The exact form scans every corpus vector — correct at any SF, O(n)
+  * per query. When a current persisted IVF index exists for the corpus
+  * (IvfIndex), the SAME question is answerable by probing nprobe of K
+  * cell partitions — the serving-path plan. The rewrite changes
+  * RESULTS (approximate recall), so unlike every built-in optimizer
+  * rule it is gated behind an explicit session opt-in:
+  *
+  *   spark.conf.set("spark.graft.ann.rewrite", "true")
+  *
+  * and it never fires unless the index version stamp is current (a
+  * missing/stale index silently keeps the exact plan — the safe
+  * default; it never builds an index from inside the optimizer, which
+  * must stay side-effect free).
+  */
+object AnnTopK {
+
+  /** Exact cosine top-`k` of the `embeddings` corpus against a literal
+    * query vector, the declared (rewritable) form: one scan, broadcast
+    * nothing, `TakeOrderedAndProject` keeps k rows. Zero-norm corpus
+    * vectors are excluded (cosine undefined). Scores round to 6dp
+    * BEFORE ranking — the repo-wide determinism convention, and what
+    * makes the exact and rewritten plans comparable.
+    */
+  def cosineTopK(s: SparkSession, dir: String, q: Seq[Double], k: Int): DataFrame = {
+    VectorExprs.register(s)
+    import s.implicits._
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val score: Column =
+      round(call_function("dotp", $"emb", typedlit(q)) / ($"norm" * lit(qn)), 6)
+    graft.queries.VecOps.emb(s, dir)
+      .filter($"norm" > 0)
+      .orderBy(score.desc, $"vec_id")
+      .select($"vec_id", score.as("score"))
+      .limit(k)
+  }
+}
+
+/** The §4.3(b) optimizer rule: rewrites [[AnnTopK.cosineTopK]]'s
+  * optimized plan shape
+  *
+  *   GlobalLimit k
+  *   +- LocalLimit k
+  *      +- Project [id, round(dotp(emb, LIT_Q) / (norm * LIT_QN), 6)]
+  *         +- Sort [round(...) DESC, id ASC] global
+  *            +- … leaf scan of <dir>/embeddings.parquet
+  *
+  * into the persisted IVF probe (nprobe=8 nearest cells of the K=64
+  * quantizer, exact re-rank — the ivf_index_probe plan with the query
+  * literal lifted straight out of the Sort expression). Fires only when
+  * BOTH hold, else leaves the exact plan untouched:
+  *
+  *  - `spark.graft.ann.rewrite` = true (explicit session opt-in: the
+  *    rewrite trades recall for a ~nprobe/K scan, a semantic change no
+  *    rule may make silently);
+  *  - the corpus's IVF index stamp is CURRENT (checked on files only —
+  *    the optimizer must stay side-effect free, so a missing index is
+  *    never built here).
+  *
+  * Deployment: `GraftExtensions` injects it cluster-wide via
+  * `spark.sql.extensions`; local sessions call [[AnnTopKRule.install]]
+  * (experimental.extraOptimizations — a post-hoc batch, so the spliced
+  * probe subtree skips the main optimizer; its scans are
+  * column-complete index tables and its cell filter arrives via the
+  * broadcast join, so nothing load-bearing is lost).
+  */
+case class AnnTopKRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, IntegerLiteral, Literal, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import org.apache.spark.sql.types.DoubleType
+  import graft.functions.DotProduct
+  import graft.queries.{IndexOps, IvfIndex, VecOps}
+
+  private val nprobe = 8
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("spark.graft.ann.rewrite", "false").toBoolean) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(IntegerLiteral(k2), Project(_, Sort(orders, true, child, _))))
+          if k == k2 && k > 0 =>
+        (matchScore(orders), embeddingsDir(child)) match {
+          case (Some((q, qn)), Some(dir)) if ivfCurrent(dir) =>
+            rewrite(gl, dir, q, qn, k)
+          case _ => gl
+        }
+    }
+
+  /** (query vector, query norm) iff the sort is the cosine-top-k shape:
+    * round(dotp(·, LIT)/(· * LIT), 6) DESC with an Ascending attribute
+    * tie-break. prettyName-based structure checks sidestep constructor
+    * arity churn across Spark versions (Divide/Multiply carry eval-mode
+    * parameters).
+    */
+  private def matchScore(orders: Seq[SortOrder]): Option[(Seq[Double], Double)] =
+    orders match {
+      case Seq(SortOrder(r, Descending, _, _),
+               SortOrder(_: AttributeReference, Ascending, _, _))
+          if r.prettyName == "round" && r.children.nonEmpty =>
+        r.children.head match {
+          case d if d.prettyName == "divide" && d.children.size == 2 =>
+            (d.children.head, d.children(1)) match {
+              case (DotProduct(_, Literal(qv: ArrayData, _)), m)
+                  if m.prettyName == "multiply" && m.children.size == 2 =>
+                m.children(1) match {
+                  case Literal(qn, DoubleType) =>
+                    Some((qv.toDoubleArray.toSeq, qn.asInstanceOf[Double]))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The corpus dir iff the subtree's only relation leaf is a parquet
+    * scan of <dir>/embeddings.parquet — the guard that keeps the rule
+    * off every other top-k (including its own spliced probe, whose
+    * leaves are index tables).
+    */
+  private def embeddingsDir(child: LogicalPlan): Option[String] =
+    child.collectLeaves() match {
+      case Seq(lr: LogicalRelation) => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths match {
+          case Seq(p) if p.getName == "embeddings.parquet" =>
+            Some(p.getParent.toUri.getPath)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def ivfCurrent(dir: String): Boolean =
+    IndexOps.indexCurrent(IndexOps.indexDir(dir),
+      Seq("ivf_centroids", "ivf_cells"), "ivf", IvfIndex.ivfIndexVersion)
+
+  /** Build the probe plan with the DataFrame API, analyze it (never
+    * execute — rules are side-effect free), and splice it in with the
+    * original output attribute ids so parent references stay bound.
+    */
+  private def rewrite(gl: GlobalLimit, dir: String, q: Seq[Double], qn: Double,
+                      k: Int): LogicalPlan = {
+    VectorExprs.register(spark)
+    val path = IndexOps.indexDir(dir)
+    val qlit = typedlit(q)
+    val cents = spark.read.parquet(s"$path/ivf_centroids.parquet")
+    val probed = cents.select(col("c_id"),
+        round(call_function("dotp", col("c_emb"), qlit) / (col("c_n") * lit(qn)), 6).as("qd"),
+        qlit.as("qemb"), lit(qn).as("qnorm"))
+      .orderBy(col("qd").desc, col("c_id")).limit(nprobe)
+    // norm > 0 mirrors the exact form's zero-norm exclusion; the query
+    // is a literal (no corpus id), so nothing is self-excluded
+    val cells = spark.read.parquet(s"$path/ivf_cells.parquet").filter(col("norm") > 0)
+    val analyzed = VecOps.ivfRerank(cells, probed, k, excludeId = lit(-1L))
+      .queryExecution.analyzed
+    // the splice happens AFTER the main optimizer batches, so the probe
+    // subtree must be optimized explicitly — its ResolvedHint (the
+    // broadcast) would otherwise reach the planner un-eliminated, and
+    // this also restores pruning/pushdown on the index scans. No
+    // recursion: re-running this rule inside sees index-table leaves,
+    // which embeddingsDir rejects.
+    val optimized = spark.sessionState.optimizer.execute(analyzed)
+    Project(gl.output.zip(optimized.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId) }, optimized)
+  }
+}
+
+object AnnTopKRule {
+  /** Idempotent local registration (tests / notebook sessions); cluster
+    * deployments get the rule from GraftExtensions instead.
+    */
+  def install(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnTopKRule]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AnnTopKRule(s)
+}

@@ -70,8 +70,8 @@ object IndexOps {
     * (a crashed build leaves no _SUCCESS) AND its version stamp matches
     * the running code's signature semantics.
     */
-  private[queries] def indexCurrent(path: String, tables: Seq[String], stamp: String,
-                                    version: String): Boolean = {
+  private[graft] def indexCurrent(path: String, tables: Seq[String], stamp: String,
+                                  version: String): Boolean = {
     val committed = tables.forall(t =>
       new java.io.File(s"$path/$t.parquet/_SUCCESS").exists())
     val f = stampFile(path, stamp)

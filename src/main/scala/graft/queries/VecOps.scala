@@ -116,7 +116,7 @@ object VecOps {
     transform(typedlit(probeMasksWide), m => bk.bitwiseXOR(lit(m)))
 
   /** Embeddings with per-vector norm precomputed (single scan). */
-  private[queries] def emb(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(s)
     import s.implicits._
     load(s, dir, "embeddings")
