@@ -238,6 +238,52 @@ object PipelineOps {
     },
 
     entry(
+      "mix_apply",
+      """WITH t AS (SELECT source,
+        |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM t),
+        |w AS (SELECT source, least(1.0, round(total * 1.0 / (ns * n_tokens), 4)) AS p
+        |  FROM t, g),
+        |h AS (SELECT doc_id, source,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS h1
+        |  FROM documents)
+        |SELECT h.doc_id, h.source FROM h JOIN w USING (source)
+        |WHERE h1 * 2654435761 % 1000000007 % 1000000 < p * 1000000
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Materialize the mixture mix_weights prescribes: downsample each
+      // OVERrepresented source to the uniform target share by keeping a
+      // doc iff its hash fraction clears the source's keep probability
+      // p = min(weight, 1). Underrepresented sources keep everything —
+      // sampling UP means repetition, an epoch-schedule concern, not a
+      // row filter. Same engine-independent multiplicative-hash
+      // discipline as sample_split, but through a SECOND hash round:
+      // sample_split consumes the first round's low digits, and reusing
+      // them here would correlate split membership with mixture
+      // membership (the mod-100 bucket is the mod-10⁶ bucket's low
+      // digits). p is the round(·,4) weight both engines already agree
+      // on (mix_weights is oracle-green), so the keep threshold is the
+      // identical double on both sides. Map-only at corpus scale: the
+      // per-source weights frame broadcasts, nothing else shuffles
+      // before the ordered output.
+      val docs = load(s, dir, "documents")
+      val t = docs.select($"source", size(tokens(lower($"text"))).as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
+      val w = t.crossJoin(broadcast(g))
+        .select($"source",
+          least(lit(1.0), round($"total" * lit(1.0) / ($"ns" * $"n_tokens"), 4)).as("p"))
+      val h1 = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+      docs.select($"doc_id", $"source")
+        .join(broadcast(w), "source")
+        .filter(h1 * lit(2654435761L) % lit(1000000007L) % lit(1000000L) < $"p" * lit(1000000L))
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "text_decontaminate",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
