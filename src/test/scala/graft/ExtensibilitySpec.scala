@@ -54,7 +54,7 @@ class ExtensibilitySpec extends SparkSpecBase {
   test("GraftExtensions injection builder produces working expressions") {
     // `spark.sql.extensions` is a static conf — it cannot retrofit the
     // suite's live SparkContext, so the full conf path is driven in a
-    // fresh JVM (see .claude/skills/verify). Here: the injector must
+    // fresh JVM (see the repo verify skill). Here: the injector must
     // accept the extension points, and the injected builders must
     // evaluate correctly at the catalyst level.
     import org.apache.spark.sql.SparkSessionExtensions
