@@ -77,48 +77,68 @@ case class AnnTopKRule(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
 
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, IntegerLiteral, Literal, SortOrder}
-  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Cast, Descending, Expression, GreaterThan, IntegerLiteral, Literal, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-  import org.apache.spark.sql.types.DoubleType
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
   import graft.functions.DotProduct
   import graft.queries.{IndexOps, IvfIndex, VecOps}
 
-  private val nprobe = 8
+  private def enabled: Boolean =
+    // never .toBoolean: a malformed value would throw from inside the
+    // optimizer and fail EVERY query in the session
+    spark.conf.get("spark.graft.ann.rewrite", "false").trim.equalsIgnoreCase("true")
 
+  /** The rewrite's semantic contract is "this plan IS cosineTopK's
+    * declared form" — so the matcher must validate the WHOLE subtree,
+    * not just recognize a sort-limit silhouette. An earlier draft
+    * checked only the leaf scan; a user plan with an extra predicate
+    * between Sort and scan, a transformed embedding inside dotp, a
+    * different round scale, or a reordered projection would then have
+    * been silently replaced by the unfiltered raw-emb probe. Every
+    * component is now checked (score expression, tie-break, projection
+    * list, and every operator between Sort and scan); anything
+    * unrecognized keeps the exact plan — the only safe failure mode
+    * for an approximating rewrite.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!spark.conf.get("spark.graft.ann.rewrite", "false").toBoolean) plan
+    if (!enabled) plan
     else plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(IntegerLiteral(k2), Project(_, Sort(orders, true, child, _))))
+          LocalLimit(IntegerLiteral(k2), Project(projList, Sort(orders, true, child, _))))
           if k == k2 && k > 0 =>
-        (matchScore(orders), embeddingsDir(child)) match {
-          case (Some((q, qn)), Some(dir)) if ivfCurrent(dir) =>
-            rewrite(gl, dir, q, qn, k)
-          case _ => gl
-        }
+        (for {
+          (embA, normA, idA, score, q, qn) <- matchScore(orders)
+          if validProjection(projList, idA, score)
+          if validChild(child, embA, normA)
+          dir <- embeddingsDir(child)
+          if ivfCurrent(dir)
+        } yield rewrite(gl, dir, q, qn, k)).getOrElse(gl)
     }
 
-  /** (query vector, query norm) iff the sort is the cosine-top-k shape:
-    * round(dotp(·, LIT)/(· * LIT), 6) DESC with an Ascending attribute
-    * tie-break. prettyName-based structure checks sidestep constructor
-    * arity churn across Spark versions (Divide/Multiply carry eval-mode
-    * parameters).
+  /** (emb attr, norm attr, id attr, score expr, query vector, query
+    * norm) iff the sort is EXACTLY the declared score shape:
+    * round(dotp(embAttr, LIT)/(normAttr * LIT), 6) DESC with an
+    * Ascending attribute tie-break. prettyName-based structure checks
+    * sidestep constructor arity churn across Spark versions
+    * (Divide/Multiply carry eval-mode parameters).
     */
-  private def matchScore(orders: Seq[SortOrder]): Option[(Seq[Double], Double)] =
+  private def matchScore(orders: Seq[SortOrder])
+      : Option[(AttributeReference, AttributeReference, AttributeReference,
+                Expression, Seq[Double], Double)] =
     orders match {
       case Seq(SortOrder(r, Descending, _, _),
-               SortOrder(_: AttributeReference, Ascending, _, _))
-          if r.prettyName == "round" && r.children.nonEmpty =>
-        r.children.head match {
-          case d if d.prettyName == "divide" && d.children.size == 2 =>
+               SortOrder(id: AttributeReference, Ascending, _, _))
+          if r.prettyName == "round" && r.children.size >= 2 =>
+        (r.children.head, r.children(1)) match {
+          case (d, Literal(6, IntegerType)) if d.prettyName == "divide" && d.children.size == 2 =>
             (d.children.head, d.children(1)) match {
-              case (DotProduct(_, Literal(qv: ArrayData, _)), m)
+              case (DotProduct(e: AttributeReference, Literal(qv: ArrayData, _)), m)
                   if m.prettyName == "multiply" && m.children.size == 2 =>
-                m.children(1) match {
-                  case Literal(qn, DoubleType) =>
-                    Some((qv.toDoubleArray.toSeq, qn.asInstanceOf[Double]))
+                (m.children.head, m.children(1)) match {
+                  case (n: AttributeReference, Literal(qn, DoubleType)) =>
+                    Some((e, n, id, r, qv.toDoubleArray.toSeq, qn.asInstanceOf[Double]))
                   case _ => None
                 }
               case _ => None
@@ -128,17 +148,78 @@ case class AnnTopKRule(spark: SparkSession)
       case _ => None
     }
 
+  /** The projection must be exactly (id attr, Alias(score)) — the
+    * declared output. Anything else (reordered columns, extra columns)
+    * would be silently transposed or truncated by the positional
+    * output remap in [[rewrite]].
+    */
+  private def validProjection(projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+                              idA: AttributeReference, score: Expression): Boolean =
+    projList match {
+      case Seq(p0: AttributeReference, p1: Alias) =>
+        p0.exprId == idA.exprId && p1.child.semanticEquals(score)
+      case _ => false
+    }
+
+  /** Between Sort and scan, ONLY the declared operators may appear:
+    * Projects whose aliases define embAttr as a cast of a scan column
+    * and normAttr as SQRT(dotp(embAttr, embAttr)), and Filters that are
+    * exactly the zero-norm guard. An extra user predicate or a
+    * transformed embedding fails the check and keeps the exact plan.
+    */
+  private def validChild(child: LogicalPlan, embA: AttributeReference,
+                         normA: AttributeReference): Boolean = {
+    def isSqrtSelfDot(e: Expression, requireEmb: Boolean): Boolean =
+      e.prettyName.equalsIgnoreCase("sqrt") && e.children.size == 1 &&
+        (e.children.head match {
+          case DotProduct(a, b) =>
+            a.semanticEquals(b) && (!requireEmb || (a match {
+              case ar: AttributeReference => ar.exprId == embA.exprId
+              case _ => false
+            }))
+          case _ => false
+        })
+    val nodesOk = child.collect {
+      case _: Project => true
+      case f: Filter => f.condition match {
+        // the declared zero-norm guard (possibly over the pre-alias
+        // cast form once the optimizer pushes it below the projects)
+        case GreaterThan(sq, Literal(z, DoubleType)) =>
+          z == 0.0 && isSqrtSelfDot(sq, requireEmb = false)
+        case _ => false
+      }
+      case _: LogicalRelation => true
+      case _ => false
+    }.forall(identity)
+    val aliases = child.collect { case p: Project => p.projectList }.flatten
+      .collect { case a: Alias => a }
+    def defOf(attr: AttributeReference): Option[Expression] =
+      aliases.find(_.exprId == attr.exprId).map(_.child)
+    val embOk = defOf(embA).exists {
+      case c: Cast => c.child.isInstanceOf[AttributeReference]
+      case _ => false
+    }
+    val normOk = defOf(normA).exists(isSqrtSelfDot(_, requireEmb = true))
+    nodesOk && embOk && normOk
+  }
+
   /** The corpus dir iff the subtree's only relation leaf is a parquet
     * scan of <dir>/embeddings.parquet — the guard that keeps the rule
     * off every other top-k (including its own spliced probe, whose
-    * leaves are index tables).
+    * leaves are index tables). Local paths normalize to the bare path
+    * (matching the dir strings the library's index builders use);
+    * non-local URIs keep their scheme so an object-store corpus can
+    * never alias a same-pathed local one.
     */
   private def embeddingsDir(child: LogicalPlan): Option[String] =
     child.collectLeaves() match {
       case Seq(lr: LogicalRelation) => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths match {
           case Seq(p) if p.getName == "embeddings.parquet" =>
-            Some(p.getParent.toUri.getPath)
+            val parent = p.getParent
+            val scheme = Option(parent.toUri.getScheme)
+            Some(if (scheme.forall(_ == "file")) parent.toUri.getPath
+                 else parent.toString)
           case _ => None
         }
         case _ => None
@@ -158,12 +239,11 @@ case class AnnTopKRule(spark: SparkSession)
                       k: Int): LogicalPlan = {
     VectorExprs.register(spark)
     val path = IndexOps.indexDir(dir)
-    val qlit = typedlit(q)
+    // cell selection = the shared VecOps.ivfProbe (the same definition
+    // vec_ann_ivf and ivf_index_probe run, nprobe included — the three
+    // serving paths must answer identically)
     val cents = spark.read.parquet(s"$path/ivf_centroids.parquet")
-    val probed = cents.select(col("c_id"),
-        round(call_function("dotp", col("c_emb"), qlit) / (col("c_n") * lit(qn)), 6).as("qd"),
-        qlit.as("qemb"), lit(qn).as("qnorm"))
-      .orderBy(col("qd").desc, col("c_id")).limit(nprobe)
+    val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn))
     // norm > 0 mirrors the exact form's zero-norm exclusion; the query
     // is a literal (no corpus id), so nothing is self-excluded
     val cells = spark.read.parquet(s"$path/ivf_cells.parquet").filter(col("norm") > 0)
@@ -176,7 +256,8 @@ case class AnnTopKRule(spark: SparkSession)
     // recursion: re-running this rule inside sees index-table leaves,
     // which embeddingsDir rejects.
     val optimized = spark.sessionState.optimizer.execute(analyzed)
-    Project(gl.output.zip(optimized.output).map { case (o, n) =>
+    if (gl.output.size != optimized.output.size) gl  // defensive: never truncate a schema
+    else Project(gl.output.zip(optimized.output).map { case (o, n) =>
       Alias(n, o.name)(exprId = o.exprId) }, optimized)
   }
 }

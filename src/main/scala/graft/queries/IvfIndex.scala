@@ -133,12 +133,9 @@ object IvfIndex {
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
       val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
       // qemb/qnorm ride along with the probed rows so the 1-row query
-      // subplan is referenced once (see ivfRerank)
-      val probed = cents.crossJoin(broadcast(q))
-        .select($"c_id",
-          round(call_function("dotp", $"c_emb", $"qemb") / ($"c_n" * $"qnorm"), 6).as("qd"),
-          $"qemb", $"qnorm")
-        .orderBy($"qd".desc, $"c_id").limit(8)
+      // subplan is referenced once (see ivfRerank); cell selection is
+      // the shared VecOps.ivfProbe (one copy across every consumer)
+      val probed = VecOps.ivfProbe(cents.crossJoin(broadcast(q)), $"qemb", $"qnorm")
       // nprobe=8 of K=64: the broadcast 8-row probe side dynamically
       // prunes the cells scan to those partitions (IvfSpec pins the
       // pruning in the plan); identical selection to vec_ann_ivf, whose

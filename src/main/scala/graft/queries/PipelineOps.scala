@@ -191,8 +191,19 @@ object PipelineOps {
       // add levels as needed (bucket the buckets); every stage stays
       // bounded. Integer `DIV` throughout: token offsets exceed 2^53 at
       // lake scale, where double-precision division would drift.
-      val docs = load(s, dir, "documents")
-        .select($"doc_id", size(tokens(lower($"text"))).cast("long").as("n_tokens"))
+      // token counts come from the shared memoized postings frame
+      // (n_tokens = Σtf per doc — the same derivation bm25's dl uses),
+      // not a fresh tokenize: this entry referenced the corpus-text
+      // scan twice (bucket totals + per-doc join), and the postings
+      // cache is the one-tokenize-per-session discipline of the whole
+      // quality layer. Token-LESS docs have no postings rows, but they
+      // still occupy (zero-width) positions in the packing — the
+      // doc_id-only corpus scan left-joins so they keep n_tokens = 0.
+      val nt = TextOps.termFreq(s, dir)
+        .groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
+      val docs = load(s, dir, "documents").select($"doc_id")
+        .join(nt, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_tokens", lit(0L)).as("n_tokens"))
       val t = docs.withColumn("bucket", expr("doc_id DIV 1000"))
       val boff = t.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
         .withColumn("boff", coalesce(sum($"btot").over(

@@ -263,6 +263,26 @@ object VecOps {
       .limit(k)
   }
 
+  /** The serving default for nprobe-of-K cell selection — one constant
+    * for every consumer so the paths that must answer byte-identically
+    * (vec_ann_ivf, ivf_index_probe, the AnnTopKRule rewrite) cannot
+    * drift apart on the recall/cost dial.
+    */
+  private[graft] val ivfNprobe = 8
+
+  /** Select the query's `nprobe` nearest cells from a centroid frame —
+    * THE one definition of the IVF probe's cell-selection stage
+    * (rounded cosine desc, ties on smallest c_id), shared by the
+    * in-plan entry, the persisted-index probe, and the optimizer
+    * rewrite. `qemb`/`qnorm` ride along for [[ivfRerank]].
+    */
+  private[graft] def ivfProbe(cents: DataFrame, qemb: Column, qnorm: Column,
+                              nprobe: Int = ivfNprobe): DataFrame =
+    cents.select(col("c_id"),
+        round(cosFast(col("c_emb"), qemb, col("c_n"), qnorm), 6).as("qd"),
+        qemb.as("qemb"), qnorm.as("qnorm"))
+      .orderBy(col("qd").desc, col("c_id")).limit(nprobe)
+
   /** Deterministic 64-dim feature-hash embedding of a token array —
     * the offline stand-in for the reference's sentence-transformer
     * (engine.py:70): each token adds ±1 to dim xxhash64(t) mod 64.
@@ -402,11 +422,9 @@ object VecOps {
       // structure, so true neighbors scatter across cells) measured
       // top-5 recall is 2-4/5 vs 1-2/5 at nprobe=3 (OperatorSpec pins
       // the floor); real embedding corpora cluster and recall far
-      // higher at the same nprobe.
-      val probed = cents.crossJoin(broadcast(q))
-        .select($"c_id", round(cosFast($"c_emb", $"qemb", $"c_n", $"qnorm"), 6).as("qd"),
-          $"qemb", $"qnorm")
-        .orderBy($"qd".desc, $"c_id").limit(8)
+      // higher at the same nprobe. Cell selection = the shared ivfProbe
+      // definition (one copy across every IVF consumer).
+      val probed = ivfProbe(cents.crossJoin(broadcast(q)), $"qemb", $"qnorm")
       ivfRerank(assigned, probed, 5, excludeId = lit(0))
     },
 

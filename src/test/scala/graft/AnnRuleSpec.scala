@@ -66,6 +66,44 @@ class AnnRuleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("rule refuses near-miss shapes: extra predicate or different round scale keeps the exact plan") {
+    // The matcher's contract is "this IS the declared form" — a
+    // superset match would let the rewrite silently drop a user
+    // predicate or change score precision (round-6 review finding).
+    graft.plans.AnnTopKRule.install(spark)
+    graft.queries.IvfIndex.ensureIvfIndex(spark, dir)
+    graft.functions.VectorExprs.register(spark)
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val qn = math.sqrt(q0.map(x => x * x).sum)
+      val base = graft.queries.VecOps.emb(spark, dir).filter($"norm" > 0)
+      def score(scale: Int) =
+        round(call_function("dotp", $"emb", typedlit(q0)) / ($"norm" * lit(qn)), scale)
+      // extra user predicate between the sort and the scan
+      val withPred = base.filter($"vec_id" % 2 === 0)
+        .orderBy(score(6).desc, $"vec_id")
+        .select($"vec_id", score(6).as("score")).limit(5)
+      val p1 = withPred.queryExecution.executedPlan.toString
+      assert(p1.contains("embeddings.parquet") && !p1.contains("ivf_cells"),
+        "a plan with an extra predicate must NOT be rewritten")
+      assert(withPred.as[(Long, Double)].collect().forall(_._1 % 2 == 0),
+        "the predicate must be honored")
+      // same silhouette, different score precision
+      val scale2 = base.orderBy(score(2).desc, $"vec_id")
+        .select($"vec_id", score(2).as("score")).limit(5)
+      val p2 = scale2.queryExecution.executedPlan.toString
+      assert(p2.contains("embeddings.parquet") && !p2.contains("ivf_cells"),
+        "a different round scale must NOT be rewritten")
+      // reordered projection (score first) — positional remap would
+      // transpose columns, so the matcher must refuse
+      val swapped = base.orderBy(score(6).desc, $"vec_id")
+        .select(score(6).as("score"), $"vec_id").limit(5)
+      val p3 = swapped.queryExecution.executedPlan.toString
+      assert(p3.contains("embeddings.parquet") && !p3.contains("ivf_cells"),
+        "a reordered projection must NOT be rewritten")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("opt-in but stale index stamp: rule stays off and never builds from the optimizer") {
     graft.plans.AnnTopKRule.install(spark)
     graft.queries.IvfIndex.ensureIvfIndex(spark, dir)

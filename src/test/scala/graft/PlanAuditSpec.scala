@@ -128,13 +128,27 @@ class PlanAuditSpec extends SparkSpecBase {
       "mix_apply",
       // IVF family: 1-row query / K=64 centroid broadcast sides
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental")
+    // Unpartitioned windows sort their whole input on ONE task — the
+    // single-partition pathology. The old check grepped the physical
+    // plan text for "partitionBy=[]", a string Spark 4 never prints
+    // (TreeNode.argString omits empty sequences), so it asserted
+    // nothing (round-6 review finding); the logical Window node's
+    // partitionSpec is the API-stable signal.
+    val unpartWinAllowed = Set(
+      // pack_sequences: the cumulative-bucket-offset window runs over
+      // the BUCKET TOTALS frame (one row per 1000 docs), not the
+      // corpus — the two-level prefix-sum design; its doc-level window
+      // is bucket-partitioned (asserted in OperatorSpec)
+      "pack_sequences")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = SparkEntry.queries(name)(spark, sf("sf0.001"))
-        .queryExecution.executedPlan.toString
+      val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+      val p = qe.executedPlan.toString
       val cartesian = p.contains("CartesianProduct")
       val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-      val unpartWin = p.linesIterator.exists(l =>
-        l.trim.startsWith("Window ") && l.contains("partitionBy=[]"))
+      val unpartWin = !unpartWinAllowed(name) && qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
       if (cartesian || bnlj || unpartWin)
         Some(s"$name: cartesian=$cartesian bnlj=$bnlj unpartitionedWindow=$unpartWin")
       else None
