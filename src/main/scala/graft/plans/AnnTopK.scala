@@ -179,18 +179,25 @@ case class AnnTopKRule(spark: SparkSession)
             }))
           case _ => false
         })
+    def isGuard(cond: Expression): Boolean = cond match {
+      // the declared zero-norm guard (possibly over the pre-alias
+      // cast form once the optimizer pushes it below the projects)
+      case GreaterThan(sq, Literal(z, DoubleType)) =>
+        z == 0.0 && isSqrtSelfDot(sq, requireEmb = false)
+      case _ => false
+    }
+    val filters = child.collect { case f: Filter => f.condition }
     val nodesOk = child.collect {
       case _: Project => true
-      case f: Filter => f.condition match {
-        // the declared zero-norm guard (possibly over the pre-alias
-        // cast form once the optimizer pushes it below the projects)
-        case GreaterThan(sq, Literal(z, DoubleType)) =>
-          z == 0.0 && isSqrtSelfDot(sq, requireEmb = false)
-        case _ => false
-      }
+      case f: Filter => isGuard(f.condition)
       case _: LogicalRelation => true
       case _ => false
-    }.forall(identity)
+    }.forall(identity) &&
+      // the guard must also be PRESENT, not merely the only filter kind
+      // allowed: the probe plan filters norm > 0, so rewriting a
+      // guard-less exact plan would silently drop NaN-scored zero-norm
+      // rows that the exact form ranks first
+      filters.exists(isGuard)
     val aliases = child.collect { case p: Project => p.projectList }.flatten
       .collect { case a: Alias => a }
     def defOf(attr: AttributeReference): Option[Expression] =

@@ -191,19 +191,16 @@ object PipelineOps {
       // add levels as needed (bucket the buckets); every stage stays
       // bounded. Integer `DIV` throughout: token offsets exceed 2^53 at
       // lake scale, where double-precision division would drift.
-      // token counts come from the shared memoized postings frame
-      // (n_tokens = Σtf per doc — the same derivation bm25's dl uses),
-      // not a fresh tokenize: this entry referenced the corpus-text
-      // scan twice (bucket totals + per-doc join), and the postings
-      // cache is the one-tokenize-per-session discipline of the whole
-      // quality layer. Token-LESS docs have no postings rows, but they
-      // still occupy (zero-width) positions in the packing — the
-      // doc_id-only corpus scan left-joins so they keep n_tokens = 0.
-      val nt = TextOps.termFreq(s, dir)
-        .groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
-      val docs = load(s, dir, "documents").select($"doc_id")
-        .join(nt, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+      // token counts come from the shared memoized tokenized frame
+      // (the same cache layer postings/grams/signatures derive from):
+      // size(toks) is a map-only projection of the persisted blocks —
+      // no fresh tokenize, no shuffle, no join — and token-less docs
+      // keep their zero-width packing position as size = 0. (A first
+      // draft summed the postings frame's tf per doc: that re-shuffled
+      // the exploded frame and joined it back, twice, for a number the
+      // un-exploded frame already holds.)
+      val docs = TextOps.docTokens(s, dir)
+        .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
       val t = docs.withColumn("bucket", expr("doc_id DIV 1000"))
       val boff = t.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
         .withColumn("boff", coalesce(sum($"btot").over(

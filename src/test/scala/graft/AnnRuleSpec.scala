@@ -101,6 +101,15 @@ class AnnRuleSpec extends SparkSpecBase {
       val p3 = swapped.queryExecution.executedPlan.toString
       assert(p3.contains("embeddings.parquet") && !p3.contains("ivf_cells"),
         "a reordered projection must NOT be rewritten")
+      // MISSING zero-norm guard: the probe filters norm > 0, so
+      // rewriting a guard-less exact plan would silently drop the
+      // NaN-scored zero-norm rows the exact form ranks first
+      val noGuard = graft.queries.VecOps.emb(spark, dir)
+        .orderBy(score(6).desc, $"vec_id")
+        .select($"vec_id", score(6).as("score")).limit(5)
+      val p4 = noGuard.queryExecution.executedPlan.toString
+      assert(p4.contains("embeddings.parquet") && !p4.contains("ivf_cells"),
+        "a plan without the zero-norm guard must NOT be rewritten")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
