@@ -52,9 +52,14 @@ object Bench {
       // same failure convention as timed(): -1, never elapsed-until-crash
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    //  - setup_persisted_indexes: sim/vec/IVF lake indexes ensured
+    //    current — a COLD lake (fresh checkout, version bump) pays its
+    //    index builds here, named, instead of inside whichever probe
+    //    entry runs first; probe timings stay warm serving marginals.
     val setups = Seq(
       setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) },
-      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) })
+      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) },
+      setupStep("setup_persisted_indexes") { queries.IndexOps.warmPersistedIndexes(spark, sfDir) })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val m = math.min(timed(fn), timed(fn))
       name -> (if (m.isInfinity) -1.0 else m)

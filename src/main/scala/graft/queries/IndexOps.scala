@@ -17,22 +17,40 @@ import graft.functions.VectorExprs
   *                            minhash rows; TextOps.bandHashes)
   *
   * and the probe entry answers a query by (1) signing ONLY the 1-row
-  * query side, (2) an equi-join on (band, bh) against the persisted
-  * bands — the probe plan contains a parquet scan of the index and NO
-  * corpus-wide signature recompute — and (3) exact Jaccard re-rank of
-  * the bucket-bounded candidates via the persisted tids.
+  * query side, (2) turning its 16 (band, bh) pairs into LITERAL point
+  * predicates on the persisted bands table — the probe plan contains a
+  * pruned parquet scan of the index and NO corpus-wide signature
+  * recompute — and (3) exact Jaccard re-rank of the bucket-bounded
+  * candidates via the persisted tids.
   *
   * Scale notes (100 TB): the build is the same one-pass signature
-  * pipeline as dedup (bounded by distinct sets); the probe touches
-  * O(buckets hit) index rows, and with the bands table bucketed/
-  * partitioned by `bh` a real cluster serves probes with partition
-  * pruning instead of a full index scan. Index location is keyed by the
-  * source dir, so sf0.01 and sf0.1 never share an index.
+  * pipeline as dedup (bounded by distinct sets); the bands table is
+  * written range-partitioned and sorted by (band, bh), so the
+  * single-query probe's literal (band, bh) point predicates push into
+  * the parquet scan in full and row-group stats skip everything
+  * outside the 16 probed buckets — O(row groups hit), independent of
+  * index size. `band` is deliberately a DATA column, not a partition
+  * dir: every probe touches all 16 bands, so band-dir pruning can
+  * never eliminate anything, while dir-partitioning makes Spark bolt a
+  * dynamic-partition-pruning subquery onto the batch-join paths (a
+  * duplicated probe-side scan for a filter that prunes nothing) and
+  * splits the mixed (band, bh) predicate so neither half reaches the
+  * scan. On a cluster, registering this same sorted layout with a
+  * table format adds file-level min/max skipping on top — the layout
+  * already supports it. Batch probes (the incremental entries, the
+  * admission gates) keep the equi-join form: their probe side covers
+  * many buckets, so a bounded shuffle join is the right shape. Index
+  * location is keyed by the source dir, so sf0.01 and sf0.1 never
+  * share an index.
   */
 object IndexOps {
 
-  /** Lake location of the index for a given source dir (kept under the
-    * build's target/ so local runs never write outside the repo).
+  /** Lake location of the index for a given source dir. Deliberately
+    * NOT under target/: `sbt clean` wiping the serving indexes is how
+    * round 6's bench paid cold rebuilds inside probe timings. The lake
+    * is build-once/serve-many state, so it lives beside the build
+    * products, not among them (still inside the repo so local runs
+    * never write outside it; gitignored).
     *
     * `ns` separates independently-grown index NAMESPACES over the same
     * corpus: the oracled batch entries probe the pristine corpus index
@@ -41,7 +59,7 @@ object IndexOps {
     * must never change what the documents-only SQL oracles see.
     */
   private[graft] def indexDir(dir: String, ns: String = ""): String =
-    "target/simindex/" +
+    "lake/simindex/" +
       (dir + (if (ns.isEmpty) "" else "@" + ns)).replaceAll("[^A-Za-z0-9.]+", "_")
 
   /** Signature-logic fingerprints, persisted beside each index and
@@ -66,6 +84,19 @@ object IndexOps {
     java.nio.file.Files.write(f.toPath, v.getBytes("UTF-8"))
   }
 
+  /** Invalidate a family's stamp — the FIRST step of every rebuild
+    * path. A rebuild can be triggered while the stamp is still current
+    * (e.g. a crashed compaction swap deleted a table's _SUCCESS): if
+    * the rebuild then crashes mid-recovery, a stamp left in place would
+    * make the half-recovered index read as servable and silently drop
+    * admission history. Deleting the stamp up front means the index is
+    * non-current from the moment a rebuild starts until tables +
+    * recovery + writeStamp all complete.
+    */
+  private[graft] def clearStamp(path: String, table: String): Unit = {
+    stampFile(path, table).delete(); ()
+  }
+
   /** An index table is servable iff its parquet commit marker exists
     * (a crashed build leaves no _SUCCESS) AND its version stamp matches
     * the running code's signature semantics.
@@ -81,7 +112,25 @@ object IndexOps {
 
   /** Build (overwrite) the persisted index for `dir`; returns its path. */
   private[queries] def buildIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val path = buildIndexUnstamped(s, dir, ns)
+    // stamp AFTER both tables commit: a build that dies mid-way leaves a
+    // missing stamp and the next ensureIndex rebuilds
+    writeStamp(path, "sim", simIndexVersion)
+    path
+  }
+
+  /** [[buildIndex]] WITHOUT the final stamp — the rebuild-with-recovery
+    * path: the stamp is INVALIDATED first (see [[clearStamp]] — a
+    * rebuild can start while an old stamp is still current), tables
+    * land, the caller's recovery (re-appending a gate's admitted
+    * history) runs, and only then does [[ensureIndexStatus]] stamp. A
+    * crash anywhere before the stamp leaves the index non-current, so
+    * the next use rebuilds AND re-recovers instead of serving a
+    * corpus-only index that silently forgot its admissions.
+    */
+  private def buildIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
     val path = indexDir(dir, ns)
+    clearStamp(path, "sim")
     // the session-memoized signature frame: both written tables derive
     // from it, and it is SHARED with the in-plan dedup family — one
     // signature pipeline per session regardless of which consumer runs
@@ -90,28 +139,16 @@ object IndexOps {
     val sig = TextOps.signatureTableCached(s, dir)
     sig.select(col("sid"), col("ids"), col("tids"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    // the probe-serving layout: rows range-partitioned and sorted by
+    // (band, bh), so a probe's literal point predicates skip every row
+    // group whose [min,max] range misses the probed buckets (see the
+    // object doc for why this is a sort, not a partitionBy). File count
+    // scales with the range-partition count, never tasks × bands.
     sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
-    // stamp AFTER both tables commit: a build that dies mid-way leaves a
-    // missing/old stamp and the next ensureIndex rebuilds
-    writeStamp(path, "sim", simIndexVersion)
-    path
-  }
-
-  /** [[buildIndex]] WITHOUT the final stamp — the rebuild-with-recovery
-    * path: tables land, the caller's recovery (re-appending a gate's
-    * admitted history) runs, and only then does [[ensureIndexStatus]]
-    * stamp. A crash anywhere before the stamp leaves the index
-    * non-current, so the next use rebuilds AND re-recovers instead of
-    * serving a corpus-only index that silently forgot its admissions.
-    */
-  private def buildIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
-    val path = indexDir(dir, ns)
-    val sig = TextOps.signatureTableCached(s, dir)
-    sig.select(col("sid"), col("ids"), col("tids"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
-    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands.parquet")
+      .repartitionByRange(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/bands.parquet")
     path
   }
 
@@ -179,12 +216,23 @@ object IndexOps {
       "labels" -> Seq("labels"))
     val version = Map("sim" -> simIndexVersion, "vec" -> vecIndexVersion,
       "labels" -> TextOps.labelsVersion)
+    // the band tables carry the probe-serving layout ((band, bucket)-
+    // sorted row groups) — their rewrite must preserve it, like the
+    // IVF cells rewrite below; the flat tables round-robin to nFiles
+    val sortKey = Map("bands" -> "bh", "vec_bands" -> "bk")
     for {
       (stamp, tables) <- flat
       if indexCurrent(path, tables, stamp, version(stamp))
       t <- tables
     } graft.sources.Ingest.stageAndSwap(
-        s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles), path, t)
+        sortKey.get(t) match {
+          case Some(k) =>
+            s.read.parquet(s"$path/$t.parquet").distinct()
+              .repartitionByRange(nFiles, col("band"), col(k))
+              .sortWithinPartitions(col("band"), col(k))
+          case None =>
+            s.read.parquet(s"$path/$t.parquet").distinct().repartition(nFiles)
+        }, path, t)
     // the IVF cells table is CELL-PARTITIONED (one dir per c_id) and
     // appendToIvfIndex adds one file per touched cell per batch — the
     // same small-file growth, but compaction must preserve the layout:
@@ -196,6 +244,20 @@ object IndexOps {
         s.read.parquet(s"$path/ivf_cells.parquet").distinct()
           .repartition(col("c_id")),
         path, "ivf_cells", partitionBy = Seq("c_id"))
+  }
+
+  /** Ensure every persisted index family for `dir` is built and
+    * current — the bench's third named setup step. A cold lake (fresh
+    * checkout, first run after a version bump) pays its index builds
+    * HERE, attributed to one named line, instead of inside whichever
+    * probe entry happens to run first — probe timings are then always
+    * the warm serving marginal they claim to be.
+    */
+  private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit = {
+    ensureIndex(s, dir)
+    ensureVecIndex(s, dir)
+    IvfIndex.ensureIvfIndex(s, dir)
+    ()
   }
 
   val entries: Seq[Entry] = Seq(
@@ -240,36 +302,60 @@ object IndexOps {
       import s.implicits._
       VectorExprs.register(s)
       val path = ensureIndex(s, dir)
-      // Query = doc 0's text (pushed-down single-row read — the ONLY
-      // touch of the corpus table; guarantees a non-vacuous result:
-      // the probe always finds at least its own set at jaccard 1).
-      val q = load(s, dir, "documents")
+      // Sign the 1-row query CLIENT-SIDE (a bounded 1-row collect — the
+      // serving shape: a query's signature is computed by the client,
+      // like the reference computing the query embedding before asking
+      // the index, engine.py:95-98). The payoff is the scan below: the
+      // 16 (band, bh) pairs become LITERAL point predicates, so the
+      // band-partitioned, bh-sorted index scan prunes to 16 dirs and
+      // row-group-skips inside them — a join form cannot push these and
+      // would scan the whole bands table at every probe.
+      val qrows = load(s, dir, "documents")
         .filter($"doc_id" === 0)
-        .select(array_sort(array_distinct(tokens(lower($"text")))).as("toks"))
-        .select(array_sort(transform($"toks", t => xxhash64(t))).as("qtids"))
-        // a token-less query doc would make jaccard 0/0 (null) and the
-        // probe vacuously empty — mirror the incremental entry's guard
-        // rather than depend on the fixture's doc 0 being non-empty
+        .select(array_sort(transform(array_distinct(tokens(lower($"text"))),
+          t => xxhash64(t))).as("qtids"))
+        // a token-less query doc has no signature and jaccard 0/0 —
+        // declared empty, mirroring the incremental entry's guard
         .filter(size($"qtids") > 0)
-        .withColumn("bands", TextOps.bandHashes(call_function("minhash64", $"qtids")))
-      // qtids rides along with the band rows so the 1-row query subplan
-      // is referenced ONCE — a second reference would re-scan documents
-      val qBands = q.select(posexplode($"bands").as(Seq("band", "bh")), $"qtids")
-      val cand = s.read.parquet(s"$path/bands.parquet")
-        .join(broadcast(qBands), Seq("band", "bh"))
-        .select($"sid", $"qtids").distinct()
-      val sets = s.read.parquet(s"$path/sets.parquet")
-      val inter = call_function("sorted_long_intersect_size", $"tids", $"qtids").cast("double")
-      val jac   = inter / (size($"tids") + size($"qtids") - inter)
-      cand.join(sets, "sid")
-        .filter(jac >= 0.9)
-        .select(explode($"ids").as("doc_id"), round(jac, 4).as("jaccard"))
-        // a replay-duplicated index row (k copies of a sid in
-        // sets.parquet) would otherwise multiply its matches k× — the
-        // duplicates are byte-identical and each doc_id belongs to
-        // exactly one set, so distinct() restores exactly-once rows
-        .distinct()
-        .orderBy($"jaccard".desc, $"doc_id")
+        .select($"qtids",
+          TextOps.bandHashes(call_function("minhash64", $"qtids")).as("bands"))
+        .collect()
+      if (qrows.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      else {
+        val qtids = qrows.head.getSeq[Long](0)
+        val qbands = qrows.head.getSeq[Long](1)
+        // one OR-of-16 point predicate over two DATA columns — pushed
+        // into the parquet scan in full, where (band, bh)-sorted row
+        // groups stat-skip everything outside the 16 probed buckets:
+        // the probe reads O(row groups hit), not O(index)
+        val probePred = qbands.zipWithIndex
+          .map { case (h, b) => $"band" === b && $"bh" === h }
+          .reduce(_ || _)
+        val cand = s.read.parquet(s"$path/bands.parquet")
+          .filter(probePred)
+          // skinny distinct: sid only — replay-duplicated band rows and
+          // multi-band collisions collapse before the sets join
+          .select($"sid").distinct()
+        val sets = s.read.parquet(s"$path/sets.parquet")
+        val qt = typedlit(qtids)
+        val inter = call_function("sorted_long_intersect_size", $"tids", qt).cast("double")
+        val jac   = inter / (size($"tids") + lit(qtids.length) - inter)
+        cand.join(sets, "sid")
+          .filter(jac >= 0.9)
+          .select(explode($"ids").as("doc_id"), round(jac, 4).as("jaccard"))
+          // a replay-duplicated index row (k copies of a sid in
+          // sets.parquet) would otherwise multiply its matches k× — the
+          // duplicates are byte-identical and each doc_id belongs to
+          // exactly one set, so distinct() restores exactly-once rows
+          .distinct()
+          .orderBy($"jaccard".desc, $"doc_id")
+      }
     },
 
     // ORACLED (round 5): exact batch-vs-corpus Jaccard pairs — sound for
@@ -329,10 +415,13 @@ object IndexOps {
       import s.implicits._
       VectorExprs.register(s)
       val path = ensureVecIndex(s, dir)
-      // Query = vector 0 (pushed-down single-row read of the corpus
-      // table — its only appearance in the probe plan); band keys ride
-      // along so the 1-row subplan is referenced once.
-      val q = load(s, dir, "embeddings")
+      // Sign the 1-row query CLIENT-SIDE (bounded 1-row collect — the
+      // sim_index_probe pattern): the Hamming-≤3 multi-probe ring is
+      // expanded driver-side into 4 × 697 literal bucket keys, pushed
+      // as band-dir pruning + an In(bk, …) filter on the bk-sorted
+      // index. The stored index keeps one row per (vector, band); a
+      // join form would scan all of it per probe.
+      val qrows = load(s, dir, "embeddings")
         .filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>").as("qemb"))
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
@@ -340,20 +429,40 @@ object IndexOps {
         // result, not NaN scores that sort above every real neighbor
         .filter($"qnorm" > 0)
         .withColumn("bands", VecOps.lshBandKeys($"qemb"))
-      // Hamming-≤3 multi-probe: the 1-row query expands to 4×697 probe
-      // keys (still a trivial broadcast); the stored index keeps one row
-      // per (vector, band). See VecOps.probeMasksWide.
-      val qBands = q.select(posexplode($"bands").as(Seq("band", "bk")), $"qemb", $"qnorm")
-        .select($"band", explode(VecOps.probeKeysWide($"bk")).as("bk"), $"qemb", $"qnorm")
-      val cand = s.read.parquet(s"$path/vec_bands.parquet")
-        .join(broadcast(qBands), Seq("band", "bk"))
-        .filter($"vec_id" =!= 0)
-        .select($"vec_id", $"qemb", $"qnorm").distinct()
-      cand.join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
-        .select($"vec_id",
-          round(call_function("dotp", $"emb", $"qemb") / ($"norm" * $"qnorm"), 6).as("score"))
-        .orderBy($"score".desc, $"vec_id")
-        .limit(5)
+        .collect()
+      if (qrows.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType))))
+      else {
+        val qemb  = qrows.head.getSeq[Double](0)
+        val qnorm = qrows.head.getDouble(1)
+        val qkeys = qrows.head.getSeq[Long](2)
+        // the default In-pushdown threshold (10) would rewrite the
+        // 697-key ring sets into useless [min,max] range checks — raise
+        // it so the full key lists reach the parquet row-group filter
+        s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+        // OR-of-4 band predicates, each carrying its Hamming-≤3 ring as
+        // a literal In(bk, 697 keys) — all data columns, pushed whole
+        // (see sim_index_probe / the object doc for the layout story)
+        val probePred = qkeys.zipWithIndex.map { case (k, b) =>
+          $"band" === b &&
+            $"bk".isInCollection(VecOps.probeMasksWide.map(_ ^ k))
+        }.reduce(_ || _)
+        val cand = s.read.parquet(s"$path/vec_bands.parquet")
+          .filter(probePred)
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id").distinct()
+        val qe = typedlit(qemb)
+        cand.join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+          .select($"vec_id",
+            round(call_function("dotp", $"emb", qe) / ($"norm" * qnorm), 6).as("score"))
+          .orderBy($"score".desc, $"vec_id")
+          .limit(5)
+      }
     },
 
     entryNoOracle("vec_index_incremental") { (s, dir) =>
@@ -530,6 +639,9 @@ object IndexOps {
     signed.select(col("b_doc").as("sid"), array(col("b_doc")).as("ids"),
         col("btids").as("tids"))
       .write.mode(SaveMode.Append).parquet(s"$path/sets.parquet")
+    // appends add small unsorted files; a probe's pushed predicates
+    // still evaluate against their row-group stats (just with weaker
+    // skipping on the fresh tail) until compaction re-sorts them
     signed.select(col("b_doc").as("sid"),
         posexplode(col("bands")).as(Seq("band", "bh")))
       .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
@@ -543,17 +655,24 @@ object IndexOps {
   }
 
   /** Tables-only build — see [[buildIndexUnstamped]] for why the stamp
-    * is withheld on the rebuild-with-recovery path.
+    * is invalidated first and withheld on the rebuild-with-recovery
+    * path.
     */
   private def buildVecIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
     val path = indexDir(dir, ns)
+    clearStamp(path, "vec")
     VecOps.emb(s, dir).select(col("vec_id"), col("emb"), col("norm"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
     // band rows come from the session-memoized signature frame — shared
     // with the in-plan LSH join, so signatures are computed once per
-    // session no matter which consumer runs first (and can never drift)
+    // session no matter which consumer runs first (and can never drift).
+    // Same probe-serving layout as the sim bands: (band, bk)-sorted row
+    // groups, so the literal multi-probe predicates stat-skip.
     VecOps.bandedSigs(s, dir)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/vec_bands.parquet")
+      .repartitionByRange(col("band"), col("bk"))
+      .sortWithinPartitions(col("band"), col("bk"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/vec_bands.parquet")
     path
   }
 

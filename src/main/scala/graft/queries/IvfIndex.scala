@@ -45,6 +45,12 @@ object IvfIndex {
 
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
+    // invalidate FIRST (IndexOps.clearStamp): a rebuild can start while
+    // an old stamp is still current (e.g. crashed compaction swap); a
+    // crash between the cells overwrite and the re-stamp must leave the
+    // index non-current, not serving a rebuilt-base that silently
+    // dropped appended vectors
+    IndexOps.clearStamp(path, "ivf")
     val (cents, assigned) = VecOps.kmeansCells(s, dir)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids.parquet")
     // one parquet partition per cell: nprobe-cell probes become

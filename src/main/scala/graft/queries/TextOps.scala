@@ -384,6 +384,11 @@ object TextOps {
     val singles = (d: org.apache.spark.sql.DataFrame) =>
       d.select(col("doc_id"), col("doc_id").as("label"))
     if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", labelsVersion)) {
+      // invalidate FIRST (IndexOps.clearStamp): the reseed can be
+      // triggered while an old stamp is still current (crashed
+      // compaction swap); a crash between the base overwrite and the
+      // lake recovery must leave the artifact non-current
+      IndexOps.clearStamp(path, "labels")
       clusterLabels(s, dir)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/labels.parquet")

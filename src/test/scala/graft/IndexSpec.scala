@@ -220,6 +220,59 @@ class IndexSpec extends SparkSpecBase {
     assert(recovered == 1, "recovery append must be visible in the rebuilt index")
   }
 
+  test("single-query probes push literal bucket predicates into the sorted index scan") {
+    SparkEntry.queries("sim_index_build")(spark, dir).collect()
+    SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    // The serving contract: the probe's (band, bucket) point predicates
+    // reach the parquet scan as PUSHED filters (the (band, bh)-sorted
+    // row groups then stat-skip everything outside the probed buckets),
+    // and the index scans carry NO dynamic-pruning subquery that would
+    // duplicate the query-side subtree.
+    val simPlan = SparkEntry.queries("sim_index_probe")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(simPlan.contains("And(EqualTo(band,0),EqualTo(bh,") &&
+      "EqualTo\\(band,".r.findAllIn(simPlan).length >= 16,
+      s"sim probe must push all 16 (band, bh) point predicates:\n" +
+        simPlan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    val vecPlan = SparkEntry.queries("vec_index_probe")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("And\\(EqualTo\\(band,0\\),\\s*In\\(bk,".r.findFirstIn(vecPlan).isDefined &&
+      "EqualTo\\(band,".r.findAllIn(vecPlan).length >= 4,
+      s"vec probe must push the per-band multi-probe ring In(bk, …) filters:\n" +
+        vecPlan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    for ((p, n) <- Seq((simPlan, "sim"), (vecPlan, "vec")))
+      assert(!p.contains("dynamicpruning"), s"$n probe scan must not need DPP")
+  }
+
+  test("rebuild triggered under a CURRENT stamp invalidates it before recovery (crash-durability)") {
+    // The round-6 ADVICE hole: a rebuild can be triggered while the
+    // version stamp is still current (here: a table's _SUCCESS lost to
+    // a crashed compaction swap). If recovery then crashes, the stamp
+    // left in place would make the base-only index read as servable and
+    // silently drop admission history — the stamp must be invalidated
+    // the moment the rebuild starts.
+    val ns = "crashspec2"
+    val path = graft.queries.IndexOps.indexDir(dir, ns)
+    graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+    val stamp = new java.io.File(s"$path/sim.version")
+    assert(stamp.exists(), "seed build must stamp")
+    val success = new java.io.File(s"$path/sets.parquet/_SUCCESS")
+    assert(success.delete(), "fixture: simulate a crashed compaction swap")
+    intercept[RuntimeException] {
+      graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns,
+        recover = _ => throw new RuntimeException("simulated crash mid-recovery"))
+    }
+    assert(!stamp.exists() ||
+      new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+        != graft.queries.IndexOps.simIndexVersion,
+      "crashed recovery after a _SUCCESS-triggered rebuild left a CURRENT stamp")
+    // and the next ensure rebuilds + recovers to a servable state
+    val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+    assert(rebuilt, "post-crash ensure must rebuild")
+    assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      == graft.queries.IndexOps.simIndexVersion)
+  }
+
   test("compaction never re-stamps a family it did not validate (no stale-stamp laundering)") {
     val ns = "compactspec"
     val path = graft.queries.IndexOps.indexDir(dir, ns)
