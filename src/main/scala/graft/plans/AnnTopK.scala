@@ -31,17 +31,44 @@ object AnnTopK {
     * BEFORE ranking — the repo-wide determinism convention, and what
     * makes the exact and rewritten plans comparable.
     */
-  def cosineTopK(s: SparkSession, dir: String, q: Seq[Double], k: Int): DataFrame = {
+  def cosineTopK(s: SparkSession, dir: String, q: Seq[Double], k: Int): DataFrame =
+    cosineTopKWhere(s, dir, q, k, Nil)
+
+  /** [[cosineTopK]] restricted to corpus vectors matching every
+    * (column = value) equality in `where` — the FILTERED ANN form
+    * (e.g. top-k among `label = 3`). Exact semantics: filter first,
+    * then rank. The optimizer rewrite recognizes this shape too: the
+    * persisted cells carry the corpus's metadata columns, so the
+    * equalities become residual predicates INSIDE the pruned index
+    * scan (with a widened probe ring to offset the filtered per-cell
+    * yield), never a join back to the corpus.
+    */
+  def cosineTopKWhere(s: SparkSession, dir: String, q: Seq[Double], k: Int,
+                      where: Seq[(String, Any)]): DataFrame = {
     VectorExprs.register(s)
     import s.implicits._
     val qn = math.sqrt(q.map(x => x * x).sum)
-    val score: Column =
-      round(call_function("dotp", $"emb", typedlit(q)) / ($"norm" * lit(qn)), 6)
-    graft.queries.VecOps.emb(s, dir)
-      .filter($"norm" > 0)
-      .orderBy(score.desc, $"vec_id")
-      .select($"vec_id", score.as("score"))
-      .limit(k)
+    // a zero-norm query has no defined cosine: declared EMPTY (the
+    // vec_index_probe contract), never NaN scores — which would rank
+    // every row equal-first in the exact plan while the rewritten probe
+    // visits 8 arbitrary cells: the one input where the two plans the
+    // rule treats as interchangeable would diverge structurally
+    if (qn == 0)
+      graft.queries.VecOps.emb(s, dir)
+        .filter(lit(false))
+        .select($"vec_id", lit(0.0).as("score"))
+        .limit(k)
+    else {
+      val score: Column =
+        round(call_function("dotp", $"emb", typedlit(q)) / ($"norm" * lit(qn)), 6)
+      where.foldLeft(graft.queries.VecOps.emb(s, dir)) {
+          case (d, (c, v)) => d.filter(col(c) === lit(v))
+        }
+        .filter($"norm" > 0)
+        .orderBy(score.desc, $"vec_id")
+        .select($"vec_id", score.as("score"))
+        .limit(k)
+    }
   }
 }
 
@@ -56,7 +83,12 @@ object AnnTopK {
   *
   * into the persisted IVF probe (nprobe=8 nearest cells of the K=64
   * quantizer, exact re-rank — the ivf_index_probe plan with the query
-  * literal lifted straight out of the Sort expression). Fires only when
+  * literal lifted straight out of the Sort expression). The FILTERED
+  * form — (scan column = literal) equalities between Sort and scan,
+  * [[AnnTopK.cosineTopKWhere]] — rewrites too: the cells store the
+  * corpus metadata columns, so each equality becomes a residual
+  * predicate inside the pruned index scan, with the probe ring widened
+  * to 2x nprobe to offset the filtered per-cell yield. Fires only when
   * BOTH hold, else leaves the exact plan untouched:
   *
   *  - `spark.graft.ann.rewrite` = true (explicit session opt-in: the
@@ -77,7 +109,7 @@ case class AnnTopKRule(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
 
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Cast, Descending, Expression, GreaterThan, IntegerLiteral, Literal, SortOrder}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Cast, Descending, EqualTo, Expression, GreaterThan, IntegerLiteral, Literal, SortOrder}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -111,10 +143,30 @@ case class AnnTopKRule(spark: SparkSession)
         (for {
           (embA, normA, idA, score, q, qn) <- matchScore(orders)
           if validProjection(projList, idA, score)
-          if validChild(child, embA, normA)
+          residuals <- validChild(child, embA, normA)
           dir <- embeddingsDir(child)
           if ivfCurrent(dir)
-        } yield rewrite(gl, dir, q, qn, k)).getOrElse(gl)
+          // the query norm the matcher lifted must be a usable divisor:
+          // a zero/NaN/Inf qn literal means the exact plan is scoring
+          // NaN — there is no "equivalent" probe for that, keep it
+          if java.lang.Double.isFinite(qn) && qn > 0
+        } yield rewriteSafe(gl, dir, q, qn, k, residuals)).getOrElse(gl)
+    }
+
+  /** The rule's contract is "anything unrecognized keeps the exact
+    * plan" — that must include failures of the rewrite itself.
+    * ivfCurrent is a file-existence check, and a concurrent compaction
+    * stage-and-swap can remove an index table between that check and
+    * the spark.read at plan time; an exception here would otherwise
+    * fail the whole query when a correct (exact) plan is in hand.
+    */
+  private def rewriteSafe(gl: GlobalLimit, dir: String, q: Seq[Double], qn: Double,
+                          k: Int, residuals: Seq[(String, Option[Literal])]): LogicalPlan =
+    try rewrite(gl, dir, q, qn, k, residuals)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"ANN rewrite failed for $dir; keeping the exact plan", e)
+        gl
     }
 
   /** (emb attr, norm attr, id attr, score expr, query vector, query
@@ -163,12 +215,16 @@ case class AnnTopKRule(spark: SparkSession)
 
   /** Between Sort and scan, ONLY the declared operators may appear:
     * Projects whose aliases define embAttr as a cast of a scan column
-    * and normAttr as SQRT(dotp(embAttr, embAttr)), and Filters that are
-    * exactly the zero-norm guard. An extra user predicate or a
-    * transformed embedding fails the check and keeps the exact plan.
+    * and normAttr as SQRT(dotp(embAttr, embAttr)), and Filters whose
+    * every conjunct is either the zero-norm guard or a (scan column =
+    * literal) equality — the declared filtered form. Returns the
+    * residual equalities as (column name, literal) iff the subtree IS
+    * the declared shape (possibly empty: the unfiltered form); None —
+    * an unrecognized predicate, a transformed embedding, a missing
+    * guard — keeps the exact plan.
     */
   private def validChild(child: LogicalPlan, embA: AttributeReference,
-                         normA: AttributeReference): Boolean = {
+                         normA: AttributeReference): Option[Seq[(String, Option[Literal])]] = {
     def isSqrtSelfDot(e: Expression, requireEmb: Boolean): Boolean =
       e.prettyName.equalsIgnoreCase("sqrt") && e.children.size == 1 &&
         (e.children.head match {
@@ -186,18 +242,42 @@ case class AnnTopKRule(spark: SparkSession)
         z == 0.0 && isSqrtSelfDot(sq, requireEmb = false)
       case _ => false
     }
-    val filters = child.collect { case f: Filter => f.condition }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // residuals must be equalities on RAW SCAN columns — an attribute
+    // defined by an alias (a computed column) is not re-evaluable
+    // against the index's stored metadata
+    val scanOut = child.collect { case lr: LogicalRelation => lr.output }
+      .flatten.map(_.exprId).toSet
+    val allConj = child.collect { case f: Filter => conjuncts(f.condition) }.flatten
+    val (guards, rest) = allConj.partition(isGuard)
+    val residuals = rest.map {
+      case EqualTo(a: AttributeReference, l: Literal) if scanOut(a.exprId) =>
+        Some((a.name, Some(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if scanOut(a.exprId) =>
+        Some((a.name, Some(l)))
+      // the optimizer infers IsNotNull from every null-intolerant
+      // equality — and a bare user .isNotNull is itself re-evaluable
+      // against the stored metadata, so both forms carry over
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference)
+          if scanOut(a.exprId) =>
+        Some((a.name, None))
+      case _ => None
+    }
     val nodesOk = child.collect {
       case _: Project => true
-      case f: Filter => isGuard(f.condition)
+      case _: Filter => true // every conjunct is validated above
       case _: LogicalRelation => true
       case _ => false
     }.forall(identity) &&
-      // the guard must also be PRESENT, not merely the only filter kind
-      // allowed: the probe plan filters norm > 0, so rewriting a
-      // guard-less exact plan would silently drop NaN-scored zero-norm
-      // rows that the exact form ranks first
-      filters.exists(isGuard)
+      // the guard must be PRESENT, not merely allowed: the probe plan
+      // filters norm > 0, so rewriting a guard-less exact plan would
+      // silently drop NaN-scored zero-norm rows that the exact form
+      // ranks first
+      guards.nonEmpty
     val aliases = child.collect { case p: Project => p.projectList }.flatten
       .collect { case a: Alias => a }
     def defOf(attr: AttributeReference): Option[Expression] =
@@ -207,7 +287,9 @@ case class AnnTopKRule(spark: SparkSession)
       case _ => false
     }
     val normOk = defOf(normA).exists(isSqrtSelfDot(_, requireEmb = true))
-    nodesOk && embOk && normOk
+    if (nodesOk && embOk && normOk && residuals.forall(_.isDefined))
+      Some(residuals.flatten)
+    else None
   }
 
   /** The corpus dir iff the subtree's only relation leaf is a parquet
@@ -243,17 +325,34 @@ case class AnnTopKRule(spark: SparkSession)
     * original output attribute ids so parent references stay bound.
     */
   private def rewrite(gl: GlobalLimit, dir: String, q: Seq[Double], qn: Double,
-                      k: Int): LogicalPlan = {
+                      k: Int, residuals: Seq[(String, Option[Literal])]): LogicalPlan = {
     VectorExprs.register(spark)
     val path = IndexOps.indexDir(dir)
+    val cellsRaw = spark.read.parquet(s"$path/ivf_cells.parquet")
+    // every residual column must be stored in the index (an index built
+    // before the corpus gained the column cannot evaluate it) — else
+    // the exact plan stands
+    if (!residuals.forall { case (n, _) => cellsRaw.columns.contains(n) }) return gl
     // cell selection = the shared VecOps.ivfProbe (the same definition
-    // vec_ann_ivf and ivf_index_probe run, nprobe included — the three
-    // serving paths must answer identically)
+    // vec_ann_ivf and ivf_index_probe run — the serving paths must
+    // answer identically). A FILTERED probe widens the ring to 2x
+    // nprobe (capped at K): the residual cuts each cell's yield, and
+    // the extra cells are pruned partitions, not corpus scans — the
+    // k-preserving over-fetch dial.
+    val nprobe = if (residuals.isEmpty) VecOps.ivfNprobe
+                 else math.min(64, VecOps.ivfNprobe * 2)
     val cents = spark.read.parquet(s"$path/ivf_centroids.parquet")
-    val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn))
+    val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn), nprobe)
     // norm > 0 mirrors the exact form's zero-norm exclusion; the query
-    // is a literal (no corpus id), so nothing is self-excluded
-    val cells = spark.read.parquet(s"$path/ivf_cells.parquet").filter(col("norm") > 0)
+    // is a literal (no corpus id), so nothing is self-excluded.
+    // Residual equalities re-evaluate against the STORED metadata
+    // columns, inside the pruned scan.
+    val cells = residuals.foldLeft(cellsRaw.filter(col("norm") > 0)) {
+      case (d, (n, Some(l))) =>
+        d.filter(col(n) === lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType)))
+      case (d, (n, None)) => d.filter(col(n).isNotNull)
+    }
     val analyzed = VecOps.ivfRerank(cells, probed, k, excludeId = lit(-1L))
       .queryExecution.analyzed
     // the splice happens AFTER the main optimizer batches, so the probe

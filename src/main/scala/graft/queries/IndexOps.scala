@@ -625,8 +625,38 @@ object IndexOps {
     * dedups at read time and [[compactIndex]] removes at rest.
     */
   private[graft] def appendToIndex(s: SparkSession, dir: String,
-                                   admitted: DataFrame, ns: String = ""): Unit =
+                                   admitted: DataFrame, ns: String = ""): Unit = {
     appendToIndexAt(s, ensureIndex(s, dir, ns), admitted)
+    maybeCompact(s, dir, ns, "bands")
+  }
+
+  /** Small-file backstop OWNED BY THE APPEND PATH: the streaming gates
+    * compact on an every-8-batches cadence, but direct batch callers of
+    * the append APIs have no cadence owner — without one, N appends
+    * leave N× small files and probe scans degrade linearly with append
+    * count. Each dir-based append therefore checks its fattest table's
+    * part-file count after committing and compacts the namespace when
+    * it crosses the threshold (conf `spark.graft.index.compactFiles`,
+    * default 64 — amortized: one rewrite per ~threshold appends). The
+    * *At variants stay raw by design: they are the recovery-hook form,
+    * and compaction during recovery would see a cleared stamp and
+    * no-op anyway. Local-FS listing here mirrors the stamp machinery;
+    * a cluster deployment swaps both seams to Hadoop FileSystem calls.
+    */
+  private[queries] def maybeCompact(s: SparkSession, dir: String, ns: String,
+                                    table: String): Unit = {
+    val threshold = s.conf.get("spark.graft.index.compactFiles", "64").trim.toIntOption
+      .filter(_ > 0).getOrElse(64)
+    if (tableFileCount(indexDir(dir, ns), table) > threshold)
+      compactIndex(s, dir, ns)
+  }
+
+  private[graft] def tableFileCount(path: String, table: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.iterator.map(walk).sum).getOrElse(0)
+      else if (f.getName.startsWith("part-")) 1 else 0
+    walk(new java.io.File(s"$path/$table.parquet"))
+  }
 
   /** Append to an index at a KNOWN path, no ensure — the form a rebuild
     * recovery hook must use ([[ensureIndexStatus]] invokes the hook
@@ -737,8 +767,10 @@ object IndexOps {
     * [[novelVectors]] never gating them.
     */
   private[graft] def appendToVecIndex(s: SparkSession, dir: String,
-                                      admitted: DataFrame, ns: String = ""): Unit =
+                                      admitted: DataFrame, ns: String = ""): Unit = {
     appendToVecIndexAt(s, ensureVecIndex(s, dir, ns), admitted)
+    maybeCompact(s, dir, ns, "vec_bands")  // see maybeCompact: the append path owns its cadence
+  }
 
   /** Known-path append, no ensure — see [[appendToIndexAt]]. */
   private[graft] def appendToVecIndexAt(s: SparkSession, path: String,

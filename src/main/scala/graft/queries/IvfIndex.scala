@@ -41,7 +41,7 @@ object IvfIndex {
     * rounding) or the cell layout — see IndexOps.simIndexVersion for
     * why a stale persisted index must never serve silently.
     */
-  private[graft] val ivfIndexVersion = "ivf-v1:kmeans64-lloyd2;cos6-argmin;cells-by-cid"
+  private[graft] val ivfIndexVersion = "ivf-v2:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta"
 
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
@@ -99,8 +99,14 @@ object IvfIndex {
     VectorExprs.register(s)
     val path = ensureIvfIndex(s, dir)
     val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
-    val signed = batch.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
+    // every non-embedding batch column rides into the cells (the build
+    // carries the same metadata): an append that dropped `label` would
+    // leave rows a filtered probe silently never returns
+    val metaCols = batch.columns.filterNot(c => c == "vec_id" || c == "embedding")
+    val signed = batch
+      .select(col("vec_id") +:
+        col("embedding").cast("array<double>").as("emb") +:
+        metaCols.map(col).toIndexedSeq: _*)
       .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
       .filter(col("norm") > 0)
     // THE shared nearest-cell assignment (VecOps.assignToCells — one
@@ -110,6 +116,10 @@ object IvfIndex {
       .repartition(col("c_id"))
       .write.partitionBy("c_id").mode(SaveMode.Append)
       .parquet(s"$path/ivf_cells.parquet")
+    // small-file backstop (IndexOps.maybeCompact): each append lands
+    // one file per touched cell; past the threshold the namespace
+    // compacts — layout-preserving for this partitioned table
+    IndexOps.maybeCompact(s, dir, "", "ivf_cells")
   }
 
   val entries: Seq[Entry] = Seq(
@@ -156,9 +166,12 @@ object IvfIndex {
       val path = ensureIvfIndex(s, dir)
       // Batch ANN lookup for a NEW embedding batch (vec_id % 10 == 7
       // stands in for today's ingest): assign each batch vector to its
-      // nprobe=4 nearest persisted centroids, scan only those cells,
-      // exact-cosine top-3 per batch vector. Corpus-side work scales
-      // with |batch| × nprobe/K — the quantizer is never recomputed.
+      // nprobe (= the one shared serving dial, VecOps.ivfNprobe) nearest
+      // persisted centroids, scan only those cells, exact-cosine top-3
+      // per batch vector. Corpus-side work scales with |batch| ×
+      // nprobe/K — the quantizer is never recomputed, and the extra
+      // probed cells are pruned partitions, not corpus scans, so the
+      // batch path earns the same recall as the single-query path.
       val batch = load(s, dir, "embeddings")
         .filter(pmod($"vec_id", lit(10)) === 7)
         .select($"vec_id".as("b_id"), $"embedding".cast("array<double>").as("b_emb"))
@@ -169,11 +182,11 @@ object IvfIndex {
         .filter($"b_n" > 0)
       val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
       val cos = call_function("dotp", $"c_emb", $"b_emb") / ($"c_n" * $"b_n")
-      val w4 = Window.partitionBy($"b_id").orderBy($"qd".desc, $"c_id")
+      val wp = Window.partitionBy($"b_id").orderBy($"qd".desc, $"c_id")
       val probed = batch.join(broadcast(cents))
         .select($"b_id", $"b_emb", $"b_n", $"c_id", round(cos, 6).as("qd"))
-        .withColumn("pr", row_number().over(w4))
-        .filter($"pr" <= 4)
+        .withColumn("pr", row_number().over(wp))
+        .filter($"pr" <= VecOps.ivfNprobe)
         .select($"b_id", $"b_emb", $"b_n", $"c_id")
       val cells = s.read.parquet(s"$path/ivf_cells.parquet")
       val score = round(

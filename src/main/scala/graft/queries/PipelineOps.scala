@@ -232,10 +232,13 @@ object PipelineOps {
       // multiplier that rebalances the mixture to a uniform target share
       // (weight = target/actual; swap the uniform target for a config
       // map in production). The number a pretraining run feeds its
-      // sampler. One map + two tiny aggregates — corpus-size work is the
-      // token count, everything after is a broadcast 1-row join.
-      val t = load(s, dir, "documents")
-        .select($"source", size(tokens(lower($"text"))).as("nt"))
+      // sampler. Token counts are a map-only projection of the shared
+      // tokenized frame (size(toks) over the persisted blocks — no
+      // fresh corpus tokenize, the same ride pack_sequences takes);
+      // everything after the tiny per-source aggregate is a broadcast
+      // 1-row join.
+      val t = TextOps.docTokens(s, dir)
+        .select($"source", size($"toks").cast("long").as("nt"))
         .groupBy($"source").agg(sum($"nt").as("n_tokens"))
       val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
       t.crossJoin(broadcast(g))
@@ -275,9 +278,12 @@ object PipelineOps {
       // on (mix_weights is oracle-green), so the keep threshold is the
       // identical double on both sides. Map-only at corpus scale: the
       // per-source weights frame broadcasts, nothing else shuffles
-      // before the ordered output.
-      val docs = load(s, dir, "documents")
-      val t = docs.select($"source", size(tokens(lower($"text"))).as("nt"))
+      // before the ordered output — and BOTH sides (the weights
+      // subtree's token counts and the candidate rows) are projections
+      // of the shared tokenized frame, so the whole entry touches the
+      // corpus zero times beyond the session cache.
+      val docs = TextOps.docTokens(s, dir)
+      val t = docs.select($"source", size($"toks").cast("long").as("nt"))
         .groupBy($"source").agg(sum($"nt").as("n_tokens"))
       val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
       val w = t.crossJoin(broadcast(g))

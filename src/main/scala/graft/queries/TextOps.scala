@@ -45,14 +45,18 @@ object TextOps {
   private val tfCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
-  /** Tokenized corpus (doc_id, toks) — the ONE pass over the raw text
-    * that every shared frame below derives from (postings, word 3-grams,
-    * token-set signatures). Three consumers used to scan+lower+split the
-    * documents table independently; at 100 TB each of those is a full
-    * corpus read, and materializing the tokenized intermediate once is
-    * exactly what a production curation pipeline does. Memoized +
-    * persisted per (session, dir, partitions); released via
-    * [[evictCaches]].
+  /** Tokenized corpus (doc_id, source, lang, toks) — the ONE pass over
+    * the raw text that every shared frame below derives from (postings,
+    * word 3-grams, token-set signatures). Three consumers used to
+    * scan+lower+split the documents table independently; at 100 TB each
+    * of those is a full corpus read, and materializing the tokenized
+    * intermediate once is exactly what a production curation pipeline
+    * does. The two small metadata columns ride along so metadata-keyed
+    * consumers (the mixing family's per-source token counts, semantic
+    * search's result join) are map-only projections of this cache
+    * instead of a second documents scan + join — the columnar cache
+    * prunes them for consumers that only want toks. Memoized + persisted
+    * per (session, dir, partitions); released via [[evictCaches]].
     */
   private val tokCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
@@ -61,8 +65,16 @@ object TextOps {
     cacheLock.synchronized { tokCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
-        load(s, dir, "documents")
-          .select($"doc_id", tokens(lower($"text")).as("toks"))
+        val base = load(s, dir, "documents")
+        // metadata columns are carried ONLY when the table has them:
+        // streaming-gate corpora are (doc_id, text) lake tables, and
+        // demanding source/lang there would fail every gate's
+        // signature pipeline (the metadata-keyed consumers all run on
+        // full corpora, where both columns exist)
+        val meta = Seq("source", "lang").map(c =>
+          if (base.columns.contains(c)) col(c)
+          else lit(null).cast("string").as(c))
+        base.select((col("doc_id") +: meta :+ tokens(lower($"text")).as("toks")): _*)
           .persist()
       })
     }

@@ -215,7 +215,12 @@ object VecOps {
       .agg(min(enc).as("enc"))
       .select(col("vec_id"), col("enc").bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
       .join(vectors, "vec_id")
-      .select(col("vec_id"), col("emb"), col("norm"), col("c_id"))
+      // keep EVERY input column (+ c_id): metadata like `label` rides
+      // into the persisted cells, which is what makes filtered ANN a
+      // residual predicate INSIDE the pruned index scan instead of a
+      // per-probe join back to the corpus (consumers that only want
+      // geometry project it away)
+      .select(vectors.columns.map(col).toIndexedSeq :+ col("c_id"): _*)
   }
 
   private def kmeansCellsUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -230,6 +235,11 @@ object VecOps {
       // round(·,6) absorbs summation-order drift so the refined
       // centroids — and every downstream assignment — stay
       // byte-identical across partitioning (determinism audit).
+      // KEEP the explode + (c_id, dim) groupBy form: a measured
+      // alternative computing all 64 per-dimension means as one wide
+      // multi-aggregate overflowed the generated method budget and fell
+      // out of whole-stage codegen, running ~3x slower than this
+      // skinny-row shape despite shuffling more rows.
       cents = assignTo(cents)
         .select($"c_id", posexplode($"emb").as(Seq("dim", "x")))
         .groupBy($"c_id", $"dim").agg(round(avg($"x"), 6).as("m"))
@@ -438,13 +448,17 @@ object VecOps {
       // Docs are embedded via explode + groupBy — one pass over tokens —
       // instead of the per-dimension hashEmbed aggregate (64 passes per
       // doc). Same math: token t adds ±1 to dim xxhash64(t) mod 64.
+      // Both the token stream AND the metadata join ride the shared
+      // tokenized frame (it carries source/lang exactly for consumers
+      // like this), so the entry never re-scans or re-tokenizes the
+      // corpus.
       VectorExprs.register(s)
-      val docs = load(s, dir, "documents")
+      val docs = TextOps.docTokens(s, dir)
       val sign = (t: Column) =>
         when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
                .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
       val dEmb = docs
-        .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+        .select($"doc_id", explode($"toks").as("t"))
         .select($"doc_id", pmod(xxhash64($"t"), lit(64)).as("dim"), sign($"t").as("v"))
         .groupBy($"doc_id", $"dim").agg(sum($"v").as("sv"))
         .groupBy($"doc_id")

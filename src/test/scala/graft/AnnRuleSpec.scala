@@ -113,6 +113,74 @@ class AnnRuleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("filtered form: a label equality becomes a residual predicate inside the widened probe") {
+    graft.plans.AnnTopKRule.install(spark)
+    graft.queries.IvfIndex.ensureIvfIndex(spark, dir)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val lbl = labels(0L)
+    // exact semantics first (rule off): filter-then-rank brute force
+    val exactFiltered = exactTopK(q0, Int.MaxValue)
+      .filter { case (id, _) => labels(id) == lbl }
+    val exactDf = graft.plans.AnnTopK.cosineTopKWhere(spark, dir, q0, 5, Seq("label" -> lbl))
+    assert(exactDf.as[(Long, Double)].collect().toSeq == exactFiltered.take(5),
+      "exact filtered form must equal brute-force filter-then-rank")
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val df = graft.plans.AnnTopK.cosineTopKWhere(spark, dir, q0, 5, Seq("label" -> lbl))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("ivf_cells"), "filtered form must probe the persisted cells")
+      assert(!phys.contains("embeddings.parquet"),
+        "the filtered rewrite must evaluate the residual on STORED metadata, not a corpus join-back")
+      val rows = df.as[(Long, Double)].collect().toSeq
+      // the query is corpus vector 0 and matches its own label: its own
+      // cell tops the widened ring, so the self-hit must lead
+      assert(rows.nonEmpty && rows.head == ((0L, 1.0)), s"self-hit missing: ${rows.headOption}")
+      assert(rows.forall { case (id, _) => labels(id) == lbl },
+        s"residual not honored: ${rows.filter(r => labels(r._1) != lbl)}")
+      // every surfaced score is the exact cosine for that id
+      val exactById = exactFiltered.toMap
+      rows.foreach { case (id, s) =>
+        assert(math.abs(s - exactById(id)) < 1e-9, s"id $id: $s vs ${exactById(id)}")
+      }
+      // measured recall at the declared 2x-nprobe over-fetch on this
+      // fixture (random vectors, uniform labels) — floor pinned so a
+      // ring or residual regression fails CI
+      val hit = rows.map(_._1).toSet.intersect(exactFiltered.take(5).map(_._1).toSet).size
+      assert(hit >= 3, s"filtered-probe top-5 recall $hit/5 under the declared over-fetch")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("cluster deployment path: the rule fires when injected via spark.sql.extensions (fresh JVM)") {
+    // spark.sql.extensions is a static conf — it cannot retrofit this
+    // suite's live SparkContext — and injectOptimizerRule places the
+    // rule inside the main optimizer fixpoint, a genuinely different
+    // execution context from the install() post-hoc batch the other
+    // tests drive (the rewrite re-enters the optimizer from within an
+    // executing optimizer there). Drive it end-to-end in a child JVM;
+    // in THIS suite (not a parallel one) so it never races the
+    // stale-stamp test's deliberate stamp corruption below.
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-cp", System.getProperty("java.class.path"),
+      "graft.AnnInjectedMain", dir)
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(cmd, new java.io.File(".")).!(
+      scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+                                      l => out.append(l).append('\n')))
+    assert(rc == 0 && out.toString.contains("ANN_INJECTED_OK"),
+      s"injected-extension child JVM failed (rc=$rc):\n${out.toString.takeRight(4000)}")
+  }
+
   test("opt-in but stale index stamp: rule stays off and never builds from the optimizer") {
     graft.plans.AnnTopKRule.install(spark)
     graft.queries.IvfIndex.ensureIvfIndex(spark, dir)

@@ -273,6 +273,49 @@ class IndexSpec extends SparkSpecBase {
       == graft.queries.IndexOps.simIndexVersion)
   }
 
+  test("append paths own a compaction cadence: repeated appends keep the file count bounded") {
+    // Verdict item: the gates compact every 8 batches, but DIRECT
+    // callers of appendToIndex had no cadence owner — N appends left
+    // N× small files, degrading probe scans linearly with append
+    // count. The append path itself must now hold the invariant: after
+    // every appendToIndex return, the bands table's part-file count is
+    // <= max(threshold, compacted size), with no explicit compact call.
+    val ns = "cadencespec"
+    val threshold = 6
+    spark.conf.set("spark.graft.index.compactFiles", threshold.toString)
+    try {
+      val path = graft.queries.IndexOps.indexDir(dir, ns)
+      // fresh namespace every run: the lake persists across sessions,
+      // and replaying byte-identical appends would let compaction's
+      // distinct() legitimately shrink the row count below the
+      // fresh-run expectation asserted at the bottom
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sets0 = spark.read.parquet(s"$path/sets.parquet").count()
+      var appended = 0L
+      for (i <- 0 until 10) {
+        // distinct synthetic ids per batch: every append admits new docs
+        val batch = docs.filter($"doc_id" % 50 === i)
+          .withColumn("doc_id", $"doc_id" + lit(1000000L * (i + 1)))
+        appended += batch.filter(size(graft.Core.tokens(lower($"text"))) > 0).count()
+        graft.queries.IndexOps.appendToIndex(spark, dir, batch, ns)
+        val n = graft.queries.IndexOps.tableFileCount(path, "bands")
+        assert(n <= threshold,
+          s"after append $i the bands table holds $n part-files (> $threshold): no cadence fired")
+      }
+      // compaction must only have COMPACTED — every appended set survives
+      val setsN = spark.read.parquet(s"$path/sets.parquet").count()
+      assert(setsN == sets0 + appended,
+        s"sets rows $setsN != base $sets0 + appended $appended after compaction cycles")
+    } finally spark.conf.unset("spark.graft.index.compactFiles")
+  }
+
   test("compaction never re-stamps a family it did not validate (no stale-stamp laundering)") {
     val ns = "compactspec"
     val path = graft.queries.IndexOps.indexDir(dir, ns)

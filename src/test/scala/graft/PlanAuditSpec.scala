@@ -100,6 +100,34 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("mixing family and semantic search ride the shared tokenized cache, not re-tokenized scans") {
+    // r6 regression: mix_weights, mix_apply, and semantic_search_e2e
+    // each re-tokenized the corpus (mix_apply twice: its weights
+    // subtree AND its candidate rows). All of their corpus touches must
+    // now be projections of the ONE persisted docTokens frame — a
+    // re-tokenize regression surfaces as a branch bypassing
+    // InMemoryTableScan.
+    // inspect the TREE, not the explain string: FormattedMode expands
+    // the cached relation's ORIGINAL child plan (which legitimately
+    // names documents.parquet), so a string grep cannot distinguish
+    // "rides the cache" from "re-scans the table" — live scan leaves can
+    for ((name, atLeast) <- Seq(("mix_weights", 1), ("mix_apply", 2),
+                                ("semantic_search_e2e", 2))) {
+      val leaves = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.sparkPlan.collectLeaves()
+      val cacheScans = leaves.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      assert(cacheScans >= atLeast,
+        s"$name: expected >=$atLeast InMemoryTableScan leaves over docTokens, got $cacheScans")
+      val liveDocScans = leaves.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+      }
+      assert(liveDocScans.isEmpty,
+        s"$name: plan scans the documents table instead of riding the cache")
+    }
+  }
+
   test("rank-filter plans get Spark's WindowGroupLimit (per-group partial top-k)") {
     // InferWindowGroupLimit rewrites row_number()<=k filters into a
     // map-side per-group limit BEFORE the window sort — the built-in
