@@ -438,6 +438,84 @@ object VecOps {
       ivfRerank(assigned, probed, 5, excludeId = lit(0))
     },
 
+    entry(
+      "hybrid_search_rrf",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |g AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+        |lexs AS (SELECT doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5)/(df + 0.5) + 1) *
+        |      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000, 0) AS BIGINT)) AS bscore
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g
+        |  WHERE term IN ('spark', 'join', 'fast') GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS lex_rank
+        |  FROM (SELECT * FROM lexs ORDER BY bscore DESC, doc_id LIMIT 100)),
+        |vecs AS (SELECT b.vec_id AS doc_id,
+        |    round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cscore
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id = 0),
+        |vec AS (SELECT doc_id, row_number() OVER (ORDER BY cscore DESC, doc_id) AS vec_rank
+        |  FROM (SELECT * FROM vecs ORDER BY cscore DESC, doc_id LIMIT 100))
+        |SELECT doc_id, lex_rank, vec_rank,
+        |  round(COALESCE(1.0::DOUBLE/(60 + lex_rank), 0) +
+        |        COALESCE(1.0::DOUBLE/(60 + vec_rank), 0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Hybrid retrieval, the RAG serving-path shape: BM25 over the
+      // query terms (lexical recall) and cosine over the query
+      // embedding (semantic recall), fused by reciprocal-rank fusion
+      // rrf = Σ 1/(60 + rank) over the union of the two top-L lists —
+      // rank-only fusion, so the incomparable score scales never touch.
+      // Per-term BM25 contributions sum as exact integer milli-scores
+      // (round(score·10⁴)): integer addition is order-independent, so
+      // the lexical ranking is deterministic across partitionings AND
+      // engines (a double sum would tie-break on summation order).
+      // Scale shape: both sides are corpus-scan + TakeOrderedAndProject
+      // top-L (the ranks are then windows over the BOUNDED L-row
+      // lists, never the corpus); at 100 TB the lexical side serves
+      // from text_index_build's postings and the vector side from the
+      // IVF probe — this entry pins the fusion semantics those serving
+      // paths must reproduce.
+      VectorExprs.register(s)
+      val qterms = Seq("spark", "join", "fast")
+      val topL = 100
+      val tf = TextOps.termFreq(s, dir)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val g = load(s, dir, "documents").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))
+      val idf = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1))
+      val score = idf * $"tf" * lit(2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      val lexTop = tf.filter($"term".isin(qterms: _*))
+        .join(dfq, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(g))
+        .select($"doc_id", round(score * 10000).cast("long").as("iscore"))
+        .groupBy($"doc_id").agg(sum($"iscore").as("bscore"))
+        .orderBy($"bscore".desc, $"doc_id").limit(topL)
+      val lex = lexTop
+        .withColumn("lex_rank", row_number().over(Window.orderBy($"bscore".desc, $"doc_id")))
+        .select($"doc_id", $"lex_rank")
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"emb".as("qemb"), $"norm".as("qnorm"))
+      val vecTop = e.crossJoin(broadcast(q))
+        .select($"vec_id", round(cosFast($"emb", $"qemb", $"norm", $"qnorm"), 6).as("cscore"))
+        .orderBy($"cscore".desc, $"vec_id").limit(topL)
+      val vec = vecTop
+        .withColumn("vec_rank", row_number().over(Window.orderBy($"cscore".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"vec_rank")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"lex_rank", $"vec_rank",
+          round(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + $"vec_rank"), lit(0.0)), 6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+    },
+
     entryNoOracle("semantic_search_e2e") { (s, dir) =>
       import s.implicits._
       // End-to-end semantic search (reference engine.py:95-98 + metadata

@@ -155,7 +155,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // mix_weights, feeding the per-source keep probabilities
       "mix_apply",
       // IVF family: 1-row query / K=64 centroid broadcast sides
-      "ivf_index_build", "ivf_index_probe", "ivf_index_incremental")
+      "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
+      // hybrid_search_rrf: the same 1-row query-vector and 1-row
+      // corpus-stats broadcasts as vec_knn_topk / text_bm25
+      "hybrid_search_rrf")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
@@ -167,7 +170,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // the BUCKET TOTALS frame (one row per 1000 docs), not the
       // corpus — the two-level prefix-sum design; its doc-level window
       // is bucket-partitioned (asserted in OperatorSpec)
-      "pack_sequences")
+      "pack_sequences",
+      // hybrid_search_rrf: rank windows run over the two BOUNDED
+      // top-L candidate lists (TakeOrderedAndProject feeds them),
+      // never the corpus
+      "hybrid_search_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
       val p = qe.executedPlan.toString
