@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // serving conf: the index probes push multi-probe rings as
+      // In(bucket, ~700 keys) — below this threshold Spark rewrites
+      // them to near-vacuous range checks (see vec_index_probe)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -225,19 +225,45 @@ case class AnnTopKRule(spark: SparkSession)
     */
   private def validChild(child: LogicalPlan, embA: AttributeReference,
                          normA: AttributeReference): Option[Seq[(String, Option[Literal])]] = {
+    val aliases = child.collect { case p: Project => p.projectList }.flatten
+      .collect { case a: Alias => a }
+    def defOf(attr: AttributeReference): Option[Expression] =
+      aliases.find(_.exprId == attr.exprId).map(_.child)
+    // the scan column embA is a cast of — the guard must norm THIS
+    // embedding, not any array column that happens to be self-dotted
+    // (a guard on a different column would let the rewrite silently
+    // drop the zero-norm rows the exact plan ranks first)
+    val embSrc: Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      defOf(embA) match {
+        case Some(c: Cast) => c.child match {
+          case ar: AttributeReference => Some(ar.exprId)
+          case _ => None
+        }
+        case _ => None
+      }
+    def guardArgOk(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.exprId == embA.exprId
+      case c: Cast => c.child match {
+        case ar: AttributeReference => embSrc.contains(ar.exprId)
+        case _ => false
+      }
+      case _ => false
+    }
     def isSqrtSelfDot(e: Expression, requireEmb: Boolean): Boolean =
       e.prettyName.equalsIgnoreCase("sqrt") && e.children.size == 1 &&
         (e.children.head match {
           case DotProduct(a, b) =>
-            a.semanticEquals(b) && (!requireEmb || (a match {
-              case ar: AttributeReference => ar.exprId == embA.exprId
-              case _ => false
-            }))
+            a.semanticEquals(b) &&
+              (if (requireEmb) (a match {
+                case ar: AttributeReference => ar.exprId == embA.exprId
+                case _ => false
+              }) else guardArgOk(a))
           case _ => false
         })
     def isGuard(cond: Expression): Boolean = cond match {
-      // the declared zero-norm guard (possibly over the pre-alias
-      // cast form once the optimizer pushes it below the projects)
+      // the declared zero-norm guard — over the embA attribute, or the
+      // pre-alias cast of ITS scan column once the optimizer pushes
+      // the filter below the projects
       case GreaterThan(sq, Literal(z, DoubleType)) =>
         z == 0.0 && isSqrtSelfDot(sq, requireEmb = false)
       case _ => false
@@ -278,14 +304,7 @@ case class AnnTopKRule(spark: SparkSession)
       // silently drop NaN-scored zero-norm rows that the exact form
       // ranks first
       guards.nonEmpty
-    val aliases = child.collect { case p: Project => p.projectList }.flatten
-      .collect { case a: Alias => a }
-    def defOf(attr: AttributeReference): Option[Expression] =
-      aliases.find(_.exprId == attr.exprId).map(_.child)
-    val embOk = defOf(embA).exists {
-      case c: Cast => c.child.isInstanceOf[AttributeReference]
-      case _ => false
-    }
+    val embOk = embSrc.isDefined
     val normOk = defOf(normA).exists(isSqrtSelfDot(_, requireEmb = true))
     if (nodesOk && embOk && normOk && residuals.forall(_.isDefined))
       Some(residuals.flatten)

@@ -441,10 +441,15 @@ object IndexOps {
         val qemb  = qrows.head.getSeq[Double](0)
         val qnorm = qrows.head.getDouble(1)
         val qkeys = qrows.head.getSeq[Long](2)
-        // the default In-pushdown threshold (10) would rewrite the
-        // 697-key ring sets into useless [min,max] range checks — raise
-        // it so the full key lists reach the parquet row-group filter
-        s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+        // NOTE the serving session should set
+        // spark.sql.parquet.pushdown.inFilterThreshold=1024 (Bench/
+        // Verify/test sessions do, at build time): the default (10)
+        // rewrites the 697-key ring sets into near-vacuous [min,max]
+        // range checks before they reach the row-group filter. Not set
+        // HERE: a query entry mutating session conf would make every
+        // other query's pushdown behavior depend on whether this entry
+        // ran first. Correctness is unaffected either way — only the
+        // amount of row-group skipping changes.
         // OR-of-4 band predicates, each carrying its Hamming-≤3 ring as
         // a literal In(bk, 697 keys) — all data columns, pushed whole
         // (see sim_index_probe / the object doc for the layout story)
@@ -636,18 +641,22 @@ object IndexOps {
     * leave N× small files and probe scans degrade linearly with append
     * count. Each dir-based append therefore checks its fattest table's
     * part-file count after committing and compacts the namespace when
-    * it crosses the threshold (conf `spark.graft.index.compactFiles`,
-    * default 64 — amortized: one rewrite per ~threshold appends). The
-    * *At variants stay raw by design: they are the recovery-hook form,
-    * and compaction during recovery would see a cleared stamp and
-    * no-op anyway. Local-FS listing here mirrors the stamp machinery;
-    * a cluster deployment swaps both seams to Hadoop FileSystem calls.
+    * the count exceeds `baseline` (the table's COMPACTED file count —
+    * 64 cell files for ivf_cells, nFiles for the flat tables; comparing
+    * against zero would re-trigger on every append forever once the
+    * compacted size itself reaches the threshold) by more than the
+    * threshold (conf `spark.graft.index.compactFiles`, default 64 —
+    * amortized: one rewrite per ~threshold appends). The *At variants
+    * stay raw by design: they are the recovery-hook form, and
+    * compaction during recovery would see a cleared stamp and no-op
+    * anyway. Local-FS listing here mirrors the stamp machinery; a
+    * cluster deployment swaps both seams to Hadoop FileSystem calls.
     */
   private[queries] def maybeCompact(s: SparkSession, dir: String, ns: String,
-                                    table: String): Unit = {
+                                    table: String, baseline: Int = 4): Unit = {
     val threshold = s.conf.get("spark.graft.index.compactFiles", "64").trim.toIntOption
       .filter(_ > 0).getOrElse(64)
-    if (tableFileCount(indexDir(dir, ns), table) > threshold)
+    if (tableFileCount(indexDir(dir, ns), table) > baseline + threshold)
       compactIndex(s, dir, ns)
   }
 

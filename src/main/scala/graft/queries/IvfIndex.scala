@@ -103,6 +103,17 @@ object IvfIndex {
     // carries the same metadata): an append that dropped `label` would
     // leave rows a filtered probe silently never returns
     val metaCols = batch.columns.filterNot(c => c == "vec_id" || c == "embedding")
+    // ENFORCE the metadata contract, loudly: an append whose columns
+    // differ from the stored cells would land rows a filtered probe
+    // silently never returns (missing column reads as null), or make
+    // the stored schema depend on which file's footer a read samples
+    val stored = s.read.parquet(s"$path/ivf_cells.parquet").columns.toSet - "c_id"
+    val appended = Set("vec_id", "emb", "norm") ++ metaCols
+    require(appended == stored,
+      s"appendToIvfIndex: batch columns ${appended.toSeq.sorted.mkString(",")} != " +
+        s"stored cells schema ${stored.toSeq.sorted.mkString(",")} — " +
+        "appends must carry exactly the metadata columns the build carried " +
+        "(docs/MIGRATION.md, ivf-v2)")
     val signed = batch
       .select(col("vec_id") +:
         col("embedding").cast("array<double>").as("emb") +:
@@ -118,8 +129,12 @@ object IvfIndex {
       .parquet(s"$path/ivf_cells.parquet")
     // small-file backstop (IndexOps.maybeCompact): each append lands
     // one file per touched cell; past the threshold the namespace
-    // compacts — layout-preserving for this partitioned table
-    IndexOps.maybeCompact(s, dir, "", "ivf_cells")
+    // compacts — layout-preserving for this partitioned table.
+    // Baseline = one file per cell (K = 64, the compacted layout): the
+    // threshold must count APPEND growth, not the 64 files a freshly
+    // compacted table legitimately holds — a zero baseline would make
+    // every append re-trigger a full-namespace rewrite forever.
+    IndexOps.maybeCompact(s, dir, "", "ivf_cells", baseline = 64)
   }
 
   val entries: Seq[Entry] = Seq(

@@ -487,7 +487,10 @@ object VecOps {
       val tf = TextOps.termFreq(s, dir)
       val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val g = load(s, dir, "documents").agg(count(lit(1)).as("n"))
+      // corpus size from the shared tokenized cache (one row per doc),
+      // not a fresh documents scan — the entry's only table read is
+      // then the embeddings side
+      val g = TextOps.docTokens(s, dir).agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))
       val idf = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1))
       val score = idf * $"tf" * lit(2.2) /

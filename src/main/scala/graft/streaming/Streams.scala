@@ -192,6 +192,24 @@ object Streams {
       .digest((lakeDir + "/" + name).getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  /** Decommission a gate: delete its private index namespace. The
+    * namespace is keyed by the gate's lake destination and the index
+    * lake is durable (`sbt clean` no longer wipes it — see
+    * IndexOps.indexDir), so a gate whose destination is a THROWAWAY
+    * path (tests, ad-hoc runs) orphans a corpus-seeded index copy
+    * unless its owner drops it. Idempotent; never touches the shared
+    * corpus index or other gates (128-bit namespace keying).
+    */
+  def dropGate(corpusDir: String, lakeDir: String, name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(
+      graft.queries.IndexOps.indexDir(corpusDir, gateNamespace(lakeDir, name))))
+  }
+
   /** Compaction cadence: every Nth micro-batch the gate rewrites its
     * index namespace (appends add one small file set per batch —
     * unbounded, the small-file pathology sink_compact exists for).

@@ -110,6 +110,18 @@ class AnnRuleSpec extends SparkSpecBase {
       val p4 = noGuard.queryExecution.executedPlan.toString
       assert(p4.contains("embeddings.parquet") && !p4.contains("ivf_cells"),
         "a plan without the zero-norm guard must NOT be rewritten")
+      // guard over the WRONG column: a sqrt-self-dot filter that norms
+      // something other than the scored embedding is not the declared
+      // guard — accepting it would drop the zero-norm rows the (still
+      // unguarded) exact form ranks first
+      val wrongCol = array($"vec_id".cast("double"))
+      val wrongGuard = graft.queries.VecOps.emb(spark, dir)
+        .filter(sqrt(call_function("dotp", wrongCol, wrongCol)) > 0)
+        .orderBy(score(6).desc, $"vec_id")
+        .select($"vec_id", score(6).as("score")).limit(5)
+      val p5 = wrongGuard.queryExecution.executedPlan.toString
+      assert(p5.contains("embeddings.parquet") && !p5.contains("ivf_cells"),
+        "a guard on a different column must NOT count as the zero-norm guard")
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 

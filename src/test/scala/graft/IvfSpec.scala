@@ -146,10 +146,16 @@ class IvfSpec extends SparkSpecBase {
     SparkEntry.queries("ivf_index_build")(spark, dir).collect()
     val base = graft.queries.IndexOps.indexDir(dir)
     val before = spark.read.parquet(s"$base/ivf_cells.parquet").count()
-    // batch = near-copies of corpus vectors under fresh ids
+    // batch = near-copies of corpus vectors under fresh ids; carries
+    // label because ivf-v2 appends must supply exactly the metadata
+    // columns the build carried (enforced with a loud require — a
+    // label-less append would land rows filtered probes silently skip)
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
       .limit(5)
-      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"), col("label"))
+    intercept[IllegalArgumentException] {
+      graft.queries.IvfIndex.appendToIvfIndex(spark, dir, batch.drop("label"))
+    }
     graft.queries.IvfIndex.appendToIvfIndex(spark, dir, batch)
     val cells = spark.read.parquet(s"$base/ivf_cells.parquet")
     assert(cells.count() == before + 5, "append must add exactly the batch rows")

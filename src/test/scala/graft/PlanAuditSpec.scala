@@ -112,7 +112,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // names documents.parquet), so a string grep cannot distinguish
     // "rides the cache" from "re-scans the table" — live scan leaves can
     for ((name, atLeast) <- Seq(("mix_weights", 1), ("mix_apply", 2),
-                                ("semantic_search_e2e", 2))) {
+                                ("semantic_search_e2e", 2),
+                                // lexical side rides termFreq/docTokens;
+                                // its only table read is embeddings
+                                ("hybrid_search_rrf", 2))) {
       val leaves = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.sparkPlan.collectLeaves()
       val cacheScans = leaves.count(

@@ -28,6 +28,12 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    // rotation is identity at i % 26 == 0 (text) and slice() misindexes
+    // past the 64 dims (embeddings): more copies than either period
+    // would silently reintroduce the cross-copy correlation artifacts
+    // the scaladoc warns about
+    require(copies >= 1 && copies <= 26,
+      s"copies=$copies: alphabet/dimension rotation decorrelates at most 26 copies")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -363,4 +363,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(closed.get("2026-01-01 10:00:00").contains(1L),
       s"late row must NOT be counted into the closed window: $closed")
   }
+
+  override def afterAll(): Unit = {
+    // Every gate in this suite keys its private index namespace off a
+    // throwaway createTempDirectory lake path, and the index lake is
+    // durable — without this sweep each run orphans several
+    // corpus-seeded index copies under lake/simindex forever (37 MB of
+    // them had accumulated before the sweep existed). Only this suite
+    // creates gate namespaces, so deleting every *_gate* dir is safe.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    Option(new java.io.File("lake/simindex").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      // _gate*: gate namespaces; _tmp_graft*: the grown-corpus label
+      // rebuild keys a whole namespace off its createTempDirectory path
+      .filter(f => f.getName.contains("_gate") || f.getName.startsWith("_tmp_graft"))
+      .foreach(rm)
+    super.afterAll()
+  }
 }
