@@ -416,6 +416,60 @@ case class Shingles64(child: Expression)
     copy(child = newChild)
 }
 
+/** Morton (Z-order) code of two keys: the low 32 bits of each input
+  * interleave into one 64-bit sort key (`left`'s bits in the odd
+  * positions). Sorting a table by this key clusters rows so that ANY
+  * contiguous Z range covers a bounded rectangle in (left, right) space
+  * — the multi-dimensional lake-clustering primitive: after a Z-sorted
+  * write, parquet row-group [min,max] stats are tight for BOTH columns
+  * and pushed range predicates on EITHER column skip row groups, where
+  * a single-column sort serves only its own column (BucketingSpec
+  * proves the skipping on both columns). Bit-spread is the standard
+  * 5-step mask cascade — O(1), no loop, codegen-friendly. Inputs are
+  * treated as unsigned 32-bit (callers with wider keys rank/bucket
+  * first); with both keys < 2^31 the result is non-negative, so signed
+  * comparisons in any engine order it identically.
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"interleave_bits requires bigint inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    (InterleaveBits.spread(a.asInstanceOf[Long]) << 1) |
+      InterleaveBits.spread(b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = InterleaveBits.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = ($cls.spread($a) << 1) | $cls.spread($b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterleaveBits {
+  /** 32 → 64 bit spread: bit i of (v & 0xFFFFFFFF) moves to bit 2i. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+}
+
 object VectorExprs {
 
   /** Single source of truth for the engine's native functions — consumed
@@ -443,7 +497,10 @@ object VectorExprs {
       (c: Seq[Expression]) => Shingles64(c.head)),
     (FunctionIdentifier("minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
-      (c: Seq[Expression]) => MinHash64(c.head)))
+      (c: Seq[Expression]) => MinHash64(c.head)),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (c: Seq[Expression]) => InterleaveBits(c(0), c(1))))
 
   /** Idempotently register every native function with a session so query
     * code can use them via `expr`/`call_function`.

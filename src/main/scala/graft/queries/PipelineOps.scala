@@ -36,6 +36,46 @@ object PipelineOps {
   val entries: Seq[Entry] = Seq(
 
     entry(
+      "zorder_cluster",
+      """WITH s1 AS (SELECT l_orderkey AS a, l_partkey AS b,
+        |    l_orderkey & 4294967295 AS xa, l_partkey & 4294967295 AS xb FROM lineitem),
+        |s2 AS (SELECT a, b, (xa | (xa << 16)) & 281470681808895 AS xa, (xb | (xb << 16)) & 281470681808895 AS xb FROM s1),
+        |s3 AS (SELECT a, b, (xa | (xa << 8)) & 71777214294589695 AS xa, (xb | (xb << 8)) & 71777214294589695 AS xb FROM s2),
+        |s4 AS (SELECT a, b, (xa | (xa << 4)) & 1085102592571150095 AS xa, (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s3),
+        |s5 AS (SELECT a, b, (xa | (xa << 2)) & 3689348814741910323 AS xa, (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s4),
+        |s6 AS (SELECT a, b, (xa | (xa << 1)) & 6148914691236517205 AS xa, (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s5)
+        |SELECT ((xa << 1) | xb) >> 24 AS z_bucket, count(*) AS n,
+        |  min(a) AS min_ok, max(a) AS max_ok, min(b) AS min_pk, max(b) AS max_pk
+        |FROM s6 GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Z-order (Morton) clustering key for multi-column lake layout:
+      // sort/range-partition a fact table by interleave_bits(k1, k2)
+      // and parquet row-group [min,max] stats become tight for BOTH
+      // keys — pushed range predicates on EITHER column then skip row
+      // groups, where a plain sort serves only its leading column
+      // (BucketingSpec proves the both-column skipping on a written
+      // table; the native expression is A/B'd bit-for-bit against an
+      // independent reference in PropertySpec). This entry pins the
+      // code's VALUE semantics cross-engine: per-Z-bucket extents of
+      // both keys — the bounded-rectangle property that makes the
+      // layout prunable — hash-matched against DuckDB computing the
+      // same 5-step mask cascade in SQL. Map + one partial agg; the
+      // clustering write itself is sink-side (the sink_compact /
+      // stageAndSwap machinery), not a query.
+      graft.functions.VectorExprs.register(s)
+      val z = call_function("interleave_bits", $"l_orderkey", $"l_partkey")
+      load(s, dir, "lineitem")
+        .select($"l_orderkey".as("a"), $"l_partkey".as("b"),
+          shiftright(z, 24).as("z_bucket"))
+        .groupBy($"z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"a").as("min_ok"), max($"a").as("max_ok"),
+          min($"b").as("min_pk"), max($"b").as("max_pk"))
+        .orderBy($"z_bucket")
+    },
+
+    entry(
       "sample_split",
       """WITH s AS (SELECT lang, n_chars,
         |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'train'

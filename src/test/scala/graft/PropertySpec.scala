@@ -28,6 +28,31 @@ class PropertySpec extends AnyFunSuite {
 
   private val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
 
+  test("interleave_bits equals bit-by-bit Morton construction and is monotone per key") {
+    // independent reference: place bit i of b at 2i and bit i of a at
+    // 2i+1, one bit at a time — no mask cascade shared with the
+    // implementation under test
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((b >>> i) & 1L) << (2 * i)) | (((a >>> i) & 1L) << (2 * i + 1))
+      }
+    val keyGen = Gen.choose(0L, (1L << 31) - 1)
+    check("interleave_bits", Prop.forAll(keyGen, keyGen) { (a, b) =>
+      val got = graft.functions.InterleaveBits(
+        Literal.create(a, org.apache.spark.sql.types.LongType),
+        Literal.create(b, org.apache.spark.sql.types.LongType)).eval(null)
+        .asInstanceOf[Long]
+      got == ref(a, b)
+    })
+    // the property the lake layout depends on: fixing one key, the code
+    // is strictly monotone in the other — Z ranges cover key rectangles
+    check("interleave_bits monotone", Prop.forAll(keyGen, keyGen, keyGen) { (a, b1, b2) =>
+      val z1 = ref(a, math.min(b1, b2))
+      val z2 = ref(a, math.max(b1, b2))
+      (b1 == b2) || z1 < z2
+    })
+  }
+
   test("dotp equals the Scala dot product") {
     check("dotp", Prop.forAll(vecGen, vecGen) { (a, b) =>
       val got = graft.functions.DotProduct(dLit(a), dLit(b)).eval(null)
