@@ -37,14 +37,18 @@ object PipelineOps {
 
     entry(
       "zorder_cluster",
-      """WITH s1 AS (SELECT l_orderkey AS a, l_partkey AS b,
-        |    l_orderkey & 4294967295 AS xa, l_partkey & 4294967295 AS xb FROM lineitem),
+      """WITH e AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+        |    min(l_partkey) AS bmin, max(l_partkey) AS bmax FROM lineitem),
+        |s1 AS (SELECT l_orderkey AS a, l_partkey AS b,
+        |    (l_orderkey - amin) // ((amax - amin) // 65536 + 1) AS xa,
+        |    (l_partkey - bmin) // ((bmax - bmin) // 65536 + 1) AS xb
+        |  FROM lineitem, e),
         |s2 AS (SELECT a, b, (xa | (xa << 16)) & 281470681808895 AS xa, (xb | (xb << 16)) & 281470681808895 AS xb FROM s1),
         |s3 AS (SELECT a, b, (xa | (xa << 8)) & 71777214294589695 AS xa, (xb | (xb << 8)) & 71777214294589695 AS xb FROM s2),
         |s4 AS (SELECT a, b, (xa | (xa << 4)) & 1085102592571150095 AS xa, (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s3),
         |s5 AS (SELECT a, b, (xa | (xa << 2)) & 3689348814741910323 AS xa, (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s4),
         |s6 AS (SELECT a, b, (xa | (xa << 1)) & 6148914691236517205 AS xa, (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s5)
-        |SELECT ((xa << 1) | xb) >> 24 AS z_bucket, count(*) AS n,
+        |SELECT ((xa << 1) | xb) >> 20 AS z_bucket, count(*) AS n,
         |  min(a) AS min_ok, max(a) AS max_ok, min(b) AS min_pk, max(b) AS max_pk
         |FROM s6 GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
@@ -56,18 +60,30 @@ object PipelineOps {
       // groups, where a plain sort serves only its leading column
       // (BucketingSpec proves the both-column skipping on a written
       // table; the native expression is A/B'd bit-for-bit against an
-      // independent reference in PropertySpec). This entry pins the
-      // code's VALUE semantics cross-engine: per-Z-bucket extents of
-      // both keys — the bounded-rectangle property that makes the
-      // layout prunable — hash-matched against DuckDB computing the
-      // same 5-step mask cascade in SQL. Map + one partial agg; the
-      // clustering write itself is sink-side (the sink_compact /
-      // stageAndSwap machinery), not a query.
+      // independent reference in PropertySpec). Keys are first folded
+      // into a bounded 2^16 domain by min/max range-bucketing — the
+      // expression interleaves low 32 bits, and feeding it raw keys
+      // would silently alias high bits once l_orderkey exceeds 2^32
+      // (sf>=1000); integer-division bucketing ((x-min) DIV (range DIV
+      // 65536 + 1) ∈ [0, 65535]) is exact arithmetic both engines
+      // reproduce, and the extents broadcast from a 1-row aggregate.
+      // This entry pins the code's VALUE semantics cross-engine:
+      // per-Z-bucket extents of both keys — the bounded-rectangle
+      // property that makes the layout prunable — hash-matched against
+      // DuckDB computing the same bucketing + 5-step mask cascade in
+      // SQL. Map + one partial agg; the clustering write itself is
+      // sink-side (the sink_compact / stageAndSwap machinery), not a
+      // query.
       graft.functions.VectorExprs.register(s)
-      val z = call_function("interleave_bits", $"l_orderkey", $"l_partkey")
-      load(s, dir, "lineitem")
-        .select($"l_orderkey".as("a"), $"l_partkey".as("b"),
-          shiftright(z, 24).as("z_bucket"))
+      val z = call_function("interleave_bits",
+        expr("(a - amin) DIV ((amax - amin) DIV 65536 + 1)"),
+        expr("(b - bmin) DIV ((bmax - bmin) DIV 65536 + 1)"))
+      val lt = load(s, dir, "lineitem")
+        .select($"l_orderkey".as("a"), $"l_partkey".as("b"))
+      lt.crossJoin(broadcast(lt.agg(
+          min($"a").as("amin"), max($"a").as("amax"),
+          min($"b").as("bmin"), max($"b").as("bmax"))))
+        .select($"a", $"b", shiftright(z, 20).as("z_bucket"))
         .groupBy($"z_bucket")
         .agg(count(lit(1)).as("n"),
           min($"a").as("min_ok"), max($"a").as("max_ok"),
@@ -276,7 +292,10 @@ object PipelineOps {
       // tokenized frame (size(toks) over the persisted blocks — no
       // fresh corpus tokenize, the same ride pack_sequences takes);
       // everything after the tiny per-source aggregate is a broadcast
-      // 1-row join.
+      // 1-row join. This entry GROUPS on source, so it demands the real
+      // column (requireDocMeta) — a gate corpus's synthesized-null
+      // source would silently fold the whole corpus into one group.
+      TextOps.requireDocMeta(s, dir, "source")
       val t = TextOps.docTokens(s, dir)
         .select($"source", size($"toks").cast("long").as("nt"))
         .groupBy($"source").agg(sum($"nt").as("n_tokens"))
@@ -321,7 +340,9 @@ object PipelineOps {
       // before the ordered output — and BOTH sides (the weights
       // subtree's token counts and the candidate rows) are projections
       // of the shared tokenized frame, so the whole entry touches the
-      // corpus zero times beyond the session cache.
+      // corpus zero times beyond the session cache. Keyed on source →
+      // demand the real column (see mix_weights).
+      TextOps.requireDocMeta(s, dir, "source")
       val docs = TextOps.docTokens(s, dir)
       val t = docs.select($"source", size($"toks").cast("long").as("nt"))
         .groupBy($"source").agg(sum($"nt").as("n_tokens"))

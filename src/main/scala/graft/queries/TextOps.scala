@@ -61,6 +61,26 @@ object TextOps {
   private val tokCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
 
+  /** Guard for metadata-KEYED consumers of [[docTokens]]: the shared
+    * frame synthesizes null `source`/`lang` columns when the backing
+    * table lacks them (streaming-gate corpora are bare (doc_id, text)
+    * lake tables, and demanding metadata there would fail every gate's
+    * signature pipeline). A consumer that GROUPS or JOINS on those
+    * columns must not silently aggregate everything under one null
+    * group — it calls this first and fails analysis loudly, exactly as
+    * it would have before the columns rode along.
+    */
+  private[graft] def requireDocMeta(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, cols: String*): Unit = {
+    val have = load(s, dir, "documents").columns.toSet
+    val missing = cols.filterNot(have)
+    require(missing.isEmpty,
+      s"metadata-keyed consumer needs column(s) ${missing.mkString(", ")} " +
+        s"in the documents table at $dir — this corpus carries only " +
+        s"${have.toSeq.sorted.mkString(", ")}; a synthesized-null group " +
+        "would silently misattribute every row")
+  }
+
   private[queries] def docTokens(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cacheLock.synchronized { tokCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {

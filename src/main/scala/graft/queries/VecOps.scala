@@ -534,6 +534,10 @@ object VecOps {
       // like this), so the entry never re-scans or re-tokenizes the
       // corpus.
       VectorExprs.register(s)
+      // the result joins lang/source metadata back on — demand the
+      // real columns rather than serving synthesized nulls (TextOps
+      // .requireDocMeta doc)
+      TextOps.requireDocMeta(s, dir, "lang", "source")
       val docs = TextOps.docTokens(s, dir)
       val sign = (t: Column) =>
         when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)

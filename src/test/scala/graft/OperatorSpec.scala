@@ -256,6 +256,32 @@ class OperatorSpec extends SparkSpecBase {
       assert(wsd.contains("bucket"), s"doc-level window is unpartitioned: $wsd"))
   }
 
+  test("metadata-keyed consumers fail loudly on a bare (doc_id, text) corpus") {
+    // docTokens synthesizes null source/lang for gate-shaped corpora so
+    // the signature pipeline keeps working there — but a consumer that
+    // GROUPS or JOINS on those columns must refuse (requireDocMeta),
+    // not silently aggregate the whole corpus under one null group.
+    val dir = java.nio.file.Files.createTempDirectory("graft-baremeta").toString
+    try {
+      Core.load(spark, sf("sf0.001"), "documents")
+        .select($"doc_id", $"text")
+        .write.parquet(s"$dir/documents.parquet")
+      for (q <- Seq("mix_weights", "mix_apply", "semantic_search_e2e")) {
+        val e = intercept[IllegalArgumentException] {
+          SparkEntry.queries(q)(spark, dir)
+        }
+        assert(e.getMessage.contains("documents table"), s"$q: ${e.getMessage}")
+      }
+      // and a toks-only consumer still works on the same bare corpus
+      assert(SparkEntry.queries("pack_sequences")(spark, dir).count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("agg_approx_distinct within 2% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf("sf0.01"))
     val cols = approx.columns

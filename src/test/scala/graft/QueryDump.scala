@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump ONE declared query's result + oracle SQL for a
+  * targeted local DuckDB compare (tools/oracle_check.py) without paying
+  * the full Verify sweep. Usage:
+  *   Test/runMain graft.QueryDump <queryName> <sfDir> <outDir>
+  */
+object QueryDump {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    SparkEntry.oracleSql.get(name).foreach { sql =>
+      val esc = sql.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+        s"""{"$name": "$esc"}""".getBytes("UTF-8"))
+    }
+    spark.stop()
+  }
+}
