@@ -88,7 +88,9 @@ object AnnTopK {
   * [[AnnTopK.cosineTopKWhere]] — rewrites too: the cells store the
   * corpus metadata columns, so each equality becomes a residual
   * predicate inside the pruned index scan, with the probe ring widened
-  * to 2x nprobe to offset the filtered per-cell yield. Fires only when
+  * by the estimated residual selectivity from the index's build-time
+  * metadata stats (rare values saturate to full-K — exact within the
+  * pruned layout; unseen values keep the exact plan). Fires only when
   * BOTH hold, else leaves the exact plan untouched:
   *
   *  - `spark.graft.ann.rewrite` = true (explicit session opt-in: the
@@ -354,12 +356,38 @@ case class AnnTopKRule(spark: SparkSession)
     if (!residuals.forall { case (n, _) => cellsRaw.columns.contains(n) }) return gl
     // cell selection = the shared VecOps.ivfProbe (the same definition
     // vec_ann_ivf and ivf_index_probe run — the serving paths must
-    // answer identically). A FILTERED probe widens the ring to 2x
-    // nprobe (capped at K): the residual cuts each cell's yield, and
-    // the extra cells are pruned partitions, not corpus scans — the
-    // k-preserving over-fetch dial.
-    val nprobe = if (residuals.isEmpty) VecOps.ivfNprobe
-                 else math.min(64, VecOps.ivfNprobe * 2)
+    // answer identically). A FILTERED probe widens the ring by the
+    // ESTIMATED RESIDUAL SELECTIVITY from the index's build-time
+    // metadata stats (IvfIndex.readMetaStats): the filtered subset's
+    // true top-k spread over ~1/sel more cells as per-cell yield
+    // shrinks, so nprobe scales to ceil(nprobe/sel), saturating at
+    // full-K — a rare value then probes every (pruned) cell and the
+    // filtered answer is EXACT, where a fixed 2x widening degraded
+    // recall unboundedly as sel shrank. A value the stats never saw
+    // (post-build append, truncated column) has no estimate: keep the
+    // exact plan rather than guess. File IO only — no Spark job may
+    // run inside the optimizer.
+    val nprobe =
+      if (residuals.isEmpty) VecOps.ivfNprobe
+      else IvfIndex.readMetaStats(path) match {
+        case None => math.min(64, VecOps.ivfNprobe * 2) // stats unreadable: legacy dial
+        case Some(st) =>
+          if (st.total <= 0) return gl
+          // per-column match fraction; product across residuals (the
+          // standard attribute-independence estimate)
+          val sels = residuals.map {
+            case (n, Some(l)) =>
+              st.counts.get((n, IvfIndex.encodeMetaValue(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToScala(l.value, l.dataType)))).map(_.toDouble / st.total)
+            case (n, None) => // isNotNull: 1 − null fraction
+              Some(1.0 - st.counts.getOrElse((n, "~null~"), 0L).toDouble / st.total)
+          }
+          if (sels.exists(_.isEmpty)) return gl // unknown selectivity → exact plan
+          val sel = sels.flatten.product
+          math.min(64, math.ceil(
+            VecOps.ivfNprobe / math.max(sel, VecOps.ivfNprobe / 64.0)).toInt)
+      }
     val cents = spark.read.parquet(s"$path/ivf_centroids.parquet")
     val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn), nprobe)
     // norm > 0 mirrors the exact form's zero-norm exclusion; the query

@@ -41,7 +41,85 @@ object IvfIndex {
     * rounding) or the cell layout — see IndexOps.simIndexVersion for
     * why a stale persisted index must never serve silently.
     */
-  private[graft] val ivfIndexVersion = "ivf-v2:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta"
+  private[graft] val ivfIndexVersion = "ivf-v3:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta;meta-stats"
+
+  /** Per-value row counts of every metadata column the cells store —
+    * the selectivity estimate the FILTERED AnnTopKRule rewrite scales
+    * its probe ring with (a fixed 2x widening under-probes rare values
+    * unboundedly: the filtered subset's true top-k spread over more
+    * cells as per-cell yield shrinks). Written at BUILD time as a
+    * plain-text stamp-style artifact so the optimizer reads it with
+    * file IO only — a plan-time Spark job would re-enter the optimizer.
+    * Appends leave it in place: estimation tolerates bounded staleness,
+    * and a value the stats never saw makes the rule keep the EXACT
+    * plan (correct, just unrewritten) rather than guess. Columns with
+    * more than [[metaStatsCap]] distinct values are truncated to the
+    * most frequent and marked, so their unseen values also fall back.
+    * Format, one record per line (tab-separated; values URL-encoded,
+    * nulls as the unencodable token `~null~`):
+    *   total \t N
+    *   col \t name \t complete|truncated
+    *   v \t name \t value \t count
+    */
+  private[graft] val metaStatsCap = 1024
+
+  private def metaStatsFile(path: String): java.io.File =
+    new java.io.File(s"$path/ivf_meta_stats.tsv")
+
+  private[graft] def encodeMetaValue(v: Any): String =
+    if (v == null) "~null~"
+    else java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+  private def writeMetaStats(s: SparkSession, path: String): Unit = {
+    val cells = s.read.parquet(s"$path/ivf_cells.parquet")
+    val metaCols = cells.columns.filterNot(Set("vec_id", "emb", "norm", "c_id"))
+    val total = cells.count()  // parquet footer count — no data scan
+    val sb = new StringBuilder(s"total\t$total\n")
+    for (c <- metaCols) {
+      // top-(cap+1) BY FREQUENCY inside the plan (TakeOrderedAndProject
+      // — never collect the full distinct set: a high-cardinality
+      // column at lake scale would otherwise land on the driver); the
+      // +1 row detects truncation without a distinct-count pass, and
+      // ties on value keep the kept set deterministic
+      val rows = cells.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col(c))
+        .limit(metaStatsCap + 1)
+        .collect().toSeq
+        .map(r => (encodeMetaValue(r.get(0)), r.getLong(1)))
+      val kept = rows.take(metaStatsCap)
+      sb.append(s"col\t$c\t${if (rows.size > metaStatsCap) "truncated" else "complete"}\n")
+      kept.foreach { case (v, n) => sb.append(s"v\t$c\t$v\t$n\n") }
+    }
+    java.nio.file.Files.write(metaStatsFile(path).toPath,
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Parsed [[writeMetaStats]] artifact: None when the file is missing
+    * or unreadable (a pre-v3 index — the version bump rebuilds it, but
+    * the reader must not throw from inside the optimizer).
+    */
+  private[graft] case class MetaStats(total: Long,
+                                      complete: Map[String, Boolean],
+                                      counts: Map[(String, String), Long])
+
+  private[graft] def readMetaStats(path: String): Option[MetaStats] = {
+    val f = metaStatsFile(path)
+    if (!f.isFile) return None
+    try {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").split("\n")
+      var total = -1L
+      val complete = Map.newBuilder[String, Boolean]
+      val counts = Map.newBuilder[(String, String), Long]
+      lines.foreach(_.split("\t") match {
+        case Array("total", n) => total = n.toLong
+        case Array("col", c, flag) => complete += (c -> (flag == "complete"))
+        case Array("v", c, v, n) => counts += ((c, v) -> n.toLong)
+        case _ => ()
+      })
+      if (total < 0) None else Some(MetaStats(total, complete.result(), counts.result()))
+    } catch { case _: Exception => None }
+  }
 
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
@@ -63,6 +141,10 @@ object IvfIndex {
     // file count ∝ cells, not tasks × cells.
     assigned.repartition(col("c_id")).write.partitionBy("c_id")
       .mode(SaveMode.Overwrite).parquet(s"$path/ivf_cells.parquet")
+    // metadata selectivity stats read BACK from the written table (so
+    // they describe exactly what's on disk), before the stamp — a
+    // current stamp implies the stats exist
+    writeMetaStats(s, path)
     // stamp AFTER both tables commit (crashed build → rebuild)
     IndexOps.writeStamp(path, "ivf", ivfIndexVersion)
     path
