@@ -388,7 +388,7 @@ case class AnnTopKRule(spark: SparkSession)
           math.min(64, math.ceil(
             VecOps.ivfNprobe / math.max(sel, VecOps.ivfNprobe / 64.0)).toInt)
       }
-    val cents = spark.read.parquet(s"$path/ivf_centroids.parquet")
+    val cents = IvfIndex.centroids(spark, path)
     val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn), nprobe)
     // norm > 0 mirrors the exact form's zero-norm exclusion; the query
     // is a literal (no corpus id), so nothing is self-excluded.

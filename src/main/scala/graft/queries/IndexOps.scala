@@ -97,6 +97,15 @@ object IndexOps {
     stampFile(path, table).delete(); ()
   }
 
+  /** Current stamp content for a family, "" when absent — memo keys
+    * that must invalidate on rebuild compare this, never cache it.
+    */
+  private[queries] def readStamp(path: String, table: String): String = {
+    val f = stampFile(path, table)
+    if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    else ""
+  }
+
   /** An index table is servable iff its parquet commit marker exists
     * (a crashed build leaves no _SUCCESS) AND its version stamp matches
     * the running code's signature semantics.

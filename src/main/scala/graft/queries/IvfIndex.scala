@@ -121,6 +121,39 @@ object IvfIndex {
     } catch { case _: Exception => None }
   }
 
+  /** Session-memoized served quantizer: every probe consumes the same
+    * 64 centroid rows, and re-opening the parquet per query (listing +
+    * footer + fresh codegen) costs more than the data — a real ANN
+    * server pins the quantizer in memory next to the index handle.
+    * Keyed by the VERSION STAMP CONTENT, so a rebuild (stamp cleared,
+    * then rewritten) can never serve stale geometry from the memo: a
+    * mismatched stamp drops and re-reads. Released via [[evictCaches]]
+    * (chained from VecOps — the session-wide lifecycle hook).
+    */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+  private val centLock = new Object
+
+  private[graft] def centroids(s: SparkSession, path: String): DataFrame =
+    centLock.synchronized {
+      val stamp = IndexOps.readStamp(path, "ivf")
+      centCache.get((s, path)) match {
+        case Some((st, df)) if st == stamp => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = s.read.parquet(s"$path/ivf_centroids.parquet").persist()
+          centCache.put((s, path), (stamp, df))
+          df
+      }
+    }
+
+  private[graft] def evictCaches(s: SparkSession): Unit =
+    centLock.synchronized {
+      centCache.keys.filter(_._1 eq s).foreach { k =>
+        centCache.remove(k).foreach(_._2.unpersist())
+      }
+    }
+
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
     // invalidate FIRST (IndexOps.clearStamp): a rebuild can start while
@@ -180,7 +213,7 @@ object IvfIndex {
                                       batch: DataFrame): Unit = {
     VectorExprs.register(s)
     val path = ensureIvfIndex(s, dir)
-    val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+    val cents = centroids(s, path)
     // every non-embedding batch column rides into the cells (the build
     // carries the same metadata): an append that dropped `label` would
     // leave rows a filtered probe silently never returns
@@ -228,7 +261,7 @@ object IvfIndex {
       // Declared output = deterministic stats OF THE PERSISTED TABLES
       // (read back, not recomputed): proves the index landed on disk.
       val cells = s.read.parquet(s"$path/ivf_cells.parquet")
-      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      val cents = centroids(s, path)
       cells.groupBy($"c_id").agg(count(lit(1)).as("n_vecs"))
         .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_cells"))))
         .orderBy($"c_id")
@@ -244,7 +277,7 @@ object IvfIndex {
         .filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>").as("qemb"))
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
-      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      val cents = centroids(s, path)
       // qemb/qnorm ride along with the probed rows so the 1-row query
       // subplan is referenced once (see ivfRerank); cell selection is
       // the shared VecOps.ivfProbe (one copy across every consumer)
@@ -277,7 +310,7 @@ object IvfIndex {
         // declared output rather than emitting NaN scores that would
         // rank FIRST under desc ordering (the append path's contract)
         .filter($"b_n" > 0)
-      val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+      val cents = centroids(s, path)
       val cos = call_function("dotp", $"c_emb", $"b_emb") / ($"c_n" * $"b_n")
       val wp = Window.partitionBy($"b_id").orderBy($"qd".desc, $"c_id")
       val probed = batch.join(broadcast(cents))

@@ -604,13 +604,19 @@ object TextOps {
     ) { (s, dir) =>
       import s.implicits._
       // BM25 (k1=1.2, b=0.75) — the ranking function a lexical search
-      // serving layer actually uses. EVERYTHING derives from the single
-      // memoized (doc, term) tf materialization: dl = Σ tf per doc,
-      // df = rows per term — four consumers, one tokenize (PlanAuditSpec
-      // asserts it). Corpus stats (N, avgdl) fold in as a broadcast
-      // 1-row aggregate.
+      // serving layer actually uses. tf and df derive from the single
+      // memoized (doc, term) postings materialization; dl = Σ tf per
+      // doc ≡ size(toks), so it rides the UN-exploded tokenized cache
+      // as a map-only projection instead of re-shuffling the full
+      // postings frame back down to one row per doc (the pack_sequences
+      // lesson — the grouped number already exists upstream). The >0
+      // filter keeps dl's domain identical to the postings-derived
+      // form: docs with at least one token. Corpus stats (N, avgdl)
+      // fold in as a broadcast 1-row aggregate.
       val tf = termFreq(s, dir)
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dl = docTokens(s, dir)
+        .select($"doc_id", size($"toks").cast("long").as("dl"))
+        .filter($"dl" > 0)
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val g = load(s, dir, "documents").agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(dl.agg(avg($"dl").as("avgdl"))))

@@ -154,6 +154,8 @@ object VecOps {
       kmCache.keys.filter(_._1 eq s).foreach { k =>
         kmCache.remove(k).foreach { case (c, a) => c.unpersist(); a.unpersist() }
       }
+      // the served IVF quantizer memo rides the same lifecycle hook
+      IvfIndex.evictCaches(s)
     }
 
   /** Deterministic K=64 k-means over the corpus embeddings — ONE
@@ -485,8 +487,18 @@ object VecOps {
       val qterms = Seq("spark", "join", "fast")
       val topL = 100
       val tf = TextOps.termFreq(s, dir)
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      // dl = Σ tf per doc ≡ size(toks): a map-only projection of the
+      // UN-exploded tokenized cache (filter >0 keeps the domain equal
+      // to the postings-derived form), replacing a full-postings
+      // re-shuffle; df is only consumed for the THREE query terms, so
+      // aggregate the filtered postings, not the whole vocabulary —
+      // together they cut the serving path's shuffled rows from
+      // O(corpus tokens) to O(docs matching the query terms)
+      val dl = TextOps.docTokens(s, dir)
+        .select($"doc_id", size($"toks").cast("long").as("dl"))
+        .filter($"dl" > 0)
+      val dfq = tf.filter($"term".isin(qterms: _*))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
       // corpus size from the shared tokenized cache (one row per doc),
       // not a fresh documents scan — the entry's only table read is
       // then the embeddings side

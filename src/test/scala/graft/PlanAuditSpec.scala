@@ -161,7 +161,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
       // hybrid_search_rrf: the same 1-row query-vector and 1-row
       // corpus-stats broadcasts as vec_knn_topk / text_bm25
-      "hybrid_search_rrf")
+      "hybrid_search_rrf",
+      // zorder_cluster: 1-row min/max key-extent broadcast feeding the
+      // range-bucketing divisors
+      "zorder_cluster")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
