@@ -470,6 +470,79 @@ object InterleaveBits {
   }
 }
 
+/** Asymmetric-distance (ADC) lookup for product-quantized vectors:
+  * `code` packs 16 subspace code ids (4 bits each, subspace m in bits
+  * [4m, 4m+4)); `table` holds the query's 256 precomputed per-(subspace,
+  * code) inner products laid out as table[16·m + c]. The result is
+  *
+  *   Σ_{m=0}^{15}  table[16·m + ((code >>> 4m) & 15)]
+  *
+  * ≈ ⟨q, x⟩ — sixteen array reads and adds per row against an 8-byte
+  * column, the whole point of PQ: the scan never touches the original
+  * 512-byte vector. Summation order is fixed (m ascending) over
+  * 6dp-rounded table entries, so scores are byte-deterministic across
+  * partitionings. The table length is validated loudly: a silently
+  * truncated table would score every row with garbage.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (bigint, array<double>), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Long]
+    val t = b.asInstanceOf[ArrayData]
+    if (t.numElements() != 256) {
+      throw new IllegalArgumentException(
+        s"pq_adc: ADC table must have 256 entries, got ${t.numElements()}")
+    }
+    var s = 0.0
+    var m = 0
+    while (m < 16) {
+      val idx = (m << 4) | ((code >>> (m << 2)) & 15L).toInt
+      if (t.isNullAt(idx)) {
+        throw new IllegalArgumentException(s"pq_adc: null table entry at $idx")
+      }
+      s += t.getDouble(idx); m += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      s"""
+         |if ($b.numElements() != 256) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc: ADC table must have 256 entries, got " + $b.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $m = 0; $m < 16; $m++) {
+         |  int $idx = ($m << 4) | (int) (($a >>> ($m << 2)) & 15L);
+         |  if ($b.isNullAt($idx)) {
+         |    throw new IllegalArgumentException("pq_adc: null table entry at " + $idx);
+         |  }
+         |  $s += $b.getDouble($idx);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   /** Single source of truth for the engine's native functions — consumed
@@ -500,7 +573,10 @@ object VectorExprs {
       (c: Seq[Expression]) => MinHash64(c.head)),
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
-      (c: Seq[Expression]) => InterleaveBits(c(0), c(1))))
+      (c: Seq[Expression]) => InterleaveBits(c(0), c(1))),
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (c: Seq[Expression]) => PqAdc(c(0), c(1))))
 
   /** Idempotently register every native function with a session so query
     * code can use them via `expr`/`call_function`.

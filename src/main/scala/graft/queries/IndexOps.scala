@@ -106,6 +106,41 @@ object IndexOps {
     else ""
   }
 
+  /** Session-memoized SERVED small index tables (IVF centroids, PQ
+    * codebook): every probe consumes the same few-hundred-row frame,
+    * and re-opening the parquet per query (listing + footer + fresh
+    * codegen) costs more than the data — a real ANN server pins these
+    * next to the index handle. Keyed by the family's VERSION STAMP
+    * CONTENT, so a rebuild (stamp cleared, then rewritten) can never
+    * serve stale geometry from the memo: a mismatched stamp drops and
+    * re-reads. Released via [[evictServedTables]] (chained from the
+    * session-wide TextOps.evictCaches hook).
+    */
+  private val servedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), (String, DataFrame)]
+  private val servedLock = new Object
+
+  private[queries] def servedTable(s: SparkSession, path: String,
+                                   table: String, family: String): DataFrame =
+    servedLock.synchronized {
+      val stamp = readStamp(path, family)
+      servedCache.get((s, path, table)) match {
+        case Some((st, df)) if st == stamp => df
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val df = s.read.parquet(s"$path/$table.parquet").persist()
+          servedCache.put((s, path, table), (stamp, df))
+          df
+      }
+    }
+
+  private[queries] def evictServedTables(s: SparkSession): Unit =
+    servedLock.synchronized {
+      servedCache.keys.filter(_._1 eq s).foreach { k =>
+        servedCache.remove(k).foreach(_._2.unpersist())
+      }
+    }
+
   /** An index table is servable iff its parquet commit marker exists
     * (a crashed build leaves no _SUCCESS) AND its version stamp matches
     * the running code's signature semantics.
@@ -266,6 +301,7 @@ object IndexOps {
     ensureIndex(s, dir)
     ensureVecIndex(s, dir)
     IvfIndex.ensureIvfIndex(s, dir)
+    PqIndex.ensurePqIndex(s, dir)
     ()
   }
 

@@ -121,38 +121,14 @@ object IvfIndex {
     } catch { case _: Exception => None }
   }
 
-  /** Session-memoized served quantizer: every probe consumes the same
-    * 64 centroid rows, and re-opening the parquet per query (listing +
-    * footer + fresh codegen) costs more than the data — a real ANN
-    * server pins the quantizer in memory next to the index handle.
-    * Keyed by the VERSION STAMP CONTENT, so a rebuild (stamp cleared,
-    * then rewritten) can never serve stale geometry from the memo: a
-    * mismatched stamp drops and re-reads. Released via [[evictCaches]]
-    * (chained from VecOps — the session-wide lifecycle hook).
+  /** Session-memoized served quantizer — see IndexOps.servedTable (the
+    * shared stamp-keyed memo; a rebuild can never serve stale geometry).
     */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
-  private val centLock = new Object
-
   private[graft] def centroids(s: SparkSession, path: String): DataFrame =
-    centLock.synchronized {
-      val stamp = IndexOps.readStamp(path, "ivf")
-      centCache.get((s, path)) match {
-        case Some((st, df)) if st == stamp => df
-        case prev =>
-          prev.foreach(_._2.unpersist())
-          val df = s.read.parquet(s"$path/ivf_centroids.parquet").persist()
-          centCache.put((s, path), (stamp, df))
-          df
-      }
-    }
+    IndexOps.servedTable(s, path, "ivf_centroids", "ivf")
 
   private[graft] def evictCaches(s: SparkSession): Unit =
-    centLock.synchronized {
-      centCache.keys.filter(_._1 eq s).foreach { k =>
-        centCache.remove(k).foreach(_._2.unpersist())
-      }
-    }
+    IndexOps.evictServedTables(s)
 
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)

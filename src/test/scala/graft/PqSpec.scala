@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PqIndex (product quantization): the compression leg of the vector
+  * serving family. Contracts: the native ADC expression matches an
+  * independent reference bit-for-bit; the persisted tables cover the
+  * corpus at the declared 32x logical compression; ADC candidate
+  * generation recalls the exact top-k within a bounded refinement set;
+  * a stale stamp rebuilds instead of serving old geometry.
+  */
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("pq_adc matches an independently-coded reference on random codes and tables") {
+    graft.functions.VectorExprs.register(spark)
+    // deterministic xorshift so the fixture never drifts run-to-run
+    var st = 0x9E3779B97F4A7C15L
+    def next(): Long = { st ^= st << 13; st ^= st >>> 7; st ^= st << 17; st }
+    val cases = (1 to 50).map { _ =>
+      val code = next()
+      val table = Array.fill(256)((next() % 1000L).toDouble / 250.0)
+      (code, table)
+    }
+    def ref(code: Long, t: Array[Double]): Double = {
+      var s = 0.0
+      (0 until 16).foreach { m => s += t((m << 4) | ((code >>> (4 * m)) & 15L).toInt) }
+      s
+    }
+    val got = cases.toDF("code", "tbl")
+      .select(call_function("pq_adc", $"code", $"tbl").as("s"))
+      .as[Double].collect()
+    got.zip(cases).foreach { case (g, (c, t)) =>
+      assert(g == ref(c, t), s"pq_adc($c) = $g != reference ${ref(c, t)}")
+    }
+    // and the interpreted path (eval outside codegen) agrees too
+    val expr = graft.functions.PqAdc(
+      org.apache.spark.sql.catalyst.expressions.Literal(cases.head._1),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cases.head._2.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(expr.eval(null) == ref(cases.head._1, cases.head._2))
+  }
+
+  test("pq_index_build persists a full-coverage code table at 32x logical compression") {
+    val row = SparkEntry.queries("pq_index_build")(spark, dir).collect().head
+    val nonzero = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as e")
+      .filter(aggregate($"e", lit(0.0), (a, x) => a + x * x) > 0).count()
+    assert(row.getAs[Long]("n_codes") == nonzero,
+      s"codes must cover every nonzero-norm corpus vector: ${row.getAs[Long]("n_codes")} vs $nonzero")
+    assert(row.getAs[Long]("n_book_rows") == 256L) // 16 subspaces x 16 codes
+    assert(row.getAs[Int]("compression_x") == 32)
+    // every persisted code really is 16 packed nibbles of < 16 — i.e.
+    // the packed-long layout pq_adc indexes with (vacuous for 4-bit
+    // fields by construction, so check the codebook side instead: all
+    // sub-centroids are 4-dim and finite)
+    val path = graft.queries.IndexOps.indexDir(dir)
+    val bad = spark.read.parquet(s"$path/pq_codebook.parquet")
+      .filter(size($"c_sub") =!= 4 ||
+        exists($"c_sub", x => x.isNull || isnan(x))).count()
+    assert(bad == 0, s"$bad malformed codebook rows")
+  }
+
+  test("ADC candidate generation recalls the exact top-5 within a 50-row refinement set") {
+    // The serving contract: the probe's ADC scan ranks an 8-byte code
+    // per vector; a production server then re-ranks the top-R with an
+    // id-keyed fetch of raw vectors. Measured on this RANDOM fixture
+    // (the hardest case for PQ — no manifold structure): exact top-5 ⊆
+    // ADC top-50 at both gate SFs (5/5), direct ADC top-5 recalls 1-3.
+    // Floors pinned below the measurement to catch collapse, not to
+    // assert a quality target (vec_ann_ivf floor rationale).
+    val path = graft.queries.PqIndex.ensurePqIndex(spark, dir)
+    graft.functions.VectorExprs.register(spark)
+    val exact = SparkEntry.queries("vec_knn_topk")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val q = Core.load(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qemb"))
+      .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+    val tbl = graft.queries.PqIndex.codebook(spark, path).crossJoin(broadcast(q))
+      .select(($"m" * 16 + $"c").as("idx"),
+        round(call_function("dotp", $"c_sub", slice($"qemb", $"m" * 4 + 1, lit(4))), 6).as("ip"),
+        $"qnorm")
+      .groupBy($"qnorm")
+      .agg(map_from_entries(collect_list(struct($"idx", $"ip"))).as("mm"))
+      .select($"qnorm", transform(sequence(lit(0), lit(255)),
+        i => coalesce(element_at($"mm", i), lit(0.0))).as("tbl"))
+    val adcTop50 = spark.read.parquet(s"$path/pq_codes.parquet")
+      .crossJoin(broadcast(tbl))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        (call_function("pq_adc", $"code", $"tbl") / ($"norm" * $"qnorm")).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(50)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(exact.intersect(adcTop50).size >= 4,
+      s"refinement recall collapsed: ${exact.intersect(adcTop50).size}/5 of exact top-5 in ADC top-50")
+    // the declared probe itself (top-5 ADC) must overlap the exact set
+    val direct = SparkEntry.queries("pq_index_probe")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(direct.intersect(exact).nonEmpty,
+      s"direct ADC top-5 shares nothing with exact top-5")
+    // ADC approximates the true cosine: mean |error| over the corpus
+    // stays bounded (measured ~0.05 on this fixture; quantization
+    // shrinkage dominates, catastrophic-drift floor at 3x measured)
+    val err = spark.read.parquet(s"$path/pq_codes.parquet")
+      .crossJoin(broadcast(tbl))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        (call_function("pq_adc", $"code", $"tbl") / ($"norm" * $"qnorm")).as("adc"))
+      .join(Core.load(spark, dir, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as e"), "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(call_function("dotp", $"e", $"e") > 0)
+      .select(abs($"adc" - call_function("dotp", $"e", $"qemb") /
+        (sqrt(call_function("dotp", $"e", $"e")) * $"qnorm")).as("ae"))
+      .agg(avg($"ae")).as[Double].collect().head
+    assert(err < 0.15, f"mean ADC score error $err%.4f exceeds the drift floor")
+  }
+
+  test("stale or uncommitted persisted PQ index is rebuilt, not served") {
+    val path = graft.queries.PqIndex.ensurePqIndex(spark, dir)
+    val stamp = new java.io.File(s"$path/pq.version")
+    val good = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+    java.nio.file.Files.write(stamp.toPath, "pq-v0:stale".getBytes("UTF-8"))
+    try {
+      val codesBefore = new java.io.File(s"$path/pq_codes.parquet").lastModified()
+      graft.queries.PqIndex.ensurePqIndex(spark, dir)
+      val after = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      assert(after == good, "stale stamp must trigger a rebuild that re-stamps current")
+      assert(new java.io.File(s"$path/pq_codes.parquet").lastModified() >= codesBefore)
+    } finally {
+      if (new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8") != good)
+        java.nio.file.Files.write(stamp.toPath, good.getBytes("UTF-8"))
+    }
+  }
+}
