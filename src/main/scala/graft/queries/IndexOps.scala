@@ -302,6 +302,7 @@ object IndexOps {
     ensureVecIndex(s, dir)
     IvfIndex.ensureIvfIndex(s, dir)
     PqIndex.ensurePqIndex(s, dir)
+    PqIndex.ensureIvfPqIndex(s, dir)
     ()
   }
 

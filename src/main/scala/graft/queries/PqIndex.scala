@@ -154,6 +154,73 @@ object PqIndex {
   private[graft] def codebook(s: SparkSession, path: String): DataFrame =
     IndexOps.servedTable(s, path, "pq_codebook", "pq")
 
+  /** The query's ADC lookup table, built IN-PLAN — THE one definition
+    * every ADC consumer shares (flat probe, IVF-PQ probe, specs):
+    * codebook × 1-row query → 256 (m, c, ⟨q_m, c_sub⟩) rows → one
+    * 256-slot array row carrying qnorm, sized to broadcast. No driver
+    * collect; entries round to 6dp so downstream scores are
+    * byte-deterministic.
+    */
+  private[graft] def adcTable(book: DataFrame, q: DataFrame): DataFrame =
+    book.crossJoin(broadcast(q))
+      .select((col("m") * K + col("c")).as("idx"),
+        round(call_function("dotp", col("c_sub"),
+          slice(col("qemb"), col("m") * D + 1, lit(D))), 6).as("ip"),
+        col("qnorm"))
+      .groupBy(col("qnorm"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("ip")))).as("mm"))
+      .select(col("qnorm"),
+        transform(sequence(lit(0), lit(M * K - 1)),
+          i => coalesce(element_at(col("mm"), i), lit(0.0))).as("tbl"))
+
+  /** IVF-PQ: the composed serving topology — the IVF layout bounds
+    * WHICH vectors a probe scans (cell-partition pruning), PQ bounds
+    * the BYTES per scanned vector (packed codes). The table is the
+    * join of the two parents' per-vector artifacts, partitioned by
+    * cell:
+    *
+    *   ivfpq_codes/c_id=N/…(vec_id, code, norm)
+    *
+    * Its version stamp EMBEDS both parent versions, so bumping either
+    * quantizer invalidates the composition through the ordinary
+    * staleness machinery. Derivation note: the composed table is built
+    * from the PARENTS' persisted tables, not from the corpus — at
+    * 100 TB that is a join of two code/assignment tables (16 B + 8 B
+    * per vector), never a third read of the raw vectors. Post-build
+    * appends to the ivf cells (appendToIvfIndex) do not flow into this
+    * table — the composed stamp does not cover appended rows; a
+    * production deployment encodes-and-appends codes in the same batch
+    * (assignCodes against the frozen codebook is O(|batch|·K)) or
+    * rebuilds on its compaction cadence. Probes here serve the stamped
+    * build, the same bounded-staleness contract as the ANN meta stats.
+    */
+  private[graft] val ivfPqIndexVersion =
+    s"ivfpq-v1($pqIndexVersion;${IvfIndex.ivfIndexVersion})"
+
+  private[graft] def buildIvfPqIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = IndexOps.indexDir(dir)
+    IndexOps.clearStamp(path, "ivfpq")
+    IvfIndex.ensureIvfIndex(s, dir)
+    ensurePqIndex(s, dir)
+    val cells = s.read.parquet(s"$path/ivf_cells.parquet")
+      .select($"vec_id", $"c_id")
+    s.read.parquet(s"$path/pq_codes.parquet")
+      .join(cells, "vec_id")
+      .repartition($"c_id")
+      .write.partitionBy("c_id").mode(SaveMode.Overwrite)
+      .parquet(s"$path/ivfpq_codes.parquet")
+    IndexOps.writeStamp(path, "ivfpq", ivfPqIndexVersion)
+    path
+  }
+
+  private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val path = IndexOps.indexDir(dir)
+    if (!IndexOps.indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", ivfPqIndexVersion))
+      buildIvfPqIndex(s, dir)
+    else path
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entryNoOracle("pq_index_build") { (s, dir) =>
@@ -185,19 +252,39 @@ object PqIndex {
         .filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>").as("qemb"))
         .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
-      val tbl = codebook(s, path).crossJoin(broadcast(q))
-        .select(($"m" * K + $"c").as("idx"),
-          round(call_function("dotp", $"c_sub",
-            slice($"qemb", $"m" * D + 1, lit(D))), 6).as("ip"),
-          $"qnorm")
-        .groupBy($"qnorm")
-        .agg(map_from_entries(collect_list(struct($"idx", $"ip"))).as("mm"))
-        .select($"qnorm",
-          transform(sequence(lit(0), lit(M * K - 1)),
-            i => coalesce(element_at($"mm", i), lit(0.0))).as("tbl"))
+      val tbl = adcTable(codebook(s, path), q)
       // the scan: one packed long + one stored norm per corpus vector,
       // scored entirely inside whole-stage codegen; TakeOrdered keeps 5
       s.read.parquet(s"$path/pq_codes.parquet")
+        .crossJoin(broadcast(tbl))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id",
+          round(call_function("pq_adc", $"code", $"tbl") / ($"norm" * $"qnorm"), 6)
+            .as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    },
+
+    entryNoOracle("ivfpq_index_probe") { (s, dir) =>
+      import s.implicits._
+      VectorExprs.register(s)
+      val path = ensureIvfPqIndex(s, dir)
+      // The composed serving plan: the shared ivfProbe picks the
+      // query's nprobe cells from the memoized IVF quantizer; the
+      // broadcast probe side dynamically prunes the cell-partitioned
+      // CODE table to those partitions; pq_adc scores the surviving
+      // 8-byte codes. Scan cost = (nprobe/K) × (1/32 of raw bytes) —
+      // both serving dials compound, which is the whole point of the
+      // FAISS IVF-PQ topology this re-expresses.
+      val q = load(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>").as("qemb"))
+        .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+      val probed = VecOps.ivfProbe(
+        IvfIndex.centroids(s, path).crossJoin(broadcast(q)), $"qemb", $"qnorm")
+      val tbl = adcTable(codebook(s, path), q)
+      s.read.parquet(s"$path/ivfpq_codes.parquet")
+        .join(broadcast(probed.select($"c_id")), "c_id")
         .crossJoin(broadcast(tbl))
         .filter($"vec_id" =!= 0)
         .select($"vec_id",

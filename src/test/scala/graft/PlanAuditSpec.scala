@@ -160,7 +160,7 @@ class PlanAuditSpec extends SparkSpecBase {
       // IVF family: 1-row query / K=64 centroid broadcast sides
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
       // PQ family: 1-row corpus-count / 1-row ADC-table broadcasts
-      "pq_index_build", "pq_index_probe",
+      "pq_index_build", "pq_index_probe", "ivfpq_index_probe",
       // hybrid_search_rrf: the same 1-row query-vector and 1-row
       // corpus-stats broadcasts as vec_knn_topk / text_bm25
       "hybrid_search_rrf",

@@ -119,6 +119,52 @@ class PqSpec extends SparkSpecBase {
     assert(err < 0.15, f"mean ADC score error $err%.4f exceeds the drift floor")
   }
 
+  test("ivfpq probe: cell-pruned ADC scan answers exactly the probed-cell ADC ranking") {
+    val path = graft.queries.PqIndex.ensureIvfPqIndex(spark, dir)
+    graft.functions.VectorExprs.register(spark)
+    val df = SparkEntry.queries("ivfpq_index_probe")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every corpus access is the pushed query-row read; the code table
+    // scan carries the dynamic partition filter (the composed topology:
+    // nprobe/K of the rows × 1/32 of the bytes)
+    val corpusScans = plan.linesIterator.filter(_.contains("embeddings.parquet")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"probe plan contains a non-query-row corpus scan:\n${corpusScans.mkString("\n")}")
+    val codeScan = plan.linesIterator
+      .filter(_.contains("ivfpq_codes.parquet")).mkString("\n")
+    assert(codeScan.contains("dynamicpruning"),
+      s"ivfpq codes scan is not partition-pruned:\n$codeScan")
+    val got = df.as[(Long, Double)].collect().toSeq
+    // independent expectation: the flat PQ ADC ranking restricted to
+    // the query's nprobe cells (recomputed from the parent tables) —
+    // the pruned plan must answer EXACTLY this, or pruning changed
+    // semantics instead of cost
+    val q = Core.load(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qemb"))
+      .withColumn("qnorm", sqrt(call_function("dotp", $"qemb", $"qemb")))
+    val probedCells = graft.queries.VecOps.ivfProbe(
+        graft.queries.IvfIndex.centroids(spark, path).crossJoin(broadcast(q)),
+        $"qemb", $"qnorm")
+      .select($"c_id").as[Long].collect().toSet
+    val tbl = graft.queries.PqIndex.adcTable(
+      graft.queries.PqIndex.codebook(spark, path), q)
+    val want = spark.read.parquet(s"$path/pq_codes.parquet")
+      .join(spark.read.parquet(s"$path/ivf_cells.parquet").select($"vec_id", $"c_id"), "vec_id")
+      .filter($"c_id".isin(probedCells.toSeq: _*) && $"vec_id" =!= 0)
+      .crossJoin(broadcast(tbl))
+      .select($"vec_id",
+        round(call_function("pq_adc", $"code", $"tbl") / ($"norm" * $"qnorm"), 6).as("s"))
+      .orderBy($"s".desc, $"vec_id").limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"pruned ADC ranking drifted:\n got $got\nwant $want")
+    // collapse floor vs the exact scan (measured 2/5 at both gate SFs
+    // on random vectors — compounded IVF cell-restriction + PQ noise)
+    val exact = SparkEntry.queries("vec_knn_topk")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.intersect(exact).nonEmpty,
+      "ivfpq top-5 shares nothing with the exact top-5")
+  }
+
   test("stale or uncommitted persisted PQ index is rebuilt, not served") {
     val path = graft.queries.PqIndex.ensurePqIndex(spark, dir)
     val stamp = new java.io.File(s"$path/pq.version")
