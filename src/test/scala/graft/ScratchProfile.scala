@@ -1,10 +1,12 @@
 package graft
 
-/** Scratch profiler (not a test suite) — run with
+/** Dev profiler (not a test suite) — run with
   *   sbt "Test/runMain graft.ScratchProfile <sfDir> <query> [query...]"
   * Times each named SparkEntry query twice (min-of-two, the bench
-  * convention) after warming the shared frames, and prints the formatted
-  * plan of the last run.
+  * convention) after warming the shared frames AND the persisted lake
+  * indexes, so every number is the warm serving marginal. This is also
+  * the SCALE.md measured-exponents protocol: generate a 10× corpus
+  * with ScaleGen, run the same query list against both dirs, compare.
   */
 object ScratchProfile {
   def main(args: Array[String]): Unit = {
@@ -22,6 +24,7 @@ object ScratchProfile {
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmDedupClusters(spark, sfDir)
     queries.TextOps.warmSharedFrames(spark, sfDir)
+    queries.IndexOps.warmPersistedIndexes(spark, sfDir)
     for (n <- names) {
       val q = SparkEntry.queries(n)
       var plan: org.apache.spark.sql.DataFrame = null
