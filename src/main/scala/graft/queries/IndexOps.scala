@@ -100,7 +100,7 @@ object IndexOps {
   /** Current stamp content for a family, "" when absent — memo keys
     * that must invalidate on rebuild compare this, never cache it.
     */
-  private[queries] def readStamp(path: String, table: String): String = {
+  private[graft] def readStamp(path: String, table: String): String = {
     val f = stampFile(path, table)
     if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     else ""
@@ -288,6 +288,19 @@ object IndexOps {
         s.read.parquet(s"$path/ivf_cells.parquet").distinct()
           .repartition(col("c_id")),
         path, "ivf_cells", partitionBy = Seq("c_id"))
+    // the PQ code tables grow by append like the cells: flat codes
+    // round-robin to nFiles; the composed table preserves its cell
+    // partitioning. Codebook/centroids are overwrite-only (never grown).
+    if (indexCurrent(path, Seq("pq_codebook", "pq_codes"), "pq",
+        PqIndex.pqIndexVersion))
+      graft.sources.Ingest.stageAndSwap(
+        s.read.parquet(s"$path/pq_codes.parquet").distinct().repartition(nFiles),
+        path, "pq_codes")
+    if (indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", PqIndex.ivfPqIndexVersion))
+      graft.sources.Ingest.stageAndSwap(
+        s.read.parquet(s"$path/ivfpq_codes.parquet").distinct()
+          .repartition(col("c_id")),
+        path, "ivfpq_codes", partitionBy = Seq("c_id"))
   }
 
   /** Ensure every persisted index family for `dir` is built and

@@ -221,6 +221,70 @@ object PqIndex {
     else path
   }
 
+  /** Grow the persisted PQ code table with a new vector batch WITHOUT
+    * retraining — the daily-ingest shape, mirroring appendToIvfIndex:
+    * encode each batch vector against the FROZEN codebook (codebooks
+    * are what the version stamp pins; corpus drift is a stamped
+    * REBUILD, never a silent re-train under a serving path) and append
+    * the packed codes. O(|batch|·M·K) work, zero corpus reads. The
+    * metadata contract is enforced loudly like the IVF append: a batch
+    * whose columns differ from the stored codes would land rows a
+    * filtered consumer silently never returns.
+    */
+  private[graft] def appendToPqIndex(s: SparkSession, dir: String,
+                                     batch: DataFrame): DataFrame = {
+    VectorExprs.register(s)
+    import s.implicits._
+    val path = ensurePqIndex(s, dir)
+    val metaCols = batch.columns.filterNot(c => c == "vec_id" || c == "embedding")
+    val stored = s.read.parquet(s"$path/pq_codes.parquet").columns.toSet
+    val appended = Set("vec_id", "code", "norm") ++ metaCols
+    require(appended == stored,
+      s"appendToPqIndex: batch columns ${appended.toSeq.sorted.mkString(",")} != " +
+        s"stored codes schema ${stored.toSeq.sorted.mkString(",")}")
+    val e = batch
+      .select(col("vec_id") +:
+        col("embedding").cast("array<double>").as("emb") +:
+        metaCols.map(col).toIndexedSeq: _*)
+      .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
+      .filter(col("norm") > 0)
+    val codes = assignCodes(subVectors(e), codebook(s, path))
+      .groupBy($"vec_id")
+      .agg(sum(expr(s"shiftleft(c, m * 4)")).as("code"))
+      .join(e.drop("emb"), "vec_id")
+    codes.write.mode(SaveMode.Append).parquet(s"$path/pq_codes.parquet")
+    IndexOps.maybeCompact(s, dir, "", "pq_codes")
+    codes
+  }
+
+  /** Composed append: one batch lands in ALL THREE vector-serving
+    * tables in a single call — the IVF cells (frozen centroids, via
+    * appendToIvfIndex), the flat PQ codes (frozen codebook, above),
+    * and the cell-partitioned composed table (the join of the two
+    * batch-local results — never a read-back of the parents). This is
+    * the encode-and-append discipline the composed stamp's
+    * bounded-staleness note prescribes: probes see appended vectors
+    * immediately, in exactly the partitions they prune to.
+    */
+  private[graft] def appendToIvfPqIndex(s: SparkSession, dir: String,
+                                        batch: DataFrame): Unit = {
+    import s.implicits._
+    val path = ensureIvfPqIndex(s, dir)
+    IvfIndex.appendToIvfIndex(s, dir, batch)
+    val codes = appendToPqIndex(s, dir, batch)
+    val e = batch
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(call_function("dotp", $"emb", $"emb")))
+      .filter($"norm" > 0)
+    val cells = VecOps.assignToCells(e, IvfIndex.centroids(s, path))
+      .select($"vec_id", $"c_id")
+    codes.join(cells, "vec_id")
+      .repartition($"c_id")
+      .write.partitionBy("c_id").mode(SaveMode.Append)
+      .parquet(s"$path/ivfpq_codes.parquet")
+    IndexOps.maybeCompact(s, dir, "", "ivfpq_codes", baseline = 64)
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entryNoOracle("pq_index_build") { (s, dir) =>

@@ -165,6 +165,43 @@ class PqSpec extends SparkSpecBase {
       "ivfpq top-5 shares nothing with the exact top-5")
   }
 
+  test("encode-and-append: one batch lands in all three vector tables; probes see it immediately") {
+    val path = graft.queries.PqIndex.ensureIvfPqIndex(spark, dir)
+    val nPq = spark.read.parquet(s"$path/pq_codes.parquet").count()
+    val nComposed = spark.read.parquet(s"$path/ivfpq_codes.parquet").count()
+    val nCells = spark.read.parquet(s"$path/ivf_cells.parquet").count()
+    try {
+      // metadata contract is loud, like the IVF append
+      intercept[IllegalArgumentException] {
+        graft.queries.PqIndex.appendToPqIndex(spark, dir,
+          spark.read.parquet(s"$dir/embeddings.parquet").limit(1).drop("label"))
+      }
+      // batch: vector 0 CLONED under a fresh id — identical embedding →
+      // identical code and norm, so its ADC score against query 0 equals
+      // the best possible and the appended row must surface in the
+      // composed probe's top-5 with no rebuild in between
+      val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" === 0)
+        .select(lit(900001L).as("vec_id"), $"embedding", $"label")
+      graft.queries.PqIndex.appendToIvfPqIndex(spark, dir, batch)
+      assert(spark.read.parquet(s"$path/pq_codes.parquet").count() == nPq + 1)
+      assert(spark.read.parquet(s"$path/ivfpq_codes.parquet").count() == nComposed + 1)
+      assert(spark.read.parquet(s"$path/ivf_cells.parquet").count() == nCells + 1)
+      // appends never invalidate the stamps (no rebuild on next use)
+      assert(graft.queries.IndexOps.readStamp(path, "ivfpq")
+        == graft.queries.PqIndex.ivfPqIndexVersion)
+      val got = SparkEntry.queries("ivfpq_index_probe")(spark, dir)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(got.contains(900001L),
+        s"appended clone of the query vector missing from the composed probe top-5: $got")
+    } finally {
+      // restore the pristine corpus-only tables for any later consumer
+      graft.queries.PqIndex.buildPqIndex(spark, dir)
+      graft.queries.IvfIndex.buildIvfIndex(spark, dir)
+      graft.queries.PqIndex.buildIvfPqIndex(spark, dir)
+    }
+  }
+
   test("stale or uncommitted persisted PQ index is rebuilt, not served") {
     val path = graft.queries.PqIndex.ensurePqIndex(spark, dir)
     val stamp = new java.io.File(s"$path/pq.version")
