@@ -86,6 +86,50 @@ object ExtensibilityOps {
         .orderBy($"event_id")
     },
 
+    entry(
+      "join_bloom_prefilter",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      // Runtime-filtered fact join: the selective dim predicate is
+      // turned into a bloom filter over the surviving join keys (one
+      // binary value, built by an uncorrelated scalar subquery) and
+      // probed ON THE FACT SCAN, before any shuffle — false positives
+      // are removed by the exact join that follows, so the result is
+      // the plain join (the oracle) at every FPP. This is the 100 TB
+      // shuffle cutter: a fact table shuffles only selectivity+FPP of
+      // its rows instead of all of them, for the price of shipping a
+      // ~1 MB filter to every scan task. Catalyst's InjectRuntimeFilter
+      // does this automatically but only for shuffle joins past size
+      // thresholds (and never under broadcast at bench scale); the
+      // declared form (graft.functions.BloomFuncs) pins the pruned plan
+      // deterministically. The subquery FROM-clause placement puts the
+      // probe syntactically on the lineitem side — no reliance on
+      // subquery-predicate pushdown through the join.
+      graft.functions.BloomFuncs.register(s)
+      load(s, dir, "lineitem").createOrReplaceTempView("bloom_lineitem")
+      load(s, dir, "orders").createOrReplaceTempView("bloom_orders")
+      s.sql(
+        """SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,
+          |  count(*) AS n_items,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM (
+          |  SELECT l_orderkey, l_extendedprice, l_discount
+          |  FROM bloom_lineitem
+          |  WHERE graft_might_contain(
+          |    (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+          |     FROM bloom_orders WHERE o_orderpriority = '1-URGENT'),
+          |    xxhash64(l_orderkey))
+          |) l
+          |JOIN (SELECT o_orderkey, o_orderdate FROM bloom_orders
+          |      WHERE o_orderpriority = '1-URGENT') o
+          |  ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // ---- Multimodal plumbing surfaced as declared operators (rows-only:
     // ---- the asset table is the deterministic synthetic generator —
     // ---- the lake has no binary fixture — so outputs are stable but

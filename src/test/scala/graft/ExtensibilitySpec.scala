@@ -74,4 +74,62 @@ class ExtensibilitySpec extends SparkSpecBase {
         Array("b", "c", "d").map(UTF8String.fromString)), ArrayType(StringType)))
     assert(is.eval(null) == 2)
   }
+
+  test("join_bloom_prefilter: bloom prunes the fact scan below the join; exact join absorbs FPs") {
+    val dir = sf("sf0.01")
+    graft.functions.BloomFuncs.register(spark)
+    val res = SparkEntry.queries("join_bloom_prefilter")(spark, dir)
+
+    // the probe sits on the lineitem side, BELOW the join (in the
+    // optimized plan the might_contain Filter's subtree reads lineitem
+    // and never orders — i.e. the prefilter runs before any shuffle)
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+    val probes = res.queryExecution.optimizedPlan.collect {
+      case f @ Filter(cond, _) if cond.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(probes.nonEmpty, "no BloomFilterMightContain Filter in the optimized plan")
+    // (InferFiltersFromConstraints additionally copies the probe onto
+    // the orders side via the join equality — harmless bonus pruning;
+    // the contract is that the FACT side carries one)
+    val factProbes = probes.filter { f =>
+      val leafCols = f.child.collectLeaves().map(_.output.map(_.name).toSet)
+      leafCols.nonEmpty &&
+        leafCols.forall(c => c.contains("l_orderkey") && !c.contains("o_orderkey"))
+    }
+    assert(factProbes.nonEmpty,
+      s"no bloom probe scoped to the fact side in: ${probes.map(_.child.collectLeaves().map(_.output.map(_.name).take(2)))}")
+
+    // pruning is real but lossless: rows passing the bloom are a strict
+    // subset of the fact table and a superset of the exact matches
+    import org.apache.spark.sql.functions._
+    val li = Core.load(spark, dir, "lineitem")
+    li.createOrReplaceTempView("bloom_lineitem")
+    Core.load(spark, dir, "orders").createOrReplaceTempView("bloom_orders")
+    val total = li.count()
+    val passed = spark.sql(
+      """SELECT count(*) FROM bloom_lineitem
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+        |   FROM bloom_orders WHERE o_orderpriority = '1-URGENT'),
+        |  xxhash64(l_orderkey))""".stripMargin).as[Long].collect()(0)
+    val matched = spark.sql(
+      """SELECT count(*) FROM bloom_lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM bloom_orders
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+      .as[Long].collect()(0)
+    assert(matched <= passed, s"bloom dropped true matches: $matched > $passed")
+    assert(passed < (total * 6) / 10,
+      s"bloom pruned nothing: $passed of $total passed (~20% priority selectivity expected)")
+
+    // result equals the plain (bloom-free) join — FPs fully absorbed
+    val plain = Core.load(spark, dir, "lineitem")
+      .join(Core.load(spark, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT"), $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"ym")
+    assert(res.collect().toSeq == plain.collect().toSeq)
+  }
 }
