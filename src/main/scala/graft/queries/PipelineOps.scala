@@ -359,6 +359,53 @@ object PipelineOps {
     },
 
     entry(
+      "mix_weights_incremental",
+      // identical oracle to mix_weights: incremental maintenance must
+      // reproduce the full recompute exactly, not approximately
+      """WITH t AS (SELECT source,
+        |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM t)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(n_tokens * 1.0 / total, 4) AS share,
+        |  round(total * 1.0 / (ns * n_tokens), 4) AS weight
+        |FROM t, g ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Materialized-view maintenance for the mixing family: mix_weights
+      // recomputes per-source token totals from the (cached) corpus every
+      // run — at 100 TB even one corpus scan per weights refresh is the
+      // cost that dominates a daily-ingest cadence. Here the totals are a
+      // version-stamped LAKE ARTIFACT (per-source n_docs/n_tokens over the
+      // corpus minus the standard batch slice, built once like the sim
+      // index), and the entry answers by merging the state with partial
+      // aggregates of ONLY the batch (doc_id % 10 == 7, the same slice the
+      // index *_incremental entries treat as "today's ingest"). Exact
+      // integer sums merge associatively, so the result is byte-equal to
+      // the full recompute — the oracle is mix_weights' own SQL. Cost
+      // profile: O(|batch|) tokenize-side work + O(|sources|) merge,
+      // corpus touched zero times. `mergeIntoMixState` is the write path
+      // that folds a batch INTO the artifact (MixStateSpec pins
+      // merged-state == recompute); grouped on source → demand the real
+      // column (see mix_weights).
+      TextOps.requireDocMeta(s, dir, "source")
+      val path = ensureMixState(s, dir)
+      val state = s.read.parquet(s"$path/mix_state.parquet")
+      val batch = TextOps.docTokens(s, dir)
+        .filter(pmod($"doc_id", lit(10)) === 7)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+      val t = state.unionByName(batch)
+        .groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
+      t.crossJoin(broadcast(g))
+        .select($"source", $"n_tokens",
+          round($"n_tokens" * lit(1.0) / $"total", 4).as("share"),
+          round($"total" * lit(1.0) / ($"ns" * $"n_tokens"), 4).as("weight"))
+        .orderBy($"source")
+    },
+
+    entry(
       "text_decontaminate",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -431,4 +478,79 @@ object PipelineOps {
         .orderBy($"doc_id")
     }
   )
+
+  // ---- Incremental aggregate state (the mixing family's MV) ----------
+
+  /** Stamp pins BOTH the tokenizer semantics and the base-state slice:
+    * a state built under a different tokenizer (or a different notion
+    * of "already ingested") must rebuild, never merge.
+    */
+  private[graft] val mixStateVersion = "mixstate-v1:ws-tokens;per-source-docs-tokens;base-excl-mod10-7"
+
+  /** Lake location of the aggregate state for a source dir — same
+    * out-of-target/, namespace-suffixed discipline as
+    * IndexOps.indexDir (ns separates independently-maintained states;
+    * the oracled entry reads the pristine "" namespace).
+    */
+  private[graft] def mixStateDir(dir: String, ns: String = ""): String =
+    "lake/aggstate/" +
+      (dir + (if (ns.isEmpty) "" else "@" + ns)).replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Ensure the base state exists and is current: per-source
+    * (n_docs, n_tokens) over the corpus EXCLUDING the standard batch
+    * slice, so the oracled incremental entry genuinely has something
+    * to merge. Stamp discipline as everywhere: clear first, stamp
+    * after the table commits (a crashed build reads as non-current).
+    */
+  private[graft] def ensureMixState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = mixStateDir(dir)
+    if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
+      IndexOps.clearStamp(path, "mix_state")
+      val base = TextOps.docTokens(s, dir)
+        .filter(pmod($"doc_id", lit(10)) =!= 7)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+      graft.sources.Ingest.stageAndSwap(base, path, "mix_state")
+      IndexOps.writeStamp(path, "mix_state", mixStateVersion)
+    }
+    path
+  }
+
+  /** Fold a new document batch INTO a namespace's persisted state —
+    * the MV write path: tokenize ONLY the batch, merge its per-source
+    * partials with the stored totals, stage-and-swap the tiny result.
+    * O(|batch|) + O(|sources|); the corpus is never re-read. An absent
+    * namespace seeds from the base state first. NOT idempotent by
+    * design (exact sums): the caller owns exactly-once per batch, the
+    * same contract as appendToIndex/appendToIvfIndex. Batch must carry
+    * (text, source) — a silently-missing source column would
+    * misattribute the whole batch to one null group.
+    */
+  private[graft] def mergeIntoMixState(s: org.apache.spark.sql.SparkSession, dir: String,
+                                       batch: org.apache.spark.sql.DataFrame,
+                                       ns: String): String = {
+    import s.implicits._
+    require(batch.columns.contains("text") && batch.columns.contains("source"),
+      s"mergeIntoMixState: batch needs (text, source), has ${batch.columns.sorted.mkString(",")}")
+    val basePath = ensureMixState(s, dir)
+    val path = mixStateDir(dir, ns)
+    if (ns.nonEmpty &&
+        !IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
+      IndexOps.clearStamp(path, "mix_state")
+      graft.sources.Ingest.stageAndSwap(
+        s.read.parquet(s"$basePath/mix_state.parquet"), path, "mix_state")
+      IndexOps.writeStamp(path, "mix_state", mixStateVersion)
+    }
+    val partials = batch
+      .select($"source", graft.Core.tokens(lower($"text")).as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+    val merged = s.read.parquet(s"$path/mix_state.parquet")
+      .unionByName(partials)
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    graft.sources.Ingest.stageAndSwap(merged, path, "mix_state")
+    path
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineOps
+
+/** Incremental aggregate state (the mixing family's MV): the persisted
+  * per-source token totals plus a batch's partial aggregates must
+  * reproduce the full-corpus recompute EXACTLY — and the serving plan
+  * must read the lake artifact, not the corpus.
+  */
+class MixStateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("mix_weights_incremental equals the full mix_weights recompute") {
+    val inc = SparkEntry.queries("mix_weights_incremental")(spark, dir).collect().toSeq
+    val full = SparkEntry.queries("mix_weights")(spark, dir).collect().toSeq
+    assert(inc == full)
+  }
+
+  test("the incremental entry's state side reads the lake artifact, not the corpus") {
+    val plan = SparkEntry.queries("mix_weights_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("aggstate"),
+      "no lake aggstate scan in the plan — the entry recomputed the state")
+  }
+
+  test("mergeIntoMixState folds a batch into a namespace state that equals a recompute") {
+    val ns = "spec-merge"
+    val nsDir = new java.io.File(PipelineOps.mixStateDir(dir, ns))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(nsDir)
+    try {
+      // batch = the standard slice, straight from the raw documents table
+      // (mergeIntoMixState owns its own tokenize — the write path must
+      // not depend on the session cache)
+      val batch = Core.load(spark, dir, "documents")
+        .filter(pmod($"doc_id", lit(10)) === 7)
+      val path = PipelineOps.mergeIntoMixState(spark, dir, batch, ns)
+      val got = spark.read.parquet(s"$path/mix_state.parquet")
+        .select($"source", $"n_docs", $"n_tokens")
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = Core.load(spark, dir, "documents")
+        .select($"source", Core.tokens(lower($"text")).as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"merged state drifted from recompute:\n$got\nvs\n$want")
+    } finally rm(nsDir)
+  }
+
+  test("a batch without the source column is refused loudly") {
+    intercept[IllegalArgumentException] {
+      PipelineOps.mergeIntoMixState(spark, dir,
+        Core.load(spark, dir, "documents").drop("source"), "spec-refuse")
+    }
+  }
+}
