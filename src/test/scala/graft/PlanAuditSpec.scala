@@ -154,9 +154,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "semantic_search_e2e", "win_percent_topk", "agg_stats_zscore",
       "join_cross", "join_theta_range", "sql_entry", "sim_index_build",
       "vec_index_build", "text_tfidf", "text_bm25", "mix_weights",
-      // mix_apply: same deliberate 1-row (total, ns) stats broadcast as
-      // mix_weights, feeding the per-source keep probabilities
-      "mix_apply",
+      // mix_apply / mix_weights_incremental: same deliberate 1-row
+      // (total, ns) stats broadcast as mix_weights, feeding the
+      // per-source keep probabilities / merged weights
+      "mix_apply", "mix_weights_incremental",
       // IVF family: 1-row query / K=64 centroid broadcast sides
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
       // PQ family: 1-row corpus-count / 1-row ADC-table broadcasts
