@@ -389,8 +389,7 @@ object PipelineOps {
       // merged-state == recompute); grouped on source → demand the real
       // column (see mix_weights).
       TextOps.requireDocMeta(s, dir, "source")
-      val path = ensureMixState(s, dir)
-      val state = s.read.parquet(s"$path/mix_state.parquet")
+      val state = readMixState(s, dir)
       val batch = TextOps.docTokens(s, dir)
         .filter(pmod($"doc_id", lit(10)) === 7)
         .groupBy($"source")
@@ -485,7 +484,7 @@ object PipelineOps {
     * a state built under a different tokenizer (or a different notion
     * of "already ingested") must rebuild, never merge.
     */
-  private[graft] val mixStateVersion = "mixstate-v1:ws-tokens;per-source-docs-tokens;base-excl-mod10-7"
+  private[graft] val mixStateVersion = "mixstate-v2:ws-tokens;per-source-docs-tokens;base-excl-mod10-7;upto-col"
 
   /** Lake location of the aggregate state for a source dir — same
     * out-of-target/, namespace-suffixed discipline as
@@ -499,8 +498,13 @@ object PipelineOps {
   /** Ensure the base state exists and is current: per-source
     * (n_docs, n_tokens) over the corpus EXCLUDING the standard batch
     * slice, so the oracled incremental entry genuinely has something
-    * to merge. Stamp discipline as everywhere: clear first, stamp
-    * after the table commits (a crashed build reads as non-current).
+    * to merge. `merged_upto` is the streaming high-water mark — the
+    * id of the last partial batch a compaction absorbed (−1 = none);
+    * it lives as a constant column INSIDE the state table so the
+    * stage-and-swap that absorbs partials is also the commit point
+    * that retires them (two files can't swap atomically; one can).
+    * Stamp discipline as everywhere: clear first, stamp after the
+    * table commits (a crashed build reads as non-current).
     */
   private[graft] def ensureMixState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
@@ -511,10 +515,126 @@ object PipelineOps {
         .filter(pmod($"doc_id", lit(10)) =!= 7)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+        .withColumn("merged_upto", lit(-1L))
       graft.sources.Ingest.stageAndSwap(base, path, "mix_state")
       IndexOps.writeStamp(path, "mix_state", mixStateVersion)
     }
     path
+  }
+
+  /** Seed a namespace's state from the base artifact on first use —
+    * the copy-on-first-use discipline the gates use for their index
+    * namespaces (independently-maintained states never interleave).
+    */
+  private def ensureNsMixState(s: org.apache.spark.sql.SparkSession, dir: String,
+                               ns: String): String = {
+    val basePath = ensureMixState(s, dir)
+    if (ns.isEmpty) basePath
+    else {
+      val path = mixStateDir(dir, ns)
+      if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
+        IndexOps.clearStamp(path, "mix_state")
+        graft.sources.Ingest.stageAndSwap(
+          s.read.parquet(s"$basePath/mix_state.parquet"), path, "mix_state")
+        IndexOps.writeStamp(path, "mix_state", mixStateVersion)
+      }
+      path
+    }
+  }
+
+  /** Per-source partial aggregates of one document batch — the only
+    * tokenize the maintenance paths ever run. Loud schema contract: a
+    * silently-missing source column would misattribute the whole batch
+    * to one null group.
+    */
+  private def batchPartials(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(batch.columns.contains("text") && batch.columns.contains("source"),
+      s"mix-state batch needs (text, source), has ${batch.columns.sorted.mkString(",")}")
+    batch
+      .select(col("source"), graft.Core.tokens(lower(col("text"))).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("n_tokens"))
+  }
+
+  /** The serving read: base state ⊎ LIVE partial batches (those newer
+    * than the base's high-water mark — an absorbed batch dir that a
+    * replay re-created after compaction is ignored here and lazily
+    * GC'd by the next compaction). Both frames are O(|sources| +
+    * |pending batches|·|sources|) rows — merging on read is cheaper
+    * than any write-side coordination, and the corpus is never
+    * touched.
+    */
+  private[graft] def readMixState(s: org.apache.spark.sql.SparkSession, dir: String,
+                                  ns: String = ""): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = ensureNsMixState(s, dir, ns)
+    val base = s.read.parquet(s"$path/mix_state.parquet")
+    val pdir = new java.io.File(s"$path/mix_partials.parquet")
+    val hasPartials = Option(pdir.listFiles())
+      .exists(_.exists(_.getName.startsWith("batch=")))
+    val rows =
+      if (!hasPartials) base.drop("merged_upto")
+      else {
+        val upto = base.agg(max($"merged_upto").as("upto"))
+        val live = s.read.parquet(pdir.toString)
+          .crossJoin(broadcast(upto))
+          .filter($"batch" > $"upto")
+          .select($"source", $"n_docs", $"n_tokens")
+        base.drop("merged_upto").unionByName(live)
+      }
+    rows.groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"))
+  }
+
+  /** Land one streaming micro-batch's partial aggregates in the
+    * namespace's partials dir. Overwrite into a per-batchId dir makes
+    * an at-least-once replay rewrite the same rows instead of
+    * double-counting — the same idempotence mechanism as the admission
+    * gates' per-batch admitted dirs. O(|batch|) work.
+    */
+  private[graft] def writeMixPartial(s: org.apache.spark.sql.SparkSession, dir: String,
+                                     batch: org.apache.spark.sql.DataFrame,
+                                     ns: String, batchId: Long): Unit = {
+    val path = ensureNsMixState(s, dir, ns)
+    batchPartials(batch)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/mix_partials.parquet/batch=$batchId")
+  }
+
+  /** Absorb all live partial batches into the base state. The
+    * stage-and-swap of the merged table (which carries the new
+    * `merged_upto`) is the single commit point: a crash BEFORE it
+    * leaves the partials live (reads still correct), a crash AFTER it
+    * leaves absorbed batch dirs behind that every read already
+    * ignores (batch ≤ merged_upto) and the next compaction deletes.
+    */
+  private[graft] def compactMixState(s: org.apache.spark.sql.SparkSession, dir: String,
+                                     ns: String): Unit = {
+    val path = ensureNsMixState(s, dir, ns)
+    val pdir = new java.io.File(s"$path/mix_partials.parquet")
+    val batchDirs = Option(pdir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (batchDirs.nonEmpty) {
+      import s.implicits._
+      // the new mark never REGRESSES: if every live dir is a stale
+      // replay of an absorbed batch (ids ≤ the current mark), taking
+      // their max verbatim would lower merged_upto and re-admit the
+      // next replay of anything in between
+      val dirMax = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
+      val newUpto = s.read.parquet(s"$path/mix_state.parquet")
+        .agg(greatest(max($"merged_upto"), lit(dirMax)).as("merged_upto"))
+      val merged = readMixState(s, dir, ns).crossJoin(broadcast(newUpto))
+      graft.sources.Ingest.stageAndSwap(merged, path, "mix_state")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      // every enumerated dir is ≤ the new mark by construction; a dir
+      // racing in AFTER the listing stays live for the next pass
+      batchDirs.foreach(rm)
+      ()
+    }
   }
 
   /** Fold a new document batch INTO a namespace's persisted state —
@@ -531,25 +651,14 @@ object PipelineOps {
                                        batch: org.apache.spark.sql.DataFrame,
                                        ns: String): String = {
     import s.implicits._
-    require(batch.columns.contains("text") && batch.columns.contains("source"),
-      s"mergeIntoMixState: batch needs (text, source), has ${batch.columns.sorted.mkString(",")}")
-    val basePath = ensureMixState(s, dir)
-    val path = mixStateDir(dir, ns)
-    if (ns.nonEmpty &&
-        !IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
-      IndexOps.clearStamp(path, "mix_state")
-      graft.sources.Ingest.stageAndSwap(
-        s.read.parquet(s"$basePath/mix_state.parquet"), path, "mix_state")
-      IndexOps.writeStamp(path, "mix_state", mixStateVersion)
-    }
-    val partials = batch
-      .select($"source", graft.Core.tokens(lower($"text")).as("toks"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
-    val merged = s.read.parquet(s"$path/mix_state.parquet")
-      .unionByName(partials)
+    val path = ensureNsMixState(s, dir, ns)
+    val cur = s.read.parquet(s"$path/mix_state.parquet")
+    val upto = cur.agg(max($"merged_upto").as("merged_upto"))
+    val merged = cur.drop("merged_upto")
+      .unionByName(batchPartials(batch))
       .groupBy($"source")
       .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .crossJoin(broadcast(upto))
     graft.sources.Ingest.stageAndSwap(merged, path, "mix_state")
     path
   }

@@ -301,6 +301,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of the mixing family's aggregate state
+    * (PipelineOps.mix_weights_incremental's MV): each micro-batch of
+    * documents lands its per-source partial aggregates in an
+    * overwrite-idempotent per-batchId dir, and every Nth batch the
+    * partials are compacted into the base state table. Exactly-once
+    * effect over an at-least-once channel, with no transaction log:
+    * replay of a LIVE batch rewrites the same partial dir; replay of an
+    * ALREADY-ABSORBED batch re-creates a dir that every read ignores
+    * (its id is ≤ the state's merged_upto high-water mark, which rides
+    * inside the compacted table so the stage-and-swap is the commit
+    * point) and the next compaction garbage-collects. Serving reads
+    * (PipelineOps.readMixState) are O(|sources|·|pending batches|) —
+    * the corpus is never rescanned. Same private-namespace discipline
+    * as the admission gates: the oracled batch entry reads the
+    * pristine "" namespace, which streaming growth never touches.
+    */
+  def mixStateIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
+                     name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = gateNamespace(lakeDir, name)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.queries.PipelineOps.writeMixPartial(s, corpusDir, batch, ns, batchId)
+        if (batchId % compactEvery == compactEvery - 1)
+          graft.queries.PipelineOps.compactMixState(s, corpusDir, ns)
+        ()
+      }
+      .start()
+  }
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

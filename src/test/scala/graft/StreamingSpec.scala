@@ -384,4 +384,70 @@ class StreamingSpec extends SparkSpecBase {
       .foreach(rm)
     super.afterAll()
   }
+
+  test("stream_mix_state: streaming partials maintain the MV exactly-once through replay and compaction") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val corpusDir = sf("sf0.001")
+    val lake = java.nio.file.Files.createTempDirectory("graft-mixmv").toString
+    val name = "mvdocs"
+    val ns = Streams.gateNamespace(lake, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    val nsDir = new java.io.File(graft.queries.PipelineOps.mixStateDir(corpusDir, ns))
+    rm(nsDir)
+    def state(): Map[String, (Long, Long)] =
+      graft.queries.PipelineOps.readMixState(spark, corpusDir, ns)
+        .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    try {
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streams.mixStateIngest(
+        in.toDF().toDF("doc_id", "text", "source"), corpusDir, lake, name)
+      // batch 0: 3+2 tokens across two sources; batch 1: 4 more web tokens
+      in.addData((900001L, "aa bb cc", "web"), (900002L, "dd ee", "books"))
+      q.processAllAvailable()
+      in.addData((900003L, "ff gg hh ii", "web"))
+      q.processAllAvailable()
+      q.stop()
+      // expected = the seeded base (corpus minus the standard batch
+      // slice) plus exactly the streamed deltas
+      val base = Core.load(spark, corpusDir, "documents")
+        .filter(pmod($"doc_id", lit(10)) =!= 7)
+        .select($"source", Core.tokens(lower($"text")).as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
+        .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      def plus(m: Map[String, (Long, Long)], src: String, d: Long, t: Long) =
+        m.updated(src, m.get(src).map(v => (v._1 + d, v._2 + t)).getOrElse((d, t)))
+      val want = plus(plus(base, "web", 2, 7), "books", 1, 2)
+      val after = state()
+      assert(after == want, s"streamed state drifted:\n$after\nvs\n$want")
+      // replay of a LIVE batch rewrites its partial dir — no double count
+      val batch0 = Seq((900001L, "aa bb cc", "web"), (900002L, "dd ee", "books"))
+        .toDF("doc_id", "text", "source")
+      graft.queries.PipelineOps.writeMixPartial(spark, corpusDir, batch0, ns, 0L)
+      assert(state() == after, "live-batch replay double-counted")
+      // compaction absorbs the partials (state unchanged, dirs gone)
+      graft.queries.PipelineOps.compactMixState(spark, corpusDir, ns)
+      assert(state() == after, "compaction changed the state")
+      val pdir = new java.io.File(s"$nsDir/mix_partials.parquet")
+      assert(Option(pdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .forall(!_.getName.startsWith("batch=")), "compaction left live partial dirs")
+      // replay of an ABSORBED batch: the re-created dir is ignored by
+      // reads (id ≤ merged_upto) and GC'd by the next compaction —
+      // which must NOT regress the high-water mark
+      graft.queries.PipelineOps.writeMixPartial(spark, corpusDir, batch0, ns, 0L)
+      assert(state() == after, "absorbed-batch replay was re-counted")
+      graft.queries.PipelineOps.compactMixState(spark, corpusDir, ns)
+      assert(state() == after, "stale-only compaction changed the state")
+      graft.queries.PipelineOps.writeMixPartial(spark, corpusDir, batch0, ns, 1L)
+      assert(state() == after,
+        "high-water mark regressed: an absorbed batch id was re-admitted")
+    } finally {
+      rm(nsDir)
+      rm(new java.io.File(lake))
+    }
+  }
 }
