@@ -130,6 +130,35 @@ object ExtensibilityOps {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    entry(
+      "scd2_apply",
+      """SELECT c_custkey, c_mktsegment AS segment, '1990-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 10 = 7 THEN '2026-01-01' END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, lower(c_mktsegment), '2026-01-01', NULL
+        |FROM customer WHERE c_custkey % 10 = 7
+        |ORDER BY c_custkey, valid_from""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Versioned dimension maintenance (SCD-2): an update batch closes
+      // changed current rows (valid_to = effective date) and opens new
+      // versions, while NO-OP resends create nothing — the change the
+      // oracle pins by putting keys %10=7 (changed segment) AND %10=8
+      // (same value resent) in the batch and expecting new versions
+      // only for the 7s. Ingest.scd2Merge is one full-outer join plus a
+      // conditional 1-or-2-row explode; history rows bypass the join.
+      val customer = load(s, dir, "customer")
+      val dim = customer.select($"c_custkey", $"c_mktsegment".as("segment"),
+        lit("1990-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+      val upd = customer.filter(pmod($"c_custkey", lit(10)).isin(7, 8))
+        .select($"c_custkey",
+          when(pmod($"c_custkey", lit(10)) === 7, lower($"c_mktsegment"))
+            .otherwise($"c_mktsegment").as("segment"))
+      graft.sources.Ingest.scd2Merge(dim, upd, "c_custkey", "2026-01-01")
+        .orderBy($"c_custkey", $"valid_from")
+    },
+
     // ---- Multimodal plumbing surfaced as declared operators (rows-only:
     // ---- the asset table is the deterministic synthetic generator —
     // ---- the lake has no binary fixture — so outputs are stable but

@@ -93,6 +93,66 @@ object Ingest {
     } finally { b.unpersist(); () }
   }
 
+  /** SCD-2 merge — the version-preserving sibling of [[upsertBronze]]
+    * (which is SCD-1: overwrite in place, history lost). The dimension
+    * carries `valid_from`/`valid_to` STRING columns (valid_to null =
+    * current row); `updates` carries the key plus the current attribute
+    * values as of `effectiveTs`. Semantics per key:
+    *
+    *   - closed history rows pass through untouched
+    *   - current row, no update or an update equal on EVERY attribute
+    *     (null-safe): passes through — no-op updates create no version
+    *   - current row, update differs: the row is CLOSED (valid_to =
+    *     effectiveTs) and a new current version opens
+    *   - update for a key the dimension lacks: first version opens
+    *
+    * Shape: ONE shuffle (full-outer join of current rows with the
+    * batch on the key — Catalyst broadcasts when the batch is small)
+    * and a single projection that conditionally emits 1–2 rows per
+    * joined key via explode(array_compact(...)) — the change detection
+    * never re-evaluates the join, so there is no repeated-subtree tax
+    * to persist away. History rows never join at all. Same loud
+    * one-row-per-key batch contract as upsertBronze (standard MERGE
+    * semantics error on multiple matches).
+    */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
+                effectiveTs: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val attrs = dim.columns.filterNot(c =>
+      c == key || c == "valid_from" || c == "valid_to").toSeq
+    require(dim.columns.contains("valid_from") && dim.columns.contains("valid_to"),
+      "scd2Merge: dimension needs valid_from/valid_to validity columns")
+    require(dim.schema("valid_from").dataType == StringType &&
+      dim.schema("valid_to").dataType == StringType,
+      "scd2Merge: validity columns are ISO strings (engine-portable ordering)")
+    require(updates.columns.toSet == attrs.toSet + key,
+      s"scd2Merge: update batch must carry exactly ($key, ${attrs.mkString(", ")}) " +
+        s"— has ${updates.columns.sorted.mkString(", ")}")
+    val dupKeys = updates.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"scd2Merge: batch has multiple rows for some '$key' — resolve versions upstream")
+    val u = updates.select(
+      col(key) +: attrs.map(a => col(a).as(s"__u_$a")) :+ lit(true).as("__u_present"): _*)
+    val cur = dim.filter(col("valid_to").isNull)
+    val hist = dim.filter(col("valid_to").isNotNull)
+    val j = cur.join(u, Seq(key), "full_outer")
+    val hasCur = col("valid_from").isNotNull
+    val hasUpd = coalesce(col("__u_present"), lit(false))
+    val same = attrs.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
+    val oldRow = struct(
+      attrs.map(col) :+ col("valid_from") :+
+        when(hasUpd && !same, lit(effectiveTs)).otherwise(col("valid_to")).as("valid_to"): _*)
+    val newRow = struct(
+      attrs.map(a => col(s"__u_$a").as(a)) :+ lit(effectiveTs).as("valid_from") :+
+        lit(null).cast(StringType).as("valid_to"): _*)
+    j.select(col(key), explode(array_compact(array(
+        when(hasCur, oldRow),
+        when(hasUpd && (!hasCur || !same), newRow)))).as("__r"))
+      .select(dim.columns.map(c => if (c == key) col(c) else col(s"__r.$c")).toIndexedSeq: _*)
+      .unionByName(hist)
+  }
+
   /** Compact a bronze table to `nFiles` output files — the small-file
     * remedy (thousands of tiny parquet files kill scan throughput and
     * NameNode/listing at scale; compaction restores fewer, larger

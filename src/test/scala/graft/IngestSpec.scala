@@ -169,4 +169,37 @@ class IngestSpec extends SparkSpecBase {
     val joined = pages.orderBy($"page").select($"content").as[String].collect().mkString
     assert(joined.filter(_ != '\n').length >= 4000)
   }
+
+  test("scd2Merge: close-and-open, no-op skip, new-key insert, history pass-through") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      (1L, "A", "2020-01-01", Some("2021-01-01")), // closed history
+      (1L, "B", "2021-01-01", None),               // current, will change
+      (2L, "X", "2020-01-01", None),               // current, no-op resend
+      (3L, "Y", "2020-01-01", None)                // current, absent from batch
+    ).toDF("id", "attr", "valid_from", "valid_to")
+      .withColumn("valid_to", $"valid_to".cast("string"))
+    val upd = Seq((1L, "C"), (2L, "X"), (9L, "Z")).toDF("id", "attr")
+    val out = sources.Ingest.scd2Merge(dim, upd, "id", "2026-01-01")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "A", "2020-01-01", Some("2021-01-01")), // history untouched
+      (1L, "B", "2021-01-01", Some("2026-01-01")), // closed
+      (1L, "C", "2026-01-01", None),               // new version
+      (2L, "X", "2020-01-01", None),               // no-op: same row, no version
+      (3L, "Y", "2020-01-01", None),               // untouched
+      (9L, "Z", "2026-01-01", None)                // first version of a new key
+    ), s"unexpected SCD2 result: $out")
+    // idempotence: re-applying a batch equal to the now-current values
+    // creates nothing (every update is a no-op against the merged dim)
+    val again = sources.Ingest.scd2Merge(
+      out.toSeq.toDF("id", "attr", "valid_from", "valid_to"), upd, "id", "2027-01-01")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(again == out, "re-applying the same batch must be a no-op")
+    // multiple rows per key in one batch are refused loudly
+    intercept[IllegalArgumentException] {
+      sources.Ingest.scd2Merge(dim, Seq((1L, "C"), (1L, "D")).toDF("id", "attr"),
+        "id", "2026-01-01")
+    }
+  }
 }
