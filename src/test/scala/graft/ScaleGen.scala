@@ -64,6 +64,22 @@ object ScaleGen {
     }.reduce(_ unionByName _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // relational tables for the join/dimension operators: offsetting
+    // every key by the same per-copy stride keeps each copy
+    // self-joined (orders meet only their own lineitem, selectivities
+    // and per-key fan-outs unchanged) — the relational analogue of the
+    // alphabet rotation
+    for ((t, keys) <- Seq(
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "lineitem" -> Seq("l_orderkey"),
+        "customer" -> Seq("c_custkey"))) {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      (0 until copies).map { i =>
+        keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(off * i)))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println(s"[scalegen] wrote $out at ${copies}x of $src")
     spark.stop()
   }
