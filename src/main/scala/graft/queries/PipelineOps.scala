@@ -404,6 +404,29 @@ object PipelineOps {
         .orderBy($"source")
     },
 
+    entryNoOracle("agg_hll_incremental") { (s, dir) =>
+      import s.implicits._
+      // Distinct users per event type, served incrementally: persisted
+      // per-type HLL sketches (events minus the batch slice, a lake
+      // artifact like the mix state) union-merged with ONLY the batch's
+      // sketch. Register-wise max is commutative/associative, so the
+      // estimate equals a from-scratch sketch of the full table EXACTLY
+      // (MixStateSpec pins it) — the sketch generalization of
+      // mix_weights_incremental's exact-sum merge, and the form distinct
+      // counting takes at 100 TB: the state is a few KB per group
+      // regardless of user cardinality.
+      val path = ensureHllState(s, dir)
+      val state = s.read.parquet(s"$path/hll_state.parquet")
+      val batch = loadEvents(s, dir)
+        .filter(pmod($"event_id", lit(10)) === 7)
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sketch"))
+      state.unionByName(batch)
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("approx_users"))
+        .orderBy($"event_type")
+    },
+
     entry(
       "text_decontaminate",
       """WITH t AS (SELECT doc_id,
@@ -599,6 +622,34 @@ object PipelineOps {
     batchPartials(batch)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/mix_partials.parquet/batch=$batchId")
+  }
+
+  /** The SKETCH instance of the incremental-state template: per
+    * event_type HLL sketches of distinct users over the events table
+    * minus the standard batch slice, persisted like the mix state.
+    * HLL register merge is commutative/associative (register-wise max),
+    * so state ⊎ batch estimates EXACTLY what a from-scratch sketch of
+    * the full table estimates — the property that makes sketches the
+    * 100 TB distinct-count state (a few KB per group, vs an exact
+    * distinct state that grows with cardinality). Spec'd in
+    * MixStateSpec; entry is Q-gated (sketch bytes are engine-specific,
+    * no DuckDB oracle).
+    */
+  private[graft] val hllStateVersion = "hllstate-v1:hll-users-by-type;base-excl-mod10-7"
+
+  private[graft] def ensureHllState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = mixStateDir(dir) // same lake dir, separate table + stamp
+    if (!IndexOps.indexCurrent(path, Seq("hll_state"), "hll_state", hllStateVersion)) {
+      IndexOps.clearStamp(path, "hll_state")
+      val base = loadEvents(s, dir)
+        .filter(pmod($"event_id", lit(10)) =!= 7)
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sketch"))
+      graft.sources.Ingest.stageAndSwap(base, path, "hll_state")
+      IndexOps.writeStamp(path, "hll_state", hllStateVersion)
+    }
+    path
   }
 
   /** Absorb all live partial batches into the base state. The

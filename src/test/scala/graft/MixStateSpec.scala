@@ -53,6 +53,21 @@ class MixStateSpec extends SparkSpecBase {
     } finally rm(nsDir)
   }
 
+  test("agg_hll_incremental: merged sketch estimate equals the from-scratch estimate exactly") {
+    val inc = SparkEntry.queries("agg_hll_incremental")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val full = Core.loadEvents(spark, dir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("approx_users"))
+      .as[(String, Long)].collect().toMap
+    assert(inc == full,
+      s"sketch merge drifted from from-scratch sketch:\n$inc\nvs\n$full")
+    // and the serving plan reads the persisted sketch state
+    val plan = SparkEntry.queries("agg_hll_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("aggstate"), "no lake sketch-state scan in the plan")
+  }
+
   test("a batch without the source column is refused loudly") {
     intercept[IllegalArgumentException] {
       PipelineOps.mergeIntoMixState(spark, dir,
