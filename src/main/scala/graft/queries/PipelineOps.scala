@@ -404,6 +404,103 @@ object PipelineOps {
         .orderBy($"source")
     },
 
+    entry(
+      "curate_corpus_e2e",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |td AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+        |tt AS (SELECT doc_id, unnest(dtoks) AS term FROM td),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src),
+        |keepers AS (SELECT doc_id FROM lab WHERE doc_id = label),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 <> 3),
+        |clean AS (SELECT d.doc_id, d.source, len(t.toks) AS n_tokens
+        |  FROM documents d JOIN t ON d.doc_id = t.doc_id
+        |  JOIN keepers k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id % 97 <> 3 AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
+        |w0 AS (SELECT source, sum(n_tokens) AS n_tokens FROM clean GROUP BY source),
+        |wg AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM w0),
+        |w AS (SELECT source, least(1.0, round(total * 1.0 / (ns * n_tokens), 4)) AS p
+        |  FROM w0, wg),
+        |kept AS (SELECT c.doc_id, c.source, c.n_tokens FROM clean c JOIN w USING (source)
+        |  WHERE (c.doc_id % 1000000007) * 2654435761 % 1000000007
+        |        * 2654435761 % 1000000007 % 1000000 < p * 1000000),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM kept)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset
+        |FROM o ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // The whole ship-to-tokenizer pipeline as ONE declared plan — the
+      // north-star composition (dedup → decontaminate → mix → pack)
+      // that proves the curation operators compose without glue code or
+      // intermediate materialization beyond the shared session frames:
+      // keepers ride the memoized cluster-labels artifact, the
+      // benchmark probe rides the memoized gram frame, token counts are
+      // a map-only projection of docTokens, and the mixture weights are
+      // computed over the CLEAN corpus (the mixture of what actually
+      // ships, not of what was ingested). Survivor offsets use the same
+      // two-level prefix sum as pack_sequences. One corpus-wide oracle
+      // chains the four steps' SQL verbatim, so any drift in ANY stage
+      // breaks the hash — the strongest composition check the harness
+      // offers. Scale shape: every stage is the bounded form its
+      // standalone entry pins (broadcast gram probe, broadcast weights,
+      // bucket-partitioned windows); composing them adds no new
+      // shuffle beyond the stages' own.
+      TextOps.requireDocMeta(s, dir, "source")
+      val docs = TextOps.docTokens(s, dir)
+      val keepers = TextOps.clusterLabels(s, dir)
+        .filter($"doc_id" === $"label").select($"doc_id")
+      val grams = TextOps.wordGrams(s, dir)
+      val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
+      val bad = grams.filter($"doc_id" % 97 =!= 3)
+        .join(broadcast(bench), "gram").select($"doc_id").distinct()
+      val clean = docs.filter($"doc_id" % 97 =!= 3)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", size($"toks").cast("long").as("n_tokens"))
+      val t = clean.groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
+      val w = t.crossJoin(broadcast(g))
+        .select($"source",
+          least(lit(1.0), round($"total" * lit(1.0) / ($"ns" * $"n_tokens"), 4)).as("p"))
+      val h1 = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+      val kept = clean.join(broadcast(w), "source")
+        .filter(h1 * lit(2654435761L) % lit(1000000007L) % lit(1000000L) < $"p" * lit(1000000L))
+        .select($"doc_id", $"source", $"n_tokens")
+      val tb = kept.withColumn("bucket", expr("doc_id DIV 1000"))
+      val boff = tb.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum($"btot").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bucket", $"boff")
+      val win = Window.partitionBy($"bucket").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tb.join(broadcast(boff), "bucket")
+        .withColumn("tok_offset", $"boff" + coalesce(sum($"n_tokens").over(win), lit(0L)))
+        .select($"doc_id", $"source", $"n_tokens", $"tok_offset")
+        .orderBy($"doc_id")
+    },
+
     entryNoOracle("agg_hll_incremental") { (s, dir) =>
       import s.implicits._
       // Distinct users per event type, served incrementally: persisted

@@ -158,6 +158,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // (total, ns) stats broadcast as mix_weights, feeding the
       // per-source keep probabilities / merged weights
       "mix_apply", "mix_weights_incremental",
+      // curate_corpus_e2e composes mix_weights' stats broadcast and
+      // pack_sequences' bucket-offset window (both already allowed)
+      "curate_corpus_e2e",
       // IVF family: 1-row query / K=64 centroid broadcast sides
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
       // PQ family: 1-row corpus-count / 1-row ADC-table broadcasts
@@ -180,6 +183,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // corpus — the two-level prefix-sum design; its doc-level window
       // is bucket-partitioned (asserted in OperatorSpec)
       "pack_sequences",
+      // curate_corpus_e2e: same two-level prefix sum — its only
+      // unpartitioned window runs over the bucket-totals frame
+      "curate_corpus_e2e",
       // hybrid_search_rrf: rank windows run over the two BOUNDED
       // top-L candidate lists (TakeOrderedAndProject feeds them),
       // never the corpus
