@@ -37,6 +37,9 @@ object ScaleGen {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // events carries INT64 TIMESTAMP(NANOS); the copies keep the
+      // nanos-as-long column, which Core.loadEvents reads identically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,7 +75,8 @@ object ScaleGen {
     for ((t, keys) <- Seq(
         "orders" -> Seq("o_orderkey", "o_custkey"),
         "lineitem" -> Seq("l_orderkey"),
-        "customer" -> Seq("c_custkey"))) {
+        "customer" -> Seq("c_custkey"),
+        "events" -> Seq("event_id", "user_id"))) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       (0 until copies).map { i =>
         keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(off * i)))
