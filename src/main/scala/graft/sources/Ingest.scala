@@ -189,6 +189,31 @@ object Ingest {
       s"staging swap failed for $path")
   }
 
+  /** Delete orphaned `*.parquet.__staging__` dirs under a lake dir — a
+    * stageAndSwap that crashed between its staging write and the swap
+    * leaves one behind (the swap itself always consumes it). Safe any
+    * time NO swap is in flight for the same lake dir: staging dirs are
+    * never read, only renamed, so removing an orphan can't affect a
+    * reader. Recurses one level into nested namespace dirs (the
+    * index/state lakes are `lake/<family>/<corpus>` shaped). Returns
+    * the deleted paths so operators can log them.
+    */
+  def vacuumStaging(lakeDir: String): Seq[String] = {
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+      f.delete(); ()
+    }
+    def sweep(d: java.io.File, depth: Int): Seq[String] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      val (orphans, rest) = kids.partition(_.getName.endsWith(".__staging__"))
+      orphans.foreach(rmTree)
+      orphans.map(_.getPath).toSeq ++
+        (if (depth > 0) rest.filter(_.isDirectory).flatMap(sweep(_, depth - 1)) else Nil)
+    }
+    sweep(new java.io.File(lakeDir), 1)
+  }
+
   /** CSV export with header (app.py:247-248). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

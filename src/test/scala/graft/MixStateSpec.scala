@@ -68,6 +68,36 @@ class MixStateSpec extends SparkSpecBase {
     assert(plan.contains("aggstate"), "no lake sketch-state scan in the plan")
   }
 
+  test("a stale or missing state stamp rebuilds, never serves old structure") {
+    // tamper the mix-state stamp: the next entry run must rebuild the
+    // artifact (same discipline as the index families) and still match
+    // the full recompute
+    val path = graft.queries.PipelineOps.mixStateDir(dir)
+    val stamp = new java.io.File(s"$path/mix_state.version")
+    assert(stamp.isFile, "state should exist from earlier tests")
+    java.nio.file.Files.write(stamp.toPath, "mixstate-v0:obsolete".getBytes("UTF-8"))
+    val inc = SparkEntry.queries("mix_weights_incremental")(spark, dir).collect().toSeq
+    val full = SparkEntry.queries("mix_weights")(spark, dir).collect().toSeq
+    assert(inc == full)
+    assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      == graft.queries.PipelineOps.mixStateVersion, "rebuild must restamp")
+  }
+
+  test("vacuumStaging removes only orphaned staging dirs, one namespace level deep") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    new java.io.File(s"$lake/t.parquet").mkdirs()
+    new java.io.File(s"$lake/t.parquet.__staging__").mkdirs()
+    new java.io.File(s"$lake/ns1/u.parquet").mkdirs()
+    new java.io.File(s"$lake/ns1/u.parquet.__staging__/part").mkdirs()
+    val deleted = sources.Ingest.vacuumStaging(lake)
+    assert(deleted.map(p => p.stripPrefix(lake + "/")).toSet ==
+      Set("t.parquet.__staging__", "ns1/u.parquet.__staging__"), deleted.toString)
+    assert(new java.io.File(s"$lake/t.parquet").isDirectory)
+    assert(new java.io.File(s"$lake/ns1/u.parquet").isDirectory)
+    assert(!new java.io.File(s"$lake/t.parquet.__staging__").exists())
+    assert(!new java.io.File(s"$lake/ns1/u.parquet.__staging__").exists())
+  }
+
   test("a batch without the source column is refused loudly") {
     intercept[IllegalArgumentException] {
       PipelineOps.mergeIntoMixState(spark, dir,
