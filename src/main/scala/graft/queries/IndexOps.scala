@@ -316,6 +316,10 @@ object IndexOps {
     IvfIndex.ensureIvfIndex(s, dir)
     PqIndex.ensurePqIndex(s, dir)
     PqIndex.ensureIvfPqIndex(s, dir)
+    // the incremental-aggregate state artifacts serve the same
+    // build-once-serve-many contract as the indexes
+    PipelineOps.ensureMixState(s, dir)
+    PipelineOps.ensureHllState(s, dir)
     ()
   }
 

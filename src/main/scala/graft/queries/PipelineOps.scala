@@ -501,6 +501,86 @@ object PipelineOps {
         .orderBy($"doc_id")
     },
 
+    entry(
+      "pipeline_report",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |td AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+        |tt AS (SELECT doc_id, unnest(dtoks) AS term FROM td),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src),
+        |keepers AS (SELECT doc_id FROM lab WHERE doc_id = label),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 <> 3),
+        |clean AS (SELECT d.doc_id, d.source, len(t.toks) AS n_tokens
+        |  FROM documents d JOIN t ON d.doc_id = t.doc_id
+        |  JOIN keepers k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id % 97 <> 3 AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
+        |w0 AS (SELECT source, sum(n_tokens) AS n_tokens FROM clean GROUP BY source),
+        |wg AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM w0),
+        |w AS (SELECT source, least(1.0, round(total * 1.0 / (ns * n_tokens), 4)) AS p
+        |  FROM w0, wg),
+        |kept AS (SELECT c.doc_id FROM clean c JOIN w USING (source)
+        |  WHERE (c.doc_id % 1000000007) * 2654435761 % 1000000007
+        |        * 2654435761 % 1000000007 % 1000000 < p * 1000000)
+        |SELECT 1 AS stage_id, 'ingested' AS stage,
+        |  (SELECT count(*) FROM documents) AS n_docs
+        |UNION ALL SELECT 2, 'deduped', (SELECT count(*) FROM keepers)
+        |UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM clean)
+        |UNION ALL SELECT 4, 'mixed', (SELECT count(*) FROM kept)
+        |ORDER BY stage_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // The funnel view of curate_corpus_e2e — docs surviving each
+      // stage, the number a pipeline owner reads before shipping a
+      // corpus (and the guard that catches a stage silently dropping
+      // everything). Same shared-frame subtrees as the composed plan;
+      // each stage costs one count-aggregate on top.
+      TextOps.requireDocMeta(s, dir, "source")
+      val docs = TextOps.docTokens(s, dir)
+      val keepers = TextOps.clusterLabels(s, dir)
+        .filter($"doc_id" === $"label").select($"doc_id")
+      val grams = TextOps.wordGrams(s, dir)
+      val bench = grams.filter($"doc_id" % 97 === 3).select($"gram").distinct()
+      val bad = grams.filter($"doc_id" % 97 =!= 3)
+        .join(broadcast(bench), "gram").select($"doc_id").distinct()
+      val clean = docs.filter($"doc_id" % 97 =!= 3)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", size($"toks").cast("long").as("n_tokens"))
+      val t = clean.groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"), count(lit(1)).as("ns"))
+      val w = t.crossJoin(broadcast(g))
+        .select($"source",
+          least(lit(1.0), round($"total" * lit(1.0) / ($"ns" * $"n_tokens"), 4)).as("p"))
+      val h1 = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+      val kept = clean.join(broadcast(w), "source")
+        .filter(h1 * lit(2654435761L) % lit(1000000007L) % lit(1000000L) < $"p" * lit(1000000L))
+      def stage(id: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"), $"n_docs")
+      stage(1, "ingested", docs)
+        .unionByName(stage(2, "deduped", keepers))
+        .unionByName(stage(3, "decontaminated", clean))
+        .unionByName(stage(4, "mixed", kept))
+        .orderBy($"stage_id")
+    },
+
     entryNoOracle("agg_hll_incremental") { (s, dir) =>
       import s.implicits._
       // Distinct users per event type, served incrementally: persisted

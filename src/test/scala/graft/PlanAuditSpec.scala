@@ -158,9 +158,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // (total, ns) stats broadcast as mix_weights, feeding the
       // per-source keep probabilities / merged weights
       "mix_apply", "mix_weights_incremental",
-      // curate_corpus_e2e composes mix_weights' stats broadcast and
-      // pack_sequences' bucket-offset window (both already allowed)
-      "curate_corpus_e2e",
+      // curate_corpus_e2e / pipeline_report compose mix_weights' stats
+      // broadcast and pack_sequences' bucket-offset window (both
+      // already allowed)
+      "curate_corpus_e2e", "pipeline_report",
       // IVF family: 1-row query / K=64 centroid broadcast sides
       "ivf_index_build", "ivf_index_probe", "ivf_index_incremental",
       // PQ family: 1-row corpus-count / 1-row ADC-table broadcasts
