@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       // serving conf: the index probes push multi-probe rings as
       // In(bucket, ~700 keys) — below this threshold Spark rewrites
       // them to near-vacuous range checks (see vec_index_probe)
@@ -56,14 +57,19 @@ object Bench {
       // same failure convention as timed(): -1, never elapsed-until-crash
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    //  - setup_persisted_indexes: sim/vec/IVF lake indexes ensured
-    //    current — a COLD lake (fresh checkout, version bump) pays its
-    //    index builds here, named, instead of inside whichever probe
-    //    entry runs first; probe timings stay warm serving marginals.
+    //  - setup_{sim,vec,ivf,pq,ivfpq}_index / setup_{mix,hll}_state: each
+    //    persisted index/state family ensured current as ITS OWN named
+    //    line — a COLD lake (fresh checkout, version bump) pays its
+    //    builds here, named per artifact, instead of inside whichever
+    //    probe entry runs first (probe timings stay warm serving
+    //    marginals), and one broken family can't -1.0 the others'
+    //    attribution (r9: the HLL crash zeroed the whole chain).
     val setups = Seq(
       setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) },
-      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) },
-      setupStep("setup_persisted_indexes") { queries.IndexOps.warmPersistedIndexes(spark, sfDir) })
+      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) }) ++
+      queries.IndexOps.warmSteps.map { case (name, f) =>
+        setupStep(name) { f(spark, sfDir) }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val m = math.min(timed(fn), timed(fn))
       name -> (if (m.isInfinity) -1.0 else m)

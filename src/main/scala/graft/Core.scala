@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Core helpers shared by all query modules.
   *
@@ -33,13 +34,22 @@ object Core {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-    * TimestampType via integral division — `ts div 1000` stays in Long
-    * (double division would lose precision above 2^53 ns). DuckDB reads
-    * the same column as TIMESTAMP_NS and truncates to µs on strftime, so
-    * both engines agree on the instant.
+  /** `events.parquet`'s `ts` encoding has varied across testdata
+    * generations — INT64 TIMESTAMP(NANOS) originally, plain
+    * `timestamp[us]` (no tz annotation → Spark TIMESTAMP_NTZ) since
+    * 2026-08-13 — so the loader branches on the dtype it actually finds:
+    *  - LongType (nanos read as long via
+    *    `spark.sql.legacy.parquet.nanosAsLong`): rebuild a microsecond
+    *    TimestampType via integral division — `ts div 1000` stays in Long
+    *    (double division would lose precision above 2^53 ns);
+    *  - TimestampNTZType: cast to TimestampType. Under the pinned-UTC
+    *    session (Verify/specs/Bench all set spark.sql.session.timeZone=UTC)
+    *    the cast preserves the instant, and even off-UTC the
+    *    cast-then-date_format round trip reproduces the naive wall clock
+    *    DuckDB sees;
+    *  - TimestampType: use as-is.
+    * DuckDB reads the same column natively and truncates to µs on
+    * strftime, so both engines agree on the instant in every case.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     // Our own mains/specs set this at session construction; this set
@@ -48,9 +58,16 @@ object Core {
     // the conf is consulted lazily at scan execution, so a save-and-
     // restore here would break the read it enables. Scoped alternative
     // documented: none exists short of a per-relation option upstream.
+    // Harmless when ts is already a timestamp (conf only affects NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Timestamp columns are stringified in declared outputs: parquet

@@ -310,18 +310,26 @@ object IndexOps {
     * probe entry happens to run first — probe timings are then always
     * the warm serving marginal they claim to be.
     */
-  private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit = {
-    ensureIndex(s, dir)
-    ensureVecIndex(s, dir)
-    IvfIndex.ensureIvfIndex(s, dir)
-    PqIndex.ensurePqIndex(s, dir)
-    PqIndex.ensureIvfPqIndex(s, dir)
-    // the incremental-aggregate state artifacts serve the same
-    // build-once-serve-many contract as the indexes
-    PipelineOps.ensureMixState(s, dir)
-    PipelineOps.ensureHllState(s, dir)
-    ()
-  }
+  /** Each index/state family as its own named warm step so the bench can
+    * attribute (and fail) them independently — in round 9 one broken
+    * ensure (HLL, via the events encoding change) zeroed the whole
+    * chain's attribution as a single -1.0 line, hiding that the other
+    * six had succeeded.
+    */
+  private[graft] val warmSteps: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq[(String, (SparkSession, String) => Unit)](
+      "setup_sim_index"   -> ((s, d) => { ensureIndex(s, d); () }),
+      "setup_vec_index"   -> ((s, d) => { ensureVecIndex(s, d); () }),
+      "setup_ivf_index"   -> ((s, d) => { IvfIndex.ensureIvfIndex(s, d); () }),
+      "setup_pq_index"    -> ((s, d) => { PqIndex.ensurePqIndex(s, d); () }),
+      "setup_ivfpq_index" -> ((s, d) => { PqIndex.ensureIvfPqIndex(s, d); () }),
+      // the incremental-aggregate state artifacts serve the same
+      // build-once-serve-many contract as the indexes
+      "setup_mix_state"   -> ((s, d) => { PipelineOps.ensureMixState(s, d); () }),
+      "setup_hll_state"   -> ((s, d) => { PipelineOps.ensureHllState(s, d); () }))
+
+  private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
+    warmSteps.foreach { case (_, f) => f(s, dir) }
 
   val entries: Seq[Entry] = Seq(
 

@@ -242,20 +242,27 @@ object Ingest {
     readCsv(spark, convertedCsvPath)
 
   /** PDF ingestion (engine.py:29-33, one row per page): binary front
-    * door is `format("binaryFile")`; text extraction is a stubbed seam
-    * (no pdf lib offline). The deterministic stand-in derives one
-    * "page" per 1024-byte slice so the (path, page, content) plumbing
-    * and partitioning are real and testable.
+    * door is `format("binaryFile")`; real text extraction via the
+    * pure-JVM [[PdfText]] parser (raw + FlateDecode content streams,
+    * Tj/'/"/TJ show operators — scope documented there). Files that
+    * don't parse as PDF keep the original deterministic stand-in (one
+    * "page" per 1024-char base64 slice) so opaque binaries still
+    * exercise the (path, page, content) plumbing. The per-file decode
+    * runs in the executors (binary parse, not expressible as Catalyst
+    * expressions — same placement rationale as operators/Multimodal);
+    * parallelism is by file, like every binaryFile scan.
     */
   def readPdfPages(spark: SparkSession, path: String): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), base64(col("content")).as("b64"))
-    bin.select(
-        col("path"),
-        posexplode(expr(
-          """transform(sequence(0, greatest(int(ceil(length(b64) / 1024.0)) - 1, 0)),
-            |          i -> substring(b64, i * 1024 + 1, 1024))""".stripMargin))
-          .as(Seq("page", "content")))
-      .withColumn("page", col("page") + 1)
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val pages =
+          if (PdfText.looksLikePdf(bytes)) PdfText.extractPages(bytes)
+          else PdfText.b64Slices(bytes)
+        pages.zipWithIndex.map { case (t, i) => (p, i + 1, t) }
+      }
+      .toDF("path", "page", "content")
   }
 }

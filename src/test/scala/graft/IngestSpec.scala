@@ -154,20 +154,72 @@ class IngestSpec extends SparkSpecBase {
     }
   }
 
-  test("src_pdf_scan stub: one row per 1024-byte page slice") {
+  /** A real 2-page PDF built byte-for-byte in the test: page 1 raw, page
+    * 2 FlateDecode — both PdfText decode paths and the four show
+    * operators (Tj, TJ array, ', hex) face real file structure. No
+    * binary fixture in git; the bytes are constructed here.
+    */
+  private def fixturePdf(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val page1 =
+      "BT /F1 12 Tf 72 720 Td (Hello \\(Spark\\) engine) Tj T* " +
+        "[ (Gra) -20 (ft) ] TJ <576f726c64> Tj (line \\101) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    val p2raw = "BT (Compressed) Tj T* [ (pa) (ge) ] TJ (two) ' ET"
+      .getBytes("ISO-8859-1")
+    deflater.setInput(p2raw); deflater.finish()
+    val p2buf = new Array[Byte](4096)
+    val p2len = deflater.deflate(p2buf)
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${page1.length} >> stream\n")
+    w(page1); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length $p2len /Filter /FlateDecode >> stream\n")
+    out.write(p2buf, 0, p2len); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("src_pdf_scan: real text extraction, raw + FlateDecode pages") {
+    val p = s"$tmp/real.pdf"
+    Files.write(java.nio.file.Paths.get(p), fixturePdf())
+    val rows = Ingest.readPdfPages(spark, p)
+      .orderBy($"page").select($"page", $"content")
+      .as[(Int, String)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1, 2))
+    val pg1 = rows.head._2
+    // escaped parens, TJ concat, hex string, octal \101='A'
+    assert(pg1.contains("Hello (Spark) engine"), s"page1: $pg1")
+    assert(pg1.contains("Graft"), s"page1: $pg1")
+    assert(pg1.contains("World"), s"page1: $pg1")
+    assert(pg1.contains("line A"), s"page1: $pg1")
+    // T* between shows became a line break
+    assert(pg1.contains("\n"), s"page1 should be multi-line: $pg1")
+    val pg2 = rows(1)._2
+    assert(pg2.contains("Compressed"), s"page2: $pg2")
+    assert(pg2.contains("page"), s"page2: $pg2")
+    assert(pg2.contains("two"), s"page2: $pg2")
+  }
+
+  test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
-    Files.write(java.nio.file.Paths.get(p), Array.fill[Byte](3000)(65))
+    val payload = Array.fill[Byte](3000)(65)
+    Files.write(java.nio.file.Paths.get(p), payload)
     val pages = Ingest.readPdfPages(spark, p)
     assert(pages.columns.toSeq == Seq("path", "page", "content"))
-    val b64len = spark.read.format("binaryFile").load(p)
-      .select(length(base64($"content"))).as[Int].collect().head
-    val expected = math.ceil(b64len / 1024.0).toInt
+    // unwrapped (java.util.Base64) encoding: 3000 bytes -> 4000 chars
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    val expected = math.ceil(b64.length / 1024.0).toInt
     val n = pages.count()
-    assert(n == expected, s"base64 len $b64len -> $expected pages, got $n")
+    assert(n == expected, s"base64 len ${b64.length} -> $expected pages, got $n")
     assert(pages.select("page").as[Int].collect().sorted.toSeq == (1 to expected).toSeq)
-    // pages reassemble to the original payload
+    // pages reassemble to the exact original payload
     val joined = pages.orderBy($"page").select($"content").as[String].collect().mkString
-    assert(joined.filter(_ != '\n').length >= 4000)
+    assert(joined == b64)
   }
 
   test("scd2Merge: close-and-open, no-op skip, new-key insert, history pass-through") {

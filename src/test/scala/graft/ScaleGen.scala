@@ -37,8 +37,11 @@ object ScaleGen {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      // events carries INT64 TIMESTAMP(NANOS); the copies keep the
-      // nanos-as-long column, which Core.loadEvents reads identically
+      // events.ts passes through in whatever encoding the source uses —
+      // legacy INT64 TIMESTAMP(NANOS) reads as long under this conf and
+      // is copied as a plain long column; current timestamp[us] reads
+      // and copies as TIMESTAMP_NTZ. Core.loadEvents branches on the
+      // dtype it finds, so the copies stay readable either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
