@@ -64,9 +64,15 @@ object Bench {
     //    probe entry runs first (probe timings stay warm serving
     //    marginals), and one broken family can't -1.0 the others'
     //    attribution (r9: the HLL crash zeroed the whole chain).
+    // shared frames FIRST: warmSharedFrames builds the signature table
+    // and the verified pair graph that a cold clusterLabels would
+    // otherwise trigger, so this order leaves setup_dedup_clusters
+    // paying ONLY the label propagation + persist (cold-profile at
+    // sf0.1: tokenize 6.2s + sign 2.2s + verify 3.9s attributed to
+    // shared_frames; propagation 8.1s to dedup_clusters)
     val setups = Seq(
-      setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) },
-      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) }) ++
+      setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) },
+      setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) }) ++
       queries.IndexOps.warmSteps.map { case (name, f) =>
         setupStep(name) { f(spark, sfDir) }
       }

@@ -339,7 +339,7 @@ case class AnnTopKRule(spark: SparkSession)
 
   private def ivfCurrent(dir: String): Boolean =
     IndexOps.indexCurrent(IndexOps.indexDir(dir),
-      Seq("ivf_centroids", "ivf_cells"), "ivf", IvfIndex.ivfIndexVersion)
+      Seq("ivf_centroids", "ivf_cells"), "ivf", IvfIndex.ivfStamp(dir))
 
   /** Build the probe plan with the DataFrame API, analyze it (never
     * execute — rules are side-effect free), and splice it in with the

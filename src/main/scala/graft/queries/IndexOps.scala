@@ -75,6 +75,43 @@ object IndexOps {
   private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4"
   private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2"
 
+  /** Cheap SOURCE-DATA identity fingerprint folded into every family's
+    * stamp: (file name, length, mtime) of each file under the listed
+    * source tables, hashed. Metadata-only — listing a table's files
+    * costs milliseconds locally and is a snapshot-id lookup under a
+    * real table format; no data scan. Rationale: the round-9 testdata
+    * regeneration proved the lake's version-only stamps blind to DATA
+    * drift — a regenerated corpus under an unchanged code version would
+    * have silently served labels/indexes built from the OLD corpus.
+    * With the fingerprint in the stamp, changed source bytes (or even a
+    * touch) read as non-current and rebuild through the normal ensure
+    * path; unchanged data keeps serving warm.
+    */
+  private[graft] def dataStamp(dir: String, tables: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- tables.sorted) {
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).foreach(walk)
+        else md.update(s"${f.getName}:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
+      walk(new java.io.File(s"$dir/$t.parquet"))
+    }
+    new java.math.BigInteger(1, md.digest()).toString(36).take(12)
+  }
+
+  /** A family's full stamp: code-semantics version + source-data
+    * fingerprint. Every indexCurrent/writeStamp pair goes through a
+    * per-family `xxxStamp(dir)` built on this.
+    */
+  private[graft] def stampFor(codeVersion: String, dir: String, tables: Seq[String]): String =
+    codeVersion + "@" + dataStamp(dir, tables)
+
+  private[graft] def simStamp(dir: String): String =
+    stampFor(simIndexVersion, dir, Seq("documents"))
+  private[graft] def vecStamp(dir: String): String =
+    stampFor(vecIndexVersion, dir, Seq("embeddings"))
+
   private def stampFile(path: String, table: String) =
     new java.io.File(s"$path/$table.version")
 
@@ -159,7 +196,7 @@ object IndexOps {
     val path = buildIndexUnstamped(s, dir, ns)
     // stamp AFTER both tables commit: a build that dies mid-way leaves a
     // missing stamp and the next ensureIndex rebuilds
-    writeStamp(path, "sim", simIndexVersion)
+    writeStamp(path, "sim", simStamp(dir))
     path
   }
 
@@ -224,10 +261,10 @@ object IndexOps {
                                        ns: String = "",
                                        recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("sets", "bands"), "sim", simIndexVersion)) {
+    if (!indexCurrent(path, Seq("sets", "bands"), "sim", simStamp(dir))) {
       buildIndexUnstamped(s, dir, ns)
       recover(path)
-      writeStamp(path, "sim", simIndexVersion)
+      writeStamp(path, "sim", simStamp(dir))
       (path, true)
     } else (path, false)
   }
@@ -258,8 +295,8 @@ object IndexOps {
       "sim"    -> Seq("sets", "bands"),
       "vec"    -> Seq("vecs", "vec_bands"),
       "labels" -> Seq("labels"))
-    val version = Map("sim" -> simIndexVersion, "vec" -> vecIndexVersion,
-      "labels" -> TextOps.labelsVersion)
+    val version = Map("sim" -> simStamp(dir), "vec" -> vecStamp(dir),
+      "labels" -> TextOps.labelsStamp(dir))
     // the band tables carry the probe-serving layout ((band, bucket)-
     // sorted row groups) — their rewrite must preserve it, like the
     // IVF cells rewrite below; the flat tables round-robin to nFiles
@@ -283,7 +320,7 @@ object IndexOps {
     // repartition ON the cell key and rewrite partitionBy(c_id), back
     // to one file per cell. Centroids are overwrite-only (never grown).
     if (indexCurrent(path, Seq("ivf_centroids", "ivf_cells"), "ivf",
-        IvfIndex.ivfIndexVersion))
+        IvfIndex.ivfStamp(dir)))
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/ivf_cells.parquet").distinct()
           .repartition(col("c_id")),
@@ -292,11 +329,11 @@ object IndexOps {
     // round-robin to nFiles; the composed table preserves its cell
     // partitioning. Codebook/centroids are overwrite-only (never grown).
     if (indexCurrent(path, Seq("pq_codebook", "pq_codes"), "pq",
-        PqIndex.pqIndexVersion))
+        PqIndex.pqStamp(dir)))
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/pq_codes.parquet").distinct().repartition(nFiles),
         path, "pq_codes")
-    if (indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", PqIndex.ivfPqIndexVersion))
+    if (indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", PqIndex.ivfPqStamp(dir)))
       graft.sources.Ingest.stageAndSwap(
         s.read.parquet(s"$path/ivfpq_codes.parquet").distinct()
           .repartition(col("c_id")),
@@ -760,7 +797,7 @@ object IndexOps {
   /** Build (overwrite) the persisted vector index for `dir`. */
   private[graft] def buildVecIndex(s: SparkSession, dir: String, ns: String = ""): String = {
     val path = buildVecIndexUnstamped(s, dir, ns)
-    writeStamp(path, "vec", vecIndexVersion)
+    writeStamp(path, "vec", vecStamp(dir))
     path
   }
 
@@ -877,10 +914,10 @@ object IndexOps {
                                           ns: String = "",
                                           recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecIndexVersion)) {
+    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecStamp(dir))) {
       buildVecIndexUnstamped(s, dir, ns)
       recover(path)
-      writeStamp(path, "vec", vecIndexVersion)
+      writeStamp(path, "vec", vecStamp(dir))
       (path, true)
     } else (path, false)
   }

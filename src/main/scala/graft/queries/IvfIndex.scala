@@ -43,6 +43,10 @@ object IvfIndex {
     */
   private[graft] val ivfIndexVersion = "ivf-v3:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta;meta-stats"
 
+  /** Code version + source-data fingerprint (IndexOps.dataStamp). */
+  private[graft] def ivfStamp(dir: String): String =
+    IndexOps.stampFor(ivfIndexVersion, dir, Seq("embeddings"))
+
   /** Per-value row counts of every metadata column the cells store —
     * the selectivity estimate the FILTERED AnnTopKRule rewrite scales
     * its probe ring with (a fixed 2x widening under-probes rare values
@@ -155,7 +159,7 @@ object IvfIndex {
     // current stamp implies the stats exist
     writeMetaStats(s, path)
     // stamp AFTER both tables commit (crashed build → rebuild)
-    IndexOps.writeStamp(path, "ivf", ivfIndexVersion)
+    IndexOps.writeStamp(path, "ivf", ivfStamp(dir))
     path
   }
 
@@ -165,7 +169,7 @@ object IvfIndex {
   private[graft] def ensureIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
     if (!IndexOps.indexCurrent(path, Seq("ivf_centroids", "ivf_cells"),
-        "ivf", ivfIndexVersion))
+        "ivf", ivfStamp(dir)))
       buildIvfIndex(s, dir)
     else path
   }

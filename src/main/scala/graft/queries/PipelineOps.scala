@@ -686,6 +686,10 @@ object PipelineOps {
     */
   private[graft] val mixStateVersion = "mixstate-v2:ws-tokens;per-source-docs-tokens;base-excl-mod10-7;upto-col"
 
+  /** Code version + source-data fingerprint (IndexOps.dataStamp). */
+  private[graft] def mixStateStamp(dir: String): String =
+    IndexOps.stampFor(mixStateVersion, dir, Seq("documents"))
+
   /** Lake location of the aggregate state for a source dir — same
     * out-of-target/, namespace-suffixed discipline as
     * IndexOps.indexDir (ns separates independently-maintained states;
@@ -709,7 +713,7 @@ object PipelineOps {
   private[graft] def ensureMixState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
     val path = mixStateDir(dir)
-    if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
+    if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateStamp(dir))) {
       IndexOps.clearStamp(path, "mix_state")
       val base = TextOps.docTokens(s, dir)
         .filter(pmod($"doc_id", lit(10)) =!= 7)
@@ -717,7 +721,7 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
         .withColumn("merged_upto", lit(-1L))
       graft.sources.Ingest.stageAndSwap(base, path, "mix_state")
-      IndexOps.writeStamp(path, "mix_state", mixStateVersion)
+      IndexOps.writeStamp(path, "mix_state", mixStateStamp(dir))
     }
     path
   }
@@ -732,11 +736,11 @@ object PipelineOps {
     if (ns.isEmpty) basePath
     else {
       val path = mixStateDir(dir, ns)
-      if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateVersion)) {
+      if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateStamp(dir))) {
         IndexOps.clearStamp(path, "mix_state")
         graft.sources.Ingest.stageAndSwap(
           s.read.parquet(s"$basePath/mix_state.parquet"), path, "mix_state")
-        IndexOps.writeStamp(path, "mix_state", mixStateVersion)
+        IndexOps.writeStamp(path, "mix_state", mixStateStamp(dir))
       }
       path
     }
@@ -814,17 +818,20 @@ object PipelineOps {
     */
   private[graft] val hllStateVersion = "hllstate-v1:hll-users-by-type;base-excl-mod10-7"
 
+  private[graft] def hllStateStamp(dir: String): String =
+    IndexOps.stampFor(hllStateVersion, dir, Seq("events"))
+
   private[graft] def ensureHllState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
     val path = mixStateDir(dir) // same lake dir, separate table + stamp
-    if (!IndexOps.indexCurrent(path, Seq("hll_state"), "hll_state", hllStateVersion)) {
+    if (!IndexOps.indexCurrent(path, Seq("hll_state"), "hll_state", hllStateStamp(dir))) {
       IndexOps.clearStamp(path, "hll_state")
       val base = loadEvents(s, dir)
         .filter(pmod($"event_id", lit(10)) =!= 7)
         .groupBy($"event_type")
         .agg(hll_sketch_agg($"user_id").as("sketch"))
       graft.sources.Ingest.stageAndSwap(base, path, "hll_state")
-      IndexOps.writeStamp(path, "hll_state", hllStateVersion)
+      IndexOps.writeStamp(path, "hll_state", hllStateStamp(dir))
     }
     path
   }

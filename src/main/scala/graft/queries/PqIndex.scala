@@ -54,6 +54,10 @@ object PqIndex {
     */
   private[graft] val pqIndexVersion = "pq-v1:m16d4k16;l2-lloyd2;adc-ip;code-packed-long"
 
+  /** Code version + source-data fingerprint (IndexOps.dataStamp). */
+  private[graft] def pqStamp(dir: String): String =
+    IndexOps.stampFor(pqIndexVersion, dir, Seq("embeddings"))
+
   private val M = 16 // subspaces
   private val D = 4  // dims per subspace (M * D = 64)
   private val K = 16 // codes per subspace (4 bits)
@@ -138,14 +142,14 @@ object PqIndex {
       codes.repartition(4).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/pq_codes.parquet")
     } finally subs.unpersist()
-    IndexOps.writeStamp(path, "pq", pqIndexVersion)
+    IndexOps.writeStamp(path, "pq", pqStamp(dir))
     path
   }
 
   private[graft] def ensurePqIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
     if (!IndexOps.indexCurrent(path, Seq("pq_codebook", "pq_codes"),
-        "pq", pqIndexVersion))
+        "pq", pqStamp(dir)))
       buildPqIndex(s, dir)
     else path
   }
@@ -197,6 +201,9 @@ object PqIndex {
   private[graft] val ivfPqIndexVersion =
     s"ivfpq-v1($pqIndexVersion;${IvfIndex.ivfIndexVersion})"
 
+  private[graft] def ivfPqStamp(dir: String): String =
+    IndexOps.stampFor(ivfPqIndexVersion, dir, Seq("embeddings"))
+
   private[graft] def buildIvfPqIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = IndexOps.indexDir(dir)
@@ -210,13 +217,13 @@ object PqIndex {
       .repartition($"c_id")
       .write.partitionBy("c_id").mode(SaveMode.Overwrite)
       .parquet(s"$path/ivfpq_codes.parquet")
-    IndexOps.writeStamp(path, "ivfpq", ivfPqIndexVersion)
+    IndexOps.writeStamp(path, "ivfpq", ivfPqStamp(dir))
     path
   }
 
   private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
-    if (!IndexOps.indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", ivfPqIndexVersion))
+    if (!IndexOps.indexCurrent(path, Seq("ivfpq_codes"), "ivfpq", ivfPqStamp(dir)))
       buildIvfPqIndex(s, dir)
     else path
   }

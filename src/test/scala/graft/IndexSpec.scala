@@ -50,6 +50,35 @@ class IndexSpec extends SparkSpecBase {
       s"probe set ${got.map(_._1).toSet} != near-dup partners $expected")
   }
 
+  test("regenerated source data stales the stamp (round-9 regression)") {
+    // The driver regenerated /root/testdata mid-stream once; version-only
+    // stamps were blind to it and would have served an index built from
+    // the OLD corpus. The stamp now folds in a (name, length, mtime)
+    // fingerprint of the source table — rewriting the data (same or
+    // different bytes) must read as non-current and rebuild.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-datastamp").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    SparkEntry.queries("sim_index_build")(spark, tmp).collect()
+    val path = graft.queries.IndexOps.indexDir(tmp)
+    val stampBefore = graft.queries.IndexOps.readStamp(path, "sim")
+    assert(stampBefore == graft.queries.IndexOps.simStamp(tmp))
+    assert(graft.queries.IndexOps.indexCurrent(
+      path, Seq("sets", "bands"), "sim", graft.queries.IndexOps.simStamp(tmp)))
+    // "regenerate" the corpus: rewrite the same rows (fresh files/mtimes)
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(!graft.queries.IndexOps.indexCurrent(
+      path, Seq("sets", "bands"), "sim", graft.queries.IndexOps.simStamp(tmp)),
+      "rewritten source data must invalidate the persisted index")
+    // the ensure path rebuilds and restamps against the NEW data identity
+    graft.queries.TextOps.evictCaches(spark)
+    SparkEntry.queries("sim_index_probe")(spark, tmp).collect()
+    assert(graft.queries.IndexOps.readStamp(path, "sim")
+      == graft.queries.IndexOps.simStamp(tmp), "rebuild must restamp with the new fingerprint")
+    assert(graft.queries.IndexOps.readStamp(path, "sim") != stampBefore,
+      "new data identity must produce a new stamp")
+  }
+
   test("stale or uncommitted persisted index is rebuilt, not served") {
     SparkEntry.queries("sim_index_build")(spark, dir).collect()
     val stamp = new java.io.File(graft.queries.IndexOps.indexDir(dir) + "/sim.version")
@@ -61,7 +90,7 @@ class IndexSpec extends SparkSpecBase {
     java.nio.file.Files.write(stamp.toPath, "sim-v0:obsolete".getBytes("UTF-8"))
     SparkEntry.queries("sim_index_probe")(spark, dir).collect()
     val restamped = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-    assert(restamped == graft.queries.IndexOps.simIndexVersion,
+    assert(restamped == graft.queries.IndexOps.simStamp(dir),
       s"probe served an index stamped '$restamped' without rebuilding")
 
     // a crashed build (no parquet _SUCCESS commit marker) must also
@@ -177,7 +206,7 @@ class IndexSpec extends SparkSpecBase {
       .as[(Long, Long, Boolean)].collect().sorted.toSeq
     assert(after == before, "rebuild after stale stamp must reproduce identical labels")
     val restamped = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-    assert(restamped == graft.queries.TextOps.labelsVersion,
+    assert(restamped == graft.queries.TextOps.labelsStamp(dir),
       s"stale labels stamp not refreshed: '$restamped'")
     // warm serve: a fresh session-equivalent (evicted memo) must read
     // the artifact, not re-run propagation — asserted by plan shape
@@ -207,14 +236,14 @@ class IndexSpec extends SparkSpecBase {
     val stamp = new java.io.File(s"$path/sim.version")
     assert(!stamp.exists() ||
       new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-        != graft.queries.IndexOps.simIndexVersion,
+        != graft.queries.IndexOps.simStamp(dir),
       "a crashed recovery must not leave the index stamped current")
     // next ensure: rebuilds again AND the recovery hook runs to completion
     val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns,
       recover = p => graft.queries.IndexOps.appendToIndexAt(spark, p, admitted))
     assert(rebuilt, "post-crash ensure must rebuild (index was never stamped)")
     assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-      == graft.queries.IndexOps.simIndexVersion)
+      == graft.queries.IndexOps.simStamp(dir))
     val recovered = spark.read.parquet(s"$path/sets.parquet")
       .filter($"sid" === 900901L).count()
     assert(recovered == 1, "recovery append must be visible in the rebuilt index")
@@ -264,13 +293,13 @@ class IndexSpec extends SparkSpecBase {
     }
     assert(!stamp.exists() ||
       new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-        != graft.queries.IndexOps.simIndexVersion,
+        != graft.queries.IndexOps.simStamp(dir),
       "crashed recovery after a _SUCCESS-triggered rebuild left a CURRENT stamp")
     // and the next ensure rebuilds + recovers to a servable state
     val (_, rebuilt) = graft.queries.IndexOps.ensureIndexStatus(spark, dir, ns)
     assert(rebuilt, "post-crash ensure must rebuild")
     assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-      == graft.queries.IndexOps.simIndexVersion)
+      == graft.queries.IndexOps.simStamp(dir))
   }
 
   test("append paths own a compaction cadence: repeated appends keep the file count bounded") {

@@ -162,7 +162,7 @@ class IvfSpec extends SparkSpecBase {
     // the append must NOT invalidate the stamp (no rebuild on next use)
     val stamp = new java.io.File(s"$base/ivf.version")
     assert(new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-      == graft.queries.IvfIndex.ivfIndexVersion)
+      == graft.queries.IvfIndex.ivfStamp(dir))
     // each appended vector landed in its brute-force nearest cell (max
     // cosine, ties on smallest c_id) — the same cell a rebuild's
     // assignment pass would pick
@@ -214,7 +214,7 @@ class IvfSpec extends SparkSpecBase {
     java.nio.file.Files.write(stamp.toPath, "ivf-v0:obsolete".getBytes("UTF-8"))
     SparkEntry.queries("ivf_index_probe")(spark, dir).collect()
     val restamped = new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
-    assert(restamped == graft.queries.IvfIndex.ivfIndexVersion,
+    assert(restamped == graft.queries.IvfIndex.ivfStamp(dir),
       s"probe served a quantizer stamped '$restamped' without rebuilding")
     val success = new java.io.File(
       graft.queries.IndexOps.indexDir(dir) + "/ivf_cells.parquet/_SUCCESS")

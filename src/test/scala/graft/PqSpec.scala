@@ -189,7 +189,7 @@ class PqSpec extends SparkSpecBase {
       assert(spark.read.parquet(s"$path/ivf_cells.parquet").count() == nCells + 1)
       // appends never invalidate the stamps (no rebuild on next use)
       assert(graft.queries.IndexOps.readStamp(path, "ivfpq")
-        == graft.queries.PqIndex.ivfPqIndexVersion)
+        == graft.queries.PqIndex.ivfPqStamp(dir))
       val got = SparkEntry.queries("ivfpq_index_probe")(spark, dir)
         .select($"vec_id").as[Long].collect().toSeq
       assert(got.contains(900001L),
