@@ -233,10 +233,53 @@ object Ingest {
   def writeOrc(df: DataFrame, lakeDir: String, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(s"$lakeDir/$name.orc")
 
-  /** Excel ingestion is a documented out-of-engine converter in this
-    * offline build (no spark-excel jar; SURVEY.md §7.4): convert
-    * `.xlsx` → CSV upstream, then `readCsv`. Kept as an explicit,
-    * named seam so a jar-enabled build swaps in `format("excel")`.
+  /** Excel ingestion, native path (engine.py:25-26, pandas
+    * `read_excel`): binaryFile scan + the pure-JVM [[XlsxText]] parser
+    * (ZIP + worksheet XML — first sheet, shared/inline strings,
+    * booleans; scope documented there). All columns surface as strings
+    * (the raw cell texts) — casting is the caller's contract, same as
+    * `readCsv` with an explicit schema; date serials and number
+    * formats are the documented seam a jar-enabled build closes.
+    *
+    * Schema discovery reads ONE file's header row on the driver (the
+    * lexicographically first file — the same bounded sampling contract
+    * csv inference uses); the per-file cell extraction then runs in
+    * the executors, parallel by file. With `header`, every file's
+    * first row is dropped as its header (a homogeneous directory, the
+    * only layout a single schema can describe).
+    */
+  def readXlsx(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val firstBytes = bin.orderBy(col("path")).limit(1)
+      .select(col("content")).as[Array[Byte]].head()
+    val firstRows = XlsxText.extractRows(firstBytes)
+    require(firstRows.nonEmpty, s"no worksheet rows found under $path")
+    val width = firstRows.head.length
+    val names: Seq[String] =
+      if (header) {
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        firstRows.head.toSeq.zipWithIndex.map { case (raw, i) =>
+          val cleaned = raw.trim.replaceAll("[^A-Za-z0-9_]+", "_")
+            .replaceAll("^_+|_+$", "")
+          val base = if (cleaned.isEmpty) s"_c$i" else cleaned
+          val n = seen.getOrElse(base, 0); seen(base) = n + 1
+          if (n == 0) base else s"${base}_$n"
+        }
+      } else (0 until width).map(i => s"_c$i")
+    val rows = bin.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
+      val rs = XlsxText.extractRows(bytes)
+      (if (header) rs.drop(1) else rs)
+        .map(r => Array.tabulate(width)(i => if (i < r.length) r(i) else ""))
+    }
+    rows.select((0 until width).map(i => col("value")(i).as(names(i))): _*)
+  }
+
+  /** Excel ingestion, converter seam (SURVEY.md §7.4): convert `.xlsx`
+    * → CSV upstream, then `readCsv` — kept for pipelines that already
+    * convert at the edge and want csv's type inference; [[readXlsx]]
+    * is the native in-engine path.
     */
   def readExcelViaCsv(spark: SparkSession, convertedCsvPath: String): DataFrame =
     readCsv(spark, convertedCsvPath)

@@ -154,6 +154,46 @@ class IngestSpec extends SparkSpecBase {
     }
   }
 
+  /** A real .xlsx built in the test via ZipOutputStream: shared +
+    * inline strings, booleans, numbers, a skipped cell, an XML entity —
+    * the XlsxText paths against real ZIP structure. No binary fixture
+    * in git.
+    */
+  private def fixtureXlsx(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(out)
+    def part(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+        "<si><t>name</t></si><si><t>alpha &amp; beta</t></si>" +
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>")
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        // header: name (shared), score (inline str), ok (untyped via v)
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="str"><v>score</v></c><c r="C1" t="str"><v>ok</v></c></row>""" +
+        // data row: shared string w/ entity, number, boolean
+        """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>2.5</v></c><c r="C2" t="b"><v>1</v></c></row>""" +
+        // data row: rich-text shared string, SKIPPED B cell, inlineStr
+        """<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3" t="inlineStr"><is><t>no</t></is></c></row>""" +
+        "</sheetData></worksheet>")
+    zip.close()
+    out.toByteArray
+  }
+
+  test("src_excel_scan native: zip+xml cells to a header'd DataFrame") {
+    val p = s"$tmp/book.xlsx"
+    Files.write(java.nio.file.Paths.get(p), fixtureXlsx())
+    val df = Ingest.readXlsx(spark, p)
+    assert(df.columns.toSeq == Seq("name", "score", "ok"))
+    val rows = df.as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("alpha & beta", "2.5", "true"),
+      ("rich", "", "no")), s"got $rows")
+  }
+
   /** A real 2-page PDF built byte-for-byte in the test: page 1 raw, page
     * 2 FlateDecode — both PdfText decode paths and the four show
     * operators (Tj, TJ array, ', hex) face real file structure. No
