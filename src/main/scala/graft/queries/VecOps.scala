@@ -136,7 +136,7 @@ object VecOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val cacheLock = new Object
 
-  private[queries] def bandedSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bandedSigs(s: SparkSession, dir: String): DataFrame =
     cacheLock.synchronized { sigCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
