@@ -94,7 +94,17 @@ object TextOps {
         val meta = Seq("source", "lang").map(c =>
           if (base.columns.contains(c)) col(c)
           else lit(null).cast("string").as(c))
-        base.select((col("doc_id") +: meta :+ tokens(lower($"text")).as("toks")): _*)
+        // spread the tokenize across the session's parallelism BEFORE
+        // computing toks: the driver fixtures are single-row-group
+        // parquet files, so without this the whole corpus tokenizes in
+        // ONE task (measured 6.2s of the cold shared-frames build at
+        // sf0.1 — ~32x the parallel cost). The shuffle moves only the
+        // raw text (KBs..MBs locally); at lake scale the source is
+        // many-filed and the repartition coalesces into the same
+        // bounded-task shape instead of widening it.
+        val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        base.repartition(parts)
+          .select((col("doc_id") +: meta :+ tokens(lower($"text")).as("toks")): _*)
           .persist()
       })
     }
@@ -200,7 +210,13 @@ object TextOps {
         array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("tids"))
       .filter(size(col("tids")) > 0)
       .groupBy(col("tids"))
-      .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
+      // array_sort: collect_list order is shuffle-arrival order — only
+      // deterministic when the upstream had one partition. Every ids
+      // consumer is order-insensitive (explode/size/min), but the array
+      // is also PERSISTED by the index build, and lake bytes must not
+      // vary run-to-run.
+      .agg(min(col("doc_id")).as("sid"),
+        array_sort(collect_list(col("doc_id"))).as("ids"))
       .withColumn("bands", bandHashes(call_function("minhash64", col("tids"))))
   }
 
@@ -829,8 +845,12 @@ object TextOps {
       // (the interpreted per-character transform + distinct + sort this
       // replaces was the whole cost of the entry — PropertySpec A/Bs the
       // expression against the SQL form for bit-identity)
-      val docs = load(s, dir, "documents").select($"doc_id",
-        call_function("shingles64", $"text").as("sh"))
+      // repartition BEFORE the shingle hash: the driver fixtures are
+      // single-row-group files, so the native per-doc loop would
+      // otherwise run in one task (same fix as docTokens)
+      val docs = load(s, dir, "documents")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .select($"doc_id", call_function("shingles64", $"text").as("sh"))
       val sets = docs.groupBy($"sh")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
       // native MinHash64: one pass over the shingle hashes; 16 bands ×
@@ -1008,6 +1028,8 @@ object TextOps {
       // Signature once per DISTINCT token set; duplicate docs expand at
       // the end (intra-set pairs have hamming 0 by construction).
       val sets = load(s, dir, "documents")
+        // single-row-group fixture → parallelize the tokenize (as docTokens)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .select($"doc_id", array_sort(dToks).as("toks"))
         .filter(size($"toks") > 0)
         .groupBy($"toks")
