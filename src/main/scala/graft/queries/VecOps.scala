@@ -140,7 +140,13 @@ object VecOps {
     cacheLock.synchronized { sigCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
+        // repartition BEFORE signing: the fixture is a single-row-group
+        // file, so the per-vector 64-plane signing would otherwise run
+        // in one task (same fix as TextOps.docTokens). emb() itself
+        // stays shuffle-free — plan-audited consumers (knn top-k)
+        // depend on that.
         emb(s, dir)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
           .select($"vec_id", posexplode(lshBandKeys($"emb")).as(Seq("band", "bk")))
           .persist()
       })
