@@ -43,6 +43,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("Broadcast"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("join_asof is a linear window carry-forward, not a range self-join") {
+    // SCALE.md's as-of claim, pinned: the plan must contain NO join at
+    // all (the union + last(_, ignoreNulls) window replaces the
+    // quadratic events-self-join) and the window must be partitioned on
+    // user_id (per-user linear state, never a global sort)
+    val p = formatted("join_asof")
+    assert(!p.contains("Join"), "as-of must not join:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // inline plan string prints the Window node with its partition spec
+    // on one line (FormattedMode splits args into a details section)
+    val inline = SparkEntry.queries("join_asof")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val winLines = inline.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "carry-forward window missing")
+    assert(winLines.forall(_.contains("user_id")),
+      s"as-of window must partition by user_id:\n${winLines.mkString("\n")}")
+  }
+
+  test("ts_funnel stages are equi-joins on user_id over shrinking frames") {
+    // three conditional min-aggregations chained by per-user equi-joins
+    // (each stage's frame shrinks to users who reached it); the scale
+    // hazard would be a nested-loop/cartesian fallback from the ts
+    // range predicate leaking out of the residual position
+    val p = formatted("ts_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "funnel stage joins must stay equi-key with the ts bound as residual")
+  }
+
+  test("join_theta_range joins on the equi key, not a nested loop") {
+    val p = formatted("join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "theta/range join must keep its equi-key + bounded-residual form")
+  }
+
   test("win_percent_topk has no unpartitioned window") {
     val p = formatted("win_percent_topk")
     assert(!p.contains("Window"), "threshold form should not use a window at all")
