@@ -779,11 +779,23 @@ object TextOps {
       val t = sets.select($"sid", $"nt", explode($"tids").as("tid"))
       val dfreq = t.groupBy($"tid").agg(count("*").as("df"))
       val prefLen = $"nt" - (($"nt" * 4 + lit(4)) / lit(5)).cast("int") + lit(1)
-      val prefix = t.join(dfreq, "tid")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"sid").orderBy($"df", $"tid")))
-        .filter($"rk" <= prefLen)
-        .select($"tid", $"sid", $"nt", $"rk")
+      // Rarity-order prefix WITHOUT a partition-wide window sort: df
+      // attaches via a BROADCAST of the vocabulary-sized df table (the
+      // posting rows never shuffle on tid for the join — only the df
+      // AGGREGATE shuffles, and its output is |vocab| rows), then each
+      // set's terms regroup on sid once and sort as a small in-memory
+      // array. Same (df asc, tid asc) order as the row_number form —
+      // struct array_sort is lexicographic — so rk and the prefix slice
+      // are identical. At lake scale the dial is the broadcast: a
+      // ~10M-term vocab of (long, long) is ~160 MB — switch the join
+      // back to shuffle form past that, the prefix semantics don't
+      // change.
+      val prefix = t.join(broadcast(dfreq), "tid")
+        .groupBy($"sid", $"nt")
+        .agg(array_sort(collect_list(struct($"df", $"tid"))).as("terms"))
+        .select($"sid", $"nt",
+          posexplode(slice($"terms", lit(1), prefLen)).as(Seq("rk0", "term")))
+        .select($"term.tid".as("tid"), $"sid", $"nt", ($"rk0" + 1).as("rk"))
       val cand = prefix.as("a").join(prefix.as("b"),
           $"a.tid" === $"b.tid" && $"a.sid" < $"b.sid" &&
           greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5 &&
