@@ -746,7 +746,6 @@ object TextOps {
         |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       // Exact token-set Jaccard ≥ 0.8, AllPairs/PPJoin-style:
       // 1. dictionary-encode tokens to xxhash64 longs IMMEDIATELY and
       //    collapse docs to DISTINCT hashed sets (long-array groupBy and
