@@ -224,6 +224,31 @@ object Ingest {
   def serveJsonHead(df: DataFrame, orderCol: String, n: Int): Seq[String] =
     df.orderBy(col(orderCol)).limit(n).toJSON.collect().toSeq
 
+  /** XML lake edge (built into spark-sql since Spark 4 — the former
+    * spark-xml package): one row per `rowTag` element, schema inferred
+    * like the JSON edge (or fixed via `schema`, same contract as
+    * [[readCsv]]). Files split by element at scan time, so a directory
+    * of XML exports parallelizes like any other source.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: Option[String] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).xml(path)
+  }
+
+  def writeXml(df: DataFrame, lakeDir: String, name: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag).option("rootTag", name)
+      .xml(s"$lakeDir/$name.xml")
+
+  /** Raw text-lines edge (`spark.read.text`): one row per line with the
+    * source path attached — the front door for line-oriented raw corpora
+    * (logs, one-doc-per-line dumps) headed into the bronze layer.
+    */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(input_file_name().as("path"), col("value").as("line"))
+
   /** ORC lake edge (built into spark-sql — the columnar sibling of the
     * parquet bronze layer for lakes standardized on ORC).
     */

@@ -108,6 +108,30 @@ class IngestSpec extends SparkSpecBase {
     assert(out == Seq("""{"k":1,"v":"a"}""", """{"k":2,"v":"b"}"""))
   }
 
+  test("src_xml_scan + sink_xml: rowTag round-trip preserves rows") {
+    val p = s"$tmp/in.xml"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """<items><item><id>1</id><tag>a &amp; b</tag></item>""" +
+        """<item><id>2</id><tag>c</tag></item></items>""")
+    val df = Ingest.readXml(spark, p, rowTag = "item")
+    assert(df.select($"id", $"tag").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a & b"), (2L, "c")))
+    // write side: rowTag/rootTag layout reads back identically
+    Ingest.writeXml(df.select($"id", $"tag"), tmp, "items_out", rowTag = "item")
+    val back = Ingest.readXml(spark, s"$tmp/items_out.xml", rowTag = "item")
+    assert(back.select($"id", $"tag").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a & b"), (2L, "c")))
+  }
+
+  test("src_text_scan: one row per line with source path") {
+    val p = s"$tmp/raw.txt"
+    Files.writeString(java.nio.file.Paths.get(p), "alpha\nbeta gamma\n")
+    val rows = Ingest.readTextLines(spark, p)
+      .as[(String, String)].collect().toSeq
+    assert(rows.map(_._2).sorted == Seq("alpha", "beta gamma"))
+    assert(rows.forall(_._1.endsWith("raw.txt")))
+  }
+
   test("src_orc_scan + sink_orc: lake round-trip preserves schema and rows") {
     val src = Seq((1L, "x", 2.5), (2L, "y", 4.0)).toDF("k", "v", "w")
     Ingest.writeOrc(src, tmp, "orc_t")
