@@ -313,6 +313,33 @@ object VecOps {
                      .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
              .otherwise(lit(0.0))))
 
+  /** Corpus-side feature-hash embeddings (doc_id, demb, lang, source) —
+    * the SAME math as [[hashEmbed]] but computed via explode + groupBy
+    * (one pass over tokens instead of 64 aggregate passes per doc;
+    * OperatorSpec A/Bs the two forms element-identical). Shared by the
+    * declared `text_embed_hash` entry and semantic search. Exact sums:
+    * per-dim values are small-integer ±1 accumulations, so double
+    * addition is associative here and the result is partition-order
+    * independent.
+    */
+  private[graft] def docHashEmbeds(s: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(s)
+    import s.implicits._
+    val docs = TextOps.docTokens(s, dir)
+    val sign = (t: Column) =>
+      when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
+             .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+    docs
+      .select($"doc_id", explode($"toks").as("t"))
+      .select($"doc_id", pmod(xxhash64($"t"), lit(64)).as("dim"), sign($"t").as("v"))
+      .groupBy($"doc_id", $"dim").agg(sum($"v").as("sv"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"dim", $"sv"))).as("m"))
+      .select($"doc_id", transform(sequence(lit(0L), lit(63L)),
+        d => coalesce(element_at($"m", d), lit(0.0))).as("demb"))
+      .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entry(
@@ -537,6 +564,21 @@ object VecOps {
         .orderBy($"rrf".desc, $"doc_id").limit(10)
     },
 
+    entryNoOracle("text_embed_hash") { (s, dir) =>
+      import s.implicits._
+      // In-engine document embedding as a first-class operator
+      // (reference engine.py:70 embeds in-process with a
+      // sentence-transformer; the deterministic feature-hash embedder
+      // is the offline stand-in, and the operator CONTRACT — text in,
+      // (doc_id, 64-dim vector, norm) out, one corpus pass — is what a
+      // model-backed build swaps its encoder into). Q-gated: xxhash64
+      // isn't reproducible in the DuckDB oracle.
+      docHashEmbeds(s, dir)
+        .select($"doc_id", $"demb".as("embedding"),
+          round(sqrt(call_function("dotp", $"demb", $"demb")), 6).as("norm"))
+        .orderBy($"doc_id")
+    },
+
     entryNoOracle("semantic_search_e2e") { (s, dir) =>
       import s.implicits._
       // End-to-end semantic search (reference engine.py:95-98 + metadata
@@ -556,19 +598,7 @@ object VecOps {
       // real columns rather than serving synthesized nulls (TextOps
       // .requireDocMeta doc)
       TextOps.requireDocMeta(s, dir, "lang", "source")
-      val docs = TextOps.docTokens(s, dir)
-      val sign = (t: Column) =>
-        when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
-               .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-      val dEmb = docs
-        .select($"doc_id", explode($"toks").as("t"))
-        .select($"doc_id", pmod(xxhash64($"t"), lit(64)).as("dim"), sign($"t").as("v"))
-        .groupBy($"doc_id", $"dim").agg(sum($"v").as("sv"))
-        .groupBy($"doc_id")
-        .agg(map_from_entries(collect_list(struct($"dim", $"sv"))).as("m"))
-        .select($"doc_id", transform(sequence(lit(0L), lit(63L)),
-          d => coalesce(element_at($"m", d), lit(0.0))).as("demb"))
-        .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
+      val dEmb = docHashEmbeds(s, dir)
       val q = s.range(1).select(
         hashEmbed(tokens(lower(lit("spark join fast query table")))).as("qemb"))
       dEmb.crossJoin(broadcast(q))

@@ -256,6 +256,35 @@ class OperatorSpec extends SparkSpecBase {
       assert(wsd.contains("bucket"), s"doc-level window is unpartitioned: $wsd"))
   }
 
+  test("text_embed_hash: corpus form is element-identical to the column-expression form") {
+    // two implementations of the same embedding math (explode+groupBy
+    // corpus pass vs the per-dimension hashEmbed aggregate) must never
+    // drift — the probe side of semantic search signs queries with
+    // hashEmbed while the corpus side uses docHashEmbeds
+    val dir = sf("sf0.001")
+    val corpus = SparkEntry.queries("text_embed_hash")(spark, dir)
+      .select($"doc_id", $"embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    val direct = Core.load(spark, dir, "documents")
+      .select($"doc_id",
+        graft.queries.VecOps.hashEmbed(Core.tokens(lower($"text"))).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(corpus.keySet.subsetOf(direct.keySet))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (id, e) =>
+      assert(e == direct(id), s"doc $id: corpus form $e != column form ${direct(id)}")
+    }
+    // norms: unit contract is NOT claimed (signed contributions cancel);
+    // but norm must equal sqrt(dot(e,e)) as declared
+    val norms = SparkEntry.queries("text_embed_hash")(spark, dir)
+      .select($"doc_id", $"norm").as[(Long, Double)].collect().toMap
+    corpus.foreach { case (id, e) =>
+      val expect = BigDecimal(math.sqrt(e.map(x => x * x).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(norms(id) - expect) < 1e-9, s"doc $id norm")
+    }
+  }
+
   test("metadata-keyed consumers fail loudly on a bare (doc_id, text) corpus") {
     // docTokens synthesizes null source/lang for gate-shaped corpora so
     // the signature pipeline keeps working there — but a consumer that
