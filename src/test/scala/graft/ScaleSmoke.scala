@@ -1,0 +1,49 @@
+package graft
+
+/** Full-surface scale smoke — run with
+  *   sbt "Test/runMain graft.ScaleSmoke <sfDir>"
+  * Executes EVERY declared query once against <sfDir> (intended: a
+  * ScaleGen-derived 10× corpus) and reports per-query seconds or a
+  * loud FAIL line. Complements the targeted exponent measurements in
+  * docs/SCALE.md: those characterize the heavies; this proves the
+  * whole declared surface — all joins, windows, sketches, indexes,
+  * curation pipelines — still EXECUTES at 10× (no OOM, no plan
+  * blowup, no collect that stopped being bounded). Single-timed: the
+  * point is survival and order-of-magnitude, not marginals.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    queries.TextOps.warmSharedFrames(spark, sfDir)
+    queries.TextOps.warmDedupClusters(spark, sfDir)
+    queries.IndexOps.warmPersistedIndexes(spark, sfDir)
+    var failed = 0
+    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[smoke] $name%-28s $sec%8.2f s  rows=$n")
+        name -> sec
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"[smoke] $name FAIL ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          name -> -1.0
+      }
+    }
+    val ok = times.count(_._2 >= 0)
+    println(f"[smoke] TOTAL ok=$ok failed=$failed sum=${times.map(_._2).filter(_ >= 0).sum}%.1f s")
+    spark.stop()
+  }
+}
