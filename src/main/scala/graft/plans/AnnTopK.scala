@@ -368,9 +368,9 @@ case class AnnTopKRule(spark: SparkSession)
     // exact plan rather than guess. File IO only — no Spark job may
     // run inside the optimizer.
     val nprobe =
-      if (residuals.isEmpty) VecOps.ivfNprobe
+      if (residuals.isEmpty) VecOps.nprobeConf(spark)
       else IvfIndex.readMetaStats(path) match {
-        case None => math.min(64, VecOps.ivfNprobe * 2) // stats unreadable: legacy dial
+        case None => math.min(64, VecOps.nprobeConf(spark) * 2) // stats unreadable: legacy dial
         case Some(st) =>
           if (st.total <= 0) return gl
           // per-column match fraction; product across residuals (the
@@ -385,8 +385,9 @@ case class AnnTopKRule(spark: SparkSession)
           }
           if (sels.exists(_.isEmpty)) return gl // unknown selectivity → exact plan
           val sel = sels.flatten.product
+          val base = VecOps.nprobeConf(spark)
           math.min(64, math.ceil(
-            VecOps.ivfNprobe / math.max(sel, VecOps.ivfNprobe / 64.0)).toInt)
+            base / math.max(sel, base / 64.0)).toInt)
       }
     val cents = IvfIndex.centroids(spark, path)
     val probed = VecOps.ivfProbe(cents, typedlit(q), lit(qn), nprobe)

@@ -296,7 +296,7 @@ object IvfIndex {
       val probed = batch.join(broadcast(cents))
         .select($"b_id", $"b_emb", $"b_n", $"c_id", round(cos, 6).as("qd"))
         .withColumn("pr", row_number().over(wp))
-        .filter($"pr" <= VecOps.ivfNprobe)
+        .filter($"pr" <= VecOps.nprobeConf(s))
         .select($"b_id", $"b_emb", $"b_n", $"c_id")
       val cells = s.read.parquet(s"$path/ivf_cells.parquet")
       val score = round(

@@ -284,22 +284,42 @@ object VecOps {
   /** The serving default for nprobe-of-K cell selection — one constant
     * for every consumer so the paths that must answer byte-identically
     * (vec_ann_ivf, ivf_index_probe, the AnnTopKRule rewrite) cannot
-    * drift apart on the recall/cost dial.
+    * drift apart on the recall/cost dial. Overridable per session via
+    * `spark.graft.ivf.nprobe` (the recall/cost dial a serving
+    * deployment tunes); because every consumer routes through
+    * [[ivfProbe]], the override moves ALL of them together — the
+    * byte-identity contract between the in-plan, persisted-probe, and
+    * rewrite paths holds at any setting (IvfSpec pins it at a
+    * non-default value).
     */
   private[graft] val ivfNprobe = 8
+
+  /** Session-resolved nprobe (`spark.graft.ivf.nprobe`, default
+    * [[ivfNprobe]]) — for the consumers that use the dial outside
+    * [[ivfProbe]] (the batch rank-filter probe, the rewrite's
+    * selectivity scaling).
+    */
+  private[graft] def nprobeConf(s: SparkSession): Int =
+    s.conf.get("spark.graft.ivf.nprobe", ivfNprobe.toString).toInt
 
   /** Select the query's `nprobe` nearest cells from a centroid frame —
     * THE one definition of the IVF probe's cell-selection stage
     * (rounded cosine desc, ties on smallest c_id), shared by the
     * in-plan entry, the persisted-index probe, and the optimizer
-    * rewrite. `qemb`/`qnorm` ride along for [[ivfRerank]].
+    * rewrite. `qemb`/`qnorm` ride along for [[ivfRerank]]. `nprobe`
+    * <= 0 (the default) reads the session conf.
     */
   private[graft] def ivfProbe(cents: DataFrame, qemb: Column, qnorm: Column,
-                              nprobe: Int = ivfNprobe): DataFrame =
+                              nprobe: Int = -1): DataFrame = {
+    val np =
+      if (nprobe > 0) nprobe
+      else cents.sparkSession.conf
+        .get("spark.graft.ivf.nprobe", ivfNprobe.toString).toInt
     cents.select(col("c_id"),
         round(cosFast(col("c_emb"), qemb, col("c_n"), qnorm), 6).as("qd"),
         qemb.as("qemb"), qnorm.as("qnorm"))
-      .orderBy(col("qd").desc, col("c_id")).limit(nprobe)
+      .orderBy(col("qd").desc, col("c_id")).limit(np)
+  }
 
   /** Deterministic 64-dim feature-hash embedding of a token array —
     * the offline stand-in for the reference's sentence-transformer

@@ -42,6 +42,28 @@ class IvfSpec extends SparkSpecBase {
       s"persisted-quantizer probe $served drifted from in-plan answer $inPlan")
   }
 
+  test("spark.graft.ivf.nprobe dial moves every consumer together, byte-identically") {
+    // the recall/cost dial must not be able to desync the paths that
+    // answer byte-identically: all consumers route through the one
+    // ivfProbe definition, so a session override changes them in step
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val default = SparkEntry.queries("vec_ann_ivf")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    spark.conf.set("spark.graft.ivf.nprobe", "3")
+    try {
+      val served = SparkEntry.queries("ivf_index_probe")(spark, dir)
+        .as[(Long, Double)].collect().toSeq
+      val inPlan = SparkEntry.queries("vec_ann_ivf")(spark, dir)
+        .as[(Long, Double)].collect().toSeq
+      assert(served == inPlan,
+        s"nprobe=3: persisted probe $served drifted from in-plan $inPlan")
+      // and the dial actually took effect (narrower probe on this
+      // random-vector fixture must lose at least one of the top-5)
+      assert(inPlan != default,
+        "nprobe=3 answered identically to nprobe=8 — conf not consulted")
+    } finally spark.conf.unset("spark.graft.ivf.nprobe")
+  }
+
   test("ivf_index_probe prunes: no quantizer recompute, cells scan partition-pruned") {
     SparkEntry.queries("ivf_index_build")(spark, dir).collect()
     val probe = SparkEntry.queries("ivf_index_probe")(spark, dir)
