@@ -88,14 +88,35 @@ object IndexOps {
     * path; unchanged data keeps serving warm.
     */
   private[graft] def dataStamp(dir: String, tables: Seq[String]): String = {
+    // Resolved through the Hadoop FileSystem API, NOT java.io.File: a
+    // non-local lake URI (hdfs://, s3a://) has no local files, so a
+    // java.io walk would silently fingerprint every table as empty and
+    // degrade the stamp to version-only — the exact data-drift
+    // blindness this fingerprint exists to prevent. A missing table
+    // path is shouted (and folded in as "missing", which still differs
+    // from any real listing) instead of passing silently.
     val md = java.security.MessageDigest.getInstance("MD5")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     for (t <- tables.sorted) {
-      def walk(f: java.io.File): Unit =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .sortBy(_.getName).foreach(walk)
-        else md.update(s"${f.getName}:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
-      walk(new java.io.File(s"$dir/$t.parquet"))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) {
+        System.err.println(
+          s"[graft] dataStamp: source table path $p is missing — " +
+            "the index fingerprint records it as absent; probes against " +
+            "an index of previously-present data will rebuild")
+        md.update(s"$t:missing\n".getBytes("UTF-8"))
+      } else {
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+      }
     }
     new java.math.BigInteger(1, md.digest()).toString(36).take(12)
   }
@@ -191,12 +212,22 @@ object IndexOps {
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == version
   }
 
-  /** Build (overwrite) the persisted index for `dir`; returns its path. */
+  /** Build (overwrite) the persisted index for `dir`; returns its path.
+    *
+    * The data fingerprint is captured BEFORE the build reads the
+    * source (every family follows this): if the source changes
+    * mid-build, the stamp still describes the data the index was built
+    * FROM, so the next currency check reads non-current and rebuilds.
+    * Re-computing the stamp after the tables commit would fingerprint
+    * the NEW data over an index of the OLD data — exactly the
+    * staleness the stamp exists to prevent.
+    */
   private[queries] def buildIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val stamp = simStamp(dir)
     val path = buildIndexUnstamped(s, dir, ns)
     // stamp AFTER both tables commit: a build that dies mid-way leaves a
     // missing stamp and the next ensureIndex rebuilds
-    writeStamp(path, "sim", simStamp(dir))
+    writeStamp(path, "sim", stamp)
     path
   }
 
@@ -261,10 +292,13 @@ object IndexOps {
                                        ns: String = "",
                                        recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("sets", "bands"), "sim", simStamp(dir))) {
+    // one captured stamp for check AND write (see buildIndex: the
+    // fingerprint must predate the source read)
+    val stamp = simStamp(dir)
+    if (!indexCurrent(path, Seq("sets", "bands"), "sim", stamp)) {
       buildIndexUnstamped(s, dir, ns)
       recover(path)
-      writeStamp(path, "sim", simStamp(dir))
+      writeStamp(path, "sim", stamp)
       (path, true)
     } else (path, false)
   }
@@ -794,10 +828,13 @@ object IndexOps {
       .write.mode(SaveMode.Append).parquet(s"$path/bands.parquet")
   }
 
-  /** Build (overwrite) the persisted vector index for `dir`. */
+  /** Build (overwrite) the persisted vector index for `dir` (stamp
+    * captured pre-read — see [[buildIndex]]).
+    */
   private[graft] def buildVecIndex(s: SparkSession, dir: String, ns: String = ""): String = {
+    val stamp = vecStamp(dir)
     val path = buildVecIndexUnstamped(s, dir, ns)
-    writeStamp(path, "vec", vecStamp(dir))
+    writeStamp(path, "vec", stamp)
     path
   }
 
@@ -914,10 +951,11 @@ object IndexOps {
                                           ns: String = "",
                                           recover: String => Unit = _ => ()): (String, Boolean) = {
     val path = indexDir(dir, ns)
-    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", vecStamp(dir))) {
+    val stamp = vecStamp(dir) // captured pre-read, written verbatim
+    if (!indexCurrent(path, Seq("vecs", "vec_bands"), "vec", stamp)) {
       buildVecIndexUnstamped(s, dir, ns)
       recover(path)
-      writeStamp(path, "vec", vecStamp(dir))
+      writeStamp(path, "vec", stamp)
       (path, true)
     } else (path, false)
   }

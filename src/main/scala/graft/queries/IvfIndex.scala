@@ -136,6 +136,11 @@ object IvfIndex {
 
   private[graft] def buildIvfIndex(s: SparkSession, dir: String): String = {
     val path = IndexOps.indexDir(dir)
+    // data fingerprint captured BEFORE the source read (see
+    // IndexOps.buildIndex): a mid-build source change must read as
+    // non-current afterwards, never get the new fingerprint stamped
+    // over an index of the old data
+    val stamp = ivfStamp(dir)
     // invalidate FIRST (IndexOps.clearStamp): a rebuild can start while
     // an old stamp is still current (e.g. crashed compaction swap); a
     // crash between the cells overwrite and the re-stamp must leave the
@@ -159,7 +164,7 @@ object IvfIndex {
     // current stamp implies the stats exist
     writeMetaStats(s, path)
     // stamp AFTER both tables commit (crashed build → rebuild)
-    IndexOps.writeStamp(path, "ivf", ivfStamp(dir))
+    IndexOps.writeStamp(path, "ivf", stamp)
     path
   }
 

@@ -713,7 +713,10 @@ object PipelineOps {
   private[graft] def ensureMixState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
     val path = mixStateDir(dir)
-    if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateStamp(dir))) {
+    // captured once, pre-read — checked and written as the same value
+    // (see IndexOps.buildIndex for the mid-build-drift rationale)
+    val stamp = mixStateStamp(dir)
+    if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", stamp)) {
       IndexOps.clearStamp(path, "mix_state")
       val base = TextOps.docTokens(s, dir)
         .filter(pmod($"doc_id", lit(10)) =!= 7)
@@ -721,7 +724,7 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(size($"toks")).as("n_tokens"))
         .withColumn("merged_upto", lit(-1L))
       graft.sources.Ingest.stageAndSwap(base, path, "mix_state")
-      IndexOps.writeStamp(path, "mix_state", mixStateStamp(dir))
+      IndexOps.writeStamp(path, "mix_state", stamp)
     }
     path
   }
@@ -736,11 +739,12 @@ object PipelineOps {
     if (ns.isEmpty) basePath
     else {
       val path = mixStateDir(dir, ns)
-      if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", mixStateStamp(dir))) {
+      val stamp = mixStateStamp(dir) // captured once (see ensureMixState)
+      if (!IndexOps.indexCurrent(path, Seq("mix_state"), "mix_state", stamp)) {
         IndexOps.clearStamp(path, "mix_state")
         graft.sources.Ingest.stageAndSwap(
           s.read.parquet(s"$basePath/mix_state.parquet"), path, "mix_state")
-        IndexOps.writeStamp(path, "mix_state", mixStateStamp(dir))
+        IndexOps.writeStamp(path, "mix_state", stamp)
       }
       path
     }
@@ -824,14 +828,15 @@ object PipelineOps {
   private[graft] def ensureHllState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
     val path = mixStateDir(dir) // same lake dir, separate table + stamp
-    if (!IndexOps.indexCurrent(path, Seq("hll_state"), "hll_state", hllStateStamp(dir))) {
+    val stamp = hllStateStamp(dir) // captured once (see ensureMixState)
+    if (!IndexOps.indexCurrent(path, Seq("hll_state"), "hll_state", stamp)) {
       IndexOps.clearStamp(path, "hll_state")
       val base = loadEvents(s, dir)
         .filter(pmod($"event_id", lit(10)) =!= 7)
         .groupBy($"event_type")
         .agg(hll_sketch_agg($"user_id").as("sketch"))
       graft.sources.Ingest.stageAndSwap(base, path, "hll_state")
-      IndexOps.writeStamp(path, "hll_state", hllStateStamp(dir))
+      IndexOps.writeStamp(path, "hll_state", stamp)
     }
     path
   }

@@ -122,6 +122,8 @@ object PqIndex {
     VectorExprs.register(s)
     import s.implicits._
     val path = IndexOps.indexDir(dir)
+    // data fingerprint captured pre-read (see IndexOps.buildIndex)
+    val stamp = pqStamp(dir)
     // stamp-invalidate FIRST (the crash-durability discipline every
     // index family follows — see buildIvfIndex)
     IndexOps.clearStamp(path, "pq")
@@ -142,7 +144,7 @@ object PqIndex {
       codes.repartition(4).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/pq_codes.parquet")
     } finally subs.unpersist()
-    IndexOps.writeStamp(path, "pq", pqStamp(dir))
+    IndexOps.writeStamp(path, "pq", stamp)
     path
   }
 
@@ -207,6 +209,8 @@ object PqIndex {
   private[graft] def buildIvfPqIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = IndexOps.indexDir(dir)
+    // captured pre-read (see IndexOps.buildIndex)
+    val stamp = ivfPqStamp(dir)
     IndexOps.clearStamp(path, "ivfpq")
     IvfIndex.ensureIvfIndex(s, dir)
     ensurePqIndex(s, dir)
@@ -217,7 +221,7 @@ object PqIndex {
       .repartition($"c_id")
       .write.partitionBy("c_id").mode(SaveMode.Overwrite)
       .parquet(s"$path/ivfpq_codes.parquet")
-    IndexOps.writeStamp(path, "ivfpq", ivfPqStamp(dir))
+    IndexOps.writeStamp(path, "ivfpq", stamp)
     path
   }
 

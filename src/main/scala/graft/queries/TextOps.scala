@@ -414,12 +414,15 @@ object TextOps {
     cacheLock.synchronized { labelsCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         val path = IndexOps.indexDir(dir)
-        if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", labelsStamp(dir))) {
+        // captured once, pre-read: checked and written as the same
+        // value (see IndexOps.buildIndex for the mid-build-drift why)
+        val stamp = labelsStamp(dir)
+        if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", stamp)) {
           computeLabels(s, dir)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$path/labels.parquet")
           // stamp AFTER the table commits (crashed build → rebuild)
-          IndexOps.writeStamp(path, "labels", labelsStamp(dir))
+          IndexOps.writeStamp(path, "labels", stamp)
         }
         s.read.parquet(s"$path/labels.parquet")
       })
@@ -447,7 +450,9 @@ object TextOps {
     val path = IndexOps.indexDir(dir, ns)
     val singles = (d: org.apache.spark.sql.DataFrame) =>
       d.select(col("doc_id"), col("doc_id").as("label"))
-    if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", labelsStamp(dir))) {
+    // captured once, pre-read — checked and written as the same value
+    val stamp = labelsStamp(dir)
+    if (!IndexOps.indexCurrent(path, Seq("labels"), "labels", stamp)) {
       // invalidate FIRST (IndexOps.clearStamp): the reseed can be
       // triggered while an old stamp is still current (crashed
       // compaction swap); a crash between the base overwrite and the
@@ -467,7 +472,7 @@ object TextOps {
       // commit: a crash in between leaves the artifact non-current, so
       // the next batch redoes the (idempotent) reseed instead of
       // trusting a base-only labels table that forgot earlier batches
-      IndexOps.writeStamp(path, "labels", labelsStamp(dir))
+      IndexOps.writeStamp(path, "labels", stamp)
     } else
       singles(batchAdmitted)
         .write.mode(org.apache.spark.sql.SaveMode.Append)

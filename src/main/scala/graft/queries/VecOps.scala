@@ -592,9 +592,16 @@ object VecOps {
       // is the offline stand-in, and the operator CONTRACT — text in,
       // (doc_id, 64-dim vector, norm) out, one corpus pass — is what a
       // model-backed build swaps its encoder into). Q-gated: xxhash64
-      // isn't reproducible in the DuckDB oracle.
+      // isn't reproducible in the DuckDB oracle. The DECLARED output
+      // serializes the vector to a space-joined digest of its
+      // exact-integer dims (±1 accumulations — lossless as longs): the
+      // verify dump is sorted/hashed column-wise driver-side, and a raw
+      // array cell isn't hashable there. Programmatic consumers take
+      // the array-valued frame from [[docHashEmbeds]] directly.
       docHashEmbeds(s, dir)
-        .select($"doc_id", $"demb".as("embedding"),
+        .select($"doc_id",
+          concat_ws(" ", transform($"demb", x => x.cast("long").cast("string")))
+            .as("embedding"),
           round(sqrt(call_function("dotp", $"demb", $"demb")), 6).as("norm"))
         .orderBy($"doc_id")
     },

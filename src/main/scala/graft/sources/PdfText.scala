@@ -32,14 +32,26 @@ object PdfText {
   def looksLikePdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && latin1(bytes.take(5)) == "%PDF-"
 
+  private val lengthRe = "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r
+
   /** All `stream`…`endstream` payloads with their owning object's dict
     * text, decompressed where the dict says /FlateDecode.
+    *
+    * Payload end: sliced by the dict's direct-integer `/Length` when one
+    * is declared (a compressed payload can contain the literal bytes
+    * "endstream" by chance, which a boundary scan would truncate —
+    * partial inflate, silently dropped page text); the declared length
+    * is trusted only when an `endstream` keyword actually follows the
+    * slice. Indirect (`N 0 R`) or absent lengths fall back to the scan.
+    * Either way the cursor then jumps past the consumed `endstream`, so
+    * a literal "stream" inside a payload can't seed a garbage candidate.
     */
   private def decodedStreams(bytes: Array[Byte]): Seq[String] = {
     val raw = latin1(bytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = raw.indexOf("stream")
     while (i >= 0) {
+      var next = i + 6
       // must be the keyword, not a substring of "endstream"
       val isEnd = i >= 3 && raw.regionMatches(i - 3, "endstream", 0, 9)
       val dataStart =
@@ -48,20 +60,39 @@ object PdfText {
         else if (i + 6 < raw.length && raw.charAt(i + 6) == '\n') i + 7
         else -1
       if (!isEnd && dataStart > 0) {
-        val end = raw.indexOf("endstream", dataStart)
-        if (end > 0) {
-          // trailing EOL before the endstream keyword is not stream data
-          var dataEnd = end
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-          val dictStart = math.max(raw.lastIndexOf("obj", i), 0)
-          val dict = raw.substring(dictStart, i)
+        val dictStart = math.max(raw.lastIndexOf("obj", i), 0)
+        val dict = raw.substring(dictStart, i)
+        val byLen: Option[Int] =
+          lengthRe.findFirstMatchIn(dict).filter(_.group(2) == null)
+            .map(m => dataStart + m.group(1).toInt)
+            .filter { e =>
+              e <= raw.length && {
+                var j = e
+                while (j < raw.length &&
+                       (raw.charAt(j) == '\r' || raw.charAt(j) == '\n')) j += 1
+                raw.regionMatches(j, "endstream", 0, 9)
+              }
+            }
+        val bounds: Option[(Int, Int)] = byLen match {
+          case Some(dataEnd) => Some((dataEnd, raw.indexOf("endstream", dataEnd)))
+          case None =>
+            val end = raw.indexOf("endstream", dataStart)
+            if (end > 0) {
+              // trailing EOL before the endstream keyword is not stream data
+              var dataEnd = end
+              if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+              Some((dataEnd, end))
+            } else None
+        }
+        bounds.foreach { case (dataEnd, endKw) =>
           val payload = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           if (dict.contains("/FlateDecode")) inflate(payload).foreach(d => out += latin1(d))
           else out += latin1(payload)
+          if (endKw >= 0) next = endKw + 9
         }
       }
-      i = raw.indexOf("stream", i + 6)
+      i = raw.indexOf("stream", next)
     }
     out.toSeq
   }

@@ -85,8 +85,15 @@ object XlsxText {
     acc - 1
   }
 
-  private val rowRe  = "(?s)<row[\\s>].*?</row>|<row[^>]*/>".r
-  private val cellRe = "(?s)<c\\s([^>]*)>(.*?)</c>|<c\\s([^>]*)/>".r
+  // Self-closing alternatives MUST come first: regex alternation is
+  // ordered, and the paired-tag branch would otherwise match a
+  // self-closing tag (its '/' is just another [^>] attr char) and run
+  // `.*?` through the NEXT element's closer — a styled empty cell
+  // (`<c r="A1" s="1"/>`, common in Excel output) would silently
+  // receive the following cell's value and drop that cell, and a
+  // self-closing `<row/>` would merge two rows into one.
+  private val rowRe  = "(?s)<row(?:\\s[^>]*)?/>|<row[\\s>].*?</row>".r
+  private val cellRe = "(?s)<c\\s([^>]*)/>|<c\\s([^>]*)>(.*?)</c>".r
   private val attrRe = "(\\w+)=\"([^\"]*)\"".r
   private val vRe    = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
 
@@ -97,10 +104,11 @@ object XlsxText {
   private def sheetRows(xml: String, shared: IndexedSeq[String]): Seq[Array[String]] = {
     val rows = rowRe.findAllIn(xml).map { rowXml =>
       cellRe.findAllMatchIn(rowXml).flatMap { m =>
+        // group(1) = self-closing attrs, group(2)/(3) = paired attrs/body
         val attrs = attrRe.findAllMatchIn(
-          Option(m.group(1)).getOrElse(Option(m.group(3)).getOrElse("")))
+          Option(m.group(1)).getOrElse(Option(m.group(2)).getOrElse("")))
           .map(a => a.group(1) -> a.group(2)).toMap
-        val body = Option(m.group(2)).getOrElse("")
+        val body = Option(m.group(3)).getOrElse("")
         val raw = attrs.get("t") match {
           case Some("s") =>
             vRe.findFirstMatchIn(body).map(v => shared(v.group(1).trim.toInt)).getOrElse("")

@@ -200,8 +200,13 @@ class IngestSpec extends SparkSpecBase {
         """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="str"><v>score</v></c><c r="C1" t="str"><v>ok</v></c></row>""" +
         // data row: shared string w/ entity, number, boolean
         """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>2.5</v></c><c r="C2" t="b"><v>1</v></c></row>""" +
-        // data row: rich-text shared string, SKIPPED B cell, inlineStr
-        """<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3" t="inlineStr"><is><t>no</t></is></c></row>""" +
+        // data row: rich-text shared string, SELF-CLOSING styled-empty B
+        // cell (Excel's common empty-but-styled shape — must not swallow
+        // C3), inlineStr
+        """<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3" s="1"/><c r="C3" t="inlineStr"><is><t>no</t></is></c></row>""" +
+        // SELF-CLOSING row (must not merge with row 5), then a tail row
+        """<row r="4" ht="15"/>""" +
+        """<row r="5"><c r="A5" t="str"><v>tail</v></c></row>""" +
         "</sheetData></worksheet>")
     zip.close()
     out.toByteArray
@@ -214,8 +219,10 @@ class IngestSpec extends SparkSpecBase {
     assert(df.columns.toSeq == Seq("name", "score", "ok"))
     val rows = df.as[(String, String, String)].collect().sortBy(_._1).toSeq
     assert(rows == Seq(
+      ("", "", ""), // self-closing <row/> surfaces as its own empty row
       ("alpha & beta", "2.5", "true"),
-      ("rich", "", "no")), s"got $rows")
+      ("rich", "", "no"), // styled-empty B3 stays empty, C3 survives it
+      ("tail", "", "")), s"got $rows")
   }
 
   /** A real 2-page PDF built byte-for-byte in the test: page 1 raw, page
@@ -267,6 +274,30 @@ class IngestSpec extends SparkSpecBase {
     assert(pg2.contains("Compressed"), s"page2: $pg2")
     assert(pg2.contains("page"), s"page2: $pg2")
     assert(pg2.contains("two"), s"page2: $pg2")
+  }
+
+  test("src_pdf_scan: /Length slices a payload containing literal 'endstream'") {
+    // A content stream whose BYTES contain the word "endstream" (for
+    // Flate output this happens by chance at corpus scale): the
+    // boundary scan alone would truncate the payload mid-literal and
+    // drop the page text; the dict's direct-integer /Length is the
+    // authoritative slice.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val content = "BT (before endstream after) Tj ET"
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val p = s"$tmp/len.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val rows = Ingest.readPdfPages(spark, p)
+      .orderBy($"page").select($"content").as[String].collect().toSeq
+    assert(rows.size == 1, s"expected one page, got $rows")
+    assert(rows.head.contains("before endstream after"), s"got $rows")
   }
 
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {

@@ -240,4 +240,23 @@ class PlanAuditSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("every declared query output is driver-hashable (scalar columns only)") {
+    // The verify dump is sorted/hashed column-wise in pandas
+    // driver-side, and an array/map/struct cell is unhashable there
+    // (round-10's text_embed_hash ERR: `TypeError: unhashable type:
+    // 'numpy.ndarray'`). Complex payloads must be serialized to scalar
+    // digest columns in the DECLARED entry; the array-valued frames
+    // remain the programmatic surface.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf("sf0.001")).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
