@@ -72,7 +72,11 @@ object Bench {
     // shared_frames; propagation 8.1s to dedup_clusters)
     val setups = Seq(
       setupStep("setup_shared_frames") { queries.TextOps.warmSharedFrames(spark, sfDir) },
-      setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) }) ++
+      setupStep("setup_dedup_clusters") { queries.TextOps.warmDedupClusters(spark, sfDir) },
+      // the curation compositions' shared clean-corpus spine — after
+      // clusters (it consumes the labels artifact) so each step pays
+      // only its own marginal
+      setupStep("setup_clean_corpus") { queries.PipelineOps.warmCleanCorpus(spark, sfDir) }) ++
       queries.IndexOps.warmSteps.map { case (name, f) =>
         setupStep(name) { f(spark, sfDir) }
       }

@@ -282,9 +282,11 @@ object TextOps {
       sigCache.keys.filter(_._1 eq s).foreach { k =>
         sigCache.remove(k).foreach(_.unpersist())
       }
-      // the vector side keeps its own memoized banded-signature frame —
-      // one lifecycle hook releases every family's blocks
+      // the vector side keeps its own memoized banded-signature frame,
+      // and the curation side its clean-corpus spine — one lifecycle
+      // hook releases every family's blocks
       VecOps.evictCaches(s)
+      PipelineOps.evictCaches(s)
     }
 
   /** Materialize the cluster labels eagerly — the bench's named setup

@@ -262,9 +262,13 @@ class OperatorSpec extends SparkSpecBase {
     // drift — the probe side of semantic search signs queries with
     // hashEmbed while the corpus side uses docHashEmbeds
     val dir = sf("sf0.001")
+    // the DECLARED entry serializes the exact-integer vector to a
+    // space-joined long digest (driver-hashability — round-10 verdict);
+    // decode it back so the A/B still checks every element
     val corpus = SparkEntry.queries("text_embed_hash")(spark, dir)
       .select($"doc_id", $"embedding")
-      .as[(Long, Seq[Double])].collect().toMap
+      .as[(Long, String)].collect().toMap
+      .map { case (id, s) => id -> s.split(" ").toSeq.map(_.toDouble) }
     val direct = Core.load(spark, dir, "documents")
       .select($"doc_id",
         graft.queries.VecOps.hashEmbed(Core.tokens(lower($"text"))).as("e"))

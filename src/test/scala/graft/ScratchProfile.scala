@@ -24,6 +24,7 @@ object ScratchProfile {
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmDedupClusters(spark, sfDir)
     queries.TextOps.warmSharedFrames(spark, sfDir)
+    queries.PipelineOps.warmCleanCorpus(spark, sfDir)
     queries.IndexOps.warmPersistedIndexes(spark, sfDir)
     for (n <- names) {
       val q = SparkEntry.queries(n)
