@@ -18,9 +18,11 @@ import java.util.zip.ZipInputStream
   *     (t="str"), inline <is><t> (t="inlineStr"), booleans (t="b" →
   *     true/false), everything else passes through as its raw <v>
   *     text (numbers keep their literal form);
-  *   - date FORMATTING is out of scope: a date cell surfaces as its
-  *     raw serial number (styles.xml number-format resolution is the
-  *     documented seam a jar-enabled build closes);
+  *   - date-styled numeric cells render as ISO strings: xl/styles.xml
+  *     cellXfs → numFmtId resolution (builtin date/time ids + a custom
+  *     formatCode heuristic), 1900 phantom-day and mac date1904 epochs
+  *     honored — see [[styleDateKinds]]/[[serialToIso]]; cells whose
+  *     style is not a date keep their literal serial text;
   *   - XML entities (&amp; &lt; &gt; &quot; &apos; and numeric) are
   *     decoded; namespaced tags are matched by local name.
   *
@@ -42,6 +44,7 @@ object XlsxText {
     while (e != null) {
       val name = e.getName
       if (name == "xl/sharedStrings.xml" ||
+          name == "xl/styles.xml" || name == "xl/workbook.xml" ||
           (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml"))) {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
@@ -76,6 +79,102 @@ object XlsxText {
         .map(m => unescapeXml(Option(m.group(1)).getOrElse(""))).mkString
     }.toIndexedSeq
 
+  /** What a cell style's number format renders: dates surface as ISO
+    * strings instead of raw serials (pandas `read_excel` yields
+    * datetimes there — the seam SURVEY §7.3 documented, now closed for
+    * the standard format ids + custom format codes).
+    */
+  private[sources] sealed trait DateKind
+  private[sources] case object NotDate  extends DateKind
+  private[sources] case object DateOnly extends DateKind
+  private[sources] case object TimeOnly extends DateKind
+  private[sources] case object DateTime extends DateKind
+
+  // Builtin number-format ids (ECMA-376 §18.8.30): 14-17 and the East
+  // Asian 27-36/50-58 render dates, 18-21/45-47 times, 22 both.
+  private val builtinDate = (Set(14, 15, 16, 17) ++ (27 to 36) ++ (50 to 58))
+  private val builtinTime = Set(18, 19, 20, 21, 45, 46, 47)
+
+  /** Classify one format code (builtin id or custom formatCode). The
+    * custom heuristic mirrors what spreadsheet libraries do: strip
+    * quoted literals, color/condition brackets and escaped chars, then
+    * y/d ⇒ date part, h/s/AM-PM ⇒ time part, a bare m with no time
+    * context ⇒ month (date). "General" and plain numeric codes map to
+    * [[NotDate]].
+    */
+  private[sources] def classifyFormat(id: Int, code: Option[String]): DateKind = {
+    val byId =
+      if (builtinDate(id)) DateOnly
+      else if (builtinTime(id)) TimeOnly
+      else if (id == 22) DateTime
+      else NotDate
+    code match {
+      case None => byId
+      case Some(c) =>
+        val stripped = c
+          .replaceAll("\"[^\"]*\"", "")  // quoted literals
+          .replaceAll("\\[[^\\]]*\\]", "") // [Red], [$-409], [h] elapsed
+          .replaceAll("\\\\.", "")       // escaped chars
+          .toLowerCase
+        val hasTime = stripped.exists(ch => ch == 'h' || ch == 's') ||
+          stripped.contains("am/pm")
+        val hasDate = stripped.exists(ch => ch == 'y' || ch == 'd') ||
+          (!hasTime && stripped.contains('m'))
+        if (hasDate && hasTime) DateTime
+        else if (hasDate) DateOnly
+        else if (hasTime) TimeOnly
+        else byId
+    }
+  }
+
+  private val numFmtRe = "<numFmt\\b([^>]*)>".r
+  private val xfRe     = "<xf\\b([^>]*)>".r
+  private val cellXfsRe = "(?s)<cellXfs\\b[^>]*>(.*?)</cellXfs>".r
+
+  /** Style index → [[DateKind]], from xl/styles.xml (cellXfs order). */
+  private[sources] def styleDateKinds(stylesXml: String): IndexedSeq[DateKind] = {
+    val custom = numFmtRe.findAllMatchIn(stylesXml).flatMap { m =>
+      val attrs = attrRe.findAllMatchIn(m.group(1))
+        .map(a => a.group(1) -> a.group(2)).toMap
+      for (id <- attrs.get("numFmtId"); code <- attrs.get("formatCode"))
+        yield id.toInt -> unescapeXml(code)
+    }.toMap
+    cellXfsRe.findFirstMatchIn(stylesXml).map(_.group(1)) match {
+      case None => IndexedSeq.empty
+      case Some(body) =>
+        xfRe.findAllMatchIn(body).map { m =>
+          val attrs = attrRe.findAllMatchIn(m.group(1))
+            .map(a => a.group(1) -> a.group(2)).toMap
+          val id = attrs.get("numFmtId").map(_.toInt).getOrElse(0)
+          classifyFormat(id, custom.get(id))
+        }.toIndexedSeq
+    }
+  }
+
+  /** Excel serial → ISO string. 1900 system: serial 1 = 1900-01-01 and
+    * the phantom 1900-02-29 (serial 60) never existed, so serials < 60
+    * sit one day behind the 1899-12-30 epoch (the phantom itself maps
+    * to Feb 28). 1904 system (mac workbooks, date1904 workbook
+    * property): serial 0 = 1904-01-01, no phantom. The fraction is the
+    * time of day, rounded to the nearest second.
+    */
+  private[sources] def serialToIso(v: Double, kind: DateKind, date1904: Boolean): String = {
+    val days = math.floor(v).toLong
+    val secs = math.round((v - days) * 86400.0)
+    val (d0, s0) = if (secs >= 86400) (days + 1, 0L) else (days, secs)
+    val date =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(d0)
+      else java.time.LocalDate.of(1899, 12, 30)
+        .plusDays(if (d0 < 60) d0 + 1 else d0)
+    val time = java.time.LocalTime.ofSecondOfDay(s0)
+    kind match {
+      case DateOnly => date.toString
+      case TimeOnly => time.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+      case _ => date.toString + " " +
+        time.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    }
+  }
+
   /** Column index (0-based) of an A1-style cell reference. */
   private[sources] def colIndex(ref: String): Int = {
     var i = 0; var acc = 0
@@ -101,7 +200,9 @@ object XlsxText {
     * row width = max referenced column across the sheet (ragged tails
     * padded — downstream needs rectangular rows).
     */
-  private def sheetRows(xml: String, shared: IndexedSeq[String]): Seq[Array[String]] = {
+  private def sheetRows(xml: String, shared: IndexedSeq[String],
+                        styles: IndexedSeq[DateKind] = IndexedSeq.empty,
+                        date1904: Boolean = false): Seq[Array[String]] = {
     val rows = rowRe.findAllIn(xml).map { rowXml =>
       cellRe.findAllMatchIn(rowXml).flatMap { m =>
         // group(1) = self-closing attrs, group(2)/(3) = paired attrs/body
@@ -119,7 +220,12 @@ object XlsxText {
             vRe.findFirstMatchIn(body).map(v =>
               if (v.group(1).trim == "1") "true" else "false").getOrElse("")
           case _ => // "str", numbers, untyped
-            unescapeXml(vRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(""))
+            val v = unescapeXml(vRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(""))
+            // a date-styled numeric cell renders as ISO, not its serial
+            val kind = attrs.get("s").map(_.toInt)
+              .filter(i => i >= 0 && i < styles.length).map(styles).getOrElse(NotDate)
+            if (kind == NotDate) v
+            else v.toDoubleOption.map(serialToIso(_, kind, date1904)).getOrElse(v)
         }
         attrs.get("r").map(r => colIndex(r) -> raw)
       }.toMap
@@ -135,7 +241,11 @@ object XlsxText {
     val parts = unzipParts(bytes)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(sharedStrings).getOrElse(IndexedSeq.empty)
+    val styles = parts.get("xl/styles.xml")
+      .map(styleDateKinds).getOrElse(IndexedSeq.empty)
+    val date1904 = parts.get("xl/workbook.xml").exists(wb =>
+      "<workbookPr\\b[^>]*date1904=\"(1|true)\"".r.findFirstIn(wb).isDefined)
     parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq.sorted.headOption
-      .map(k => sheetRows(parts(k), shared)).getOrElse(Seq.empty)
+      .map(k => sheetRows(parts(k), shared, styles, date1904)).getOrElse(Seq.empty)
   }
 }

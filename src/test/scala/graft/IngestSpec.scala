@@ -194,6 +194,15 @@ class IngestSpec extends SparkSpecBase {
       """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
         "<si><t>name</t></si><si><t>alpha &amp; beta</t></si>" +
         "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>")
+    // styles: xf 0 = General, xf 1 = builtin date (14), xf 2 = custom
+    // yyyy-mm-dd (164), xf 3 = builtin datetime (22), xf 4 = builtin
+    // time (45) — the date-serial resolution paths
+    part("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>""" +
+        """<cellXfs count="5"><xf numFmtId="0" fontId="0"/><xf numFmtId="14" applyNumberFormat="1"/>""" +
+        """<xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/>""" +
+        """<xf numFmtId="45" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     part("xl/worksheets/sheet1.xml",
       """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
         // header: name (shared), score (inline str), ok (untyped via v)
@@ -223,6 +232,39 @@ class IngestSpec extends SparkSpecBase {
       ("alpha & beta", "2.5", "true"),
       ("rich", "", "no"), // styled-empty B3 stays empty, C3 survives it
       ("tail", "", "")), s"got $rows")
+  }
+
+  test("src_excel_scan: date-styled serials render as ISO strings") {
+    // serial 1 / 59 sit on the phantom-1900-02-29 side (one day behind
+    // the 1899-12-30 epoch), 61 after it; 44927 = 2023-01-01 pins the
+    // modern era; .5 fraction = noon; style 4 (builtin 45) is time-only.
+    val out = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(out)
+    def part(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/styles.xml",
+      """<styleSheet><numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>""" +
+        """<cellXfs count="5"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>""" +
+        """<xf numFmtId="22"/><xf numFmtId="45"/></cellXfs></styleSheet>""")
+    part("xl/worksheets/sheet1.xml",
+      "<worksheet><sheetData>" +
+        """<row r="1"><c r="A1" s="1"><v>1</v></c><c r="B1" s="1"><v>59</v></c>""" +
+        """<c r="C1" s="1"><v>61</v></c><c r="D1" s="2"><v>44927</v></c>""" +
+        """<c r="E1" s="3"><v>44927.5</v></c><c r="F1" s="4"><v>0.75</v></c>""" +
+        """<c r="G1"><v>44927</v></c></row>""" +
+        "</sheetData></worksheet>")
+    zip.close()
+    val rows = graft.sources.XlsxText.extractRows(out.toByteArray)
+    assert(rows.size == 1)
+    assert(rows.head.toSeq == Seq(
+      "1900-01-01", "1900-02-28", "1900-03-01", // phantom-day handling
+      "2023-01-01",                             // custom yyyy-mm-dd
+      "2023-01-01 12:00:00",                    // builtin datetime 22
+      "18:00:00",                               // builtin time 45
+      "44927"),                                 // unstyled serial stays raw
+      s"got ${rows.head.toSeq}")
   }
 
   /** A real 2-page PDF built byte-for-byte in the test: page 1 raw, page
