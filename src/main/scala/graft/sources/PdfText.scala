@@ -11,10 +11,11 @@ import java.util.zip.Inflater
   *     (Inflater); unsupported filters (DCT, LZW, crypt) are skipped;
   *   - text shown via `Tj`, `'`, `"` and `TJ` arrays with literal
   *     `(...)` strings (all standard escapes + octal) and `<...>` hex
-  *     strings decoded as Latin-1 — correct for the standard fonts'
-  *     unencoded case, a documented approximation for subsetted or
-  *     CID-keyed fonts (where even pypdf needs the font's ToUnicode
-  *     CMap, out of scope offline);
+  *     strings; hex strings resolve through the document's ToUnicode
+  *     CMaps when present (bfchar/bfrange, 1- and 2-byte codes — the
+  *     subsetted/CID-keyed case, same structure pypdf reads; see
+  *     [[parseCMaps]] for the merged-map approximation), falling back
+  *     to Latin-1 bytes for the standard unencoded case;
   *   - a "page" is a text-bearing content stream in document order —
   *     the full page-tree walk (/Pages → /Kids → /Contents indirection)
   *     is deliberately not implemented; for the overwhelmingly common
@@ -151,6 +152,99 @@ object PdfText {
     (b.toString, j)
   }
 
+  /** Code → unicode maps harvested from the document's ToUnicode CMaps
+    * (1-byte codes for simple subsetted fonts, 2-byte for CID-keyed) —
+    * see [[parseCMaps]].
+    */
+  private[sources] final case class UniMap(one: Map[Int, String], two: Map[Int, String]) {
+    def isEmpty: Boolean = one.isEmpty && two.isEmpty
+  }
+  private[sources] val emptyUniMap = UniMap(Map.empty, Map.empty)
+
+  private val bfCharRe  = "(?s)beginbfchar(.*?)endbfchar".r
+  private val bfRangeRe = "(?s)beginbfrange(.*?)endbfrange".r
+  private val cmapTokRe = "<([0-9a-fA-F]+)>|\\[|\\]".r
+
+  private def utf16Hex(hex: String): String = {
+    val h = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    new String(bytes, "UTF-16BE")
+  }
+
+  /** Merge every `beginbfchar`/`beginbfrange` section found in the
+    * document's decoded streams into one code→unicode map. A subsetted
+    * or CID-keyed font's glyph codes are arbitrary — the ToUnicode CMap
+    * the writer embeds is the ONLY route back to text (pypdf reads the
+    * same structure). Merging across fonts is a deliberate
+    * approximation: resolving the /Font resource per Tf operator needs
+    * the full object graph, and writers in practice keep code spaces
+    * consistent; [[mapHex]] only applies a map when EVERY code of a
+    * string resolves, so a collision degrades to the Latin-1 fallback
+    * rather than silent garbage.
+    */
+  private[sources] def parseCMaps(streams: Seq[String]): UniMap = {
+    val one = scala.collection.mutable.Map.empty[Int, String]
+    val two = scala.collection.mutable.Map.empty[Int, String]
+    def add(srcHex: String, dst: String): Unit =
+      if (srcHex.length <= 2) one(Integer.parseInt(srcHex, 16)) = dst
+      else if (srcHex.length == 4) two(Integer.parseInt(srcHex, 16)) = dst
+    for (s <- streams if s.contains("beginbf")) {
+      for (m <- bfCharRe.findAllMatchIn(s))
+        hexPairs(m.group(1)).foreach { case (src, dst) => add(src, utf16Hex(dst)) }
+      for (m <- bfRangeRe.findAllMatchIn(s)) {
+        // tokens: hex items plus [ ] for the list-destination form
+        val toks = cmapTokRe.findAllMatchIn(m.group(1)).map(t =>
+          Option(t.group(1)).getOrElse(t.matched)).toList
+        var rest = toks
+        while (rest.nonEmpty) rest match {
+          case lo :: hi :: "[" :: tail if lo != "[" && hi != "[" =>
+            val (dsts, after) = tail.span(_ != "]")
+            val start = Integer.parseInt(lo, 16)
+            dsts.zipWithIndex.foreach { case (d, k) =>
+              add(f"${start + k}%04x".takeRight(lo.length), utf16Hex(d))
+            }
+            rest = after.drop(1)
+          case lo :: hi :: dst :: tail if lo != "[" && hi != "[" && dst != "[" =>
+            val (l, h) = (Integer.parseInt(lo, 16), Integer.parseInt(hi, 16))
+            val d0 = Integer.parseInt(dst, 16)
+            // consecutive range: dst increments with the code
+            for (c <- l to math.min(h, l + 65535)) {
+              val dHex = f"${d0 + (c - l)}%04x"
+              add(f"$c%04x".takeRight(lo.length), utf16Hex(dHex))
+            }
+            rest = tail
+          case _ :: tail => rest = tail
+          case Nil => rest = Nil
+        }
+      }
+    }
+    UniMap(one.toMap, two.toMap)
+  }
+
+  private def hexPairs(section: String): Seq[(String, String)] = {
+    val items = cmapTokRe.findAllMatchIn(section)
+      .flatMap(t => Option(t.group(1))).toSeq
+    items.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+  }
+
+  /** Map one hex-string's bytes through the ToUnicode tables: 2-byte
+    * CID codes first (the common CID-keyed shape), then 1-byte codes —
+    * applied only when EVERY code resolves, else the Latin-1 byte
+    * decoding stands (unmapped plain-ASCII hex strings keep working).
+    */
+  private def mapHex(s: String, cmap: UniMap): String = {
+    if (s.isEmpty || cmap.isEmpty) return s
+    if (cmap.two.nonEmpty && s.length % 2 == 0) {
+      val codes = s.grouped(2).map(p => (p.charAt(0) << 8) | p.charAt(1)).toSeq
+      if (codes.forall(cmap.two.contains)) return codes.map(cmap.two).mkString
+    }
+    if (cmap.one.nonEmpty) {
+      val codes = s.map(_.toInt)
+      if (codes.forall(cmap.one.contains)) return codes.map(cmap.one).mkString
+    }
+    s
+  }
+
   /** Hex string starting at `<`: pairs decode as Latin-1 bytes; odd
     * trailing digit pads with 0 per spec.
     */
@@ -180,7 +274,7 @@ object PdfText {
     * appends operands of Tj / ' / " and TJ arrays; ET and T* / Td / TD
     * produce line breaks so downstream tokenizers see word boundaries.
     */
-  private[sources] def showText(cs: String): String = {
+  private[sources] def showText(cs: String, cmap: UniMap = emptyUniMap): String = {
     val out = new StringBuilder
     var last: Option[String] = None   // most recent string operand
     val arr = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -196,7 +290,8 @@ object PdfText {
         if (inArray) arr += s else last = Some(s)
         i = j
       } else if (c == '<' && i + 1 < cs.length && cs.charAt(i + 1) != '<') {
-        val (s, j) = parseHex(cs, i)
+        val (raw, j) = parseHex(cs, i)
+        val s = mapHex(raw, cmap) // ToUnicode-aware for CID/subsetted fonts
         if (inArray) arr += s else last = Some(s)
         i = j
       } else if (c == '<') i += 2 // dict open <<
@@ -230,9 +325,13 @@ object PdfText {
     * page (pypdf's shape: every page has a row, text may be "").
     */
   def extractPages(bytes: Array[Byte]): Seq[String] = {
-    val pages = decodedStreams(bytes)
+    val streams = decodedStreams(bytes)
+    // ToUnicode CMap streams carry no BT — they feed the glyph-code
+    // mapping and never surface as pages themselves
+    val cmap = parseCMaps(streams)
+    val pages = streams
       .filter(s => s.contains("BT"))
-      .map(showText)
+      .map(showText(_, cmap))
       .filter(_.nonEmpty)
     if (pages.nonEmpty) pages else Seq("")
   }

@@ -342,6 +342,54 @@ class IngestSpec extends SparkSpecBase {
     assert(rows.head.contains("before endstream after"), s"got $rows")
   }
 
+  test("src_pdf_scan: ToUnicode CMap resolves CID hex strings") {
+    // A CID-keyed font's glyph codes are arbitrary 2-byte values; the
+    // embedded ToUnicode CMap is the only route back to text. bfchar
+    // maps 0041->H 0042->i 0045->"ffi" (multi-char dst), bfrange covers
+    // 0050-0052 -> abc (consecutive) and 0060-0061 -> [X Y] (list
+    // form). The CMap stream itself is Flate-compressed and must not
+    // surface as a page.
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |3 beginbfchar
+        |<0041> <0048>
+        |<0042> <0069>
+        |<0045> <006600660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0050> <0052> <0061>
+        |<0060> <0061> [<0058> <0059>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(cmap.getBytes("ISO-8859-1")); deflater.finish()
+    val cbuf = new Array[Byte](8192)
+    val clen = deflater.deflate(cbuf)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val content = "BT <00410042> Tj T* <005000510052> Tj T* <0045> Tj T* <00600061> Tj ET"
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length $clen /Filter /FlateDecode >> stream\n")
+    out.write(cbuf, 0, clen); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val p = s"$tmp/cid.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val rows = Ingest.readPdfPages(spark, p)
+      .orderBy($"page").select($"content").as[String].collect().toSeq
+    assert(rows.size == 1, s"CMap stream must not surface as a page: $rows")
+    val pg = rows.head
+    assert(pg.contains("Hi"), s"bfchar: $pg")
+    assert(pg.contains("abc"), s"bfrange consecutive: $pg")
+    assert(pg.contains("ffi"), s"multi-char dst: $pg")
+    assert(pg.contains("XY"), s"bfrange list form: $pg")
+  }
+
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
     val payload = Array.fill[Byte](3000)(65)
