@@ -7,8 +7,11 @@ import java.util.zip.Inflater
   * `java.util.zip` so the offline build needs no pdf jar.
   *
   * Scope — the common machine-written PDF shape:
-  *   - content streams stored raw or `/FlateDecode`-compressed
-  *     (Inflater); unsupported filters (DCT, LZW, crypt) are skipped;
+  *   - content streams stored raw or compressed with /FlateDecode,
+  *     /LZWDecode (EarlyChange default), /ASCIIHexDecode,
+  *     /ASCII85Decode, /RunLengthDecode — applied as a chain in the
+  *     /Filter array's order; streams with an undecodable link (image
+  *     codecs, crypt) are skipped, never emitted raw;
   *   - text shown via `Tj`, `'`, `"` and `TJ` arrays with literal
   *     `(...)` strings (all standard escapes + octal) and `<...>` hex
   *     strings; hex strings resolve through the document's ToUnicode
@@ -88,8 +91,7 @@ object PdfText {
         }
         bounds.foreach { case (dataEnd, endKw) =>
           val payload = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          if (dict.contains("/FlateDecode")) inflate(payload).foreach(d => out += latin1(d))
-          else out += latin1(payload)
+          decodeFilters(dict, payload).foreach(d => out += latin1(d))
           if (endKw >= 0) next = endKw + 9
         }
       }
@@ -97,6 +99,133 @@ object PdfText {
     }
     out.toSeq
   }
+
+  private val filterNameRe =
+    "/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|DCTDecode|JPXDecode|JBIG2Decode|CCITTFaxDecode|RunLengthDecode|Crypt)".r
+
+  /** Apply the dict's /Filter chain to a stream payload. Name-or-array
+    * both surface as filter names in order of appearance (an array's
+    * textual order IS its application order). No /Filter → raw bytes;
+    * a chain with an unsupported link (image codecs, crypt) → None —
+    * emitting the undecoded bytes as a page candidate would be
+    * garbage, the one thing a text extractor must not produce.
+    */
+  private[sources] def decodeFilters(dict: String, payload: Array[Byte]): Option[Array[Byte]] =
+    if (!dict.contains("/Filter")) Some(payload)
+    else filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
+      .foldLeft(Option(payload)) { (acc, f) =>
+        acc.flatMap { d =>
+          f match {
+            case "FlateDecode"    => inflate(d)
+            case "LZWDecode"      => lzwDecode(d)
+            case "ASCIIHexDecode" => asciiHexDecode(d)
+            case "ASCII85Decode"  => ascii85Decode(d)
+            case "RunLengthDecode" => runLengthDecode(d)
+            case _                => None // image/crypt codecs: skip stream
+          }
+        }
+      }
+
+  /** PDF LZWDecode (TIFF variant): 9→12-bit codes MSB-first, 256 =
+    * clear-table, 257 = EOD, EarlyChange=1 (the default — code width
+    * bumps one entry early). Truncated input returns what decoded.
+    */
+  private def lzwDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      def freshTable() = {
+        val t = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+        var c = 0
+        while (c < 256) { t += Array(c.toByte); c += 1 }
+        t += null; t += null // 256 clear, 257 eod
+        t
+      }
+      var table = freshTable()
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L; var bitCnt = 0
+      var i = 0
+      var done = false
+      while (!done && (i < data.length || bitCnt >= width)) {
+        if (bitCnt < width) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+        } else {
+          val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { table = freshTable(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < table.length && code != 256 && code != 257) table(code)
+              else if (code == table.length && prev != null) prev :+ prev(0)
+              else { done = true; null } // corrupt: keep what decoded
+            if (entry != null) {
+              out.write(entry)
+              if (prev != null) table += (prev :+ entry(0))
+              prev = entry
+              if (table.length >= (1 << width) - 1 && width < 12) width += 1
+            }
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = latin1(data)
+      val body = s.takeWhile(_ != '>').filterNot(_.isWhitespace)
+      val h = if (body.length % 2 == 1) body + "0" else body
+      Some(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    } catch { case _: Exception => None }
+
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s0 = latin1(data)
+      val endAt = s0.indexOf("~>")
+      val s = (if (endAt >= 0) s0.substring(0, endAt) else s0)
+        .filterNot(_.isWhitespace).stripPrefix("<~")
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == 'z') {
+          out.write(Array[Byte](0, 0, 0, 0)); i += 1
+        } else {
+          val n = math.min(5, s.length - i)
+          var v = 0L
+          var k = 0
+          while (k < 5) { // pad short final group with 'u'
+            val c = if (k < n) s.charAt(i + k) else 'u'
+            require(c >= '!' && c <= 'u', s"ascii85 char $c")
+            v = v * 85 + (c - '!'); k += 1
+          }
+          val bs = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+          out.write(bs, 0, n - 1) // 5 chars → 4 bytes; n chars → n-1
+          i += n
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var done = false
+      while (!done && i < data.length) {
+        val n = data(i) & 0xff
+        if (n == 128) done = true // EOD
+        else if (n < 128) { out.write(data, i + 1, n + 1); i += n + 2 }
+        else {
+          val b = data(i + 1)
+          var k = 0
+          while (k < 257 - n) { out.write(b); k += 1 }
+          i += 2
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {

@@ -390,6 +390,82 @@ class IngestSpec extends SparkSpecBase {
     assert(pg.contains("XY"), s"bfrange list form: $pg")
   }
 
+  test("src_pdf_scan: LZW and ASCII85+Flate filter chains decode; DCT streams are skipped") {
+    // Page 1: /LZWDecode (9->12-bit TIFF codes, EarlyChange) — encoded
+    // here by a minimal LZW encoder so the decoder faces real growing-
+    // table output. Page 2: /Filter [/ASCII85Decode /FlateDecode] — a
+    // chain applied in array order. A /DCTDecode stream must be
+    // skipped, not emitted raw as a garbage page.
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val dict = scala.collection.mutable.Map.empty[Seq[Byte], Int]
+      for (c <- 0 until 256) dict(Seq(c.toByte)) = c
+      var next = 258; var width = 9
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+      }
+      put(256) // leading clear-table per spec
+      var cur = Seq.empty[Byte]
+      for (b <- data) {
+        val ext = cur :+ b
+        if (dict.contains(ext)) cur = ext
+        else {
+          put(dict(cur)); dict(ext) = next; next += 1
+          // EarlyChange=1: encoder widens when the NEXT code might not fit
+          if (next >= (1 << width) - 1 && width < 12) width += 1
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) put(dict(cur))
+      put(257) // EOD
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+    def a85Encode(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var v = 0L
+        for (k <- 0 until 4) v = (v << 8) | (if (k < n) data(i + k) & 0xffL else 0L)
+        val cs = Array.fill(5)(' ')
+        var rem = v
+        for (k <- 4 to 0 by -1) { cs(k) = ('!' + (rem % 85).toInt).toChar; rem /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+        i += n
+      }
+      sb.append("~>").toString
+    }
+    val p1 = "BT (lzw page text repeats repeats repeats) Tj ET".getBytes("ISO-8859-1")
+    val lzw = lzwEncode(p1)
+    val deflater = new java.util.zip.Deflater()
+    val p2raw = "BT (chained page) Tj ET".getBytes("ISO-8859-1")
+    deflater.setInput(p2raw); deflater.finish()
+    val zbuf = new Array[Byte](4096)
+    val zlen = deflater.deflate(zbuf)
+    val a85 = a85Encode(java.util.Arrays.copyOf(zbuf, zlen)).getBytes("ISO-8859-1")
+    val dct = "BT (should never surface) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj << /Length ${lzw.length} /Filter /LZWDecode >> stream\n")
+    out.write(lzw); w("\nendstream endobj\n")
+    w(s"2 0 obj << /Length ${a85.length} /Filter [/ASCII85Decode /FlateDecode] >> stream\n")
+    out.write(a85); w("\nendstream endobj\n")
+    w(s"3 0 obj << /Length ${dct.length} /Filter /DCTDecode >> stream\n")
+    out.write(dct); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val p = s"$tmp/filters.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val rows = Ingest.readPdfPages(spark, p)
+      .orderBy($"page").select($"content").as[String].collect().toSeq
+    assert(rows.size == 2, s"DCT stream must be skipped: $rows")
+    assert(rows.head.contains("lzw page text repeats repeats repeats"), s"lzw: ${rows.head}")
+    assert(rows(1).contains("chained page"), s"chain: ${rows(1)}")
+  }
+
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
     val payload = Array.fill[Byte](3000)(65)
