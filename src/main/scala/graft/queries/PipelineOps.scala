@@ -714,6 +714,62 @@ object PipelineOps {
         .groupBy($"doc_id")
         .agg(countDistinct($"gram").as("n_shared"))
         .orderBy($"doc_id")
+    },
+
+    entry(
+      "text_lm_score",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+        |  FROM t),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |  FROM bg GROUP BY 1),
+        |s AS (SELECT b.doc_id,
+        |    CAST(round(ln(c1.c1 * 1.0 / c12.c12), 6) AS DECIMAL(18,6)) AS term
+        |  FROM bg b JOIN c12 ON b.bg = c12.bg
+        |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Language-model quality scoring — the CCNet-style perplexity
+      // filter a pretraining pipeline runs between ingest and mixing:
+      // score each document by its average bigram surprisal
+      // -ln P(w2|w1) under an MLE bigram model. The model here is
+      // trained on the corpus itself (every scored bigram is in the
+      // model by construction, so no backoff branch exists); a
+      // production run swaps in an external model table keyed the same
+      // way (bg -> count, w1 -> count) — the scoring join below is the
+      // contract. Scale shape: the bigram stream derives from the
+      // shared tokenized frame (no re-tokenize), the model tables are
+      // shuffle partial-aggs, and scoring is a key-partitioned join of
+      // the stream against the model — the model is corpus-vocabulary
+      // sized, so it shuffles rather than broadcasts at 100 TB.
+      // Determinism: per-bigram surprisal is rounded to 6 decimals and
+      // summed as DECIMAL(18,6) — an exact, order-independent sum (a
+      // raw double sum would hash-differently across partition orders).
+      val bg = TextOps.docTokens(s, dir)
+        .select($"doc_id", explode(when(size($"toks") >= 2,
+            transform(sequence(lit(1), size($"toks") - 1),
+              i => concat_ws(" ", slice($"toks", i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      val c12 = bg.groupBy($"bg").agg(count(lit(1)).as("c12"))
+      val c1 = bg.select(split($"bg", " ")(0).as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("c1"))
+      bg.join(c12, "bg")
+        .withColumn("w1", split($"bg", " ")(0))
+        .join(c1, "w1")
+        .select($"doc_id",
+          round(log($"c1" * lit(1.0) / $"c12"), 6).cast("decimal(18,6)").as("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"term").cast("double") / count(lit(1)), 4).as("lm_score"))
+        .orderBy($"doc_id")
     }
   )
 

@@ -256,6 +256,39 @@ class OperatorSpec extends SparkSpecBase {
       assert(wsd.contains("bucket"), s"doc-level window is unpartitioned: $wsd"))
   }
 
+  test("text_lm_score: bigram surprisal invariants hold corpus-wide") {
+    // The MLE bigram surprisal ln(c(w1)/c(w1w2)) is >= 0 (a bigram
+    // can't outnumber its own history), every doc with >= 2 tokens
+    // scores exactly size(toks)-1 bigrams, and a corpus-frequent
+    // bigram must contribute LESS surprisal than a rarer one sharing
+    // its history (the ordering the quality filter rides).
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("text_lm_score")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 >= 0.0), "negative surprisal")
+    val nTokens = Core.load(spark, dir, "documents")
+      .select($"doc_id", size(Core.tokens(lower($"text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (id, nbg, _) =>
+      assert(nbg == nTokens(id) - 1, s"doc $id: $nbg bigrams vs ${nTokens(id)} tokens")
+    }
+    assert(out.length == nTokens.count(_._2 >= 2), "docs with >=2 tokens must all score")
+    // ordering on a crafted corpus: a doc of one endlessly-repeated
+    // bigram is maximally predictable (score ~0); a doc of bigrams
+    // that each occur once against a shared history scores higher —
+    // the ordering the quality filter rides
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Seq((0L, ("x y " * 20).trim, "en", "s", 1L),
+        (1L, "x a x b x c x d", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmpDir/documents.parquet")
+    val crafted = SparkEntry.queries("text_lm_score")(spark, tmpDir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(crafted(0L) < crafted(1L),
+      s"repeated bigram must score below unique bigrams: $crafted")
+  }
+
   test("text_embed_hash: corpus form is element-identical to the column-expression form") {
     // two implementations of the same embedding math (explode+groupBy
     // corpus pass vs the per-dimension hashEmbed aggregate) must never
