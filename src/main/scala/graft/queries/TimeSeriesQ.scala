@@ -155,6 +155,40 @@ object TimeSeriesQ {
         .agg(min($"ts").as("mn"), max($"ts").as("mx"), count(lit(1)).as("cnt"))
         .select($"user_id", tsStr($"mn").as("s_start"), tsStr($"mx").as("s_end"), $"cnt")
         .orderBy($"user_id", $"s_start")
+    },
+
+    entry(
+      "ts_retention_cohort",
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    datediff('day', f.cohort, date_trunc('day', e.ts)) AS offset_d
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, offset_d,
+        |  count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Retention-cohort triangle — the product-analytics staple the
+      // funnel/session family was missing: users bucketed by their
+      // FIRST active day, counted distinct on each later day they
+      // return (offset 0 row = cohort size). Scale shape: the cohort
+      // frame is a per-user partial agg on the same user_id key the
+      // join then reuses (one shuffle feeds both), the activity set is
+      // distinct'd on (user, cohort, offset) BEFORE the count so no
+      // count-distinct state survives to the final tiny agg, and the
+      // output is cohorts x offsets — bounded by the calendar, not the
+      // event volume.
+      val ev = loadEvents(s, dir).select($"user_id", to_date($"ts").as("day"))
+      val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+      ev.join(cohort, "user_id")
+        .select($"user_id", $"cohort",
+          datediff($"day", $"cohort").cast("long").as("offset_d"))
+        .distinct()
+        .groupBy($"cohort", $"offset_d")
+        .agg(count(lit(1)).as("n_users"))
+        .select(dayStr($"cohort").as("cohort_day"), $"offset_d", $"n_users")
+        .orderBy($"cohort_day", $"offset_d")
     }
   )
 }

@@ -289,6 +289,23 @@ class OperatorSpec extends SparkSpecBase {
       s"repeated bigram must score below unique bigrams: $crafted")
   }
 
+  test("ts_retention_cohort: offset-0 diagonal is the cohort size and users conserve") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("ts_retention_cohort")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every user's first-day row lands at offset 0, so the diagonal
+    // sums to the distinct-user count, and no later offset can exceed
+    // its cohort's size
+    val users = Core.loadEvents(spark, dir).select($"user_id").distinct().count()
+    assert(out.filter(_._2 == 0L).map(_._3).sum == users,
+      "offset-0 diagonal must partition the user base")
+    val cohortSize = out.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    out.foreach { case (day, off, n) =>
+      assert(n <= cohortSize(day), s"cohort $day offset $off: $n > ${cohortSize(day)}")
+    }
+  }
+
   test("text_embed_hash: corpus form is element-identical to the column-expression form") {
     // two implementations of the same embedding math (explode+groupBy
     // corpus pass vs the per-dimension hashEmbed aggregate) must never
