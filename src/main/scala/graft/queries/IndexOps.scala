@@ -397,7 +397,8 @@ object IndexOps {
       // the incremental-aggregate state artifacts serve the same
       // build-once-serve-many contract as the indexes
       "setup_mix_state"   -> ((s, d) => { PipelineOps.ensureMixState(s, d); () }),
-      "setup_hll_state"   -> ((s, d) => { PipelineOps.ensureHllState(s, d); () }))
+      "setup_hll_state"   -> ((s, d) => { PipelineOps.ensureHllState(s, d); () }),
+      "setup_lm_state"    -> ((s, d) => { PipelineOps.ensureLmState(s, d); () }))
 
   private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
     warmSteps.foreach { case (_, f) => f(s, dir) }

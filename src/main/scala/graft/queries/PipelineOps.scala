@@ -753,25 +753,117 @@ object PipelineOps {
       // Determinism: per-bigram surprisal is rounded to 6 decimals and
       // summed as DECIMAL(18,6) — an exact, order-independent sum (a
       // raw double sum would hash-differently across partition orders).
-      val bg = TextOps.docTokens(s, dir)
-        .select($"doc_id", explode(when(size($"toks") >= 2,
-            transform(sequence(lit(1), size($"toks") - 1),
-              i => concat_ws(" ", slice($"toks", i, lit(2)))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+      val bg = bigramStream(TextOps.docTokens(s, dir))
       val c12 = bg.groupBy($"bg").agg(count(lit(1)).as("c12"))
       val c1 = bg.select(split($"bg", " ")(0).as("w1"))
         .groupBy($"w1").agg(count(lit(1)).as("c1"))
-      bg.join(c12, "bg")
-        .withColumn("w1", split($"bg", " ")(0))
-        .join(c1, "w1")
-        .select($"doc_id",
-          round(log($"c1" * lit(1.0) / $"c12"), 6).cast("decimal(18,6)").as("term"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum($"term").cast("double") / count(lit(1)), 4).as("lm_score"))
-        .orderBy($"doc_id")
+      scoreBigrams(s, bg, c12, c1)
+    },
+
+    entry(
+      "text_lm_incremental",
+      // identical MODEL to text_lm_score (trained on the FULL corpus),
+      // scored over only the standard batch slice: incremental model
+      // maintenance must reproduce the full recompute exactly
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+        |  FROM t),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        |  FROM c12 GROUP BY 1),
+        |s AS (SELECT b.doc_id,
+        |    CAST(round(ln(c1.c1 * 1.0 / c12.c12), 6) AS DECIMAL(18,6)) AS term
+        |  FROM bg b JOIN c12 ON b.bg = c12.bg
+        |  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+        |  WHERE b.doc_id % 10 = 7)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Incremental LM maintenance — the daily-ingest shape for the
+      // quality filter: the bigram-count model lives as a
+      // version-stamped lake artifact (corpus minus the standard batch
+      // slice, like the mix/HLL states), the batch's partial counts
+      // merge in by exact integer sum, and ONLY the batch docs are
+      // scored against the merged model. Counts are associative, so
+      // the merged model is byte-equal to one trained on the full
+      // corpus — the oracle scores the batch against the full-corpus
+      // model, and LmStateSpec pins inc == text_lm_score restricted to
+      // the batch. Cost profile: O(|batch|) tokenize + O(|model|)
+      // merge; the corpus is never re-scanned. The history totals
+      // c(w1) derive from the MERGED bigram table by a model-sized
+      // aggregate (c1 = Σ c12 over bigrams sharing the history), so
+      // the state is ONE table, not two that could drift.
+      val path = ensureLmState(s, dir)
+      val state = s.read.parquet(s"$path/lm_state.parquet")
+      val batchBg = bigramStream(
+        TextOps.docTokens(s, dir).filter(pmod($"doc_id", lit(10)) === 7))
+      val c12 = state
+        .unionByName(batchBg.groupBy($"bg").agg(count(lit(1)).as("c12")))
+        .groupBy($"bg").agg(sum($"c12").as("c12"))
+      val c1 = c12.groupBy(split($"bg", " ")(0).as("w1")).agg(sum($"c12").as("c1"))
+      scoreBigrams(s, batchBg, c12, c1)
     }
   )
+
+  /** (doc_id, bg) word-bigram stream of a tokenized frame — shared by
+    * the LM scoring family; docs under 2 tokens contribute nothing.
+    */
+  private def bigramStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))).as("bg"))
+
+  /** Score a bigram stream against a (bg → c12, w1 → c1) model: per-doc
+    * average surprisal, 6dp-rounded terms summed as DECIMAL so the sum
+    * is exact and partition-order independent (see text_lm_score).
+    */
+  private def scoreBigrams(s: org.apache.spark.sql.SparkSession,
+                           bg: org.apache.spark.sql.DataFrame,
+                           c12: org.apache.spark.sql.DataFrame,
+                           c1: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bg.join(c12, "bg")
+      .withColumn("w1", split($"bg", " ")(0))
+      .join(c1, "w1")
+      .select($"doc_id",
+        round(log($"c1" * lit(1.0) / $"c12"), 6).cast("decimal(18,6)").as("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"term").cast("double") / count(lit(1)), 4).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Code version + source-data fingerprint for the LM model artifact. */
+  private[graft] val lmStateVersion = "lmstate-v1:bigram-counts;base-excl-mod10-7"
+
+  private[graft] def lmStateStamp(dir: String): String =
+    IndexOps.stampFor(lmStateVersion, dir, Seq("documents"))
+
+  /** Ensure the persisted bigram-count model over the corpus minus the
+    * standard batch slice — stamp discipline as every lake artifact
+    * (clear first, stamp the pre-read fingerprint after the commit).
+    */
+  private[graft] def ensureLmState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = mixStateDir(dir) // same lake dir, separate table + stamp
+    val stamp = lmStateStamp(dir)
+    if (!IndexOps.indexCurrent(path, Seq("lm_state"), "lm_state", stamp)) {
+      IndexOps.clearStamp(path, "lm_state")
+      val base = bigramStream(
+        TextOps.docTokens(s, dir).filter(pmod($"doc_id", lit(10)) =!= 7))
+        .groupBy($"bg").agg(count(lit(1)).as("c12"))
+      graft.sources.Ingest.stageAndSwap(base, path, "lm_state")
+      IndexOps.writeStamp(path, "lm_state", stamp)
+    }
+    path
+  }
 
   // ---- Incremental aggregate state (the mixing family's MV) ----------
 

@@ -306,6 +306,21 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("text_lm_incremental equals full-model scoring restricted to the batch") {
+    // The merged model (persisted base counts + batch partials) must be
+    // byte-equal to one trained on the full corpus — so the incremental
+    // entry's scores must EXACTLY equal text_lm_score's rows for the
+    // batch docs, not approximately.
+    val dir = sf("sf0.001")
+    val full = SparkEntry.queries("text_lm_score")(spark, dir)
+      .filter($"doc_id" % 10 === 7)
+      .as[(Long, Long, Double)].collect().toSeq
+    val inc = SparkEntry.queries("text_lm_incremental")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inc.nonEmpty)
+    assert(inc == full, s"incremental drifted from full recompute:\n$inc\nvs\n$full")
+  }
+
   test("text_embed_hash: corpus form is element-identical to the column-expression form") {
     // two implementations of the same embedding math (explode+groupBy
     // corpus pass vs the per-dimension hashEmbed aggregate) must never
