@@ -70,6 +70,28 @@ object Core {
     }
   }
 
+  /** Loud scale guard for the exact all-pairs oracle anchors
+    * (`vec_cosine_pairs`, `vec_knn_join`, `text_ngram_jaccard`): each is
+    * deliberately quadratic — the small-SF exactness anchor its
+    * banded/bucketed sibling is verified against — and must never run
+    * accidentally on a lake-scale input. Refuses (at plan-construction
+    * time, before any quadratic work is queued) when the input table
+    * exceeds `spark.graft.exact.maxRows` (default 1,000,000 — generous
+    * for every gate/smoke SF, far below lake scale), naming the
+    * scale-safe sibling. The row count is a parquet metadata-only
+    * aggregate (count lowers to footer row counts; no data scan), so the
+    * guard stays O(files) at any scale.
+    */
+  def exactAnchorGuard(spark: SparkSession, dir: String, table: String,
+                       entryName: String, sibling: String): Unit = {
+    val max = spark.conf.get("spark.graft.exact.maxRows", "1000000").toLong
+    val n = load(spark, dir, table).count()
+    require(n <= max,
+      s"$entryName is an exact all-pairs oracle anchor (O(n^2) in $table " +
+        s"rows) and refuses to run on $n rows (> spark.graft.exact.maxRows" +
+        s"=$max). At scale use its banded/bucketed sibling: $sibling.")
+  }
+
   /** Timestamp columns are stringified in declared outputs: parquet
     * timestamp annotations (isAdjustedToUTC, unit) vary between writers
     * and would hash-mismatch against the DuckDB oracle even when the

@@ -753,78 +753,50 @@ object TextOps {
         |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      // Exact token-set Jaccard ≥ 0.8, AllPairs/PPJoin-style:
-      // 1. dictionary-encode tokens to xxhash64 longs IMMEDIATELY and
-      //    collapse docs to DISTINCT hashed sets (long-array groupBy and
-      //    compares are ~5x cheaper than string arrays; a cross-set hash
-      //    collision is ~n²/2^64 — at lake scale use a 128-bit hash);
-      // 2. candidate pairs must share a token in each set's RARE-TERM
-      //    prefix (length n - ceil(0.8n) + 1 under a global rarity order)
-      //    AND satisfy the size bound 4*max(|A|,|B|) <= 5*min(|A|,|B|)
-      //    AND the PPJoin POSITIONAL bound: matching at rarity positions
-      //    (pa, pb), total overlap can't exceed 1 + min(n1-pa, n2-pb),
-      //    which must reach the overlap threshold α = ceil(4(n1+n2)/9)
-      //    implied by J ≥ 0.8. All three are necessary conditions, so
-      //    exactness is kept (the FIRST common term of a true pair
-      //    always passes the positional test);
-      // 3. exact merge-intersect verify on the surviving pairs only.
-      // On a shared-vocabulary corpus the prefix filter alone leaves
-      // ~half of all-pairs as candidates; the positional bound is what
-      // keeps the verify stage bucket-bounded.
+      // Exact token-set Jaccard ≥ 0.8 over DISTINCT hashed sets, via a
+      // SIZE-BANDED verify-everything join — chosen over the classic
+      // AllPairs/PPJoin prefix filter BY MEASUREMENT on this corpus
+      // shape (JaccardDiag at sf0.1): sets are tiny (~20 tokens from a
+      // shared vocabulary) and ~18% of all set pairs are true matches,
+      // so the rarity-prefix filter kept 3.48M of the 3.88M
+      // size-compatible pairs — i.e. it filtered almost nothing — while
+      // paying a prefix build (1.1 s) plus a 6.3M-row candidate
+      // DISTINCT (2.0 s). Here instead:
+      // 1. dictionary-encode tokens to xxhash64 longs and collapse docs
+      //    to DISTINCT sorted hashed sets (the shared memoized signature
+      //    table — one corpus signing per session; long-array intersects
+      //    are ~5x cheaper than strings, collision odds ~n²/2^64);
+      // 2. J ≥ 0.8 forces the size bound 4·|B| ≤ 5·|A| (|A| ≤ |B|), so
+      //    each set meets eligible partners by exploding to the ≤ nt/4
+      //    partner sizes in [nt, 5nt/4] and broadcast-hash-joining the
+      //    set dictionary keyed by nt — every unordered pair surfaces
+      //    EXACTLY ONCE ((nt, sid) total order), so there is no
+      //    candidate distinct at all, and no pair list is ever wider
+      //    than the verify input;
+      // 3. exact merge-intersect on each of the 3.88M size-eligible
+      //    pairs: a ~20-slot sorted-long intersect is ~100 ns, far
+      //    cheaper than shuffling the pair for a second filtering pass.
+      // Jac ≥ 0.8 ⟺ 9·inter ≥ 4·(n1+n2) in integers — single
+      // evaluation, no doubles until the declared rounding.
+      // Scale story: this exact form is the small-SF oracle anchor,
+      // guarded by exactAnchorGuard; its replication factor is nt/4
+      // (fine for short documents, wrong for 10k-token sets — there the
+      // PPJoin prefix+positional filter in git history is the exact
+      // alternative), and the lake-scale declared path is the banded
+      // MinHash sibling text_dedup_near.
       VectorExprs.register(s)
-      // the (sid, ids, tids) set dictionary IS the shared memoized
-      // signature table (identical tokenize → hash → set-collapse;
-      // token-less docs already excluded there) — the whole similarity
-      // family signs the corpus once per session, and this entry's
-      // set-collapse cost (3s at sf0.1, half the entry) rides the cache
-      // the dedup setup step already warmed. The extra `bands` column is
-      // materialized in the cached blocks but unused here.
+      exactAnchorGuard(s, dir, "documents", "text_ngram_jaccard", "text_dedup_near (MinHash/LSH)")
       val sets = signatureTableCached(s, dir)
         .select($"sid", $"ids", $"tids")
         .withColumn("nt", size($"tids"))
-      val t = sets.select($"sid", $"nt", explode($"tids").as("tid"))
-      val dfreq = t.groupBy($"tid").agg(count("*").as("df"))
-      val prefLen = $"nt" - (($"nt" * 4 + lit(4)) / lit(5)).cast("int") + lit(1)
-      // Rarity-order prefix WITHOUT a partition-wide window sort: df
-      // attaches via a BROADCAST of the vocabulary-sized df table (the
-      // posting rows never shuffle on tid for the join — only the df
-      // AGGREGATE shuffles, and its output is |vocab| rows), then each
-      // set's terms regroup on sid once and sort as a small in-memory
-      // array. Same (df asc, tid asc) order as the row_number form —
-      // struct array_sort is lexicographic — so rk and the prefix slice
-      // are identical. At lake scale the dial is the broadcast: a
-      // ~10M-term vocab of (long, long) is ~160 MB — switch the join
-      // back to shuffle form past that, the prefix semantics don't
-      // change.
-      val prefix = t.join(broadcast(dfreq), "tid")
-        .groupBy($"sid", $"nt")
-        .agg(array_sort(collect_list(struct($"df", $"tid"))).as("terms"))
-        .select($"sid", $"nt",
-          posexplode(slice($"terms", lit(1), prefLen)).as(Seq("rk0", "term")))
-        .select($"term.tid".as("tid"), $"sid", $"nt", ($"rk0" + 1).as("rk"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          $"a.tid" === $"b.tid" && $"a.sid" < $"b.sid" &&
-          greatest($"a.nt", $"b.nt") * 4 <= least($"a.nt", $"b.nt") * 5 &&
-          (lit(1) + least($"a.nt" - $"a.rk", $"b.nt" - $"b.rk")) * 9 >=
-            ($"a.nt" + $"b.nt") * 4)
-        .select($"a.sid".as("s1"), $"b.sid".as("s2")).distinct()
-      // The verify join BROADCASTS the set dictionary: on a shared-
-      // vocabulary corpus the prefix filter leaves a large candidate
-      // pair list, and shuffling it twice with tids arrays attached was
-      // the dominant cost — the dictionary itself is one row per
-      // DISTINCT set and fits comfortably. (This entry is the exact
-      // small-scale oracle anchor, like vec_cosine_pairs; at lake scale
-      // the set dictionary outgrows a broadcast and the banded MinHash
-      // path — text_dedup_near — is the declared form.)
-      val sA = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"))
-      val sB = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
-      // single-evaluation exact threshold (the verifiedSets rewrite):
-      // jac ≥ 0.8 ⟺ 9·inter ≥ 4·(n1+n2), size guard short-circuits
+      val aExp = sets.select($"sid".as("s1"), $"tids".as("t1"), $"nt".as("n1"),
+        explode(expr("sequence(nt, (nt * 5) div 4)")).as("nb"))
+      val bByNt = sets.select($"sid".as("s2"), $"tids".as("t2"), $"nt".as("n2"))
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
       val jac   = inter.cast("double") / ($"n1" + $"n2" - inter)
-      val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
-        .filter(lit(9) * least($"n1", $"n2") >= lit(4) * ($"n1" + $"n2") &&
-                lit(9) * inter >= lit(4) * ($"n1" + $"n2"))
+      val verified = aExp.join(broadcast(bByNt),
+          $"nb" === $"n2" && ($"n1" =!= $"n2" || $"s1" < $"s2"))
+        .filter(lit(9) * inter >= lit(4) * ($"n1" + $"n2"))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },

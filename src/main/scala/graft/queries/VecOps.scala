@@ -396,6 +396,7 @@ object VecOps {
       // bounds the query side to a deterministic 1/4 subset (vec_id % 4);
       // full-corpus k-NN at scale is vec_knn_join_lsh, whose candidates
       // are bucket-bounded. One side broadcast (BNLJ), top-3 via window.
+      exactAnchorGuard(s, dir, "embeddings", "vec_knn_join", "vec_knn_join_lsh")
       val e = emb(s, dir)
       val a = e.filter(pmod($"vec_id", lit(4)) === 0)
         .select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
@@ -421,6 +422,7 @@ object VecOps {
       // Embedding-cosine near-duplicate pairs (threshold chosen below the
       // corpus max of ~0.51 so the result is non-trivial). Exact form;
       // the LSH entry is the 100 TB path.
+      exactAnchorGuard(s, dir, "embeddings", "vec_cosine_pairs", "vec_knn_join_lsh / vec_index_probe")
       val e = emb(s, dir)
       val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n"))
       val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n"))

@@ -392,4 +392,30 @@ class OperatorSpec extends SparkSpecBase {
       assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
     }
   }
+
+  test("exact all-pairs anchors refuse oversized inputs, naming the banded sibling") {
+    // The quadratic oracle anchors carry a loud plan-construction-time
+    // row guard (Core.exactAnchorGuard) so a lake-scale corpus can never
+    // accidentally run the O(n^2) form. Dial the cap below the fixture's
+    // row count and each must refuse with a message pointing at its
+    // scale-safe sibling; at the default cap they run unchanged.
+    val cases = Seq(
+      "vec_cosine_pairs"  -> "vec_knn_join_lsh",
+      "vec_knn_join"      -> "vec_knn_join_lsh",
+      "text_ngram_jaccard" -> "text_dedup_near")
+    spark.conf.set("spark.graft.exact.maxRows", "10")
+    try {
+      cases.foreach { case (name, sibling) =>
+        val e = intercept[IllegalArgumentException] {
+          SparkEntry.queries(name)(spark, sf("sf0.001"))
+        }
+        assert(e.getMessage.contains(name) && e.getMessage.contains(sibling),
+          s"$name guard message must name the entry and sibling: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("spark.graft.exact.maxRows")
+    // default cap: entries still construct and run
+    cases.foreach { case (name, _) =>
+      assert(SparkEntry.queries(name)(spark, sf("sf0.001")).count() >= 0)
+    }
+  }
 }
