@@ -346,24 +346,46 @@ object TextOps {
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         import s.implicits._
         val sets = signatureTableCached(s, dir)
-        val banded = sets.select($"sid", posexplode($"bands").as(Seq("band", "bh")))
+        // Candidate generation stays LSH-banded (bucketed band
+        // self-join, never all-pairs — the 100 TB shape). Two measured
+        // rewrites of the downstream plumbing (VsDiag at sf0.1, where
+        // 16-band buckets on a shared-vocabulary corpus emit 18.7M raw
+        // pair rows for only 28.9k true pairs):
+        //  1. the size-compatibility bound (19·min ≥ 9·(n1+n2), a
+        //     NECESSARY condition for J ≥ 0.9) moves INTO the band join
+        //     as a codegen'd per-pair predicate, so hopeless pairs die
+        //     in the join loop instead of riding a shuffle;
+        //  2. the pair DISTINCT moves AFTER the verify filter: raw
+        //     band duplicates (≤16 copies, one per agreeing band) each
+        //     pay only a ~20-slot intersect, and the dedup then runs on
+        //     the ~29k surviving rows instead of millions of candidates
+        //     — the 3 s candidate-distinct shuffle was the single
+        //     largest line of the shared-frames setup.
+        val banded = sets.select($"sid", size($"tids").as("nt"),
+          posexplode($"bands").as(Seq("band", "bh")))
         val cand = banded.as("x").join(banded.as("y"),
-            $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
-          .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+            $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid" &&
+            lit(19) * least($"x.nt", $"y.nt") >= lit(9) * ($"x.nt" + $"y.nt"))
+          .select($"x.sid".as("s1"), $"y.sid".as("s2"))
         val sA = sets.select($"sid".as("s1"), $"tids".as("t1"))
         val sB = sets.select($"sid".as("s2"), $"tids".as("t2"))
         // single-evaluation exact threshold: jac ≥ 0.9 ⟺ 19·inter ≥
         // 9·(|A|+|B|) in integers (the double-division form evaluated
         // the O(|A|+|B|) intersect 2× in the filter and 2× more in the
-        // projection), with an O(1) size-compatibility guard first so
-        // hopeless pairs never walk the arrays
+        // projection)
         val a1 = size($"t1"); val a2 = size($"t2")
         val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
         val jac   = inter.cast("double") / (a1 + a2 - inter)
-        val verified = cand.join(sA, "s1").join(sB, "s2")
-          .filter(lit(19) * least(a1, a2) >= lit(9) * (a1 + a2) &&
-                  lit(19) * inter >= lit(9) * (a1 + a2))
+        // BROADCAST the set dictionary on both sides (one row per
+        // DISTINCT set): the candidate pair stream meets its tids
+        // arrays through two broadcast hash joins + the intersect
+        // filter with no shuffle at all. At lake scale the dictionary
+        // outgrows a broadcast and this reverts to shuffle joins — the
+        // banded candidate generation is unchanged either way.
+        val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
+          .filter(lit(19) * inter >= lit(9) * (a1 + a2))
           .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+          .distinct()
           .persist()
         (verified, sets)
       })
