@@ -398,7 +398,10 @@ object IndexOps {
       // build-once-serve-many contract as the indexes
       "setup_mix_state"   -> ((s, d) => { PipelineOps.ensureMixState(s, d); () }),
       "setup_hll_state"   -> ((s, d) => { PipelineOps.ensureHllState(s, d); () }),
-      "setup_lm_state"    -> ((s, d) => { PipelineOps.ensureLmState(s, d); () }))
+      "setup_lm_state"    -> ((s, d) => { PipelineOps.ensureLmState(s, d); () }),
+      // the frozen-encoder word-vector model (EmbedOps) is a lake
+      // artifact on the same build-once-serve-many contract
+      "setup_embed_model" -> ((s, d) => { EmbedOps.ensureEmbedModel(s, d); () }))
 
   private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
     warmSteps.foreach { case (_, f) => f(s, dir) }

@@ -283,10 +283,12 @@ object TextOps {
         sigCache.remove(k).foreach(_.unpersist())
       }
       // the vector side keeps its own memoized banded-signature frame,
-      // and the curation side its clean-corpus spine — one lifecycle
-      // hook releases every family's blocks
+      // the curation side its clean-corpus spine, and the embedding
+      // side its word-vector model — one lifecycle hook releases every
+      // family's blocks
       VecOps.evictCaches(s)
       PipelineOps.evictCaches(s)
+      EmbedOps.evictCaches(s)
     }
 
   /** Materialize the cluster labels eagerly — the bench's named setup
@@ -876,21 +878,29 @@ object TextOps {
       val bandHashes = transform(sequence(lit(0), lit(15)), b =>
         xxhash64(concat_ws("_",
           transform(slice(sig, b * lit(4) + lit(1), lit(4)), v => v.cast("string")))))
-      val banded = sets.select($"sid", posexplode(bandHashes).as(Seq("band", "bh")))
+      // Same three verify-plumbing moves as [[verifiedSets]] (measured
+      // there): the J ≥ 0.8 size bound runs INSIDE the band join as a
+      // codegen'd predicate, the set dictionary broadcasts to both
+      // verify sides (no candidate-pair shuffle), and the pair dedup
+      // runs AFTER the verify filter where it touches only surviving
+      // rows (≤16 band copies each) instead of the full candidate mass.
+      val banded = sets.select($"sid", size($"sh").as("ns"),
+        posexplode(bandHashes).as(Seq("band", "bh")))
       val cand = banded.as("x").join(banded.as("y"),
-          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
-        .select($"x.sid".as("s1"), $"y.sid".as("s2")).distinct()
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid" &&
+          lit(9) * least($"x.ns", $"y.ns") >= lit(4) * ($"x.ns" + $"y.ns"))
+        .select($"x.sid".as("s1"), $"y.sid".as("s2"))
       val sA = sets.select($"sid".as("s1"), $"sh".as("t1"))
       val sB = sets.select($"sid".as("s2"), $"sh".as("t2"))
       // single-evaluation exact threshold (the verifiedSets rewrite):
-      // jac ≥ 0.8 ⟺ 9·inter ≥ 4·(|A|+|B|), size guard short-circuits
+      // jac ≥ 0.8 ⟺ 9·inter ≥ 4·(|A|+|B|)
       val a1 = size($"t1"); val a2 = size($"t2")
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
       val jac   = inter.cast("double") / (a1 + a2 - inter)
-      val verified = cand.join(sA, "s1").join(sB, "s2")
-        .filter(lit(9) * least(a1, a2) >= lit(4) * (a1 + a2) &&
-                lit(9) * inter >= lit(4) * (a1 + a2))
+      val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
+        .filter(lit(9) * inter >= lit(4) * (a1 + a2))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
+        .distinct()
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
@@ -1054,12 +1064,17 @@ object TextOps {
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftrightunsigned(sim, c * 16) & 65535)"))
             .as(Seq("chunk", "ch")))
+      // the Hamming test runs INSIDE the join (codegen'd bit_count on
+      // the packed longs) so failing pairs die in the join loop, and the
+      // dedup runs on the ≤4 chunk copies of the SURVIVORS only — a
+      // distinct over the full chunk-collision mass before the filter
+      // was the dominant cost (same move as the verifiedSets rewrite)
       val cand = chunked.as("x").join(chunked.as("y"),
-          $"x.chunk" === $"y.chunk" && $"x.ch" === $"y.ch" && $"x.sid" < $"y.sid")
+          $"x.chunk" === $"y.chunk" && $"x.ch" === $"y.ch" && $"x.sid" < $"y.sid" &&
+          bit_count($"x.sim".bitwiseXOR($"y.sim")) <= 3)
         .select($"x.sid".as("s1"), $"y.sid".as("s2"),
           bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
         .distinct()
-        .filter($"hamming" <= 3)
       expandPairs(cand, sets, "hamming", lit(0).cast("int"))
         .orderBy($"d1", $"d2")
     },

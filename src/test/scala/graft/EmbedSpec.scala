@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Geometry + lifecycle specs for the learned-embedding family
+  * (EmbedOps): the oracle pins the trained model's exact values; these
+  * pin the properties that make it an EMBEDDING — identical texts map
+  * to identical vectors, near-duplicate texts score closer than random
+  * pairs, the search entry surfaces query-term documents, and the
+  * frozen-encoder artifact serves exactly the model a fresh training
+  * run would produce.
+  */
+class EmbedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def embeddings(dir: String): Map[Long, Map[Long, Double]] =
+    SparkEntry.queries("text_embed_learned")(spark, sf(dir))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.map(r => r._2 -> r._3).toMap
+      }
+
+  private def cosine(a: Map[Long, Double], b: Map[Long, Double]): Double = {
+    val num = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+    val na = math.sqrt(a.values.map(v => v * v).sum)
+    val nb = math.sqrt(b.values.map(v => v * v).sum)
+    if (na == 0 || nb == 0) 0.0 else num / (na * nb)
+  }
+
+  test("identical token bags embed identically (synthetic corpus)") {
+    // tf-bag embedding is order-invariant and text-deterministic: two
+    // docs with the same token multiset MUST produce the same vector
+    // (the fixture plants duplicate token SETS but with differing
+    // counts, so this property needs a constructed corpus)
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha delta"),
+      (2L, "delta alpha beta alpha gamma"),   // same bag, reordered
+      (3L, "alpha beta beta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Core.tokens(lower($"text")).as("toks"))
+    val wv = queries.EmbedOps.trainWordVectors(docs)
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val out = queries.EmbedOps.docEmbed(tf, wv)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (d, r) => d -> r.map(x => x._2 -> x._3).toMap }
+    assert(out(1L) == out(2L), "reordered identical bag must embed identically")
+    assert(out(1L) != out(3L), "different bags must embed differently")
+  }
+
+  test("near-dups score above random pairs") {
+    val emb = embeddings("sf0.001")
+    val texts = Core.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    // near-dup pairs (J >= 0.9, from the oracled dedup entry) must sit
+    // far above a deterministic random-pair baseline
+    val near = SparkEntry.queries("text_dedup_near")(spark, sf("sf0.001"))
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .filter { case (a, b) => emb.contains(a) && emb.contains(b) && texts(a) != texts(b) }
+    assert(near.nonEmpty, "fixture should contain non-identical near-dup pairs")
+    val nearCos = near.map { case (a, b) => cosine(emb(a), emb(b)) }
+    val ids = emb.keys.toSeq.sorted
+    val rand = ids.zip(ids.drop(ids.size / 2)).take(200)
+      .filter { case (a, b) => !near.contains((a, b)) && !near.contains((b, a)) }
+    val randCos = rand.map { case (a, b) => cosine(emb(a), emb(b)) }
+    val nearMean = nearCos.sum / nearCos.size
+    val randMean = randCos.sum / randCos.size
+    // margin calibrated to the fixture: the synthetic corpus draws all
+    // docs from ONE shared vocabulary, so even random pairs sit ~0.92 —
+    // the embedding still ranks true near-dups measurably above them
+    // (0.97 vs 0.92 at sf0.001); a real multi-domain corpus separates
+    // far more
+    assert(nearMean > randMean + 0.02,
+      s"near-dup mean cosine $nearMean must separate from random-pair mean $randMean")
+  }
+
+  test("semantic_search_learned: top-5 docs contain query terms, scores in [-1,1] desc") {
+    val rows = SparkEntry.queries("semantic_search_learned")(spark, sf("sf0.001"))
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+    assert(rows.length == 5)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)))
+    assert(rows.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    val texts = Core.load(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    val qTerms = Set("spark", "join", "fast", "query", "table")
+    rows.foreach { case (d, _) =>
+      val toks = texts(d).split(" ").toSet
+      assert(qTerms.exists(toks), s"top-5 doc $d shares no query term")
+    }
+  }
+
+  test("frozen-encoder artifact equals a fresh base-corpus training run, and is stamp-served") {
+    // force a rebuild so the artifact genuinely reflects this code
+    val path = queries.PipelineOps.mixStateDir(sf("sf0.001"))
+    queries.IndexOps.clearStamp(path, "embed_model")
+    queries.EmbedOps.ensureEmbedModel(spark, sf("sf0.001"))
+    val served = spark.read.parquet(s"$path/embed_model.parquet")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    val baseToks = Core.load(spark, sf("sf0.001"), "documents")
+      .filter(pmod($"doc_id", lit(10)) =!= 7)
+      .select($"doc_id", Core.tokens(lower($"text")).as("toks"))
+    val fresh = queries.EmbedOps.trainWordVectors(baseToks)
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    assert(served == fresh, "persisted model must equal a fresh training run byte-for-byte")
+    // currency: a second ensure must not rebuild (stamp present + data unchanged)
+    val mtime = new java.io.File(s"$path/embed_model.parquet/_SUCCESS").lastModified()
+    queries.EmbedOps.ensureEmbedModel(spark, sf("sf0.001"))
+    assert(new java.io.File(s"$path/embed_model.parquet/_SUCCESS").lastModified() == mtime,
+      "current artifact must be served, not rebuilt")
+  }
+
+  test("embedding output byte-identical at partitions 4 vs 32") {
+    def run(parts: Int): Seq[(Long, Long, Double)] = {
+      queries.TextOps.evictCaches(spark)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries("text_embed_learned")(spark, sf("sf0.001"))
+        .as[(Long, Long, Double)].collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = run(4); val b = run(32)
+    queries.TextOps.evictCaches(spark)
+    assert(a == b, "decimal-sum training must be partition-order independent")
+  }
+}
