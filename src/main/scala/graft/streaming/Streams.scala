@@ -332,6 +332,36 @@ object Streams {
       .start()
   }
 
+  /** Frozen-encoder streaming embed serve — the online sibling of
+    * text_embed_learned_incremental: per micro-batch, embed the batch's
+    * (doc_id, text) rows against the persisted word-vector model
+    * (EmbedOps.ensureEmbedModel — trained once on the base corpus,
+    * NEVER retrained by the stream; retraining is a scheduled stamped
+    * rebuild, exactly the frozen-encoder production contract) and
+    * append the sparse (doc_id, dim, val) rows to the lake under a
+    * per-batchId dir, so a replayed batch overwrites itself
+    * (idempotent, same discipline as the dedup gates). Per-batch cost
+    * is O(|batch| tokens) + a model join — the corpus is never
+    * re-scanned, and a streaming aggregation (watermark state) is
+    * unnecessary because each document arrives whole.
+    */
+  def embedIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
+                  name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val path = graft.queries.EmbedOps.ensureEmbedModel(s, corpusDir)
+        val model = s.read.parquet(s"$path/embed_model.parquet")
+        val tf = batch
+          .select(col("doc_id"), explode(graft.Core.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        graft.queries.EmbedOps.docEmbed(tf, model)
+          .write.mode("overwrite").parquet(s"$lakeDir/$name.parquet/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

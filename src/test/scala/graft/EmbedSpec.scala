@@ -109,6 +109,35 @@ class EmbedSpec extends SparkSpecBase {
       "current artifact must be served, not rebuilt")
   }
 
+  test("stream_embed: micro-batches embed against the frozen model; replay idempotent") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDir = sf("sf0.001")
+    val lake = java.nio.file.Files.createTempDirectory("graft-sembed").toString
+    val in = MemoryStream[(Long, String)]
+    val q = streaming.Streams.embedIngest(
+      in.toDF().toDF("doc_id", "text"), corpusDir, lake, "embedded")
+    in.addData((20001L, "spark join fast"), (20002L, "query table scan"))
+    q.processAllAvailable()
+    in.addData((20003L, "spark query big table"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$lake/embedded.parquet")
+      .select($"doc_id", $"dim", $"val").as[(Long, Long, Double)].collect().toSet
+    // the streamed rows must equal a one-shot batch embed of the same
+    // docs against the same frozen artifact
+    val path = queries.EmbedOps.ensureEmbedModel(spark, corpusDir)
+    val model = spark.read.parquet(s"$path/embed_model.parquet")
+    val tf = Seq((20001L, "spark join fast"), (20002L, "query table scan"),
+        (20003L, "spark query big table")).toDF("doc_id", "text")
+      .select($"doc_id", explode(Core.tokens(lower($"text"))).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val direct = queries.EmbedOps.docEmbed(tf, model)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == direct, "streamed embeddings must equal the one-shot batch embed")
+    assert(streamed.map(_._1) == Set(20001L, 20002L, 20003L))
+  }
+
   test("embedding output byte-identical at partitions 4 vs 32") {
     def run(parts: Int): Seq[(Long, Long, Double)] = {
       queries.TextOps.evictCaches(spark)

@@ -205,7 +205,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "hybrid_search_rrf",
       // zorder_cluster: 1-row min/max key-extent broadcast feeding the
       // range-bucketing divisors
-      "zorder_cluster")
+      "zorder_cluster",
+      // embed family: the same deliberate 1-row broadcasts — the
+      // pair-total T in PPMI training (text_embed_learned and the
+      // search entry both train through it) and the 1-row query-norm
+      // side of the cosine ranking
+      "text_embed_learned", "text_embed_learned_incremental",
+      "semantic_search_learned")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
