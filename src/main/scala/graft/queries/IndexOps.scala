@@ -401,7 +401,10 @@ object IndexOps {
       "setup_lm_state"    -> ((s, d) => { PipelineOps.ensureLmState(s, d); () }),
       // the frozen-encoder word-vector model (EmbedOps) is a lake
       // artifact on the same build-once-serve-many contract
-      "setup_embed_model" -> ((s, d) => { EmbedOps.ensureEmbedModel(s, d); () }))
+      "setup_embed_model" -> ((s, d) => { EmbedOps.ensureEmbedModel(s, d); () }),
+      // cosine-dedup cluster labels (EmbedOps) — quadratic pair build
+      // owned here as a named cold cost, entries serve the artifact
+      "setup_embed_dedup" -> ((s, d) => { EmbedOps.ensureEmbDedup(s, d); () }))
 
   private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
     warmSteps.foreach { case (_, f) => f(s, dir) }

@@ -138,6 +138,49 @@ class EmbedSpec extends SparkSpecBase {
     assert(streamed.map(_._1) == Set(20001L, 20002L, 20003L))
   }
 
+  test("text_dedup_embed: crafted near-identical docs cluster, distinct docs stay singletons") {
+    // a private temp lake (its own stamped artifact namespace): three
+    // copies of one doc with a single-token perturbation (cosine ~1),
+    // plus two unrelated docs — the entry must merge the copies into
+    // one cluster keeping the min doc_id, and leave the rest alone
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base + "lambda", "en", "s", 1L),
+      (2L, base + "mu", "en", "s", 1L),
+      (3L, "totally different words about ships and harbors and tides", "en", "s", 1L),
+      (4L, "unrelated content on compilers registers and allocation", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_embed")(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L), "every doc labeled, ordered")
+    assert(out.filter(_._1 <= 2L).forall(_._2 == 0L), s"near-identical docs must share cluster 0: $out")
+    assert(out.filter(_._1 >= 3L).forall(r => r._2 == r._1), s"distinct docs must stay singletons: $out")
+    assert(out.map(_._3) == Seq(true, false, false, true, true), s"keep = cluster min only: $out")
+    queries.TextOps.evictCaches(spark)
+  }
+
+  test("text_dedup_embed: artifact is stamp-served and keep is exactly cluster-min") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("text_dedup_embed")(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val nDocs = Core.load(spark, dir, "documents").count()
+    assert(out.size == nDocs, "labels must cover every document")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster label $c must be its min member")
+      members.foreach { case (d, _, k) => assert(k == (d == c)) }
+    }
+    // currency: a second run serves the artifact without rebuilding
+    val path = queries.IndexOps.indexDir(dir)
+    val mtime = new java.io.File(s"$path/emblabels.parquet/_SUCCESS").lastModified()
+    SparkEntry.queries("text_dedup_embed")(spark, dir).count()
+    assert(new java.io.File(s"$path/emblabels.parquet/_SUCCESS").lastModified() == mtime,
+      "current artifact must be served, not rebuilt")
+  }
+
   test("embedding output byte-identical at partitions 4 vs 32") {
     def run(parts: Int): Seq[(Long, Long, Double)] = {
       queries.TextOps.evictCaches(spark)
