@@ -177,6 +177,102 @@ object PipelineOps {
     },
 
     entry(
+      "sample_stratified",
+      """WITH h AS (SELECT doc_id, lang, source,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007
+        |      * 2654435761 % 1000000007 AS h2
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h2, doc_id) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, lang, source, sample_rank
+        |FROM r WHERE sample_rank <= 40 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Stratified sampling with a fixed PER-STRATUM quota (40 docs per
+      // source): rank each stratum's docs by a deterministic
+      // multiplicative hash and keep the first 40 — an equalized
+      // cross-source sample for eval sets / audits, where sample_split's
+      // proportional buckets would mirror the corpus skew instead of
+      // flattening it. Second-round Knuth hash (h1·A mod p) decorrelates
+      // the order from sample_split's first-round buckets, same
+      // overflow discipline (reduce mod p before each multiply). Rank
+      // windows are stratum-partitioned — no global sort; a stratum
+      // smaller than the quota keeps all its docs. At 100 TB the window
+      // sorts each source's partition once — same shuffle a
+      // per-source groupBy pays — and WindowGroupLimit pushes the
+      // rank<=40 cut map-side so no stratum materializes beyond the
+      // quota per task.
+      val h2 = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) *
+        lit(2654435761L) % lit(1000000007L)
+      val w = Window.partitionBy($"source").orderBy($"h2", $"doc_id")
+      load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", h2.as("h2"))
+        .withColumn("sample_rank", row_number().over(w))
+        .filter($"sample_rank" <= 40)
+        .select($"doc_id", $"lang", $"source", $"sample_rank")
+        .orderBy($"doc_id")
+    },
+
+    entry(
+      "curate_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, len(toks) AS nt,
+        |    round(len(list_distinct(toks))*1.0/len(toks), 4) AS quality
+        |  FROM t WHERE len(toks) > 0),
+        |b AS (SELECT CAST(floor(sum(nt) / 2) AS BIGINT) AS budget FROM q),
+        |c AS (SELECT *, CAST(sum(nt) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q)
+        |SELECT doc_id, source, quality, nt AS n_tokens, cum_tokens
+        |FROM c, b WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Token-budget corpus selection — the step between quality
+      // scoring and packing: rank docs by quality (distinct-token
+      // ratio, 4dp — ties broken by doc_id) and keep the maximal
+      // prefix whose cumulative token count fits the budget (half the
+      // corpus tokens here; a constant in a real run). The oracle is
+      // the flat ORDER-BY-quality running sum; the engine computes the
+      // IDENTICAL prefix without ever globally sorting the corpus —
+      // the two-level shape (pack_sequences' prefix-sum, applied to
+      // quality buckets):
+      //  1. per-quality-BUCKET token totals (≤10⁴ buckets: quality is
+      //     4dp in [0,1]) + an unpartitioned running sum over that
+      //     bounded bucket frame only;
+      //  2. budget = 1-row broadcast;
+      //  3. doc-level running sums only WITHIN each bucket
+      //     (bucket-partitioned window), offset by the bucket prefix —
+      //     buckets wholly inside the budget keep everything, the one
+      //     straddling bucket is cut by its in-bucket prefix.
+      // At 100 TB step 3's window shuffles on quality like any
+      // per-group agg; only the boundary bucket's ORDER actually
+      // gates inclusion.
+      val d0 = TextOps.docTokens(s, dir)
+      val docs = d0.filter(size($"toks") > 0).select(
+        $"doc_id", $"source", size($"toks").cast("long").as("nt"),
+        round(size(array_distinct($"toks")) / size($"toks").cast("double"), 4).as("quality"))
+      val buckets = docs.groupBy($"quality").agg(sum($"nt").as("btok"))
+      val wB = Window.orderBy($"quality".desc).rowsBetween(Window.unboundedPreceding, -1)
+      val bcum = buckets.withColumn("bprefix", coalesce(sum($"btok").over(wB), lit(0L)))
+      val budget = docs.agg(floor(sum($"nt") / 2).cast("long").as("budget"))
+      val bb = bcum.crossJoin(broadcast(budget))
+        .filter($"bprefix" < $"budget") // wholly-past-budget buckets drop here
+        .select($"quality", $"bprefix", $"budget")
+      val wD = Window.partitionBy($"quality").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(bb, "quality")
+        .withColumn("cum_tokens",
+          $"bprefix" + coalesce(sum($"nt").over(wD), lit(0L)) + $"nt")
+        .filter($"cum_tokens" <= $"budget")
+        .select($"doc_id", $"source", $"quality", $"nt".as("n_tokens"), $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "text_pii_scrub",
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\bcustomer\b')) AS n_redacted,

@@ -306,6 +306,54 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("sample_stratified: per-source quota respected, ranks contiguous, deterministic") {
+    val dir = sf("sf0.01")
+    val out = SparkEntry.queries("sample_stratified")(spark, dir)
+      .as[(Long, String, String, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_._3)
+    val totals = Core.load(spark, dir, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, rows) =>
+      val expected = math.min(40L, totals(src))
+      assert(rows.size == expected, s"source $src: ${rows.size} sampled, expected $expected")
+      assert(rows.map(_._4).sorted == (1 to rows.size).toSeq,
+        s"source $src: ranks must be contiguous 1..${rows.size}")
+    }
+    // hash-ranked selection is partition-independent: rerun must match
+    val again = SparkEntry.queries("sample_stratified")(spark, dir)
+      .as[(Long, String, String, Int)].collect().toSeq
+    assert(out.sortBy(_._1) == again.sortBy(_._1))
+  }
+
+  test("curate_token_budget: equals the flat quality-ordered prefix, budget maximal") {
+    val dir = sf("sf0.01")
+    val out = SparkEntry.queries("curate_token_budget")(spark, dir)
+      .as[(Long, String, Double, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty)
+    // independent flat recompute: order all docs by (quality desc,
+    // doc_id), take the maximal prefix fitting half the corpus tokens
+    val all = Core.load(spark, dir, "documents")
+      .select($"doc_id", Core.tokens(lower($"text")).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("nt"),
+        round(size(array_distinct($"toks")) / size($"toks").cast("double"), 4).as("q"))
+      .filter($"nt" > 0).as[(Long, Long, Double)].collect().toSeq
+    val budget = all.map(_._2).sum / 2
+    val ordered = all.sortBy { case (d, _, q) => (-q, d) }
+    val prefix = ordered.scanLeft((0L, 0L, 0.0, 0L)) { case ((_, _, _, cum), (d, nt, q)) =>
+      (d, nt, q, cum + nt)
+    }.drop(1).takeWhile(_._4 <= budget)
+    assert(out.map(_._1).toSet == prefix.map(_._1).toSet,
+      "engine selection must equal the flat-ordered prefix")
+    assert(out.map(r => r._1 -> r._5).toMap == prefix.map(r => r._1 -> r._4).toMap,
+      "cumulative token positions must match the flat running sum")
+    // maximality: the next doc in order would have burst the budget
+    val next = ordered.drop(prefix.size).headOption
+    next.foreach { case (_, nt, _) =>
+      assert(prefix.last._4 + nt > budget, "prefix must be maximal under the budget")
+    }
+  }
+
   test("text_lm_incremental equals full-model scoring restricted to the batch") {
     // The merged model (persisted base counts + batch partials) must be
     // byte-equal to one trained on the full corpus — so the incremental

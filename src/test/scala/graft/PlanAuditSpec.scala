@@ -172,7 +172,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // pins the pattern so a future query-shape change that breaks the
     // inference fails CI instead of silently re-sorting full groups).
     for (name <- Seq("win_row_number_topn", "vec_knn_join", "vec_knn_join_lsh",
-                     "dedup_exact", "vec_index_incremental")) {
+                     "dedup_exact", "vec_index_incremental", "sample_stratified")) {
       val p = formatted(name)
       assert(p.contains("WindowGroupLimit"),
         s"$name: rank filter no longer lowers to WindowGroupLimit")
@@ -211,7 +211,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // search entry both train through it) and the 1-row query-norm
       // side of the cosine ranking
       "text_embed_learned", "text_embed_learned_incremental",
-      "semantic_search_learned")
+      "semantic_search_learned",
+      // curate_token_budget: the 1-row token-budget broadcast feeding
+      // the bucket cut — same shape as mix_weights' stats row
+      "curate_token_budget")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
@@ -230,7 +233,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // hybrid_search_rrf: rank windows run over the two BOUNDED
       // top-L candidate lists (TakeOrderedAndProject feeds them),
       // never the corpus
-      "hybrid_search_rrf")
+      "hybrid_search_rrf",
+      // curate_token_budget: its unpartitioned running sum is over the
+      // quality-BUCKET totals frame (≤10⁴ rows — quality is 4dp in
+      // [0,1]); the doc-level window is bucket-partitioned
+      "curate_token_budget")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
       val p = qe.executedPlan.toString
