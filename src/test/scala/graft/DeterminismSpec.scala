@@ -58,6 +58,24 @@ class DeterminismSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("curate_token_budget: byte-identical at partitions 4 vs 32") {
+    // the two-level prefix sum (bucket running sum + bucket-partitioned
+    // doc windows) must select the IDENTICAL prefix at any parallelism:
+    // token counts are exact longs and quality rounds to 4dp before
+    // grouping, so no accumulation order can move a doc across the cut
+    import spark.implicits._
+    def run(parts: Int): Seq[(Long, String, Double, Long, Long)] = {
+      queries.TextOps.evictCaches(spark)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries("curate_token_budget")(spark, sf("sf0.01"))
+        .as[(Long, String, Double, Long, Long)].collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = run(4); val b = run(32)
+    queries.TextOps.evictCaches(spark)
+    assert(a.nonEmpty && a == b, "budget prefix must be partition-order independent")
+  }
+
   test("agg_percentile_approx: tolerance contract under repartitioning at sf0.01") {
     // QuantileSummaries merges are order-dependent once per-partition
     // compression engages, so BYTE equality across differing parallelism

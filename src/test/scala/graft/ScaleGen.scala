@@ -87,6 +87,13 @@ object ScaleGen {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // dimension tables copy VERBATIM: dims grow with entities, not
+    // event volume — at 10x the facts they stay dim-sized (the
+    // broadcast-join scale story), and the copied facts keep their
+    // original dim keys so every dim join still resolves
+    for (t <- Seq("region", "nation", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
     println(s"[scalegen] wrote $out at ${copies}x of $src")
     spark.stop()
   }
