@@ -322,24 +322,31 @@ object TextOps {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // The base tokenized frame first — every text-side frame derives
-    // from it — then the derived builds CONCURRENTLY: they are
-    // independent Spark jobs and sequential counts left the scheduler
-    // idle at each job's tail (plan construction stays serialized under
-    // cacheLock; only materialization overlaps). verifiedSets rides the
+    // The VECTOR-side builds (embeddings table — no docTokens
+    // dependency) launch FIRST so they overlap the tokenize: the two
+    // branches' critical paths are ~3 s each at sf0.1, and starting the
+    // vector side after docTokens serialized them for no reason
+    // (sequential profile: docTokens 3.0 s, kmeansCells 3.1 s,
+    // bandedSigs 0.6 s — WarmFramesProfile). Then the base tokenized
+    // frame — every text-side frame derives from it — then the derived
+    // text builds CONCURRENTLY: they are independent Spark jobs and
+    // sequential counts left the scheduler idle at each job's tail
+    // (plan construction stays serialized under each family's cache
+    // lock; only materialization overlaps). verifiedSets rides the
     // signature future (it derives from the signature table) so the
     // near-dup pair-graph build is attributed here, not silently inside
     // text_dedup_near's first timed run.
-    docTokens(s, dir).count()
-    val builds = Seq(
-      Future(termFreq(s, dir).count()),
-      Future(wordGrams(s, dir).count()),
-      Future { signatureTableCached(s, dir).count(); verifiedSets(s, dir)._1.count() },
+    val vecBuilds = Seq(
       Future(VecOps.bandedSigs(s, dir).count()),
       // the IVF coarse quantizer (counting `assigned` materializes the
       // persisted centroids as its input)
       Future(VecOps.kmeansCells(s, dir)._2.count()))
-    builds.foreach(Await.result(_, Duration.Inf))
+    docTokens(s, dir).count()
+    val builds = Seq(
+      Future(termFreq(s, dir).count()),
+      Future(wordGrams(s, dir).count()),
+      Future { signatureTableCached(s, dir).count(); verifiedSets(s, dir)._1.count() })
+    (vecBuilds ++ builds).foreach(Await.result(_, Duration.Inf))
     ()
   }
 
