@@ -137,12 +137,14 @@ object EmbedOps {
       .select(col("doc_id"), col("dim"),
         round(col("vsum").cast("double"), 6).as("val"))
 
-  /** Oracle fragments shared by the full and incremental entries —
-    * one definition so the model SQL can never drift between them.
-    * `docFilter` restricts which docs train; `scoreFilter` which docs
-    * are embedded.
+  /** Oracle fragments shared by the full/incremental embed entries AND
+    * the learned-search oracle — one definition so the model SQL can
+    * never drift between them. `docFilter` restricts which docs train;
+    * `scoreFilter` which docs are embedded. Ends at the `de` CTE
+    * ((doc_id, dim, val) document embeddings) so consumers append
+    * their own final select.
     */
-  private def oracleFor(docFilter: String, scoreFilter: String): String =
+  private def modelCtes(docFilter: String, scoreFilter: String): String =
     s"""WITH t AS (SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
        |  FROM documents WHERE $docFilter),
@@ -166,11 +168,15 @@ object EmbedOps {
        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
        |    FROM documents WHERE $scoreFilter)
-       |  GROUP BY 1, 2)
-       |SELECT tfq.doc_id, wv.dim,
-       |  round(CAST(sum(tfq.tf * wv.v) AS DOUBLE), 6) AS val
-       |FROM tfq JOIN wv ON tfq.term = wv.w
-       |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+       |  GROUP BY 1, 2),
+       |de AS (SELECT tfq.doc_id, wv.dim,
+       |    round(CAST(sum(tfq.tf * wv.v) AS DOUBLE), 6) AS val
+       |  FROM tfq JOIN wv ON tfq.term = wv.w
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def oracleFor(docFilter: String, scoreFilter: String): String =
+    modelCtes(docFilter, scoreFilter) +
+      "\nSELECT doc_id, dim, val FROM de ORDER BY doc_id, dim"
 
   // ---- Embedding-cosine near-duplicate dedup -------------------------
 
@@ -378,28 +384,50 @@ object EmbedOps {
         .orderBy(col("doc_id"))
     },
 
-    entryNoOracle("semantic_search_learned") { (s, dir) =>
+    entry(
+      "semantic_search_learned",
+      modelCtes("1 = 1", "1 = 1") + """,
+        |qv AS (SELECT dim, CAST(sum(v) AS DECIMAL(18,6)) AS qv FROM wv
+        |  WHERE w IN ('spark', 'join', 'fast', 'query', 'table') GROUP BY 1),
+        |qn AS (SELECT sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS qnorm FROM qv),
+        |sc AS (SELECT de.doc_id,
+        |    sqrt(CAST(sum(CAST(val AS DECIMAL(18,6)) * CAST(val AS DECIMAL(18,6))) AS DOUBLE)) AS dnorm,
+        |    CAST(sum(CAST(val AS DECIMAL(18,6)) * coalesce(qv.qv, CAST(0 AS DECIMAL(18,6)))) AS DOUBLE) AS num
+        |  FROM de LEFT JOIN qv USING (dim) GROUP BY 1)
+        |SELECT sc.doc_id, round(num / (dnorm * qnorm), 6) AS score, d.lang, d.source
+        |FROM sc CROSS JOIN qn JOIN documents d ON sc.doc_id = d.doc_id
+        |WHERE dnorm > 0
+        |ORDER BY score DESC, sc.doc_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
-      // Semantic search over the LEARNED embeddings (rank-only — no
-      // SQL oracle; EmbedSpec pins the geometry): embed the query
-      // string through the same model (tf=1 per query term), cosine
-      // against every doc vector in the sparse (dim-join) form, top-5
-      // with document metadata joined back on — the learned-model
-      // sibling of semantic_search_e2e.
+      // Semantic search over the LEARNED embeddings — HARD-ORACLED
+      // (promoted from rank-only in round 11): embed the query string
+      // through the same model (tf=1 per query term), cosine against
+      // every doc vector in the sparse (dim-join) form, top-5 with
+      // document metadata joined back on — the learned-model sibling
+      // of semantic_search_e2e (which stays Q-gated: its hash embedder
+      // is xxhash64, which DuckDB cannot reproduce). Determinism
+      // discipline that makes the promotion sound: every accumulation
+      // feeding a norm or dot product runs in DECIMAL(18,6) (6dp model
+      // values and 6dp-rounded doc components are exact decimals, and
+      // decimal sums are partition/order-independent in both engines),
+      // casting to double only for the final sqrt/divide — identical
+      // IEEE operands, identical rounded score, identical top-5.
       TextOps.requireDocMeta(s, dir, "lang", "source")
       val wv = wordVectors(s, dir)
       val qTerms = s.createDataset(Seq("spark", "join", "fast", "query", "table")).toDF("term")
       val qv = qTerms.join(wv, qTerms("term") === wv("w"))
-        .groupBy($"dim").agg(sum($"v").cast("double").as("qv"))
+        .groupBy($"dim").agg(sum($"v").cast("decimal(18,6)").as("qv"))
       val dv = docEmbeddings(s, dir)
-      val qnorm = qv.agg(sqrt(sum($"qv" * $"qv")).as("qnorm"))
+        .select($"doc_id", $"dim", $"val".cast("decimal(18,6)").as("vd"))
+      val qnorm = qv.agg(sqrt(sum($"qv" * $"qv").cast("double")).as("qnorm"))
       // ONE pass over the cached embedding frame computes both the dot
       // product and the doc norm (left join keeps the norm exact over
       // dimensions the query doesn't touch)
       val scored = dv.join(broadcast(qv), Seq("dim"), "left")
         .groupBy($"doc_id")
-        .agg(sqrt(sum($"val" * $"val")).as("dnorm"),
-             sum($"val" * coalesce($"qv", lit(0.0))).as("num"))
+        .agg(sqrt(sum($"vd" * $"vd").cast("double")).as("dnorm"),
+             sum($"vd" * coalesce($"qv", lit(0).cast("decimal(18,6)"))).cast("double").as("num"))
       val meta = load(s, dir, "documents").select($"doc_id", $"lang", $"source")
       scored
         .crossJoin(broadcast(qnorm))
