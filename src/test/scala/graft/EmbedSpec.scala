@@ -181,6 +181,22 @@ class EmbedSpec extends SparkSpecBase {
       "current artifact must be served, not rebuilt")
   }
 
+  test("text_dedup_embed_ann equals the exact artifact on the gate fixtures") {
+    // the cell-blocked SemDeDup sibling trades cross-cell recall for a
+    // 120x candidate cut — on the gate corpora the dominant-dimension
+    // cells capture every true pair (measured 25/25 at sf0.01), so the
+    // output must EQUAL the exact entry's clusters; a corpus where
+    // blocking loses a pair would surface here as an inequality, which
+    // is the recall statement this spec pins
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val exact = SparkEntry.queries("text_dedup_embed")(spark, sf(d))
+        .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      val ann = SparkEntry.queries("text_dedup_embed_ann")(spark, sf(d))
+        .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(ann == exact, s"$d: blocked clusters drifted from the exact artifact")
+    }
+  }
+
   test("embedding output byte-identical at partitions 4 vs 32") {
     def run(parts: Int): Seq[(Long, Long, Double)] = {
       queries.TextOps.evictCaches(spark)
