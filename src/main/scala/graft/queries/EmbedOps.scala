@@ -125,6 +125,9 @@ object EmbedOps {
       deCache.keys.filter(_._1 eq s).foreach { k =>
         deCache.remove(k).foreach(_.unpersist())
       }
+      hvCache.keys.filter(_._1 eq s).foreach { k =>
+        hvCache.remove(k).foreach(_.unpersist())
+      }
     }
 
   /** Embed a (doc_id, term, tf) stream against a model: (doc_id, dim,
@@ -189,18 +192,29 @@ object EmbedOps {
     * sparse any-order integer sum are equal BIT-FOR-BIT, and the rounded
     * cosine threshold can never straddle an accumulation-order gap.
     */
-  private def hashDocVectors(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExprs.register(s)
-    TextOps.termFreq(s, dir)
-      .groupBy(col("doc_id"), hDim(col("term")).as("dim"))
-      .agg(sum(col("tf") * hSign(col("term"))).as("val"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(63)),
-          d => coalesce(element_at(col("m"), d.cast("long")), lit(0L)).cast("double")).as("v"))
-      .withColumn("norm", sqrt(call_function("dotp", col("v"), col("v"))))
-  }
+  private val hvCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def hashDocVectors(s: SparkSession, dir: String): DataFrame =
+    cacheLock.synchronized { hvCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        graft.functions.VectorExprs.register(s)
+        // MEMOIZED + persisted: the ANN dedup entry references this
+        // frame three times in one plan (cell assignment + both verify
+        // sides) and the exact build twice — without the persist each
+        // reference re-runs the tokenize→hash→densify chain
+        TextOps.termFreq(s, dir)
+          .groupBy(col("doc_id"), hDim(col("term")).as("dim"))
+          .agg(sum(col("tf") * hSign(col("term"))).as("val"))
+          .groupBy(col("doc_id"))
+          .agg(map_from_entries(collect_list(struct(col("dim"), col("val")))).as("m"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(63)),
+              d => coalesce(element_at(col("m"), d.cast("long")), lit(0L)).cast("double")).as("v"))
+          .withColumn("norm", sqrt(call_function("dotp", col("v"), col("v"))))
+          .persist()
+      })
+    }
 
   /** Connected components over the cosine-≥0.95 pair graph, as a
     * (doc_id, cluster) frame covering every document. Same min-label
