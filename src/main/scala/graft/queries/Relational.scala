@@ -286,6 +286,61 @@ object Relational {
         .orderBy($"user_id")
     },
 
+    // Interval-overlap join WITHOUT an equi key (no native interval join
+    // in Spark): order windows [o_orderdate, +7d] against lineitem ship
+    // windows [l_shipdate, +(l_orderkey%14)d] — joined the scale-correct
+    // way, by BUCKETIZING both interval sets into week cells and
+    // equi-joining on the cell: each interval explodes into O(len/7)+1
+    // cells (≤3 resp. ≤4 here), a pair meets in every shared cell, the
+    // distinct collapses the ≤4 duplicates, and the exact overlap
+    // predicate runs only on cell-cohabitants — candidate mass is
+    // Σ per-cell |A_c|·|B_c|, never |A|·|B| (a raw theta join would be
+    // a BNLJ over the cross product). At 100 TB the cell width tracks
+    // the typical interval length (one conf), hot cells split via AQE.
+    // The oracle is the plain DuckDB theta join — same pairs by
+    // construction since bucketization is candidate-complete: an
+    // overlapping pair shares at least the cell containing
+    // max(a.start, b.start).
+    entry(
+      "join_interval_overlap",
+      """WITH a AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + 7 AS e
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |b AS (SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 14 AS INTEGER) AS e
+        |  FROM lineitem)
+        |SELECT a.o_orderkey, count(*) AS n_items, round(sum(b.l_quantity), 4) AS sum_qty
+        |FROM a JOIN b ON b.s <= a.e AND b.e >= a.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      def wk(c: org.apache.spark.sql.Column) =
+        floor(datediff(c, lit("1995-01-01")) / 7)
+      val a = load(s, dir, "orders")
+        .filter($"o_orderkey" % 199 === 0)
+        .select($"o_orderkey", $"o_orderdate".cast("date").as("a_s"))
+        .withColumn("a_e", date_add($"a_s", 7))
+      val b = load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_shipdate".cast("date").as("b_s"))
+        .withColumn("b_e", date_add($"b_s", ($"l_orderkey" % 14).cast("int")))
+      val aB = a.withColumn("bk", explode(sequence(wk($"a_s"), wk($"a_e"))))
+      val bB = b.withColumn("bk", explode(sequence(wk($"b_s"), wk($"b_e"))))
+      aB.join(bB, "bk")
+        .filter($"b_s" <= $"a_e" && $"b_e" >= $"a_s" &&
+          // each pair shares every cell of its overlap range — count it
+          // ONLY in the cell where the overlap STARTS (unique per pair),
+          // so no pair-level distinct is needed; this also keeps
+          // byte-identical duplicate rows (the lake has planted dup
+          // lineitems) counted once per physical row, exactly as the
+          // oracle's theta join does
+          $"bk" === wk(greatest($"a_s", $"b_s")))
+        .select($"o_orderkey", $"l_quantity")
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"o_orderkey")
+    },
+
     // As-of join (no native batch as-of in Spark — SURVEY.md §7.3): latest
     // prior 'view' per 'purchase' via range join + row_number pick.
     entry(

@@ -306,6 +306,28 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("join_interval_overlap: bucketized form equals a direct theta-join recompute") {
+    // the week-cell equi-join + overlap-start-cell dedup must produce
+    // exactly what the naive theta join does (the form the oracle runs;
+    // here recomputed in-engine so the A/B is engine-internal too)
+    val dir = sf("sf0.01")
+    val out = SparkEntry.queries("join_interval_overlap")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val a = Core.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 199 === 0)
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("a_s"))
+      .withColumn("a_e", date_add($"a_s", 7))
+    val b = Core.load(spark, dir, "lineitem")
+      .select($"l_quantity", $"l_shipdate".cast("date").as("b_s"),
+        date_add($"l_shipdate".cast("date"), ($"l_orderkey" % 14).cast("int")).as("b_e"))
+    val direct = a.join(b, $"b_s" <= $"a_e" && $"b_e" >= $"a_s")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 4).as("q"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty && out == direct,
+      "bucketized interval join drifted from the theta-join semantics")
+  }
+
   test("sample_stratified: per-source quota respected, ranks contiguous, deterministic") {
     val dir = sf("sf0.01")
     val out = SparkEntry.queries("sample_stratified")(spark, dir)
