@@ -52,6 +52,72 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_interpolate_linear",
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.day, d.v FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        |k AS (SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE round(pv + (nv - pv) * date_diff('day', pd, day) * 1.0
+        |                       / date_diff('day', pd, nd), 4) END AS filled,
+        |  v IS NULL AS is_gap
+        |FROM k ORDER BY user_id, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Gap-fill by LINEAR INTERPOLATION — the sibling of
+      // ts_resample_ffill for series where carrying the last value
+      // misrepresents a trend (sensor/metric rollups): each missing
+      // grid day gets prev + (next − prev)·elapsed/span from its
+      // nearest observed neighbors. Same per-user grid (exploded from
+      // the user's own observed range — every gap is interior, so both
+      // neighbors always exist), two partitioned windows (backward
+      // last + forward first, each carrying value AND day); daily sums
+      // round before interpolating and the interpolant rounds after,
+      // so both engines see identical IEEE operands.
+      val daily = loadEvents(s, dir)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+        .groupBy($"user_id", $"day")
+        .agg(round(sum($"value"), 4).as("v"))
+      val grid = daily.groupBy($"user_id")
+        .agg(min($"day").as("mn"), max($"day").as("mx"))
+        .select($"user_id",
+          explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("day"))
+      val wPrev = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knownDay = when($"v".isNotNull, $"day")
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", $"v",
+          last($"v", ignoreNulls = true).over(wPrev).as("pv"),
+          last(knownDay, ignoreNulls = true).over(wPrev).as("pd"),
+          first($"v", ignoreNulls = true).over(wNext).as("nv"),
+          first(knownDay, ignoreNulls = true).over(wNext).as("nd"))
+        .select($"user_id", dayStr($"day").as("day"),
+          when($"v".isNotNull, $"v").otherwise(
+            round($"pv" + ($"nv" - $"pv") * datediff($"day", $"pd") / datediff($"nd", $"pd"), 4))
+            .as("filled"),
+          $"v".isNull.as("is_gap"))
+        .orderBy($"user_id", $"day")
+    },
+
+    entry(
       "ts_funnel",
       """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS tv FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

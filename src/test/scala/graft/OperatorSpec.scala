@@ -306,6 +306,27 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_interpolate_linear: knowns pass through, gaps bounded by neighbors, grid dense") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("ts_interpolate_linear")(spark, dir)
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_._2)
+      // dense grid: consecutive calendar days, endpoints observed
+      assert(!seq.head._4 && !seq.last._4, "grid endpoints are observed days")
+      seq.zipWithIndex.filter(_._1._4).foreach { case ((_, _, v, _), i) =>
+        // a gap's interpolant lies within [min, max] of the nearest
+        // observed neighbors (linear interpolation never overshoots)
+        val prev = seq.take(i).reverse.find(!_._4).get._3
+        val next = seq.drop(i + 1).find(!_._4).get._3
+        assert(v >= math.min(prev, next) - 1e-9 && v <= math.max(prev, next) + 1e-9,
+          s"interpolant $v outside neighbor range [$prev, $next]")
+      }
+    }
+  }
+
   test("join_interval_overlap: bucketized form equals a direct theta-join recompute") {
     // the week-cell equi-join + overlap-start-cell dedup must produce
     // exactly what the naive theta join does (the form the oracle runs;
