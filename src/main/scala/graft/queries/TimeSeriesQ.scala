@@ -118,6 +118,41 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_anomaly_mad",
+      """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type, m.med)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |  round(abs(e.value - m.med) / m.mad, 4) AS score
+        |FROM events e JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND abs(e.value - m.med) > 3 * m.mad
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Robust per-group anomaly detection: flag events whose value
+      // sits more than 3 median-absolute-deviations from the group
+      // median — the outlier gate a metrics pipeline runs where
+      // mean/stddev (agg_stats_zscore) would let the outliers inflate
+      // their own threshold. Two passes over the fact (median, then
+      // MAD of residuals), each reduced to a GROUP-sized stats table
+      // that broadcasts back onto the scan — at 100 TB both joins stay
+      // map-side and the medians swap to percentile_approx with a
+      // documented tolerance. Medians stay UNROUNDED through the
+      // residual pass (both engines select the same middle elements
+      // from identical doubles), rounding only in the declared output.
+      val ev = loadEvents(s, dir).select($"event_id", $"event_type", $"value")
+      val med = ev.groupBy($"event_type").agg(median($"value").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type", $"med")
+        .agg(median(abs($"value" - $"med")).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .filter($"mad" > 0 && abs($"value" - $"med") > lit(3) * $"mad")
+        .select($"event_id", $"event_type", round($"value", 4).as("value"),
+          round(abs($"value" - $"med") / $"mad", 4).as("score"))
+        .orderBy($"event_id")
+    },
+
+    entry(
       "ts_funnel",
       """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS tv FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
