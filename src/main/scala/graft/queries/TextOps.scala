@@ -629,6 +629,44 @@ object TextOps {
     },
 
     entry(
+      "text_keyword_extract",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, round(tf * ln(n*1.0/df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tfidf FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Keyword extraction: each doc's top-3 terms by TF-IDF — the
+      // per-document summary a tagging/labeling pipeline emits. Scores
+      // round to 4dp BEFORE ranking (term tie-break) so the cut is
+      // deterministic cross-engine; the rank filter lowers to
+      // WindowGroupLimit (plan-pinned), so no doc's postings sort
+      // beyond its top-3 map-side; rides the same memoized postings
+      // frame as tfidf/bm25.
+      val tf = termFreq(s, dir)
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = load(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      tf.join(dfq, "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", round($"tf" * log($"n" / $"df"), 4).as("tfidf"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    },
+
+    entry(
       "text_tfidf",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term

@@ -172,7 +172,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // pins the pattern so a future query-shape change that breaks the
     // inference fails CI instead of silently re-sorting full groups).
     for (name <- Seq("win_row_number_topn", "vec_knn_join", "vec_knn_join_lsh",
-                     "dedup_exact", "vec_index_incremental", "sample_stratified")) {
+                     "dedup_exact", "vec_index_incremental", "sample_stratified",
+                     "text_keyword_extract")) {
       val p = formatted(name)
       assert(p.contains("WindowGroupLimit"),
         s"$name: rank filter no longer lowers to WindowGroupLimit")
@@ -214,7 +215,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "semantic_search_learned",
       // curate_token_budget: the 1-row token-budget broadcast feeding
       // the bucket cut — same shape as mix_weights' stats row
-      "curate_token_budget")
+      "curate_token_budget",
+      // text_keyword_extract: the same 1-row corpus-count broadcast as
+      // text_tfidf (it scores with the identical tf·idf formula)
+      "text_keyword_extract")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
