@@ -4,21 +4,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (builder north star: image/audio/video as
-  * opaque binary columns with typed metadata).
+/** Multimodal columns (builder north star: image/audio/video as opaque
+  * binary columns with typed metadata) with REAL decode kernels.
   *
-  * The decode/feature-extract kernels are STUBBED with deterministic
-  * fakes — the container has no image/audio codecs — but everything
-  * Spark-side is real: the schema contract, the per-partition batched
-  * execution (`mapPartitions`, the Scala analogue of `mapInPandas` —
-  * one iterator pass per partition, no per-row task overhead), the
-  * output shapes, and the partitioning. A production build replaces
-  * only the `fake*` kernels with real codec calls; every signature
-  * stays fixed.
+  * The kernels genuinely decode payloads with the JDK's own codecs
+  * ([[Codecs]]): ImageIO raster decode (PNG/JPEG/BMP/GIF) for images,
+  * RIFF/PCM parsing for audio, animated-GIF frame extraction for video.
+  * Feature extraction reads channel statistics off decoded pixels,
+  * resize is a real bilinear scale re-encoded as PNG, audio windows
+  * slice PCM at the codec's true byte rate. Payloads in formats the JDK
+  * cannot decode (H.264, MP3, …) fall back to a deterministic
+  * byte-signature / byte-slice kernel — the offline-testable contract —
+  * and are NOT silently dropped; a production build swaps richer codecs
+  * into [[Codecs]] without touching any Spark-side signature here.
   *
-  * Scale notes: binary payloads ride the shuffle only when explicitly
-  * repartitioned; featurize emits fixed-width vectors (predictable
-  * memory); frame sampling bounds output rows per asset.
+  * Spark-side shape: per-partition batched execution (`mapPartitions` —
+  * one kernel iterator per partition, the Scala analogue of
+  * `mapInPandas`), fixed-width feature vectors (predictable memory),
+  * bounded output rows per asset for frame/window explosion. Binary
+  * payloads ride a shuffle only when explicitly repartitioned.
   */
 object Multimodal {
 
@@ -39,11 +43,11 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** STUB decode kernel: a real build calls the image codec here.
-    * The fake derives a deterministic 8-float signature from payload
-    * bytes so downstream plumbing is testable offline.
+  /** FALLBACK kernel for payloads no JDK codec accepts: deterministic
+    * 8-float signature from raw bytes, so unknown formats still flow
+    * through the pipeline with a stable (if semantically blind) vector.
     */
-  private def fakeDecodeFeatures(data: Array[Byte]): Array[Float] = {
+  private def byteSignature(data: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     if (data != null) {
       var i = 0
@@ -52,13 +56,28 @@ object Multimodal {
     out
   }
 
-  /** STUB resize kernel: real build = codec resize; fake = truncate/pad
-    * payload to `w*h` bytes, keeping the byte-budget contract.
+  /** REAL decode dispatch: image → ImageIO pixels, audio → PCM samples,
+    * video → animated-GIF frames (per-frame image features averaged).
+    * Returns the 8-dim modality signature, or the byte-signature
+    * fallback when the payload defeats every JDK codec.
     */
-  private def fakeResize(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(w * h, 1)
-    val d = if (data == null) Array.emptyByteArray else data
-    java.util.Arrays.copyOf(d, n)
+  private[operators] def decodeFeatures(modality: String, data: Array[Byte]): Array[Float] = {
+    val real: Option[Array[Float]] = modality match {
+      case "image" => Codecs.decodeImage(data).map(Codecs.imageFeatures)
+      case "audio" => Codecs.decodeWav(data).map(Codecs.audioFeatures)
+      case "video" =>
+        Codecs.gifFrames(data).map { frames =>
+          val acc = new Array[Float](8)
+          frames.foreach { fr =>
+            val f = Codecs.imageFeatures(fr)
+            var i = 0; while (i < 8) { acc(i) += f(i); i += 1 }
+          }
+          var i = 0; while (i < 8) { acc(i) /= frames.size; i += 1 }
+          acc
+        }
+      case _ => None
+    }
+    real.getOrElse(byteSignature(data))
   }
 
   /** Batched feature extraction — one kernel invocation stream per
@@ -69,37 +88,57 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val f = fakeDecodeFeatures(a.data)
+        val f = decodeFeatures(a.modality, a.data)
         Feature(a.asset_id, a.modality, f.length, f)
       }
     }
   }
 
-  /** Resize pass for image assets; non-images pass through untouched. */
+  /** Resize pass for image assets (real bilinear raster scale, output
+    * re-encoded PNG); non-images and undecodable payloads pass through
+    * with a byte-budget truncation fallback (documented contract).
+    */
   def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        if (a.modality == "image")
-          a.copy(data = fakeResize(a.data, w, h), width = w, height = h)
-        else a
+        if (a.modality == "image") {
+          val resized = Codecs.resizeImage(a.data, w, h).getOrElse {
+            val d = if (a.data == null) Array.emptyByteArray else a.data
+            java.util.Arrays.copyOf(d, math.max(w * h, 1))
+          }
+          a.copy(data = resized, width = w, height = h)
+        } else a
       }
     }
   }
 
-  /** Frame sampling for video assets: every `everyMs` milliseconds,
-    * bounded rows per asset (duration/everyMs). STUB frame extraction
-    * slices the payload deterministically.
+  /** Frame sampling for video assets: one frame every `everyMs`
+    * milliseconds — REAL frames when the payload is an animated GIF
+    * (the sampled frame is decoded and served PNG-encoded), byte-slice
+    * fallback otherwise. Output rows per asset = duration/everyMs,
+    * bounded by construction either way.
     */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "video").flatMap { a =>
       val n = math.max((a.duration_ms / math.max(everyMs, 1L)).toInt, 0)
-      (0 until n).map { i =>
-        val d = if (a.data == null) Array.emptyByteArray else a.data
-        val sliceStart = if (d.isEmpty) 0 else (i * 16) % math.max(d.length, 1)
-        Frame(a.asset_id, i,
-          java.util.Arrays.copyOfRange(d, sliceStart, math.min(sliceStart + 16, d.length)))
+      Codecs.gifFrames(a.data) match {
+        case Some(frames) =>
+          // frame f covers [f*frameDur, (f+1)*frameDur); sample time
+          // i*everyMs lands on floor(t/frameDur), clamped to the last
+          val frameDur = math.max(a.duration_ms / frames.size, 1L)
+          (0 until n).map { i =>
+            val idx = math.min(i * everyMs / frameDur, frames.size - 1L).toInt
+            Frame(a.asset_id, i, Codecs.encodePng(frames(idx)))
+          }
+        case None =>
+          val d = if (a.data == null) Array.emptyByteArray else a.data
+          (0 until n).map { i =>
+            val sliceStart = if (d.isEmpty) 0 else (i * 16) % math.max(d.length, 1)
+            Frame(a.asset_id, i,
+              java.util.Arrays.copyOfRange(d, sliceStart, math.min(sliceStart + 16, d.length)))
+          }
       }
     }
   }
@@ -108,38 +147,77 @@ object Multimodal {
                                start_ms: Long, window: Array[Byte])
 
   /** Overlapping fixed-length windows over audio assets — the
-    * spectrogram/feature-prep shape (window + hop). Offsets map time to
-    * payload bytes through a STUB bytes-per-ms rate (a real build
-    * decodes PCM and windows samples; the window/hop arithmetic, bounded
-    * output rows per asset, and iterator-batched execution are the real
-    * contract). Output rows per asset = ceil((duration-window)/hop)+1,
-    * bounded by duration — never unbounded amplification.
+    * spectrogram/feature-prep shape (window + hop). For RIFF/PCM
+    * payloads the windows are REAL: start offsets map time→bytes
+    * through the decoded byte rate (sampleRate × channels × width),
+    * aligned to sample-frame boundaries, sliced from the actual PCM
+    * data chunk, with duration taken from the codec (not metadata).
+    * Non-WAV payloads keep the documented 1 byte/ms fallback over raw
+    * bytes. Output rows per asset = floor((duration−window)/hop)+1 —
+    * never unbounded amplification.
     */
   def windowAudio(assets: Dataset[Asset], windowMs: Long, hopMs: Long): Dataset[AudioWindow] = {
     import assets.sparkSession.implicits._
-    val bytesPerMs = 1L // stub decode rate
+    val hop = math.max(hopMs, 1L)
     assets.filter(_.modality == "audio").flatMap { a =>
-      val d = if (a.data == null) Array.emptyByteArray else a.data
-      val hop = math.max(hopMs, 1L)
-      val starts = 0L to math.max(a.duration_ms - windowMs, 0L) by hop
-      starts.zipWithIndex.map { case (startMs, i) =>
-        val b0 = ((startMs * bytesPerMs) % math.max(d.length, 1)).toInt
-        val b1 = math.min(b0 + (windowMs * bytesPerMs).toInt, d.length)
-        AudioWindow(a.asset_id, i, startMs,
-          java.util.Arrays.copyOfRange(d, b0, math.max(b1, b0)))
+      Codecs.decodeWav(a.data) match {
+        case Some(wav) if wav.byteRate > 0 =>
+          val winBytes = (windowMs * wav.byteRate / 1000L).toInt
+          val starts = 0L to math.max(wav.durationMs - windowMs, 0L) by hop
+          starts.zipWithIndex.map { case (startMs, i) =>
+            val b0raw = (startMs * wav.byteRate / 1000L).toInt
+            val b0 = b0raw - b0raw % wav.bytesPerFrame // sample-aligned
+            val b1 = math.min(b0 + winBytes, wav.pcm.length)
+            AudioWindow(a.asset_id, i, startMs,
+              java.util.Arrays.copyOfRange(wav.pcm, b0, math.max(b1, b0)))
+          }
+        case _ =>
+          val d = if (a.data == null) Array.emptyByteArray else a.data
+          val bytesPerMs = 1L // fallback decode rate for unknown formats
+          val starts = 0L to math.max(a.duration_ms - windowMs, 0L) by hop
+          starts.zipWithIndex.map { case (startMs, i) =>
+            val b0 = ((startMs * bytesPerMs) % math.max(d.length, 1)).toInt
+            val b1 = math.min(b0 + (windowMs * bytesPerMs).toInt, d.length)
+            AudioWindow(a.asset_id, i, startMs,
+              java.util.Arrays.copyOfRange(d, b0, math.max(b1, b0)))
+          }
       }
     }
   }
 
-  /** Deterministic synthetic asset table for specs/demos: payload bytes
-    * derived from asset_id, three modalities round-robin.
+  /** Deterministic synthetic asset table for specs/demos, now carrying
+    * REAL encoded payloads the kernels decode end-to-end: images are
+    * 8×8 PNGs (id-seeded gradient), audio is 8 kHz PCM-16 mono WAV
+    * (id-seeded sine, exactly duration_ms long), video is a 4-frame
+    * animated GIF whose frame delay spans duration_ms.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val mod = Seq("image", "audio", "video")(id.toInt % 3)
-      val data = Array.tabulate[Byte](64)(i => ((id * 31 + i * 7) % 256).toByte)
-      Asset(id, mod, data, 8, 8, 1000L + id * 100)
+      val durMs = 1000L + id * 100
+      val data = mod match {
+        case "image" => Codecs.encodePng(syntheticImage(id, 0))
+        case "audio" =>
+          val samples = Array.tabulate[Short]((durMs * 8).toInt) { i =>
+            (math.sin(2 * math.Pi * (220 + id) * i / 8000.0) * 16000).toShort
+          }
+          Codecs.encodeWavPcm16(samples, 8000)
+        case "video" =>
+          Codecs.encodeAnimatedGif((0 until 4).map(f => syntheticImage(id, f)), durMs / 4)
+      }
+      Asset(id, mod, data, 8, 8, durMs)
     }
+  }
+
+  private def syntheticImage(id: Long, frame: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val r = ((x + frame) * 31 + id) % 256
+      val g = (y * 17 + id * 3) % 256
+      val b = (x * y + id * 7) % 256
+      img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+    }
+    img
   }
 }

@@ -159,10 +159,12 @@ object ExtensibilityOps {
         .orderBy($"c_custkey", $"valid_from")
     },
 
-    // ---- Multimodal plumbing surfaced as declared operators (rows-only:
-    // ---- the asset table is the deterministic synthetic generator —
-    // ---- the lake has no binary fixture — so outputs are stable but
-    // ---- not SQL-oracle-expressible).
+    // ---- Multimodal kernels surfaced as declared operators. The decode
+    // ---- paths are REAL (JDK codecs — ImageIO rasters, RIFF/PCM,
+    // ---- animated-GIF frames; operators/Codecs.scala): the synthetic
+    // ---- asset table carries real PNG/WAV/GIF payloads the kernels
+    // ---- decode end-to-end. Rows-only gate: the lake has no binary
+    // ---- fixture and pixel/sample math isn't SQL-oracle-expressible.
 
     entryNoOracle("mm_featurize") { (s, _) =>
       import s.implicits._

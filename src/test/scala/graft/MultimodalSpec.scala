@@ -1,10 +1,12 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Codecs, Multimodal}
 
 /** Multimodal binary-column plumbing: schema, batched kernel execution,
-  * output shapes, determinism. The decode kernels are stubbed (documented
-  * in Multimodal.scala) — these specs pin the Spark-side contract.
+  * output shapes, determinism — and the REAL decode kernels (JDK
+  * codecs: ImageIO rasters, RIFF/PCM audio, animated-GIF frames).
+  * Ground-truth cases assert actual pixel/sample math, not just shapes;
+  * the byte-signature fallback for non-JDK formats is pinned too.
   */
 class MultimodalSpec extends SparkSpecBase {
 
@@ -25,15 +27,69 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
-  test("resizeImages: only image modality touched, byte budget w*h") {
-    val out = Multimodal.resizeImages(Multimodal.syntheticAssets(spark, 9), 4, 4).collect()
-    val images = out.filter(_.modality == "image")
-    val others = out.filter(_.modality != "image")
-    assert(images.nonEmpty && images.forall(a => a.data.length == 16 && a.width == 4 && a.height == 4))
-    assert(others.forall(a => a.data.length == 64 && a.width == 8))
+  test("image features are real pixel statistics (solid red ground truth)") {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xff0000)
+    val f = Codecs.imageFeatures(Codecs.decodeImage(Codecs.encodePng(img)).get)
+    assert(math.abs(f(0) - 1.0f) < 1e-3, "meanR of solid red = 1")
+    assert(f(1) < 1e-3 && f(2) < 1e-3, "meanG/meanB of solid red = 0")
+    assert(math.abs(f(3) - 0.299f) < 1e-3, "luma of pure red = 0.299")
+    assert(f(4) < 1e-3 && f(5) < 1e-3 && f(6) < 1e-3, "solid color: no variance, no edges")
+    assert(f(7) == 1.0f, "8x8 aspect = 1")
   }
 
-  test("sampleFrames: bounded rows per asset = duration/everyMs") {
+  test("audio features are real PCM statistics (sine ground truth)") {
+    // 1 s of 440 Hz at amplitude 16000/32768 — RMS = amp/sqrt(2)
+    val amp = 16000.0 / 32768.0
+    val samples = Array.tabulate[Short](8000)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 16000).toShort)
+    val wav = Codecs.decodeWav(Codecs.encodeWavPcm16(samples, 8000)).get
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.durationMs == 1000L)
+    val f = Codecs.audioFeatures(wav)
+    assert(math.abs(f(0) - amp / math.sqrt(2)) < 0.01, s"sine RMS, got ${f(0)}")
+    // 440 Hz crosses zero 880 times/s → zcr ≈ 880/8000 = 0.11
+    assert(math.abs(f(1) - 0.11f) < 0.01, s"sine zero-cross rate, got ${f(1)}")
+    assert(math.abs(f(2) - amp) < 0.01, "peak = amplitude")
+    // stationary signal: all four quartile RMS values equal the global RMS
+    (4 to 7).foreach(i => assert(math.abs(f(i) - f(0)) < 0.01, s"quartile $i"))
+  }
+
+  test("undecodable payload falls back to byte signature, never throws") {
+    import spark.implicits._
+    val junk = Multimodal.Asset(99L, "image", Array.tabulate[Byte](32)(_.toByte), 8, 8, 500L)
+    val f = Multimodal.featurize(spark.createDataset(Seq(junk))).collect()
+    assert(f.length == 1 && f(0).features.length == 8)
+    assert(f(0).features.exists(_ != 0f), "fallback signature is byte-derived, not zeros")
+  }
+
+  test("resizeImages: real bilinear scale — output decodes as a 4x4 raster") {
+    val out = Multimodal.resizeImages(Multimodal.syntheticAssets(spark, 9), 4, 4).collect()
+    val images = out.filter(_.modality == "image")
+    assert(images.nonEmpty)
+    images.foreach { a =>
+      assert(a.width == 4 && a.height == 4)
+      val img = Codecs.decodeImage(a.data).get
+      assert(img.getWidth == 4 && img.getHeight == 4, "payload is a real 4x4 image")
+    }
+    // non-images pass through byte-identical
+    val orig = Multimodal.syntheticAssets(spark, 9).collect().map(a => a.asset_id -> a.data.toSeq).toMap
+    out.filter(_.modality != "image").foreach(a =>
+      assert(a.data.toSeq == orig(a.asset_id), "non-image payload untouched"))
+  }
+
+  test("resize preserves solid color (real raster semantics, not byte truncation)") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x00ff00)
+    val asset = Multimodal.Asset(1L, "image", Codecs.encodePng(img), 8, 8, 0L)
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(asset)), 4, 4).collect()(0)
+    val back = Codecs.decodeImage(out.data).get
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x00ff00, s"pixel ($x,$y)")
+  }
+
+  test("sampleFrames: real animated-GIF frames, PNG-served, bounded per asset") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 9), 500L).collect()
     val byAsset = frames.groupBy(_.asset_id)
     assert(byAsset.nonEmpty)
@@ -41,23 +97,41 @@ class MultimodalSpec extends SparkSpecBase {
       val dur = 1000L + id * 100
       assert(fs.length == (dur / 500L).toInt, s"asset $id")
       assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length).toSeq)
+      fs.foreach { fr =>
+        val img = Codecs.decodeImage(fr.frame).get
+        assert(img.getWidth == 8 && img.getHeight == 8, "each sampled frame is a real 8x8 raster")
+      }
     }
+    // sampling at t=0 serves the FIRST encoded frame's pixels
+    val a0 = Multimodal.syntheticAssets(spark, 9).collect().find(_.modality == "video").get
+    val first = Codecs.gifFrames(a0.data).get.head
+    val served = Codecs.decodeImage(byAsset(a0.asset_id).minBy(_.frame_idx).frame).get
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((served.getRGB(x, y) & 0xffffff) == (first.getRGB(x, y) & 0xffffff),
+        s"frame-0 pixel ($x,$y) matches the decoded GIF frame")
   }
 
-  test("windowAudio: audio-only, hop-spaced starts, bounded window count") {
+  test("windowAudio: real PCM slices at the codec's true byte rate") {
     val out = Multimodal.windowAudio(Multimodal.syntheticAssets(spark, 9), 500L, 250L)
       .collect().groupBy(_.asset_id)
     val assets = Multimodal.syntheticAssets(spark, 9).collect()
     assert(out.keySet == assets.filter(_.modality == "audio").map(_.asset_id).toSet,
       "only audio assets produce windows")
     for ((id, ws) <- out) {
-      val dur = assets.find(_.asset_id == id).get.duration_ms
-      val expected = ((dur - 500L) / 250L).toInt + 1
+      val a = assets.find(_.asset_id == id).get
+      val wav = Codecs.decodeWav(a.data).get
+      assert(wav.durationMs == a.duration_ms, "metadata duration matches the codec's")
+      val expected = ((wav.durationMs - 500L) / 250L).toInt + 1
       assert(ws.length == expected, s"asset $id: ${ws.length} windows, expected $expected")
       val sorted = ws.sortBy(_.window_idx)
       assert(sorted.map(_.start_ms).toSeq == (0 until expected).map(_ * 250L),
         "starts must be hop-spaced from 0")
-      assert(ws.forall(_.window.length <= 500), "window bytes bounded by windowMs budget")
+      // 8 kHz × 16-bit mono = 16 bytes/ms → a 500 ms window is 8000 PCM bytes
+      assert(ws.forall(_.window.length == 500 * wav.byteRate / 1000),
+        "windows carry exactly windowMs of real PCM")
+      // the slice IS the PCM at that offset
+      val w0 = sorted.head
+      assert(w0.window.toSeq == wav.pcm.slice(0, w0.window.length).toSeq)
     }
   }
 
