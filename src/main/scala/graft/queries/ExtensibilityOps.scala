@@ -2,24 +2,31 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Core._
-import graft.functions.Welford
+import graft.functions.{MisraGries, Welford}
 
 /* (salted aggregation lives here too — see agg_group_salted below) */
 
-/** SURVEY.md §2.11 extensibility rows exercised as declared operators.
-  * Q-gated: the Welford UDAF's float-op order differs from the oracle
-  * engine's variance algorithm, so equality is asserted in ScalaTest
-  * against Spark's built-ins (1e-9 relative) rather than hash-compared.
-  */
+/** SURVEY.md §2.11 extensibility rows exercised as declared operators. */
 object ExtensibilityOps {
 
   val entries: Seq[Entry] = Seq(
 
-    entryNoOracle("agg_welford_udaf") { (s, dir) =>
+    entry(
+      "agg_welford_udaf",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS mean,
+        |  round(stddev_samp(o_totalprice), 4) AS stddev
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // Typed Aggregator (single-pass Welford) per order-priority group:
       // one shuffle, partial states merged associatively — the scalable
       // form of the reference's two-pass AVG/STDDEV rule (agent.py:65).
+      // Hard oracle (promoted round 11): Welford is numerically STABLE,
+      // so at round(·,4) its mean/stddev agree with the oracle engine's
+      // textbook two-pass form on money-valued inputs; ScalaTest
+      // additionally pins 1e-9 relative equality vs Spark's built-ins,
+      // which would catch a drift long before the 4dp gate could.
       val wf = udaf(Welford.agg)
       load(s, dir, "orders")
         .groupBy($"o_orderpriority")
@@ -29,6 +36,41 @@ object ExtensibilityOps {
           round($"st.mean", 4).as("mean"),
           round($"st.stddev", 4).as("stddev"))
         .orderBy($"o_orderpriority")
+    },
+
+    entry(
+      "agg_heavy_hitters",
+      """WITH tok AS (SELECT
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n FROM tok
+        |GROUP BY term HAVING count(*) * 64 > (SELECT count(*) FROM tok)
+        |ORDER BY term""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Heavy hitters over the corpus token stream (terms with frequency
+      // > n/64 — stopword/boilerplate discovery), computed the way a
+      // 100 TB stream has to be: a Misra-Gries sketch UDAF (k=256
+      // counters TOTAL, constant state per partition, one merge — never
+      // a vocabulary-sized shuffle) prunes to a ≤k candidate set that
+      // PROVABLY contains every item above n/(k+1) < n/64, then one
+      // exact confirm pass counts only candidates (broadcast semi-join,
+      // map-side filter). The confirm pass makes the declared output
+      // exact and deterministic — hash-matched against the flat GROUP
+      // BY/HAVING oracle — while the sketch bounds both passes' state.
+      // SketchSpec pins the candidate-superset and n/(k+1) error bounds
+      // under adversarial partitioning on a planted-skew stream.
+      val terms = load(s, dir, "documents")
+        .select(explode(tokens(lower($"text"))).as("term"))
+      val mg = udaf(MisraGries.agg(256))
+      val cands = terms.agg(mg($"term").as("sk"))
+        .select(explode($"sk.keys").as("term"))
+      terms.join(broadcast(cands), Seq("term"), "left_semi")
+        .groupBy($"term").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(terms.agg(count(lit(1)).as("t"))))
+        .filter($"n" * 64 > $"t")
+        .select($"term", $"n")
+        .orderBy($"term")
     },
 
     entry(
