@@ -201,6 +201,57 @@ object ExtensibilityOps {
         .orderBy($"c_custkey", $"valid_from")
     },
 
+    entry(
+      "join_scd2_pointintime",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, '1990-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 10 = 7 THEN '1995-06-01' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, lower(c_mktsegment), '1995-06-01', NULL
+        |  FROM customer WHERE c_custkey % 10 = 7)
+        |SELECT d.segment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |  AND CAST(o.o_orderdate AS VARCHAR) >= d.valid_from
+        |  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS VARCHAR) < d.valid_to)
+        |GROUP BY d.segment ORDER BY d.segment""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Point-in-time (temporal) join — the consumer of scd2_apply: each
+      // fact joins the ONE dimension version whose [valid_from, valid_to)
+      // covers the fact date. The effective date sits mid-history
+      // (1995-06-01) so orders genuinely split across versions; %10=7
+      // customers report under their original segment before the change
+      // and the lowercased one after. Plan shape at 100 TB: equi-join on
+      // the entity key (the dim side is entity-scale — broadcastable or
+      // one dim-sized shuffle) with the validity range as a RESIDUAL
+      // predicate — versions per key are few, so the residual never
+      // multiplies; facts are touched exactly once, no window over the
+      // fact table.
+      val customer = load(s, dir, "customer")
+      val dim = customer.select($"c_custkey", $"c_mktsegment".as("segment"),
+        lit("1990-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+      val upd = customer.filter(pmod($"c_custkey", lit(10)).isin(7, 8))
+        .select($"c_custkey",
+          when(pmod($"c_custkey", lit(10)) === 7, lower($"c_mktsegment"))
+            .otherwise($"c_mktsegment").as("segment"))
+      val dimv = graft.sources.Ingest.scd2Merge(dim, upd, "c_custkey", "1995-06-01")
+      val orders = load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate".cast("string").as("odate"),
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+      orders.join(broadcast(dimv),
+          orders("o_custkey") === dimv("c_custkey") &&
+            $"odate" >= $"valid_from" &&
+            ($"valid_to".isNull || $"odate" < $"valid_to"))
+        .groupBy($"segment")
+        // decimal sum (order-independent exactness), double only for the
+        // final 2dp formatting so both engines dump the same scale
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"price").cast("double"), 2).as("revenue"))
+        .orderBy($"segment")
+    },
+
     // ---- Multimodal kernels surfaced as declared operators. The decode
     // ---- paths are REAL (JDK codecs — ImageIO rasters, RIFF/PCM,
     // ---- animated-GIF frames; operators/Codecs.scala): the synthetic

@@ -363,6 +363,44 @@ object VecOps {
   val entries: Seq[Entry] = Seq(
 
     entry(
+      "vec_quantize_int8",
+      """WITH s AS (SELECT vec_id, embedding AS emb,
+        |  greatest(list_max(list_transform(embedding, x -> abs(x))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  CAST(list_sum(list_transform(emb, x ->
+        |    greatest(-127.0, least(127.0, floor(x/scale + 0.5))))) AS BIGINT) AS code_sum,
+        |  CAST(list_sum(list_transform(emb, x ->
+        |    abs(greatest(-127.0, least(127.0, floor(x/scale + 0.5)))))) AS BIGINT) AS code_l1
+        |FROM s ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Scalar int8 embedding quantization — the 4× compression pass a
+      // 100 TB embedding lake applies before PQ even enters: per-vector
+      // max-abs symmetric scale, code = clamp(floor(x/scale + 0.5), ±127)
+      // (floor(x+0.5) instead of round() because the two engines'
+      // half-way rules differ; floor is bit-identical everywhere). Pure
+      // map over the vector column — no shuffle, whole-stage codegen'd
+      // higher-order functions. The declared output pins the codes
+      // EXACTLY via integer checksums (sum + L1 of codes) — float
+      // arithmetic is double on both sides, so the codes and therefore
+      // the sums are deterministic, not tolerance-gated.
+      load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("scale",
+          greatest(array_max(transform($"emb", x => abs(x))) / 127.0, lit(1e-30)))
+        .select($"vec_id",
+          round($"scale", 6).as("scale6"),
+          aggregate(transform($"emb",
+              x => greatest(lit(-127.0), least(lit(127.0), floor(x / $"scale" + 0.5)))),
+            lit(0.0), (a, x) => a + x).cast("long").as("code_sum"),
+          aggregate(transform($"emb",
+              x => abs(greatest(lit(-127.0), least(lit(127.0), floor(x / $"scale" + 0.5))))),
+            lit(0.0), (a, x) => a + x).cast("long").as("code_l1"))
+        .orderBy($"vec_id")
+    },
+
+    entry(
       "vec_knn_topk",
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
