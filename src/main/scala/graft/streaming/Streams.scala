@@ -362,6 +362,45 @@ object Streams {
       }
       .start()
 
+  final case class ShardSketch(shard: Int, n_seen: Long,
+                               keys: Array[String], counts: Array[Long])
+
+  /** State row for [[heavyHitterShards]] — public: the state encoder's
+    * generated code needs constructor/accessor visibility.
+    */
+  final case class HhState(keys: Array[String], counts: Array[Long], n_seen: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: the streaming sibling of
+    * `agg_heavy_hitters`. Terms route deterministically to one of
+    * `shards` groups by hash, and each group folds its substream into a
+    * Misra-Gries sketch held in `mapGroupsWithState` — total state is
+    * shards × k counters FOREVER, regardless of stream length or term
+    * cardinality (an exact streaming count would grow with vocabulary).
+    * Because routing is by term, each term lives in exactly ONE shard,
+    * so the union of shard sketches inherits the per-shard guarantee:
+    * every term with frequency > n_shard/(k+1) survives, and estimates
+    * never over-count. Shards (not one global group) keep the fold
+    * parallel across executors — the same reason the batch form merges
+    * partition-local sketches.
+    */
+  def heavyHitterShards(terms: Dataset[String], shards: Int, k: Int): Dataset[ShardSketch] = {
+    import terms.sparkSession.implicits._
+    val mg = graft.functions.MisraGries.agg(k)
+    terms
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
+      .mapGroupsWithState[HhState, ShardSketch](GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val prev = state.getOption.getOrElse(HhState(Array.empty, Array.empty, 0L))
+          var sk = graft.functions.MisraGries.Sketch(prev.keys, prev.counts)
+          var n = prev.n_seen
+          rows.foreach { t => sk = mg.reduce(sk, t); n += 1 }
+          state.update(HhState(sk.keys, sk.counts, n))
+          // n_seen grows monotonically per shard — the serve side picks
+          // each shard's latest sketch by max(n_seen)
+          ShardSketch(shard, n, sk.keys, sk.counts)
+      }
+  }
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

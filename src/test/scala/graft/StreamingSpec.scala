@@ -450,4 +450,36 @@ class StreamingSpec extends SparkSpecBase {
       rm(new java.io.File(lake))
     }
   }
+  test("stream_heavy_hitters: sharded MG sketches, bounded state, cross-batch carry") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val shards = 4; val k = 64
+    // planted-skew stream split over three batches: 3 heavies over a
+    // 600-item tail, cardinality >> shards*k
+    val heavies = Seq.fill(300)("h1") ++ Seq.fill(200)("h2") ++ Seq.fill(120)("h3")
+    val tail = (0 until 600).flatMap(i => Seq.fill(3)(s"t$i"))
+    val all = (heavies ++ tail).zipWithIndex.sortBy(_._2 % 7).map(_._1) // interleave
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    val in = MemoryStream[String]
+    val q = Streams.heavyHitterShards(in.toDS(), shards, k).toDF()
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update()).start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    // latest sketch per shard = max n_seen (monotone by construction)
+    val latest = spark.table("hh_out").as[Streams.ShardSketch].collect()
+      .groupBy(_.shard).map { case (_, xs) => xs.maxBy(_.n_seen) }
+    val trueCounts = all.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(latest.map(_.n_seen).sum == all.size, "every item folded exactly once")
+    latest.foreach(sk => assert(sk.keys.length <= k, "state bounded by k per shard"))
+    for (h <- Seq("h1", "h2", "h3")) {
+      val shard = math.floorMod(h.hashCode, shards)
+      val sk = latest.find(_.shard == shard).get
+      val est = sk.keys.zip(sk.counts).toMap
+      assert(est.contains(h), s"heavy $h must survive in shard $shard")
+      val bound = sk.n_seen.toDouble / (k + 1)
+      assert(est(h) <= trueCounts(h), s"$h over-counted")
+      assert(trueCounts(h) - est(h) <= bound, s"$h under-counted past n_shard/(k+1)")
+    }
+  }
 }
