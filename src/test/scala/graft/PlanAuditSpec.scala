@@ -216,6 +216,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // curate_token_budget: the 1-row token-budget broadcast feeding
       // the bucket cut — same shape as mix_weights' stats row
       "curate_token_budget",
+      // agg_heavy_hitters: the 1-row corpus-total broadcast feeding the
+      // n/64 threshold filter (candidate join itself is a BHJ semi)
+      "agg_heavy_hitters",
       // text_keyword_extract: the same 1-row corpus-count broadcast as
       // text_tfidf (it scores with the identical tf·idf formula)
       "text_keyword_extract")
@@ -256,6 +259,31 @@ class PlanAuditSpec extends SparkSpecBase {
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("join_scd2_pointintime: entity-key broadcast hash join, validity range as residual") {
+    val p = formatted("join_scd2_pointintime")
+    // the temporal predicate must ride the equi join as a residual, not
+    // degrade the plan to a nested-loop over facts × versions
+    assert(p.contains("BroadcastHashJoin"), "dim versions should broadcast onto the fact scan")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("vec_quantize_int8: pruned scan, map-only quantization (no mid-plan shuffle)") {
+    val p = formatted("vec_quantize_int8")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("label"), s"label column should be pruned from the scan: $rs")
+    // quantization itself is a pure projection; the only exchange allowed
+    // is the final presentation sort's range partitioning (formatted mode
+    // prints each node twice — tree line + detail header — so count node
+    // ids, not substring hits)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("agg_heavy_hitters: exact-confirm pass is a broadcast semi join on the candidate set") {
+    val p = formatted("agg_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidates (≤k rows) must broadcast and semi-filter the token stream map-side")
   }
 
   test("every declared query output is driver-hashable (scalar columns only)") {
