@@ -643,6 +643,36 @@ object Relational {
     },
 
     entry(
+      "agg_histogram",
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 16)), 15) AS BIGINT) AS bucket,
+        |    lo, hi
+        |  FROM lineitem, s)
+        |SELECT bucket, round(lo + bucket * (hi - lo) / 16, 4) AS edge, count(*) AS n
+        |FROM b GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Equal-width histogram (16 buckets over the observed range) — the
+      // numeric-distribution profile a data-quality pass renders. Two
+      // passes by necessity (the range is data-dependent): a 1-row
+      // min/max aggregate broadcast to a map-side bucket assignment +
+      // two-phase count. Bucket math is pure IEEE double in the SAME
+      // operation order as the oracle, so assignments are bit-identical;
+      // the top edge folds into the last bucket (least(…, 15)).
+      val li = load(s, dir, "lineitem").select($"l_extendedprice".as("x"))
+      val stats = li.agg(min($"x").as("lo"), max($"x").as("hi"))
+      li.crossJoin(broadcast(stats))
+        .select(least(floor(($"x" - $"lo") / (($"hi" - $"lo") / 16)), lit(15))
+            .cast("long").as("bucket"), $"lo", $"hi")
+        .groupBy($"bucket", $"lo", $"hi")
+        .agg(count(lit(1)).as("n"))
+        .select($"bucket",
+          round($"lo" + $"bucket" * ($"hi" - $"lo") / 16, 4).as("edge"), $"n")
+        .orderBy($"bucket")
+    },
+
+    entry(
       "sql_correlated_agg",
       """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal FROM customer c
         |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2

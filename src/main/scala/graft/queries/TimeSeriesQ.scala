@@ -13,6 +13,44 @@ object TimeSeriesQ {
 
   val entries: Seq[Entry] = Seq(
     entry(
+      "ts_ohlc",
+      """WITH r AS (SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  round(min(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+        |  round(max(value), 4) AS high, round(min(value), 4) AS low,
+        |  round(min(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY user_id, h ORDER BY user_id, hour""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // OHLC downsampling (open-high-low-close per user per hour) — the
+      // classic time-series bar aggregation — in ONE two-phase hash
+      // aggregate: open/close are min_by/max_by on a (ts, event_id)
+      // struct ORDER (deterministic under ties), so there is no
+      // per-group window sort anywhere; partials merge associatively
+      // like any other agg. The oracle expresses the same tie-break
+      // through row_number because DuckDB's arg_min/arg_max cannot take
+      // a composite ordering.
+      loadEvents(s, dir)
+        .withColumn("h", date_trunc("hour", $"ts"))
+        .groupBy($"user_id", $"h")
+        .agg(
+          round(min_by($"value", struct($"ts", $"event_id")), 4).as("open"),
+          round(max($"value"), 4).as("high"),
+          round(min($"value"), 4).as("low"),
+          round(max_by($"value", struct($"ts", $"event_id")), 4).as("close"),
+          count(lit(1)).as("n"))
+        .select($"user_id", tsStrSec($"h").as("hour"),
+          $"open", $"high", $"low", $"close", $"n")
+        .orderBy($"user_id", $"hour")
+    },
+
+    entry(
       "ts_resample_ffill",
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
         |    round(sum(value), 4) AS v

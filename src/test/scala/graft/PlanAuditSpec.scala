@@ -219,6 +219,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // agg_heavy_hitters: the 1-row corpus-total broadcast feeding the
       // n/64 threshold filter (candidate join itself is a BHJ semi)
       "agg_heavy_hitters",
+      // agg_histogram: the 1-row min/max range broadcast feeding the
+      // map-side bucket assignment — same shape as agg_stats_zscore
+      "agg_histogram",
       // text_keyword_extract: the same 1-row corpus-count broadcast as
       // text_tfidf (it scores with the identical tf·idf formula)
       "text_keyword_extract")
