@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Core._
 
 /** Time-series windowing over the `events` table (SURVEY.md §2.9, batch
@@ -48,6 +49,47 @@ object TimeSeriesQ {
         .select($"user_id", tsStrSec($"h").as("hour"),
           $"open", $"high", $"low", $"close", $"n")
         .orderBy($"user_id", $"hour")
+    },
+
+    entry(
+      "ts_ewma",
+      """SELECT user_id, event_id, round(
+        |    list_sum(list_transform(w, (x, i) -> x * power(0.6, len(w) - i))) /
+        |    list_sum(list_transform(w, (x, i) -> power(0.6, len(w) - i))), 6) AS ewma
+        |FROM (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Exponentially-weighted moving average over the trailing 8
+      // observations per user (α=0.4, normalized weights — the
+      // finite-window form of pandas' adjust=true EWMA). The recursion
+      // is unrolled into an explicit weighted sum over a BOUNDED frame:
+      // a per-user partitioned window collects the trailing list (state
+      // ≤ 8 values — never the user's history) and codegen'd
+      // higher-order functions fold weights (1-α)^age in the SAME
+      // left-to-right operand order as the oracle's list_sum, so the
+      // doubles are identical, not tolerance-gated. An infinite-memory
+      // EWMA would need a sequential per-key scan (the mapPartitions
+      // escape hatch); the trailing-window form is what keeps it a
+      // plain associative window at 100 TB.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-7, 0)
+      loadEvents(s, dir)
+        .select($"user_id", $"event_id", collect_list($"value").over(w).as("w"))
+        .select($"user_id", $"event_id",
+          round(
+            aggregate(
+              zip_with($"w", sequence(lit(1), size($"w")),
+                (x, i) => x * pow(lit(0.6), size($"w").cast("double") - i)),
+              lit(0.0), (a, x) => a + x) /
+            aggregate(
+              zip_with($"w", sequence(lit(1), size($"w")),
+                (x, i) => pow(lit(0.6), size($"w").cast("double") - i)),
+              lit(0.0), (a, x) => a + x), 6).as("ewma"))
+        .orderBy($"user_id", $"event_id")
     },
 
     entry(
