@@ -361,6 +361,61 @@ object PipelineOps {
     },
 
     entry(
+      "profile_drift",
+      """WITH b AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
+        |m AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM b),
+        |h AS (SELECT event_type, CASE WHEN tu < mid THEN 0 ELSE 1 END AS half
+        |  FROM b, m),
+        |c AS (SELECT event_type,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+        |  FROM h GROUP BY 1),
+        |t AS (SELECT sum(n_first) AS t0, sum(n_second) AS t1 FROM c)
+        |SELECT event_type, CAST(n_first AS BIGINT) AS n_first,
+        |  CAST(n_second AS BIGINT) AS n_second,
+        |  CAST(n_first * 1000000 // t0 AS BIGINT) AS rate_first_ppm,
+        |  CAST(n_second * 1000000 // t1 AS BIGINT) AS rate_second_ppm,
+        |  CAST(abs(n_first * 1000000 // t0 - n_second * 1000000 // t1) AS BIGINT) AS drift_ppm
+        |FROM c, t ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Distribution-drift profile — the train/serve-skew check a
+      // pipeline owner runs before trusting a new data window: the
+      // event-type mix of the first half of the time span vs the
+      // second, with the per-type rate delta in exact integer ppm.
+      // A type whose drift_ppm spikes is the "schema didn't change but
+      // the data did" regression class no schema check catches.
+      //
+      // Exactness: the midpoint is integer epoch-micros arithmetic,
+      // rates are integer-division ppm (floor in both engines), so the
+      // declared output is all-integer and hash-exact at any
+      // partitioning. Scale shape: one 1-row min/max broadcast over
+      // the span, then a single hash-agg keyed by event_type with
+      // map-side combine (the conditional sums are one pass — never
+      // two scans for two halves); type cardinality is tiny, so the
+      // final frame is driver-trivial. At 100 TB the n·10⁶ products
+      // stay far below 2^63 per type until ~10¹² rows per type — past
+      // that, widen to decimal(38).
+      val b = loadEvents(s, dir).select(unix_micros($"ts").as("tu"), $"event_type")
+      // integer DIV, not `/`: double division holds integers only to
+      // 2^53 and the epoch-micro sum is ~2^52 already — same floor
+      // semantics as the oracle's `//` on positive micros
+      val mid = b.agg(expr("(min(tu) + max(tu)) DIV 2").as("mid"))
+      val c = b.crossJoin(broadcast(mid))
+        .groupBy($"event_type")
+        .agg(sum(when($"tu" < $"mid", 1L).otherwise(0L)).as("n_first"),
+          sum(when($"tu" >= $"mid", 1L).otherwise(0L)).as("n_second"))
+      val t = c.agg(sum($"n_first").as("t0"), sum($"n_second").as("t1"))
+      c.crossJoin(broadcast(t))
+        .select($"event_type", $"n_first", $"n_second",
+          expr("n_first * 1000000L DIV t0").as("rate_first_ppm"),
+          expr("n_second * 1000000L DIV t1").as("rate_second_ppm"),
+          abs(expr("n_first * 1000000L DIV t0") - expr("n_second * 1000000L DIV t1"))
+            .as("drift_ppm"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "pack_sequences",
       """WITH t AS (SELECT doc_id,
         |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens

@@ -289,6 +289,7 @@ object TextOps {
       VecOps.evictCaches(s)
       PipelineOps.evictCaches(s)
       EmbedOps.evictCaches(s)
+      TokenizerOps.evictCaches(s)
     }
 
   /** Materialize the cluster labels eagerly — the bench's named setup

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al., ACL 2016 — the subword tokenizer every modern LLM corpus is
+  * tokenized with; public algorithm re-expressed Spark-native).
+  *
+  * The reference counts whitespace tokens only (engine.py:72-93
+  * tokenizes by `split`); a training-data pipeline additionally OWNS
+  * the tokenizer — it trains the merge table on the corpus and applies
+  * it to count real subword tokens (the unit budgets/mixtures are
+  * denominated in). Both halves map to Spark cleanly because classic
+  * BPE trains on the WORD-FREQUENCY DICTIONARY, not the token stream:
+  *
+  *  - ONE distributed corpus pass builds (term, freq) — vocab-sized;
+  *  - each merge round is a pair-count aggregate + a greedy fold over
+  *    that vocab-sized frame (driver holds only the 1-row argmax per
+  *    round — bounded, never corpus data);
+  *  - applying the tokenizer is a BROADCAST join of the corpus token
+  *    stream against the vocab-sized (term → segmentation) table —
+  *    map-only over the lake, the standard "tokenize by dictionary"
+  *    serving shape.
+  *
+  * At 100 TB nothing changes shape: the corpus pass is the only
+  * lake-scale work, the training loop touches vocab-sized frames
+  * (~10⁷ rows for a web corpus — still one executor's worth), and
+  * apply stays a broadcast map (a 10⁷-word segmentation dict is
+  * ~100 MB, broadcastable; past that, a shuffle join on `term`).
+  *
+  * Q-gated: the training loop is iterative argmax — not expressible as
+  * one DuckDB SQL statement (RE2 regexp_replace can't express the
+  * greedy overlap-free merge, and list_reduce can't fold into a list
+  * accumulator). TokenizerSpec A/Bs the WHOLE merge table and the
+  * applied segmentations against an independent in-memory reference
+  * implementation at both gate SFs, plus repartition-invariance (all
+  * training statistics are exact integer sums).
+  */
+object TokenizerOps {
+
+  /** Merge rounds trained. Tiny vocabularies saturate (no pair occurs
+    * twice) before deep merge tables get interesting; 12 keeps the
+    * fixture's table non-degenerate and the bench cost bounded.
+    */
+  private[graft] val nMerges = 12
+
+  private def esc(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Character-level initial segmentation with the standard
+    * end-of-word marker (so merges can learn suffixes without
+    * crossing word boundaries).
+    */
+  private def initSeg: Column =
+    // the empty-term guard mirrors pairsOf's: Core.tokens filters empty
+    // strings so the branch is unreachable from the shared frames, but
+    // sequence(1, 0) DESCENDS in Spark and an ad-hoc caller with an
+    // empty term would get a [1,0]-indexed garbage segmentation
+    expr("""CASE WHEN length(term) < 1 THEN array('</w>')
+            ELSE concat(transform(sequence(1, length(term)), i -> substr(term, i, 1)), array('</w>')) END""")
+
+  /** Adjacent symbol pairs of a segmentation — empty for fully-merged
+    * single-symbol words (`sequence(1,0)` would DESCEND in Spark, so
+    * the size guard is load-bearing, not cosmetic).
+    */
+  private def pairsOf: Column =
+    expr("""CASE WHEN size(seg) < 2 THEN cast(array() as array<struct<a:string,b:string>>)
+            ELSE transform(sequence(1, size(seg) - 1), i -> struct(seg[i-1] as a, seg[i] as b)) END""")
+
+  /** Greedy left-to-right application of ONE merge (a,b) → ab as a
+    * codegen'd fold: the accumulator's last symbol merges with the
+    * incoming one iff they equal the pair — which reproduces BPE's
+    * leftmost-first, non-overlapping semantics ("a a a" under (a,a)
+    * becomes "aa a", and the merged symbol participates in LATER
+    * rounds, not the current pass).
+    */
+  private def mergeFold(a: String, b: String): Column =
+    expr(s"""aggregate(seg, cast(array() as array<string>),
+      (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = '${esc(a)}' and x = '${esc(b)}',
+                     concat(slice(acc, 1, size(acc) - 1), array('${esc(a + b)}')),
+                     concat(acc, array(x))))""")
+
+  /** One merge rule: rank, the pair, the merged symbol, and the
+    * word-frequency-weighted pair count that won the round.
+    */
+  private[graft] final case class Merge(rank: Int, left: String, right: String,
+                                        merged: String, pair_freq: Long)
+
+  private val cacheLock = new Object
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
+      (Seq[Merge], DataFrame)]
+
+  /** Train the merge table and return it with the final vocab-sized
+    * (term, freq, seg) segmentation frame. Memoized per (session, dir,
+    * partitions) like the other shared frames — train and apply are
+    * two consumers of one model. Each round's argmax tie-breaks on
+    * (count desc, left, right) so the table is deterministic across
+    * partitionings (counts are exact integer sums).
+    */
+  private[graft] def trainBpe(s: SparkSession, dir: String): (Seq[Merge], DataFrame) =
+    cacheLock.synchronized {
+      bpeCache.getOrElseUpdate(
+        (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+          import s.implicits._
+          val wf = TextOps.termFreq(s, dir)
+            .groupBy($"term").agg(sum($"tf").as("freq"))
+          var seg = wf.select($"term", $"freq", initSeg.as("seg")).persist()
+          seg.count()
+          val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+          var done = false
+          var r = 1
+          while (r <= nMerges && !done) {
+            // 1-row argmax — the only driver-side data per round
+            val best = seg.select($"freq", explode(pairsOf).as("p"))
+              .groupBy($"p.a".as("a"), $"p.b".as("b"))
+              .agg(sum($"freq").as("cnt"))
+              .orderBy($"cnt".desc, $"a", $"b")
+              .limit(1).collect()
+            if (best.isEmpty) done = true
+            else {
+              val (a, b, cnt) =
+                (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+              merges += Merge(r, a, b, a + b, cnt)
+              val next = seg.withColumn("seg", mergeFold(a, b)).persist()
+              next.count()
+              seg.unpersist()
+              seg = next
+              r += 1
+            }
+          }
+          (merges.toSeq, seg)
+        })
+    }
+
+  private[graft] def evictCaches(s: SparkSession): Unit =
+    cacheLock.synchronized {
+      bpeCache.keys.filter(_._1 eq s).foreach { k =>
+        bpeCache.remove(k).foreach(_._2.unpersist())
+      }
+    }
+
+  val entries: Seq[Entry] = Seq(
+
+    entryNoOracle("text_bpe_train") { (s, dir) =>
+      import s.implicits._
+      // The trained merge table itself — the tokenizer MODEL a corpus
+      // owner ships (rank order IS application order). Inherently tiny
+      // (nMerges rows): the distributed work is the corpus pass and
+      // the per-round vocab aggregates inside trainBpe.
+      val (merges, _) = trainBpe(s, dir)
+      s.createDataFrame(merges).toDF()
+        .select($"rank", $"left", $"right", $"merged", $"pair_freq")
+        .orderBy($"rank")
+    },
+
+    entryNoOracle("text_bpe_apply") { (s, dir) =>
+      import s.implicits._
+      // Tokenize the corpus with the trained model and report the
+      // per-source subword budget — the number a mixture or token
+      // budget is actually denominated in (whitespace token counts
+      // undercount morphologically rich sources and overcount clean
+      // ones). Serving shape: the corpus token stream joins the
+      // BROADCAST vocab-sized segmentation dict; subword counts are
+      // exact integer sums so the output is partition-invariant.
+      TextOps.requireDocMeta(s, dir, "source")
+      val (_, seg) = trainBpe(s, dir)
+      val dict = seg.select($"term", size($"seg").cast("long").as("n_sub"))
+      val toks = TextOps.docTokens(s, dir)
+        .select($"doc_id", $"source", explode($"toks").as("term"))
+      toks.join(broadcast(dict), "term")
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("docs"),
+          count(lit(1)).as("words"),
+          sum($"n_sub").as("subwords"))
+        .select($"source", $"docs", $"words", $"subwords",
+          expr("subwords * 1000L DIV words").as("subwords_per_kword"))
+        .orderBy($"source")
+    }
+  )
+}

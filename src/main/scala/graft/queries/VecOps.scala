@@ -401,6 +401,49 @@ object VecOps {
     },
 
     entry(
+      "vec_random_projection",
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |h AS (SELECT vec_id, v,
+        |    CAST(concat('0x', substr(md5(concat('rp', CAST(i AS VARCHAR))), 1, 4)) AS BIGINT) % 16 AS pdim,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('rp', CAST(i AS VARCHAR))), 5, 4)) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM x)
+        |SELECT vec_id, pdim,
+        |  CAST(sum(sgn * CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS pval_micro
+        |FROM h GROUP BY 1, 2 ORDER BY vec_id, pdim""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Sparse random projection (signed feature hashing — Achlioptas
+      // 2003 / Weinberger et al. 2009): 64-dim embeddings down to 16
+      // dims, each input dim landing in ONE output dim with a ±1 sign,
+      // both md5-derived so the projection matrix is identical in any
+      // engine with no matrix to ship. The dimensionality-reduction
+      // pass an embedding lake runs before a cheaper ANN index or a
+      // drift monitor — 4× fewer bytes per vector downstream.
+      //
+      // Exactness: inputs quantize to integer micro-units
+      // (floor(v·10⁶ + 0.5) — floor, not round, because the two
+      // engines' half-way rules differ) and every accumulation is an
+      // INTEGER sum, order-independent at any partitioning, so the
+      // declared output hash-matches bit-for-bit. Scale shape: explode
+      // + hash-agg on (vec_id, pdim) with map-side combine — one
+      // shuffle of 16 rows per vector; no driver state, no matrix
+      // broadcast (the "matrix" is two md5 evaluations in codegen).
+      val pd = pmod(conv(substring(md5(concat(lit("rp"), $"i".cast("string"))), 1, 4), 16, 10)
+        .cast("long"), lit(16))
+      val sg = when(pmod(conv(substring(md5(concat(lit("rp"), $"i".cast("string"))), 5, 4), 16, 10)
+        .cast("long"), lit(2)) === 0, 1).otherwise(-1)
+      load(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("i", "v")))
+        .groupBy($"vec_id", pd.as("pdim"))
+        .agg(sum(sg * floor($"v" * 1000000 + 0.5).cast("long")).as("pval_micro"))
+        .orderBy($"vec_id", $"pdim")
+    },
+
+    entry(
       "vec_knn_topk",
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the BPE tokenizer family (TokenizerOps) — the Q-gate: the
+  * training loop is iterative argmax (not one-SQL-statement
+  * expressible), so the whole merge table AND the applied
+  * segmentations are A/B'd against an independent in-memory reference
+  * implementation, plus the partition-invariance the exact integer
+  * counts guarantee.
+  */
+class TokenizerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Independent reference BPE: trains on a (word, freq) map with the
+    * same init (chars + </w>), the same tie-break (count desc, then
+    * pair lexicographic), and greedy leftmost-first merge application.
+    * Written against Sennrich et al. 2016's description, not against
+    * TokenizerOps' code, so agreement is evidence, not tautology.
+    */
+  private def refBpe(wf: Map[String, Long], n: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
+    var segs: Map[String, Vector[String]] =
+      wf.map { case (w, _) => w -> (w.map(_.toString).toVector :+ "</w>") }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= n && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, seg) <- segs; i <- 0 until seg.size - 1)
+        counts((seg(i), seg(i + 1))) = counts.getOrElse((seg(i), seg(i + 1)), 0L) + wf(w)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((r, a, b, a + b, c))
+        segs = segs.map { case (w, seg) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- seg) {
+            if (out.nonEmpty && out.last == a && x == b) {
+              out.remove(out.size - 1); out += (a + b)
+            } else out += x
+          }
+          w -> out.toVector
+        }
+        r += 1
+      }
+    }
+    (merges.toSeq, segs)
+  }
+
+  private def wordFreq(dir: String): Map[String, Long] =
+    Core.load(spark, sf(dir), "documents")
+      .select(explode(Core.tokens(lower($"text"))).as("t"))
+      .groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+
+  test("text_bpe_train matches the independent reference merge table at both gate SFs") {
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val got = SparkEntry.queries("text_bpe_train")(spark, sf(d))
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val (want, _) = refBpe(wordFreq(d), queries.TokenizerOps.nMerges)
+      assert(got == want, s"merge table diverged from reference at $d")
+      assert(got.nonEmpty, s"degenerate fixture: zero merges at $d")
+    }
+  }
+
+  test("text_bpe_apply subword counts equal the reference segmentation lengths") {
+    val d = "sf0.01"
+    val (_, refSegs) = refBpe(wordFreq(d), queries.TokenizerOps.nMerges)
+    // reference per-source stats from the raw corpus + reference segs
+    val docs = Core.load(spark, sf(d), "documents")
+      .select($"doc_id", $"source", Core.tokens(lower($"text")).as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    val bySource = docs.flatMap { case (id, src, toks) =>
+      toks.map(t => (src, id, refSegs(t).size.toLong))
+    }.groupBy(_._1)
+    val want = bySource.map { case (src, rows) =>
+      val words = rows.size.toLong
+      val sub = rows.map(_._3).sum
+      (src, rows.map(_._2).distinct.size.toLong, words, sub, sub * 1000L / words)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("text_bpe_apply")(spark, sf(d))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("training statistics are exact integer sums: merge table is repartition-invariant") {
+    // same session, different shuffle width — the memo key includes the
+    // partition setting so this genuinely retrains
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.01")).collect().toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.01")).collect().toSeq
+      assert(alt == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("greedy merge fold: overlap chains resolve leftmost-first (constructed corpus)") {
+    // "a a a" under merge (a,a) must become [aa, a</w>-ish], never
+    // [a, aa]: pin via a corpus where the first merge is forced
+    val wf = Map("aaa" -> 10L, "ab" -> 1L)
+    val (merges, segs) = refBpe(wf, 1)
+    // reference self-check: first merge is (a,a) by weight, and the
+    // triple resolves leftmost-first
+    assert(merges.head._2 == "a" && merges.head._3 == "a")
+    assert(segs("aaa") == Vector("aa", "a", "</w>"))
+    // and the Spark fold agrees on the same constructed frame
+    val df = Seq(("aaa", 10L), ("ab", 1L)).toDF("term", "freq")
+    df.createOrReplaceTempView("bpe_fold_fixture")
+    val seg = spark.sql(
+      """SELECT term, aggregate(
+        |  concat(transform(sequence(1, length(term)), i -> substr(term, i, 1)), array('</w>')),
+        |  cast(array() as array<string>),
+        |  (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = 'a' and x = 'a',
+        |               concat(slice(acc, 1, size(acc) - 1), array('aa')),
+        |               concat(acc, array(x)))) AS seg
+        |FROM bpe_fold_fixture WHERE term = 'aaa'""".stripMargin)
+      .as[(String, Seq[String])].collect().head._2
+    assert(seg == Seq("aa", "a", "</w>"))
+  }
+}
