@@ -673,6 +673,34 @@ object Relational {
     },
 
     entry(
+      "agg_mode",
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Per-group mode (most frequent event_type per user) with a total
+      // deterministic tie-break (count desc, then type asc) — the
+      // "dominant category" profile. Built-in `mode()` is tie-arbitrary
+      // in both engines, so the portable form is stated explicitly:
+      // hash-aggregate counts, then rank. Scale shape: the heavy work
+      // is the two-phase (user, type) count; the window sorts the
+      // ALREADY-AGGREGATED frame whose per-user partition is bounded by
+      // type cardinality (a handful of rows), never the event stream.
+      loadEvents(s, dir)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("mode_type"), $"cnt")
+        .orderBy($"user_id")
+    },
+
+    entry(
       "sql_correlated_agg",
       """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal FROM customer c
         |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2

@@ -630,6 +630,48 @@ object TextOps {
     },
 
     entry(
+      "text_boilerplate_ngrams",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+        |    i -> array_to_string(list_slice(toks, i+1, i+8), ' '))) AS gram
+        |  FROM t)
+        |SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS occurrences
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY doc_freq DESC, occurrences DESC, gram LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Intra-corpus repeated-passage detection (the boilerplate scan a
+      // curation pipeline runs before training — headers, license
+      // blocks, templated spans show up as long n-grams shared across
+      // documents; Lee et al. 2021 "Deduplicating Training Data" finds
+      // these with suffix arrays, the distributed form is an n-gram
+      // hash-aggregate): word 8-grams present in ≥2 distinct docs,
+      // ranked by document reach. Scale shape: explode + two-phase
+      // hash-agg — the gram stream shuffles once on the gram key with
+      // map-side partials, the ≥2-doc filter drops the long unique tail
+      // BEFORE the top-k, and the final ranking is
+      // TakeOrderedAndProject, never a global sort. At 100 TB the gram
+      // key space is pruned the same way (singleton grams dominate and
+      // die in the HAVING); memory per key is two counters. Rides the
+      // shared tokenized frame — no re-tokenize.
+      docTokens(s, dir)
+        .select($"doc_id",
+          // sequence(1, n) DESCENDS when n < 1 — guard short docs
+          explode(when(size($"toks") >= 8,
+              transform(sequence(lit(1), size($"toks") - 7),
+                i => concat_ws(" ", slice($"toks", i, lit(8)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy($"gram")
+        .agg(countDistinct($"doc_id").as("doc_freq"),
+          count(lit(1)).as("occurrences"))
+        .filter($"doc_freq" >= 2)
+        .orderBy($"doc_freq".desc, $"occurrences".desc, $"gram")
+        .limit(20)
+    },
+
+    entry(
       "text_keyword_extract",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term

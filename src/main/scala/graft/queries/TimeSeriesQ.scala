@@ -370,6 +370,42 @@ object TimeSeriesQ {
         .agg(count(lit(1)).as("n_users"))
         .select(dayStr($"cohort").as("cohort_day"), $"offset_d", $"n_users")
         .orderBy($"cohort_day", $"offset_d")
+    },
+
+    entry(
+      "win_streak",
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor FROM r),
+        |s AS (SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Longest consecutive-day activity streak per user — the classic
+      // gaps-and-islands window pattern (day minus its per-user rank is
+      // constant exactly along a consecutive run, so the derived anchor
+      // date IS the island key). Engagement/retention metric the cohort
+      // triangle doesn't give you. Scale shape: events collapse to
+      // DISTINCT (user, day) FIRST — the window then sorts the
+      // calendar-bounded day frame, never the event stream, and each
+      // user's partition is at most the span in days. Everything
+      // downstream is hash aggregation on integer counts — exact at any
+      // partitioning.
+      loadEvents(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"user_id").orderBy($"day")))
+        .select($"user_id", date_sub($"day", $"rn").as("anchor"))
+        .groupBy($"user_id", $"anchor").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum($"len").as("active_days"))
+        .orderBy($"user_id")
     }
   )
 }

@@ -444,6 +444,56 @@ object VecOps {
     },
 
     entry(
+      "vec_centroid_stats",
+      """WITH x AS (SELECT label,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS m,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i, sum(m) AS s, sum(m * m) AS q FROM x GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  CAST(sum(abs(s)) AS BIGINT) AS centroid_l1,
+        |  CAST(sum(s * s) AS BIGINT) AS centroid_sq,
+        |  CAST(sum(q) AS BIGINT) AS vec_sq
+        |FROM c JOIN n USING (label)
+        |GROUP BY label, n_vecs ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Embedding-space health check per class: centroid mass
+      // (centroid_l1), centroid energy (centroid_sq = Σᵢ Sᵢ² — which is
+      // ALSO Σ_v ⟨v, centroid-sum⟩, the class alignment, because
+      // Σ_v m_vi = Sᵢ), and total vector energy (vec_sq = Σ_{v,i} m²).
+      // A label whose centroid_sq collapses toward 0 while vec_sq holds
+      // is an incoherent class (vectors cancel); drift in these three
+      // integers per label is the cheapest embedding-regression signal
+      // a lake can monitor. Exactness: milli-unit quantization
+      // (floor(v·10³ + 0.5), floor because the engines' half-way rules
+      // differ) makes every accumulation an integer sum —
+      // order-independent, hash-exact. Headroom: |S| ≤ n·|m| keeps
+      // s² under 2⁶³ to ~10⁵ vectors per label at |v| ≲ 5; past that
+      // the sums widen to decimal(38) — a declared config, not a silent
+      // overflow (ansi mode would throw, not wrap). Scale shape: ONE
+      // explode + two chained hash-aggs (dim-keyed then label-keyed),
+      // map-side partials throughout; the per-label count is a
+      // columnar-pruned base scan broadcast back — no shuffle of the
+      // vector data beyond the (label, i) agg.
+      val x = load(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("i", "v")))
+        .select($"label", $"i", floor($"v" * 1000 + 0.5).cast("long").as("m"))
+      val c = x.groupBy($"label", $"i")
+        .agg(sum($"m").as("s"), sum($"m" * $"m").as("q"))
+      val n = load(s, dir, "embeddings")
+        .groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      c.groupBy($"label")
+        .agg(sum(abs($"s")).as("centroid_l1"),
+          sum($"s" * $"s").as("centroid_sq"),
+          sum($"q").as("vec_sq"))
+        .join(broadcast(n), "label")
+        .select($"label", $"n_vecs", $"centroid_l1", $"centroid_sq", $"vec_sq")
+        .orderBy($"label")
+    },
+
+    entry(
       "vec_knn_topk",
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
