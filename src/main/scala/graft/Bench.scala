@@ -76,7 +76,11 @@ object Bench {
       // the curation compositions' shared clean-corpus spine — after
       // clusters (it consumes the labels artifact) so each step pays
       // only its own marginal
-      setupStep("setup_clean_corpus") { queries.PipelineOps.warmCleanCorpus(spark, sfDir) }) ++
+      setupStep("setup_clean_corpus") { queries.PipelineOps.warmCleanCorpus(spark, sfDir) },
+      // the BPE merge-table training loop (memoized per session/dir) —
+      // without this line min-of-two timing would absorb the training
+      // into text_bpe_train's first run and attribute it nowhere
+      setupStep("setup_bpe_model") { queries.TokenizerOps.trainBpe(spark, sfDir); () }) ++
       queries.IndexOps.warmSteps.map { case (name, f) =>
         setupStep(name) { f(spark, sfDir) }
       }

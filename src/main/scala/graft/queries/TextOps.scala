@@ -672,6 +672,49 @@ object TextOps {
     },
 
     entry(
+      "text_entropy",
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c) AS n, count(*) AS n_distinct FROM c GROUP BY 1),
+        |s AS (SELECT source, CAST(round(c * ln(c), 6) AS DECIMAL(18,6)) AS term_c FROM c)
+        |SELECT n.source, CAST(n.n AS BIGINT) AS n_tokens,
+        |  CAST(n.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n.n_distinct * 1000000 // n.n AS BIGINT) AS ttr_ppm,
+        |  round(ln(n.n) - CAST(sum(s.term_c) AS DOUBLE) / n.n, 4) AS entropy
+        |FROM s JOIN n USING (source)
+        |GROUP BY n.source, n.n, n.n_distinct ORDER BY n.source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Per-source lexical diversity — Shannon entropy (nats) of the
+      // unigram distribution plus type-token ratio: the corpus-mixing
+      // signal that separates a templated/boilerplate-heavy source
+      // (low entropy) from genuinely diverse text at equal token
+      // counts. Uses H = ln(n) − (Σ c·ln c)/n so the data-dependent
+      // part is a SUM OF PER-TERM CONTRIBUTIONS: each c·ln c is
+      // rounded to 6 decimals and summed as DECIMAL — exact and
+      // order-independent (the text_lm_score pattern; a raw double sum
+      // would hash-differently across partition orders). Scale shape:
+      // rides the shared tokenized frame; one (source, term) two-phase
+      // hash-agg, then source-keyed aggregates over the vocab-sized
+      // frame; output is one row per source.
+      TextOps.requireDocMeta(s, dir, "source")
+      val c = docTokens(s, dir)
+        .select($"source", explode($"toks").as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      val n = c.groupBy($"source")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"))
+      c.select($"source", round($"c" * log($"c"), 6).cast("decimal(18,6)").as("term_c"))
+        .groupBy($"source").agg(sum($"term_c").as("sc"))
+        .join(broadcast(n), "source")
+        .select($"source", $"n".as("n_tokens"), $"n_distinct",
+          expr("n_distinct * 1000000L DIV n").as("ttr_ppm"),
+          round(log($"n") - $"sc".cast("double") / $"n", 4).as("entropy"))
+        .orderBy($"source")
+    },
+
+    entry(
       "text_keyword_extract",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term

