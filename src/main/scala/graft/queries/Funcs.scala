@@ -204,6 +204,33 @@ object Funcs {
         get_json_object($"props", "$.k").as("k_str"),
         get_json_object($"props", "$.k").cast("long").as("k_num")
       ).orderBy($"event_id")
+    },
+
+    entry(
+      "fn_bitwise",
+      """SELECT event_id,
+        |  event_id & 255 AS band,
+        |  event_id | 15 AS bor,
+        |  xor(event_id, 129) AS bxor,
+        |  event_id << 2 AS shl,
+        |  event_id >> 3 AS shr,
+        |  CAST(bit_count(event_id) AS BIGINT) AS popcnt
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Bitwise scalar surface — mask/shift/popcount, the key-munging
+      // primitives the salting/z-order/LSH layers are built from,
+      // exposed as first-class functions. Pure codegen'd projection;
+      // integer-exact on both engines.
+      loadEvents(s, dir).select(
+        $"event_id",
+        $"event_id".bitwiseAND(255).as("band"),
+        $"event_id".bitwiseOR(15).as("bor"),
+        $"event_id".bitwiseXOR(129).as("bxor"),
+        shiftleft($"event_id", 2).as("shl"),
+        shiftright($"event_id", 3).as("shr"),
+        bit_count($"event_id").cast("long").as("popcnt")
+      ).orderBy($"event_id")
     }
   )
 }

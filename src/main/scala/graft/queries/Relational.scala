@@ -673,6 +673,30 @@ object Relational {
     },
 
     entry(
+      "agg_listagg",
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Ordered string aggregation (LISTAGG / string_agg) — the
+      // report-shaping staple. The portable deterministic form:
+      // collect_set + array_sort + array_join (raw listagg is
+      // order-arbitrary in both engines unless told otherwise). Scale
+      // shape: collect_set partials merge associatively and the state
+      // is bounded by event-type cardinality per user, not event
+      // volume — this is safe ONLY for low-cardinality value domains
+      // (for unbounded ones the right operator is topk/heavy-hitters,
+      // not listagg).
+      loadEvents(s, dir)
+        .groupBy($"user_id")
+        .agg(array_join(array_sort(collect_set($"event_type")), ",").as("types"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"user_id")
+    },
+
+    entry(
       "agg_mode",
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),

@@ -406,6 +406,59 @@ object TimeSeriesQ {
           count(lit(1)).as("n_streaks"),
           sum($"len").as("active_days"))
         .orderBy($"user_id")
+    },
+
+    entry(
+      "ts_changepoint_cusum",
+      """WITH v AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vm FROM events),
+        |m AS (SELECT user_id, sum(vm) // count(*) AS mu FROM v GROUP BY 1),
+        |p AS (SELECT v.user_id, ts, event_id,
+        |    sum(vm - mu) OVER (PARTITION BY v.user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS pref
+        |  FROM v JOIN m USING (user_id)),
+        |c AS (SELECT user_id, ts, event_id,
+        |    pref - min(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM p),
+        |r AS (SELECT user_id, event_id, cusum,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cusum DESC, ts, event_id) AS rn FROM c)
+        |SELECT user_id, CAST(cusum AS BIGINT) AS max_cusum_micro,
+        |  event_id AS at_event
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // One-sided CUSUM changepoint statistic per user (Page 1954):
+      // S_i = max(0, S_{i-1} + (x_i − μ)). The recursion looks
+      // sequential, but reduces to prefix-sum minus running-min
+      // (S_i = P_i − min_{j≤i} P_j) — two ASSOCIATIVE window
+      // aggregates over the same per-user sort, which is what keeps it
+      // a plain partitioned window at 100 TB instead of a sequential
+      // per-key scan. The row where S peaks is the changepoint
+      // candidate; its magnitude is the drift score a monitor alerts
+      // on. Exactness: inputs quantize to integer 10⁻⁴ units and μ is
+      // the integer-floor mean (sums are positive, so Spark's DIV and
+      // the oracle's // agree), making every window value an exact
+      // integer — deterministic at any partitioning. Scale shape: one
+      // tiny per-user agg broadcast back, then ONE shuffle on user_id
+      // feeds both windows and the final argmax rank; per-user state
+      // in each window frame is O(1).
+      val v = loadEvents(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          floor($"value" * 10000 + 0.5).cast("long").as("vm"))
+      val mu = v.groupBy($"user_id")
+        .agg(expr("sum(vm) DIV count(*)").as("mu"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.join(broadcast(mu), "user_id")
+        .withColumn("pref", sum($"vm" - $"mu").over(w))
+        .withColumn("cusum", $"pref" - min($"pref").over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"cusum".desc, $"ts", $"event_id")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"cusum".as("max_cusum_micro"), $"event_id".as("at_event"))
+        .orderBy($"user_id")
     }
   )
 }
