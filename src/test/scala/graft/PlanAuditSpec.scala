@@ -222,6 +222,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // agg_histogram: the 1-row min/max range broadcast feeding the
       // map-side bucket assignment — same shape as agg_stats_zscore
       "agg_histogram",
+      // profile_drift: two 1-row broadcasts (the span midpoint, then
+      // the half totals) feeding map-side conditional sums — same
+      // shape as agg_histogram's range row
+      "profile_drift",
       // text_keyword_extract: the same 1-row corpus-count broadcast as
       // text_tfidf (it scores with the identical tf·idf formula)
       "text_keyword_extract")
@@ -287,6 +291,42 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = formatted("agg_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       "candidates (≤k rows) must broadcast and semi-filter the token stream map-side")
+  }
+
+  test("round-11 analytics entries: cache rides, broadcasts, top-k lowering") {
+    // text_boilerplate_ngrams / text_entropy must ride the shared
+    // tokenized frame (no live documents scan), and the boilerplate
+    // top-20 must lower to TakeOrderedAndProject, not a global sort.
+    for ((name, atLeast) <- Seq(("text_boilerplate_ngrams", 1), ("text_entropy", 1))) {
+      val leaves = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.sparkPlan.collectLeaves()
+      val cacheScans = leaves.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      assert(cacheScans >= atLeast,
+        s"$name: expected >=$atLeast InMemoryTableScan leaves over docTokens, got $cacheScans")
+      val liveDocScans = leaves.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+      }
+      assert(liveDocScans.isEmpty,
+        s"$name: plan scans the documents table instead of riding the cache")
+    }
+    assert(formatted("text_boilerplate_ngrams").contains("TakeOrderedAndProject"),
+      "boilerplate top-20 must be TakeOrderedAndProject")
+    // vec_centroid_stats: the per-label count side broadcasts back onto
+    // the vocab... label-keyed aggregate — never a shuffle join
+    assert(formatted("vec_centroid_stats").contains("BroadcastHashJoin"),
+      "per-label counts must broadcast")
+    // ts_changepoint_cusum: the per-user mean broadcasts, and the event
+    // stream shuffles ONCE on user_id (both windows + the argmax rank
+    // reuse the same partitioning; the only other exchanges are the
+    // broadcast and the final presentation sort)
+    val cusum = formatted("ts_changepoint_cusum")
+    assert(cusum.contains("BroadcastHashJoin"), "mu side must broadcast")
+    val hashExchanges = """\(\d+\) Exchange hashpartitioning""".r
+      .findAllIn(cusum).size
+    assert(hashExchanges <= 2,
+      s"cusum should shuffle the event stream at most twice (agg + window), got $hashExchanges:\n$cusum")
   }
 
   test("every declared query output is driver-hashable (scalar columns only)") {
