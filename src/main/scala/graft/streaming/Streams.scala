@@ -401,6 +401,73 @@ object Streams {
       }
   }
 
+  /** Per-user CUSUM state: prefix sum, running min of the prefix, the
+    * best statistic so far and the event where it peaked. O(1) longs
+    * per user FOREVER — the whole point vs replaying history.
+    */
+  final case class CusumState(pref: Long, minPref: Long, best: Long,
+                              bestEvent: Long, n: Long)
+
+  final case class CusumUpdate(user_id: Long, max_cusum_micro: Long,
+                               at_event: Long, n_seen: Long)
+
+  /** Streaming one-sided CUSUM drift monitor — the online sibling of
+    * batch `ts_changepoint_cusum`, against a FIXED per-user baseline
+    * mean (the production contract: μ comes from a trained profile
+    * table, e.g. the batch operator over history; a monitor that
+    * re-estimates μ from the stream it is judging would chase its own
+    * drift). The recursion S_i = max(0, S_{i−1} + x_i − μ) is carried
+    * as (prefix sum, running min) in `mapGroupsWithState` — two longs,
+    * so per-user state is O(1) regardless of stream length, sharded by
+    * user across executors. Argmax keeps the EARLIEST peak (strict >,
+    * rows folded in (ts, event_id) order), matching the batch
+    * tie-break.
+    *
+    * Ordering contract: rows are sorted within each micro-batch fold;
+    * cross-batch order is the source's (the gate feeds time-ordered
+    * batches; a production deployment fronts this with the standard
+    * watermark + sorted foreachBatch arrangement when sources can
+    * interleave past batch boundaries).
+    */
+  def cusumMonitor(events: DataFrame, baseline: DataFrame): Dataset[CusumUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .join(broadcast(baseline), "user_id") // stream-static, map-side
+      .select($"user_id".as("user_id"),
+        unix_micros($"ts").as("tsu"), $"event_id",
+        (floor($"value" * 10000 + 0.5).cast("long") - $"mu").as("d"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CusumState, CusumUpdate](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            CusumState(0L, Long.MaxValue, Long.MinValue, -1L, 0L))
+          var (pref, minPref, best, bestEvent, n) =
+            (prev.pref, prev.minPref, prev.best, prev.bestEvent, prev.n)
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, d) =>
+            pref += d
+            if (pref < minPref) minPref = pref
+            val cusum = pref - minPref
+            if (cusum > best) { best = cusum; bestEvent = eid }
+            n += 1
+          }
+          state.update(CusumState(pref, minPref, best, bestEvent, n))
+          CusumUpdate(user, best, bestEvent, n)
+      }
+  }
+
+  /** The baseline frame for [[cusumMonitor]]: per-user integer-micro
+    * mean over a history corpus — the same μ the batch operator uses,
+    * so monitor == batch replay on identical data (CusumStreamSpec).
+    */
+  def cusumBaseline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Core.loadEvents(s, dir)
+      .select($"user_id", floor($"value" * 10000 + 0.5).cast("long").as("vm"))
+      .groupBy($"user_id")
+      .agg(expr("sum(vm) DIV count(*)").as("mu"))
+  }
+
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */

@@ -450,6 +450,38 @@ class StreamingSpec extends SparkSpecBase {
       rm(new java.io.File(lake))
     }
   }
+  test("stream_cusum: monitor equals batch replay; state carries across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    // the batch operator's full-corpus μ IS the monitor's baseline, so
+    // streaming the same events must land on the identical statistic
+    val baseline = Streams.cusumBaseline(spark, dir)
+    val evs = Core.loadEvents(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Streams.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // three TIME-ordered batches — cross-batch carry is the point
+    val batches = evs.grouped((evs.length + 2) / 3).toSeq
+    val in = MemoryStream[Streams.Ev]
+    val q = Streams.cusumMonitor(in.toDF(), baseline).toDF()
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Update()).start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    // latest update per user = max n_seen (monotone)
+    val got = spark.table("cusum_out").as[Streams.CusumUpdate].collect()
+      .groupBy(_.user_id).map { case (u, xs) =>
+        val last = xs.maxBy(_.n_seen)
+        u -> ((last.max_cusum_micro, last.at_event))
+      }
+    val want = SparkEntry.queries("ts_changepoint_cusum")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, m, at) => u -> ((m, at)) }.toMap
+    assert(got.size == want.size, s"user coverage ${got.size} vs ${want.size}")
+    val diffs = want.collect { case (u, w) if got(u) != w => s"$u: got ${got(u)} want $w" }
+    assert(diffs.isEmpty, diffs.take(5).mkString("\n"))
+  }
+
   test("stream_heavy_hitters: sharded MG sketches, bounded state, cross-batch carry") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
