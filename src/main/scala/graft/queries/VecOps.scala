@@ -444,6 +444,38 @@ object VecOps {
     },
 
     entry(
+      "vec_gram_matrix",
+      """WITH x AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS m,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings)
+        |SELECT a.i AS d1, b.i AS d2, CAST(sum(a.m * b.m) AS BIGINT) AS gram
+        |FROM x a JOIN x b USING (vec_id)
+        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Exact integer Gram (second-moment) matrix of the embedding lake
+      // — the covariance/PCA/whitening input. The dims² result is tiny
+      // (4 KB); what matters is HOW it's accumulated: a typed
+      // Aggregator (functions/GramMatrix.scala) folds each task's
+      // vectors into a flat local array with one multiply-add per dim
+      // pair — no row explosion, partials merge element-wise, only
+      // dims²-sized states cross the wire. The oracle's per-pair
+      // explode join shuffles dims²·n rows — fine at 500 oracle
+      // vectors, unshippable at 10⁹. Milli-unit quantization keeps
+      // every sum an exact integer (order-independent, hash-exact).
+      val g = load(s, dir, "embeddings")
+        .select($"embedding".cast("array<double>").as("emb"))
+        .as[Seq[Double]]
+        .select(graft.functions.GramMatrix.agg(64).toColumn)
+        .toDF("g")
+      g.select(posexplode($"g").as(Seq("idx", "gram")))
+        .select(($"idx" / 64).cast("long").as("d1"),
+          pmod($"idx", lit(64)).cast("long").as("d2"), $"gram")
+        .orderBy($"d1", $"d2")
+    },
+
+    entry(
       "vec_centroid_stats",
       """WITH x AS (SELECT label,
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS m,
