@@ -409,6 +409,36 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_seasonality",
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS rate_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Hour-of-day seasonality profile per event type (integer-ppm
+      // share of the type's traffic in each hour) — the diurnal
+      // fingerprint capacity planning and anomaly baselines consume;
+      // a type whose profile flattens or shifts is the seasonal
+      // regression profile_drift's halves can't see. Scale shape: ONE
+      // two-phase hash-agg on the (type, hour) key — 24 × |types|
+      // output rows regardless of event volume; the per-type totals
+      // derive from the aggregated frame (never a second corpus scan)
+      // and broadcast back. All-integer output, hash-exact.
+      val c = loadEvents(s, dir)
+        .groupBy($"event_type", hour($"ts").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy($"event_type").agg(sum($"n").as("tot"))
+      c.join(broadcast(t), "event_type")
+        .select($"event_type", $"hod", $"n",
+          expr("n * 1000000L DIV tot").as("rate_ppm"))
+        .orderBy($"event_type", $"hod")
+    },
+
+    entry(
       "ts_changepoint_cusum",
       """WITH v AS (SELECT user_id, ts, event_id,
         |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vm FROM events),

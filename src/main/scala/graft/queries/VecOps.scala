@@ -475,6 +475,47 @@ object VecOps {
         .orderBy($"d1", $"d2")
     },
 
+    entryNoOracle("vec_pca_power") { (s, dir) =>
+      import s.implicits._
+      // Top principal direction of the embedding second-moment matrix
+      // by power iteration — the drift/whitening summary a lake
+      // monitors (a rotating principal axis = upstream encoder change).
+      // Division of labor is the point: the DISTRIBUTED work is the
+      // exact Gram aggregate (same typed Aggregator as
+      // vec_gram_matrix — dims²-sized partials, no row explosion); the
+      // ITERATION runs on the driver over the collected 64×64 matrix
+      // (4 KB of model-sized state — the same bounded-driver contract
+      // as the BPE argmax). Fixed start vector + fixed 60 iterations
+      // on one deterministic matrix → bit-stable output. Q-gated: no
+      // SQL engine power-iterates; OperatorSpec checks the eigenpair
+      // PROPERTY (‖Gv − λv‖/λ small, ‖v‖=1) rather than re-deriving
+      // the same code path, so agreement is evidence.
+      val dims = 64
+      val g = load(s, dir, "embeddings")
+        .select($"embedding".cast("array<double>").as("emb"))
+        .as[Seq[Double]]
+        .select(graft.functions.GramMatrix.agg(dims).toColumn)
+        .head()
+      val a = Array.tabulate(dims, dims)((i, j) => g(i * dims + j).toDouble)
+      var v = Array.fill(dims)(1.0 / math.sqrt(dims))
+      var lambda = 0.0
+      for (_ <- 1 to 60) {
+        val w = Array.tabulate(dims)(i => {
+          var acc = 0.0; var j = 0
+          while (j < dims) { acc += a(i)(j) * v(j); j += 1 }; acc
+        })
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / lambda)
+      }
+      // canonical sign: first nonzero component positive
+      val sgn = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+      s.createDataFrame(v.toSeq.zipWithIndex.map { case (c, i) =>
+        (i.toLong, BigDecimal(sgn * c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(lambda).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }).toDF("dim", "component", "eigenvalue")
+        .orderBy($"dim")
+    },
+
     entry(
       "vec_centroid_stats",
       """WITH x AS (SELECT label,

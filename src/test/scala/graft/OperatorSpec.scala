@@ -509,4 +509,34 @@ class OperatorSpec extends SparkSpecBase {
       assert(SparkEntry.queries(name)(spark, sf("sf0.001")).count() >= 0)
     }
   }
+
+  test("vec_pca_power returns a genuine top eigenpair of the exact Gram matrix") {
+    import spark.implicits._
+    // property check, not a re-derivation: rebuild the Gram matrix
+    // independently (plain Scala over the collected vectors, same
+    // milli-quantization) and verify the declared (v, λ) satisfies
+    // ‖Gv − λv‖/λ ≈ 0 with ‖v‖ = 1 — a wrong eigenvector or a sign/
+    // normalization bug fails this regardless of how the entry
+    // computed it.
+    val dims = 64
+    val vecs = Core.load(spark, sf("sf0.001"), "embeddings")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    val g = Array.ofDim[Double](dims, dims)
+    for (v <- vecs) {
+      val m = Array.tabulate(dims)(i => math.floor(v(i) * 1000 + 0.5))
+      for (i <- 0 until dims; j <- 0 until dims) g(i)(j) += m(i) * m(j)
+    }
+    val out = SparkEntry.queries("vec_pca_power")(spark, sf("sf0.001"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val v = out.map(_._2)
+    val lambda = out.head._3
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4, "v not unit-norm")
+    assert(lambda > 0, "eigenvalue must be positive for a Gram matrix")
+    val gv = Array.tabulate(dims)(i => (0 until dims).map(j => g(i)(j) * v(j)).sum)
+    val resid = math.sqrt(gv.zip(v).map { case (a, b) => val d = a - lambda * b; d * d }.sum)
+    assert(resid / lambda < 1e-2,
+      s"not an eigenpair: relative residual ${resid / lambda}")
+    val firstNz = v.find(math.abs(_) > 1e-12).get
+    assert(firstNz > 0, "canonical sign: first nonzero component positive")
+  }
 }

@@ -196,6 +196,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("gram reduce-then-merge equals whole-stream reduce exactly (integer sums)") {
+    val dims = 4
+    val vGen = Gen.listOfN(dims, Gen.choose(-5.0, 5.0))
+    val xsGen = Gen.nonEmptyListOf(vGen)
+    check("gram-merge", Prop.forAll(xsGen, Gen.choose(0, 100)) { (xs, cut0) =>
+      val agg = graft.functions.GramMatrix.agg(dims)
+      val cut = cut0 % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val whole = xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)),
+        r.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)))
+      whole.toSeq == merged.toSeq
+    })
+  }
+
   test("welford variance equals two-pass variance") {
     val xsGen = Gen.listOfN(50, Gen.choose(-1e4, 1e4))
     check("welford-variance", Prop.forAll(xsGen) { xs =>
