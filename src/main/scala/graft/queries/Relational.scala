@@ -996,6 +996,66 @@ object Relational {
           .filter($"o_orderdate" >= lit("2000-08-01").cast("timestamp"))
           .select($"o_custkey".as("id")))
         .orderBy($"id")
+    },
+
+    entry(
+      "set_except_all",
+      """SELECT o_custkey AS id FROM orders
+        |EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Bag-semantics EXCEPT ALL — multiplicity-aware difference (each
+      // right occurrence cancels ONE left occurrence), the form
+      // reconciliation/ledger diffs actually need where DISTINCT
+      // except would collapse legitimate duplicates. Spark plans it as
+      // a count-propagating aggregate + generate — one shuffle on the
+      // value, no join explosion.
+      val o = load(s, dir, "orders")
+      o.select($"o_custkey".as("id"))
+        .exceptAll(o.filter($"o_orderkey" % 3 === 0).select($"o_custkey".as("id")))
+        .orderBy($"id")
+    },
+
+    entry(
+      "set_intersect_all",
+      """SELECT o_custkey AS id FROM orders WHERE o_orderkey % 2 = 0
+        |INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Bag-semantics INTERSECT ALL — min-of-multiplicities overlap,
+      // the dual of set_except_all. Same count-propagating aggregate
+      // plan shape.
+      val o = load(s, dir, "orders")
+      o.filter($"o_orderkey" % 2 === 0).select($"o_custkey".as("id"))
+        .intersectAll(o.filter($"o_orderkey" % 3 === 0).select($"o_custkey".as("id")))
+        .orderBy($"id")
+    },
+
+    entry(
+      "proj_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        l_quantity AS quantity, l_extendedprice AS extendedprice,
+        |        l_discount AS discount FROM lineitem)
+        |UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Wide→long unpivot (melt) — the reshaping step between a
+      // column-per-metric table and a (key, metric, value) frame that
+      // generic profilers/plotters consume (profile_table uses the same
+      // device internally via stack()). Codegen'd Expand: each input
+      // row emits its k metric rows map-side — no shuffle beyond the
+      // presentation sort.
+      load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          expr("""stack(3, 'quantity', l_quantity,
+                 |         'extendedprice', l_extendedprice,
+                 |         'discount', l_discount) AS (metric, value)""".stripMargin))
+        .select($"l_orderkey", $"l_linenumber", $"metric", round($"value", 4).as("value"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
     }
   )
 
