@@ -16,9 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * unshippable at 10⁹ vectors.
   *
   * Integer sums are associative, so the result is exact and
-  * partition-order independent. Overflow headroom: |m| ≤ 10³·|v|, so
-  * Σ m² stays under 2⁶³ until ~10¹² vectors at |v| ≤ 30 — past that,
-  * shard the sum by vec_id ranges and widen to decimal.
+  * partition-order independent. Overflow headroom: |m| ≤ 10³·|v|, so a
+  * cell accumulates ≤ n·(10³·|v|)² — under 2⁶³ until ~10¹² vectors at
+  * |v| ≤ 3, ~10¹⁰ at |v| ≤ 30. Past that, shard the sum by vec_id
+  * ranges and widen to decimal (JVM long arithmetic WRAPS silently
+  * here, it does not throw).
   */
 object GramMatrix {
 

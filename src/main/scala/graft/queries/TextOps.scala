@@ -263,7 +263,7 @@ object TextOps {
     * the map refs also frees the labels' localCheckpoint RDDs via the
     * ContextCleaner once unreferenced.
     */
-  private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit =
+  private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     cacheLock.synchronized {
       vsCache.keys.filter(_._1 eq s).foreach { k =>
         // the sets frame is owned (and unpersisted) by sigCache below
@@ -282,15 +282,18 @@ object TextOps {
       sigCache.keys.filter(_._1 eq s).foreach { k =>
         sigCache.remove(k).foreach(_.unpersist())
       }
-      // the vector side keeps its own memoized banded-signature frame,
-      // the curation side its clean-corpus spine, and the embedding
-      // side its word-vector model — one lifecycle hook releases every
-      // family's blocks
-      VecOps.evictCaches(s)
-      PipelineOps.evictCaches(s)
-      EmbedOps.evictCaches(s)
-      TokenizerOps.evictCaches(s)
     }
+    // The other families' evictions run OUTSIDE cacheLock: their
+    // builders (e.g. TokenizerOps.trainBpe, PipelineOps.cleanCorpus)
+    // hold their own module lock while calling back into
+    // TextOps.docTokens/termFreq (which takes cacheLock) — chaining
+    // them while still holding cacheLock is the textbook AB-BA
+    // deadlock against a concurrent builder.
+    VecOps.evictCaches(s)
+    PipelineOps.evictCaches(s)
+    EmbedOps.evictCaches(s)
+    TokenizerOps.evictCaches(s)
+  }
 
   /** Materialize the cluster labels eagerly — the bench's named setup
     * step, so the one-time propagation cost is attributed to itself

@@ -448,8 +448,8 @@ object TimeSeriesQ {
         |      ROWS UNBOUNDED PRECEDING) AS pref
         |  FROM v JOIN m USING (user_id)),
         |c AS (SELECT user_id, ts, event_id,
-        |    pref - min(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS cusum
+        |    pref - least(min(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING), 0) AS cusum
         |  FROM p),
         |r AS (SELECT user_id, event_id, cusum,
         |    row_number() OVER (PARTITION BY user_id
@@ -462,7 +462,10 @@ object TimeSeriesQ {
       // One-sided CUSUM changepoint statistic per user (Page 1954):
       // S_i = max(0, S_{i-1} + (x_i − μ)). The recursion looks
       // sequential, but reduces to prefix-sum minus running-min
-      // (S_i = P_i − min_{j≤i} P_j) — two ASSOCIATIVE window
+      // (S_i = P_i − min_{0≤j≤i} P_j — the min MUST include the
+      // virtual P₀ = 0, hence least(·, 0): without it a drift that
+      // starts at the first event is clipped while every prefix sum
+      // is still positive) — two ASSOCIATIVE window
       // aggregates over the same per-user sort, which is what keeps it
       // a plain partitioned window at 100 TB instead of a sequential
       // per-key scan. The row where S peaks is the changepoint
@@ -483,7 +486,7 @@ object TimeSeriesQ {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       v.join(broadcast(mu), "user_id")
         .withColumn("pref", sum($"vm" - $"mu").over(w))
-        .withColumn("cusum", $"pref" - min($"pref").over(w))
+        .withColumn("cusum", $"pref" - least(min($"pref").over(w), lit(0L)))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"user_id").orderBy($"cusum".desc, $"ts", $"event_id")))
         .filter($"rn" === 1)

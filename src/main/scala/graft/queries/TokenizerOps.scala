@@ -136,7 +136,11 @@ object TokenizerOps {
                 (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
               merges += Merge(r, a, b, a + b, cnt)
               val next = seg.withColumn("seg", mergeFold(a, b)).localCheckpoint()
-              seg.unpersist()
+              // no explicit unpersist: Dataset.unpersist is a no-op for
+              // localCheckpoint blocks (they are RDD-persisted, not
+              // CacheManager entries) — dropping the reference frees
+              // them via the ContextCleaner, the same lifecycle as the
+              // label-propagation loop's rounds
               seg = next
               r += 1
             }
@@ -147,9 +151,11 @@ object TokenizerOps {
 
   private[graft] def evictCaches(s: SparkSession): Unit =
     cacheLock.synchronized {
-      bpeCache.keys.filter(_._1 eq s).foreach { k =>
-        bpeCache.remove(k).foreach(_._2.unpersist())
-      }
+      // dropping the map reference is the release: the segmentation
+      // frame is localCheckpoint-backed, so its blocks free via the
+      // ContextCleaner once unreferenced (Dataset.unpersist would be a
+      // no-op on checkpoint blocks)
+      bpeCache.keys.filter(_._1 eq s).foreach(bpeCache.remove)
     }
 
   val entries: Seq[Entry] = Seq(

@@ -71,9 +71,20 @@ object AvroIO {
     case x => x
   }
 
-  private def decode(bytes: Array[Byte]): Iterator[GenericRecord] = {
+  /** Decode one container's records RESOLVED against the directory's
+    * reader schema (Avro schema resolution matches fields BY NAME and
+    * fails loudly on incompatibles) — decoding each file with only its
+    * own embedded writer schema and then mapping columns by position
+    * would silently swap values the moment one producer reordered its
+    * fields.
+    */
+  private def decode(bytes: Array[Byte], readerSchemaJson: String): Iterator[GenericRecord] = {
+    val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+    // single-schema ctor sets the EXPECTED schema; DataFileReader then
+    // installs each file's writer schema as the actual → resolution
     val rdr = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord](readerSchema))
     new Iterator[GenericRecord] {
       def hasNext: Boolean = { val h = rdr.hasNext; if (!h) rdr.close(); h }
       def next(): GenericRecord = rdr.next()
@@ -85,7 +96,13 @@ object AvroIO {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
-    val firstBytes = bin.orderBy(col("path")).limit(1)
+    // two bounded steps, not one: selecting ONLY `path` lets the
+    // binaryFile scan prune the content column, so finding the first
+    // file never reads any payload bytes; only that one file's bytes
+    // are then fetched for the schema sniff
+    val firstPath = bin.select(col("path")).orderBy(col("path")).limit(1)
+      .as[String].head()
+    val firstBytes = bin.filter(col("path") === firstPath)
       .select(col("content")).as[Array[Byte]].head()
     val avroSchema = {
       val rdr = new DataFileReader[GenericRecord](
@@ -93,9 +110,10 @@ object AvroIO {
       try rdr.getSchema finally rdr.close()
     }
     val sparkSchema = sparkSchemaOf(avroSchema)
+    val schemaJson = avroSchema.toString
     val n = sparkSchema.size
     val rows = bin.select(col("content")).as[Array[Byte]].rdd.flatMap { bytes =>
-      decode(bytes).map { rec =>
+      decode(bytes, schemaJson).map { rec =>
         Row.fromSeq(Array.tabulate(n)(i => convertIn(rec.get(i))).toSeq)
       }
     }
@@ -129,20 +147,35 @@ object AvroIO {
     case x                 => x
   }
 
-  /** Write the frame as one Avro container file per partition. */
+  /** Write the frame as one Avro container file per partition
+    * (overwrite semantics: the target directory is cleared first —
+    * without that, a rewrite from a NARROWER partitioning would leave
+    * stale part files from the previous run alive under a fresh
+    * `_SUCCESS`, silently mixing old and new rows on read-back).
+    */
   def writeAvro(df: DataFrame, path: String): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st, "row").toString
     val n = st.size
+    val driverConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tfs = target.getFileSystem(driverConf)
+    if (tfs.exists(target)) tfs.delete(target, true)
+    tfs.mkdirs(target)
+    // executors must see the SESSION's Hadoop settings (spark.hadoop.*
+    // object-store credentials etc.) — a bare new Configuration() on
+    // the executor would drop them; Configuration isn't serializable,
+    // so ship the entries and rebuild
+    val confEntries = driverConf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
-        // executor-side FS handle: default Configuration resolves
-        // file:// locally and the cluster scheme from the classpath
-        // core-site on a real deployment
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(f"$path%s/part-$pid%05d.avro")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)

@@ -440,8 +440,12 @@ object Streams {
       .groupByKey(_._1)
       .mapGroupsWithState[CusumState, CusumUpdate](GroupStateTimeout.NoTimeout) {
         (user, rows, state) =>
+          // minPref starts at 0, not +∞: the running min must include
+          // the virtual P₀ = 0 for S_i = P_i − min_{0≤j≤i} P_j to be
+          // Page's CUSUM (else drift starting at the first event is
+          // clipped while all prefix sums are still positive)
           val prev = state.getOption.getOrElse(
-            CusumState(0L, Long.MaxValue, Long.MinValue, -1L, 0L))
+            CusumState(0L, 0L, Long.MinValue, -1L, 0L))
           var (pref, minPref, best, bestEvent, n) =
             (prev.pref, prev.minPref, prev.best, prev.bestEvent, prev.n)
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, d) =>

@@ -482,6 +482,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(diffs.isEmpty, diffs.take(5).mkString("\n"))
   }
 
+  test("stream_cusum: drift starting at the FIRST event is not clipped (P0=0 in the running min)") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // deltas +2, +2, -4 (micro: values 0.0002/0.0002/-0.0004, μ=0):
+    // Page's recursion gives S = [2, 4, 0] — peak 4 at the SECOND
+    // event. An implementation whose running min omits the virtual
+    // P₀ = 0 reports [0, 2, 0] (peak 2): the first event always scores
+    // 0 and early level shifts are systematically underreported.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, v: Double) =
+      Streams.Ev(id, 1L, "x", new java.sql.Timestamp(t0.getTime + id * 1000), v)
+    val in = MemoryStream[Streams.Ev]
+    val baseline = Seq((1L, 0L)).toDF("user_id", "mu")
+    val q = Streams.cusumMonitor(in.toDF(), baseline).toDF()
+      .writeStream.format("memory").queryName("cusum_p0")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Seq(ev(1, 0.0002), ev(2, 0.0002), ev(3, -0.0004)))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("cusum_p0").as[Streams.CusumUpdate].collect().maxBy(_.n_seen)
+    assert(last.max_cusum_micro == 4L, s"peak must be 4, got ${last.max_cusum_micro}")
+    assert(last.at_event == 2L, s"peak at event 2, got ${last.at_event}")
+  }
+
   test("stream_heavy_hitters: sharded MG sketches, bounded state, cross-batch carry") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
