@@ -66,6 +66,40 @@ class AvroSpec extends SparkSpecBase {
     assert(got(7L) == "row7" && got(10L) == null && got.size == 100)
   }
 
+  test("schema evolution: a file with reordered fields resolves BY NAME, not position") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_evo").toString
+    def write(name: String, schemaJson: String, put: GenericData.Record => Unit): Unit = {
+      val sch = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, new java.io.File(s"$dir/$name"))
+      val rec = new GenericData.Record(sch); put(rec); w.append(rec); w.close()
+    }
+    // lexicographically FIRST file fixes the reader schema (k, v) …
+    write("a_first.avro",
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin,
+      r => { r.put("k", 1L); r.put("v", "first") })
+    // … a later producer wrote the SAME fields in the opposite order
+    write("b_reordered.avro",
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"v","type":"string"},{"name":"k","type":"long"}]}""".stripMargin,
+      r => { r.put("v", "second"); r.put("k", 2L) })
+    val got = AvroIO.readAvro(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // positional decoding would crash or swap columns here
+    assert(got == Set((1L, "first"), (2L, "second")), got)
+  }
+
+  test("overwrite clears stale part files from a previous wider write") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_ow").toString
+    import spark.implicits._
+    AvroIO.writeAvro(spark.range(8).toDF("id").repartition(4), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 4)
+    AvroIO.writeAvro(spark.range(3).toDF("id").repartition(1), dir)
+    // a non-clearing writer would leave parts 1-3 alive → 8+3 rows
+    assert(AvroIO.readAvro(spark, dir).count() == 3)
+  }
+
   test("unsupported shapes fail loudly, not silently") {
     val dir = java.nio.file.Files.createTempDirectory("avro_bad").toString
     import spark.implicits._
