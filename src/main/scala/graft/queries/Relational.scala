@@ -375,6 +375,56 @@ object Relational {
         .orderBy($"p_id")
     },
 
+    entry(
+      "join_asof_nearest",
+      """SELECT p_id, user_id, v_id, delta_us, dir FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id, v.event_id AS v_id,
+        |    abs(epoch_us(v.ts) - epoch_us(p.ts)) AS delta_us,
+        |    CASE WHEN v.ts <= p.ts THEN 'b' ELSE 'f' END AS dir,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      abs(epoch_us(v.ts) - epoch_us(p.ts)),
+        |      CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+        |      CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END) AS rn
+        |  FROM events p JOIN events v ON v.user_id = p.user_id
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view') t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Nearest-event join (both directions) — the sensor-alignment /
+      // attribution sibling of join_asof: each purchase pairs with its
+      // CLOSEST view in time, backward preferred on exact ties. Same
+      // scale-safe device as join_asof, applied twice over ONE
+      // user-partitioned sort: carry the latest view forward AND the
+      // next view backward with frame windows, then a per-row 2-way
+      // min — one linear shuffle on user_id, O(events) state, never
+      // the views×purchases range join the oracle states. Tie
+      // conventions (same-ts views count backward with max event_id;
+      // forward picks the earliest later view, min event_id) fall out
+      // of the (ts, kind, event_id) sort with view-kind 0 < purchase 1.
+      val ev = loadEvents(s, dir).filter($"event_type".isin("view", "purchase"))
+      val tagged = ev.select($"event_id", $"user_id", unix_micros($"ts").as("tsu"),
+        when($"event_type" === "view", 0).otherwise(1).as("kind"),
+        when($"event_type" === "view", $"event_id").as("v_event"),
+        when($"event_type" === "view", unix_micros($"ts")).as("v_tsu"))
+      val base = Window.partitionBy($"user_id").orderBy($"tsu", $"kind", $"event_id")
+      val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("bv", last($"v_event", ignoreNulls = true).over(wB))
+        .withColumn("bt", last($"v_tsu", ignoreNulls = true).over(wB))
+        .withColumn("fv", first($"v_event", ignoreNulls = true).over(wF))
+        .withColumn("ft", first($"v_tsu", ignoreNulls = true).over(wF))
+        .filter($"kind" === 1 && ($"bv".isNotNull || $"fv".isNotNull))
+        .withColumn("bd", $"tsu" - $"bt")
+        .withColumn("fd", $"ft" - $"tsu")
+        .withColumn("takeB", $"bv".isNotNull && ($"fv".isNull || $"bd" <= $"fd"))
+        .select($"event_id".as("p_id"), $"user_id",
+          when($"takeB", $"bv").otherwise($"fv").as("v_id"),
+          when($"takeB", $"bd").otherwise($"fd").as("delta_us"),
+          when($"takeB", lit("b")).otherwise(lit("f")).as("dir"))
+        .orderBy($"p_id")
+    },
+
     // TPC-H Q5-shaped star join; Catalyst broadcast-joins the dim chain and
     // reorders — no manual scheduling (SURVEY.md §4.2).
     entry(

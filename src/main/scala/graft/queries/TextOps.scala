@@ -675,6 +675,51 @@ object TextOps {
     },
 
     entry(
+      "text_boilerplate_score",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+        |    i -> array_to_string(list_slice(toks, i+1, i+8), ' '))) AS gram
+        |  FROM t),
+        |b AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |m AS (SELECT g.doc_id, count(*) AS n_boiler
+        |  FROM g JOIN b USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(m.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(coalesce(m.n_boiler, 0) * 1000000 // d.n_grams AS BIGINT) AS boiler_ppm
+        |FROM d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // The ACTIONABLE half of text_boilerplate_ngrams (the same
+      // relationship decontaminate has to contamination): per-document
+      // templatedness — what fraction of a doc's 8-gram positions land
+      // in a passage shared with other documents. The score a curation
+      // pass filters or downweights on (a doc that is mostly shared
+      // template text adds no training signal). Scale shape: ONE gram
+      // stream feeds both sides — the shared-passage set derives from
+      // the ≥2-doc HAVING (singleton tail dies in the partial agg) and
+      // joins back on the gram key; per-doc counts are two-phase
+      // hash-aggs; all-integer ppm output, hash-exact.
+      val g = docTokens(s, dir)
+        .select($"doc_id",
+          explode(when(size($"toks") >= 8,
+              transform(sequence(lit(1), size($"toks") - 7),
+                i => concat_ws(" ", slice($"toks", i, lit(8)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val b = g.groupBy($"gram").agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2).select($"gram")
+      val d = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val m = g.join(b, "gram").groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+      d.join(m, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+          expr("coalesce(n_boiler, 0) * 1000000L DIV n_grams").as("boiler_ppm"))
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "text_entropy",
       """WITH tok AS (SELECT source,
         |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
