@@ -63,6 +63,37 @@ object Codecs {
       encodePng(dst)
     }
 
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual fingerprint for image near-dedup (Krawetz's dHash:
+    * bilinear-resize to 9×8 grayscale, bit b = 1 iff luma(x,y) >
+    * luma(x+1,y)). Robust to re-encoding, scaling, and mild
+    * brightness/contrast shifts; near-duplicate images differ in a few
+    * bits (Hamming ≤ ~10 of 64), unrelated ones in ~32.
+    */
+  def dhash64(img: BufferedImage): Long = {
+    val dst = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val p = dst.getRGB(x, y)
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) > luma(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** 8-dim real image signature from decoded pixels:
     * [meanR, meanG, meanB, lumaMean, lumaStd, gradH, gradV, aspect].
     * Channel means are in [0,1]; gradients are mean absolute

@@ -94,6 +94,38 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(asset_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Perceptual 64-bit dHash per image asset (REAL decode via ImageIO;
+    * video assets hash their first GIF frame). Undecodable payloads
+    * fall back to a byte-content xxhash-style fingerprint (still
+    * catches EXACT duplicates) and are flagged `decoded = false` so
+    * consumers can separate perceptual matches from byte matches.
+    * Per-partition batched, one iterator per partition — the same
+    * kernel shape as [[featurize]].
+    */
+  def imageHashes(assets: Dataset[Asset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(a => a.modality == "image" || a.modality == "video")
+      .mapPartitions { it =>
+        it.map { a =>
+          val img = a.modality match {
+            case "image" => Codecs.decodeImage(a.data)
+            case _       => Codecs.gifFrames(a.data).flatMap(_.headOption)
+          }
+          img match {
+            case Some(i) => ImageHash(a.asset_id, Codecs.dhash64(i), decoded = true)
+            case None =>
+              ImageHash(a.asset_id,
+                scala.util.hashing.MurmurHash3.bytesHash(
+                  if (a.data == null) Array.emptyByteArray else a.data).toLong,
+                decoded = false)
+          }
+        }
+      }
+  }
+
   /** Resize pass for image assets (real bilinear raster scale, output
     * re-encoded PNG); non-images and undecodable payloads pass through
     * with a byte-budget truncation fallback (documented contract).

@@ -311,6 +311,37 @@ object ExtensibilityOps {
         .select($"asset_id", $"window_idx", $"start_ms",
           length($"window").as("win_len"), xxhash64($"window").as("win_hash"))
         .orderBy($"asset_id", $"window_idx")
+    },
+
+    entryNoOracle("mm_image_dedup") { (s, _) =>
+      import s.implicits._
+      // Perceptual image near-dedup — the multimodal sibling of
+      // text_dedup_near: REAL dHash fingerprints (ImageIO raster →
+      // 9×8 gray gradient bits, Codecs.dhash64), banded 4×16 bits for
+      // candidate generation, Hamming ≤ 6 verify via codegen'd
+      // bit_count(xor). NEVER all-pairs: candidates only within
+      // (band, key) buckets, the same LSH shape as every text/vector
+      // dedup here (pigeonhole guarantees recall to Hamming ≤ 3 with
+      // 4 clean bands; ≤ 6 is the standard probabilistic band dial —
+      // MultimodalSpec pins the planted-near-dup recall). Byte-hash
+      // fallback rows (decoded=false) only ever match exactly.
+      val h = graft.operators.Multimodal
+        .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
+      val bands = h.select($"asset_id", $"dhash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned($"dhash", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+        .select($"asset_id", $"dhash", $"bk.band".as("band"), $"bk.key".as("key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        .distinct()
+        .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+        .filter($"hamming" <= 6)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
     }
   )
 }

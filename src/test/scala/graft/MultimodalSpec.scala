@@ -146,6 +146,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1 == f2, "features must be identical after a parquet round-trip")
   }
 
+  test("mm_image_dedup: planted perceptual near-dups pair, unrelated images don't") {
+    import spark.implicits._
+    // 32×32 gradient raster; the near-dup is the same raster with a
+    // mild global brightness lift (+12) — byte-different, perceptually
+    // identical; the unrelated image is an independent pattern
+    def img(bright: Int, unrelated: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v0 = if (unrelated) ((x * 7) ^ (y * 13)) * 9 % 256
+                 else (x * 6 + y * 2) % 256
+        val v = math.min(255, v0 + bright)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      graft.operators.Codecs.encodePng(im)
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", img(0, unrelated = false), 32, 32, 0L),
+      Multimodal.Asset(2L, "image", img(12, unrelated = false), 32, 32, 0L), // near-dup of 1
+      Multimodal.Asset(3L, "image", img(0, unrelated = true), 32, 32, 0L),
+      Multimodal.Asset(4L, "image", Array[Byte](1, 2, 3), 0, 0, 0L) // undecodable
+    ).toDS()
+    val h = Multimodal.imageHashes(assets).collect().map(x => x.asset_id -> x).toMap
+    assert(h(1L).decoded && h(2L).decoded && h(3L).decoded && !h(4L).decoded)
+    val d12 = java.lang.Long.bitCount(h(1L).dhash ^ h(2L).dhash)
+    val d13 = java.lang.Long.bitCount(h(1L).dhash ^ h(3L).dhash)
+    assert(d12 <= 6, s"brightness-shifted copy must be a perceptual near-dup, hamming=$d12")
+    assert(d13 > 6, s"unrelated image must not pair, hamming=$d13")
+    // and the dhash survives a re-encode (PNG -> raster -> PNG)
+    val re = graft.operators.Codecs.encodePng(
+      graft.operators.Codecs.decodeImage(img(0, unrelated = false)).get)
+    val hr = graft.operators.Codecs.dhash64(graft.operators.Codecs.decodeImage(re).get)
+    assert(hr == h(1L).dhash, "dhash must be stable under lossless re-encode")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
