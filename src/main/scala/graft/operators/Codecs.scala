@@ -280,6 +280,35 @@ object Codecs {
     bo.array()
   }
 
+  /** 64-bit energy-envelope fingerprint of decoded PCM — the audio
+    * sibling of [[dhash64]]: mono samples split into 65 equal
+    * sub-windows, bit b = 1 iff RMS(sub b) > RMS(sub b+1). Gradient
+    * bits over a NORMALIZED envelope are invariant to amplitude
+    * scaling and codec/container round-trips, and robust to small
+    * trims — the Haitsma-Kalker energy-difference family of
+    * fingerprints, time-domain form (no FFT in the JDK). Unrelated
+    * audio differs in ~32 of 64 bits; re-leveled copies in ≤ a few.
+    */
+  def audioFingerprint64(w: Wav): Long = {
+    val s = monoSamples(w)
+    if (s.length < 130) return 0L
+    val sub = 65
+    val win = s.length / sub
+    val rms = Array.tabulate(sub) { b =>
+      var acc = 0.0; var i = b * win
+      val end = i + win
+      while (i < end) { acc += s(i).toDouble * s(i); i += 1 }
+      math.sqrt(acc / win)
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (rms(b) > rms(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   /** 8-dim real audio signature from decoded PCM:
     * [rms, zeroCrossRate, peak, meanAbs, rms(q1), rms(q2), rms(q3), rms(q4)]
     * — quartile RMS gives a coarse temporal envelope, the feature a

@@ -126,6 +126,28 @@ object Multimodal {
       }
   }
 
+  final case class AudioHash(asset_id: Long, afp: Long, decoded: Boolean)
+
+  /** Energy-envelope fingerprint per audio asset (REAL RIFF/PCM
+    * decode) — same contract as [[imageHashes]]: undecodable payloads
+    * byte-hash with `decoded = false`.
+    */
+  def audioHashes(assets: Dataset[Asset]): Dataset[AudioHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "audio").mapPartitions { it =>
+      it.map { a =>
+        Codecs.decodeWav(a.data) match {
+          case Some(w) => AudioHash(a.asset_id, Codecs.audioFingerprint64(w), decoded = true)
+          case None =>
+            AudioHash(a.asset_id,
+              scala.util.hashing.MurmurHash3.bytesHash(
+                if (a.data == null) Array.emptyByteArray else a.data).toLong,
+              decoded = false)
+        }
+      }
+    }
+  }
+
   /** Resize pass for image assets (real bilinear raster scale, output
     * re-encoded PNG); non-images and undecodable payloads pass through
     * with a byte-budget truncation fallback (documented contract).

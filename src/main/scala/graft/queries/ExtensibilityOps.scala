@@ -342,6 +342,31 @@ object ExtensibilityOps {
         .filter($"hamming" <= 6)
         .select($"id_a", $"id_b", $"hamming")
         .orderBy($"id_a", $"id_b")
+    },
+
+    entryNoOracle("mm_audio_dedup") { (s, _) =>
+      import s.implicits._
+      // Audio near-dedup by energy-envelope fingerprint
+      // (Codecs.audioFingerprint64 — normalized-RMS gradient bits,
+      // amplitude/codec invariant): identical band-bucket LSH shape as
+      // mm_image_dedup, Hamming ≤ 6 verify, never all-pairs.
+      val h = graft.operators.Multimodal
+        .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
+      val bands = h.select($"asset_id", $"afp",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned($"afp", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+        .select($"asset_id", $"afp", $"bk.band".as("band"), $"bk.key".as("key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+          col("a.afp").as("ha"), col("b.afp").as("hb"))
+        .distinct()
+        .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+        .filter($"hamming" <= 6)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
     }
   )
 }

@@ -181,6 +181,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(hr == h(1L).dhash, "dhash must be stable under lossless re-encode")
   }
 
+  test("mm_audio_dedup: re-leveled copy fingerprints equal, different tone differs") {
+    import spark.implicits._
+    def tone(freq: Double, amp: Double): Array[Byte] = {
+      // amplitude-modulated tone so the energy ENVELOPE carries shape
+      val samples = Array.tabulate[Short](8000) { i =>
+        val env = 0.5 + 0.5 * math.sin(2 * math.Pi * freq * i / 8000.0)
+        (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * env * amp * 32767 * 0.9).toShort
+      }
+      graft.operators.Codecs.encodeWavPcm16(samples, 8000)
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", tone(3.0, 1.0), 0, 0, 1000L),
+      Multimodal.Asset(2L, "audio", tone(3.0, 0.5), 0, 0, 1000L), // half volume — same envelope shape
+      Multimodal.Asset(3L, "audio", tone(11.0, 1.0), 0, 0, 1000L), // different modulation
+      Multimodal.Asset(4L, "audio", Array[Byte](9, 9), 0, 0, 0L)
+    ).toDS()
+    val h = Multimodal.audioHashes(assets).collect().map(x => x.asset_id -> x).toMap
+    assert(h(1L).decoded && h(2L).decoded && h(3L).decoded && !h(4L).decoded)
+    val d12 = java.lang.Long.bitCount(h(1L).afp ^ h(2L).afp)
+    val d13 = java.lang.Long.bitCount(h(1L).afp ^ h(3L).afp)
+    assert(d12 <= 6, s"re-leveled copy must match (amplitude-invariant), hamming=$d12")
+    assert(d13 > 6, s"different envelope must not match, hamming=$d13")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
