@@ -723,6 +723,34 @@ object Relational {
     },
 
     entry(
+      "agg_regression",
+      """SELECT event_type,
+        |  round(regr_slope(value, epoch_us(ts) / 3600000000.0), 4) AS slope_per_hr,
+        |  round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 2) AS icept,
+        |  round(regr_r2(value, epoch_us(ts) / 3600000000.0), 4) AS r2,
+        |  CAST(regr_count(value, epoch_us(ts)) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Linear-regression aggregate family (regr_slope/intercept/r2) —
+      // per-type value trend over time, the "is this metric drifting
+      // and how fast" one-liner. x is epoch HOURS so the slope lands
+      // well above the rounding unit (per-second slopes are ~10⁻⁶ —
+      // exactly at 6dp resolution, a determinism trap). Single-pass
+      // co-moment aggregates, merge-associative partials like
+      // corr/covar; rounding absorbs partition-order ulps.
+      loadEvents(s, dir)
+        .withColumn("xh", unix_micros($"ts") / lit(3600000000.0))
+        .groupBy($"event_type")
+        .agg(
+          round(regr_slope($"value", $"xh"), 4).as("slope_per_hr"),
+          round(regr_intercept($"value", $"xh"), 2).as("icept"),
+          round(regr_r2($"value", $"xh"), 4).as("r2"),
+          regr_count($"value", $"xh").as("n"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "agg_listagg",
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
