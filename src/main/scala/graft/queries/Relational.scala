@@ -393,17 +393,40 @@ object Relational {
       // approximation — the oracle applies the identical predicate).
       // Declared output is the per-block distance histogram (the match
       // audit); ER consumers take the same join unaggregated. Scale
-      // shape: ONE shuffle on the block key, per-block pair
-      // generation bounded by block population (choose finer blocking
-      // — more tokens, length bands — when blocks grow), codegen'd
-      // levenshtein, two-phase count.
+      // shape: the block key is SALTED 16 ways (a-side takes a salt,
+      // b-side replicates across all salts) — the token blocks are few
+      // and fat (8 colors × ~n/8 here), so the unsalted join would run
+      // on 8 tasks regardless of cluster width; salting splits each
+      // block's pair generation across 128 tasks with the compare
+      // count unchanged. Distances use the THRESHOLDED levenshtein
+      // (early-abandon banded DP — O(len·k) per pair instead of
+      // O(len²), and most pairs abandon immediately), then two-phase
+      // count. Finer blocking (more tokens, length bands) is the dial
+      // when block populations grow faster than the salt width.
+      val salts = 16
       val p = load(s, dir, "part")
         .select($"p_partkey", $"p_name", split($"p_name", " ")(0).as("blk"))
-      p.as("a").join(p.as("b"),
-          col("a.blk") === col("b.blk") && col("a.p_partkey") < col("b.p_partkey"))
+      // spread the PROBE side before the broadcast join: the dim
+      // fixture is a single row-group, so without this every residual
+      // evaluation (50M levenshtein calls at sf0.1) lands in ONE task
+      // (measured 62 s → 2.9 s; same single-file trap as docTokens)
+      // explicit partition COUNT: a by-column repartition of a few
+      // thousand tiny rows is AQE-coalesced back to one partition —
+      // the row count is meaningless here, the residual work per row
+      // (block-population levenshtein calls) is what needs spreading
+      val a = p.withColumn("salt", pmod(xxhash64($"p_partkey"), lit(salts)))
+        .repartition(128, col("blk"), col("salt"))
+      val b = p.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      a.as("a").join(b.as("b"),
+          col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+            col("a.p_partkey") < col("b.p_partkey") &&
+            // redundant given distance <= 3 (edit distance >= length
+            // gap) but evaluated FIRST: a one-instruction short-circuit
+            // before the DP call on every candidate
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
         .select(col("a.blk").as("blk"),
-          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("distance"))
-        .filter($"distance" <= 3)
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).cast("long").as("distance"))
+        .filter($"distance" >= 0)
         .groupBy($"blk", $"distance").agg(count(lit(1)).as("n_pairs"))
         .orderBy($"blk", $"distance")
     },
