@@ -959,6 +959,105 @@ object PipelineOps {
         .groupBy($"bg").agg(sum($"c12").as("c12"))
       val c1 = c12.groupBy(split($"bg", " ")(0).as("w1")).agg(sum($"c12").as("c1"))
       scoreBigrams(s, batchBg, c12, c1)
+    },
+
+    entry(
+      "sample_weighted",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, len(toks) AS nt,
+        |    len(list_distinct(toks)) AS nd FROM t WHERE len(toks) > 0),
+        |h AS (SELECT *, (doc_id % 1000000007) * 2654435761 % 1000000007
+        |    * 2654435761 % 1000000007 * 2654435761 % 1000000007 AS h3 FROM q),
+        |k AS (SELECT * FROM h WHERE h3 * nt < nd * 1000000007)
+        |SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS kept_tokens,
+        |  round(avg(nd * 1.0 / nt), 4) AS avg_quality
+        |FROM k GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Weighted (importance) downsampling: keep each doc with
+      // probability equal to its quality weight — here the
+      // distinct-token ratio nd/nt, the same signal curate_token_budget
+      // ranks by — via a deterministic uniform draw. The Bernoulli test
+      // h3 < w·p is evaluated in EXACT INTEGER form (h3·nt < nd·p, all
+      // < 2⁶³: h3 < p ≈ 10⁹, nt ≤ corpus doc length) so no float
+      // boundary can flip membership between engines or reruns. h3 is
+      // the THIRD-round Knuth multiplicative hash — decorrelated from
+      // sample_split's buckets (round 1) and sample_stratified's rank
+      // key (round 2), so composed pipelines don't couple their draws.
+      // A pure map + per-source aggregate: no shuffle before the
+      // summary, reproducible at any parallelism — the property
+      // quality-weighted corpus resampling (CCNet-style) needs when the
+      // pipeline reruns on appended data.
+      val p = lit(1000000007L)
+      val a = lit(2654435761L)
+      val h3 = ($"doc_id" % p) * a % p * a % p * a % p
+      load(s, dir, "documents")
+        .select($"doc_id", $"source", tokens(lower($"text")).as("toks"))
+        .select($"doc_id", $"source", size($"toks").as("nt"),
+          size(array_distinct($"toks")).as("nd"))
+        .filter($"nt" > 0)
+        .filter(h3 * $"nt" < $"nd" * p)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"nt").as("kept_tokens"),
+          round(avg($"nd" * lit(1.0) / $"nt"), 4).as("avg_quality"))
+        .orderBy($"source")
+    },
+
+    entry(
+      "text_gopher_rules",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, x, count(*) AS n FROM t, unnest(toks) q(x)
+        |  GROUP BY doc_id, x),
+        |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(max(n) AS BIGINT) AS topn,
+        |    CAST(sum(CASE WHEN x IN ('the', 'a') THEN n ELSE 0 END) AS BIGINT) AS stopn,
+        |    CAST(sum(len(x) * n) AS BIGINT) AS tl
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, nt AS n_tokens, round(tl * 1.0 / nt, 4) AS mean_word_len,
+        |  stopn AS n_stopwords, round(topn * 1.0 / nt, 4) AS top_share,
+        |  CAST(nt BETWEEN 30 AND 90 AS INT) AS r_len,
+        |  CAST(tl >= 4 * nt AND tl <= 5 * nt AS INT) AS r_wordlen,
+        |  CAST(stopn >= 2 AS INT) AS r_stop,
+        |  CAST(topn * 100 <= 15 * nt AS INT) AS r_rep,
+        |  CAST(nt BETWEEN 30 AND 90 AND tl >= 4 * nt AND tl <= 5 * nt
+        |    AND stopn >= 2 AND topn * 100 <= 15 * nt AS INT) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Gopher-style quality-rule battery (Rae et al. 2021, §A1.1): the
+      // hard PER-RULE pass/fail filter a pretraining pipeline runs
+      // before any learned scorer — length bounds, mean-word-length
+      // band, minimum stopword evidence, top-token dominance cap — with
+      // each rule surfaced as its own flag so the filter report shows
+      // WHICH rule killed a doc (the operational requirement; a single
+      // fused boolean can't drive threshold tuning). Every rule is
+      // evaluated in exact integer arithmetic (tl ≥ 4·nt, topn·100 ≤
+      // 15·nt — never on rounded floats) so no rounding boundary can
+      // flip a flag between engines; the float forms appear only as
+      // display columns. Derives from the SAME memoized termFreq frame
+      // as tfidf/bm25/repetition — one tokenize pass serves the whole
+      // quality layer; per-doc stats are one hash-aggregate over it.
+      TextOps.termFreq(s, dir)
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("nt"), max($"tf").as("topn"),
+          sum(when($"term".isin("the", "a"), $"tf").otherwise(0L)).as("stopn"),
+          sum(length($"term") * $"tf").as("tl"))
+        .select($"doc_id", $"nt".as("n_tokens"),
+          round($"tl" * lit(1.0) / $"nt", 4).as("mean_word_len"),
+          $"stopn".as("n_stopwords"),
+          round($"topn" * lit(1.0) / $"nt", 4).as("top_share"),
+          ($"nt" >= 30 && $"nt" <= 90).cast("int").as("r_len"),
+          ($"tl" >= $"nt" * 4 && $"tl" <= $"nt" * 5).cast("int").as("r_wordlen"),
+          ($"stopn" >= 2).cast("int").as("r_stop"),
+          ($"topn" * 100 <= $"nt" * 15).cast("int").as("r_rep"))
+        .withColumn("pass",
+          ($"r_len" === 1 && $"r_wordlen" === 1 && $"r_stop" === 1 &&
+            $"r_rep" === 1).cast("int"))
+        .orderBy($"doc_id")
     }
   )
 

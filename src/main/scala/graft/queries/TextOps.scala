@@ -293,6 +293,7 @@ object TextOps {
     PipelineOps.evictCaches(s)
     EmbedOps.evictCaches(s)
     TokenizerOps.evictCaches(s)
+    QualityOps.evictCaches(s)
   }
 
   /** Materialize the cluster labels eagerly — the bench's named setup
@@ -1256,6 +1257,68 @@ object TextOps {
         .distinct()
       expandPairs(cand, sets, "hamming", lit(0).cast("int"))
         .orderBy($"d1", $"d2")
+    },
+
+    entry(
+      "text_dedup_spans",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS start,
+        |    toks, len(toks) AS nt
+        |  FROM t WHERE len(toks) >= 8),
+        |g2 AS (SELECT doc_id, start,
+        |    array_to_string(toks[start + 1:start + 8], ' ') AS gram, nt FROM g),
+        |c AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |d AS (SELECT g2.doc_id, g2.start, g2.nt,
+        |    lead(g2.start) OVER (PARTITION BY g2.doc_id ORDER BY g2.start) AS nxt
+        |  FROM g2 JOIN c USING (gram)),
+        |s AS (SELECT doc_id, any_value(nt) AS n_tokens, count(*) AS dup_starts,
+        |    CAST(sum(least(8, coalesce(nxt - start, 8))) AS BIGINT) AS covered_tokens
+        |  FROM d GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dup_starts, covered_tokens,
+        |  round(covered_tokens * 1.0 / n_tokens, 4) AS dup_frac
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Duplicated-SPAN detection — the n-gram-granular form of exact
+      // substring dedup (Lee et al. 2021, "Deduplicating Training Data
+      // Makes Language Models Better": repeated ≥k-token spans anywhere
+      // in the corpus get cut, not whole near-dup docs). Every 8-token
+      // window is a span candidate; a span occurring ≥2 times corpus-wide
+      // (any doc, including self-repeats) is duplicated, and each doc
+      // reports how much of it is covered by duplicated spans — the
+      // pre-cut audit a span-dedup pass runs first. Coverage is the exact
+      // union of the [start, start+8) intervals, computed with one
+      // lag-free pass: sorted dup starts s_i cover min(8, s_{i+1} − s_i)
+      // tokens each (8 for the last) — a per-doc lead() window, no
+      // position explosion.
+      //
+      // Scale shape: spans never pairwise-compare — the duplicate test is
+      // one count aggregate keyed by the span HASH (xxhash64 of the gram
+      // text: 8-byte shuffle keys instead of ~50-byte strings; at 10¹¹
+      // corpus spans the birthday collision odds are ~10⁻⁴ for one extra
+      // false dup span, the standard trade every suffix-hash dedup makes)
+      // and one hash-keyed join back, both map-side-combinable. The
+      // window partitions by doc_id — no global sort anywhere.
+      val base = docTokens(s, dir).filter(size($"toks") >= 8)
+        .select($"doc_id", $"toks", size($"toks").as("nt"))
+      val grams = base.select($"doc_id", $"nt",
+          explode(sequence(lit(0), $"nt" - 8)).as("start"), $"toks")
+        .select($"doc_id", $"nt", $"start",
+          xxhash64(array_join(slice($"toks", $"start" + 1, lit(8)), " ")).as("ghash"))
+      val dup = grams.groupBy($"ghash").count().filter($"count" >= 2)
+        .select($"ghash")
+      val w = Window.partitionBy($"doc_id").orderBy($"start")
+      grams.join(dup, "ghash")
+        .withColumn("nxt", lead($"start", 1).over(w))
+        .groupBy($"doc_id")
+        .agg(first($"nt").as("n_tokens"), count(lit(1)).as("dup_starts"),
+          sum(least(lit(8), coalesce($"nxt" - $"start", lit(8)))).as("covered_tokens"))
+        .select($"doc_id", $"n_tokens", $"dup_starts", $"covered_tokens",
+          round($"covered_tokens" * lit(1.0) / $"n_tokens", 4).as("dup_frac"))
+        .orderBy($"doc_id")
     },
 
     entryNoOracle("text_fingerprint") { (s, dir) =>

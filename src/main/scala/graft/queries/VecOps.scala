@@ -586,6 +586,33 @@ object VecOps {
     },
 
     entry(
+      "vec_mips_topk",
+      """SELECT b.vec_id, round(list_inner_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 1 AND b.vec_id <> 1
+        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Maximum-inner-product top-k — the retrieval metric for
+      // dot-product-trained (unnormalized) embedding models, where a
+      // vector's magnitude carries salience and cosine's normalization
+      // would erase it: MIPS and cosine rank DIFFERENT neighbors unless
+      // all norms are equal. Completes the metric family next to
+      // vec_knn_topk (cosine); same plan shape — 1-row query broadcast,
+      // codegen'd native dot product, ORDER BY + LIMIT lowering to
+      // TakeOrderedAndProject so each partition keeps only its local
+      // top-5 and no global sort materializes. The IVF/PQ index family
+      // serves MIPS at scale the same way it serves cosine (ADC tables
+      // are metric-agnostic dot-product sums).
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" === 1).select($"emb".as("qemb"))
+      e.filter($"vec_id" =!= 1)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(dotp($"emb", $"qemb"), 6).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    },
+
+    entry(
       "vec_knn_join",
       """WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
