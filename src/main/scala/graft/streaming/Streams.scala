@@ -475,6 +475,48 @@ object Streams {
   /** Convenience: run a streaming frame to a named in-memory sink table,
     * processing all currently-available input synchronously.
     */
+  /** Streaming quality filter — the curation layer applied at INGEST:
+    * the Gopher rule battery (same integer thresholds as the batch
+    * `text_gopher_rules` entry) plus the trained logistic scorer
+    * (`QualityOps.trainedWeights`, fit offline on the seed set) run as
+    * ONE STATELESS projection over a (doc_id, text) document stream —
+    * train once, filter every arriving micro-batch. No state store, no
+    * watermark, no shuffle: every per-doc statistic (token count, mean
+    * word length, stopword count, top-token share, w·x score) is
+    * computed row-wise with higher-order array functions, so the
+    * operator runs at source parallelism and scales with ingest rate
+    * alone. The 65-weight model ships inside the plan as an array
+    * literal — the streaming analogue of the batch apply's broadcast.
+    */
+  def qualityFilterStream(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    val warr = typedlit(weights.toSeq)
+    val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
+    val withToks = docs.withColumn("toks", toks)
+      .withColumn("nt", size(col("toks"))).filter(col("nt") > 0)
+    val tl = aggregate(col("toks"), lit(0L), (s, x) => s + length(x))
+    val stopn = size(filter(col("toks"), x => x === "the" || x === "a"))
+    // top-token count via per-distinct-token scan: O(nd·nt) row-local
+    // work, bounded by doc length — the price of statelessness (the
+    // batch entry amortizes this through the shared termFreq frame)
+    val topn = array_max(transform(array_distinct(col("toks")),
+      t => size(filter(col("toks"), x => x === t))))
+    val score = aggregate(col("toks"),
+      lit(weights(64)), // bias
+      (s, t) => s + element_at(warr, (pmod(xxhash64(t), lit(64)) + 1).cast("int")))
+    withToks
+      .withColumn("tl", tl).withColumn("stopn", stopn).withColumn("topn", topn)
+      .withColumn("score", score)
+      .withColumn("pass_rules",
+        (col("nt") >= 30 && col("nt") <= 90 &&
+          col("tl") >= col("nt") * 4 && col("tl") <= col("nt") * 5 &&
+          col("stopn") >= 2 && col("topn") * 100 <= col("nt") * 15).cast("int"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6))
+      .withColumn("keep",
+        (col("pass_rules") === 1 && col("prob") >= 0.5).cast("int"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("pass_rules"),
+        col("prob"), col("keep"))
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()

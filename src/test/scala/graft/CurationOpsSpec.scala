@@ -80,6 +80,35 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got == hof, s"native=$got hof=$hof")
   }
 
+  test("stream_quality_filter: two-batch stream agrees with the batch rule battery and scorer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val dir = sf("sf0.001")
+    val w = queries.QualityOps.trainedWeights(spark, dir)
+    val docs = Core.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs.take(docs.length / 2))
+    in.addData(docs.drop(docs.length / 2))
+    streaming.Streams.runToMemory(
+      streaming.Streams.qualityFilterStream(
+        in.toDF().toDF("doc_id", "text"), w),
+      "qfilter_out", OutputMode.Append())
+    val got = spark.table("qfilter_out")
+      .select($"doc_id", $"pass_rules", $"keep")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == docs.map(_._1).sorted, "stream must emit every doc exactly once")
+    // rule flags must agree with the batch entry doc-by-doc
+    val batchRules = SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .select($"doc_id", $"pass").as[(Long, Int)].collect().toMap
+    got.foreach { case (id, pr, _) =>
+      assert(pr == batchRules(id), s"doc $id: stream pass_rules=$pr batch=${batchRules(id)}")
+    }
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
+      "filter should neither keep nor kill everything at sf0.001")
+  }
+
   test("quality classifier: learns the proxy label well beyond the majority class; weights are parallelism-independent") {
     val dir = sf("sf0.01")
     val w1 = queries.QualityOps.trainedWeights(spark, dir).toSeq
