@@ -100,6 +100,31 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("round-11 curation entries: cache rides, hash-keyed span join, top-k lowering") {
+    // text_gopher_rules must read the memoized termFreq cache (one
+    // tokenize pass serves the whole quality layer), never re-tokenize
+    val gopher = formatted("text_gopher_rules")
+    assert(gopher.contains("InMemoryTableScan"),
+      "gopher rules must ride the postings cache")
+    // text_dedup_spans: the duplicate test is a hash-keyed aggregate +
+    // join back — no cartesian/BNLJ anywhere, and the coverage window
+    // partitions by doc (no global sort before the final ORDER BY)
+    val spans = formatted("text_dedup_spans")
+    assert(!spans.contains("CartesianProduct") &&
+      !spans.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never pairwise-compare")
+    // vec_mips_topk lowers to TakeOrderedAndProject like its cosine twin
+    val mips = formatted("vec_mips_topk")
+    assert(mips.contains("TakeOrderedAndProject"),
+      "MIPS top-k must not materialize a global sort")
+    // sample_weighted is a pure map before its summary aggregate: the
+    // membership filter must sit in the scan stage (one Exchange total
+    // for the per-source agg, plus the presentation sort)
+    val sw = formatted("sample_weighted")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(sw).size
+    assert(exchanges <= 2, s"sample_weighted should shuffle only for agg+sort:\n$sw")
+  }
+
   test("vec_ann_ivf centroid assignment is a partial aggregation, not a window sort") {
     // r4 regression guard: the argmin over n×64 candidate rows must
     // reduce map-side (packed-long min → HashAggregate), never sort the
