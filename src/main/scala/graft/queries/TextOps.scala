@@ -263,6 +263,24 @@ object TextOps {
     * the map refs also frees the labels' localCheckpoint RDDs via the
     * ContextCleaner once unreferenced.
     */
+  /** Positional 8-token span stream (doc_id, nt, start, ghash) — shared
+    * by the span-dedup audit and cut entries. ghash = xxhash64 of the
+    * span text: 8-byte shuffle keys instead of ~50-byte strings (at
+    * 10¹¹ corpus spans the birthday odds of one false dup are ~10⁻⁴,
+    * the standard suffix-hash-dedup trade). Not memoized: both
+    * consumers aggregate it immediately and the stream is cheap to
+    * rebuild from the cached docTokens blocks.
+    */
+  private def spanGrams(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docTokens(s, dir).filter(size($"toks") >= 8)
+      .select($"doc_id", size($"toks").as("nt"), $"toks")
+      .select($"doc_id", $"nt",
+        explode(sequence(lit(0), $"nt" - 8)).as("start"), $"toks")
+      .select($"doc_id", $"nt", $"start",
+        xxhash64(array_join(slice($"toks", $"start" + 1, lit(8)), " ")).as("ghash"))
+  }
+
   private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     cacheLock.synchronized {
       vsCache.keys.filter(_._1 eq s).foreach { k =>
@@ -1302,12 +1320,7 @@ object TextOps {
       // false dup span, the standard trade every suffix-hash dedup makes)
       // and one hash-keyed join back, both map-side-combinable. The
       // window partitions by doc_id — no global sort anywhere.
-      val base = docTokens(s, dir).filter(size($"toks") >= 8)
-        .select($"doc_id", $"toks", size($"toks").as("nt"))
-      val grams = base.select($"doc_id", $"nt",
-          explode(sequence(lit(0), $"nt" - 8)).as("start"), $"toks")
-        .select($"doc_id", $"nt", $"start",
-          xxhash64(array_join(slice($"toks", $"start" + 1, lit(8)), " ")).as("ghash"))
+      val grams = spanGrams(s, dir)
       val dup = grams.groupBy($"ghash").count().filter($"count" >= 2)
         .select($"ghash")
       val w = Window.partitionBy($"doc_id").orderBy($"start")
@@ -1318,6 +1331,59 @@ object TextOps {
           sum(least(lit(8), coalesce($"nxt" - $"start", lit(8)))).as("covered_tokens"))
         .select($"doc_id", $"n_tokens", $"dup_starts", $"covered_tokens",
           round($"covered_tokens" * lit(1.0) / $"n_tokens", 4).as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+
+    entry(
+      "text_dedup_spans_cut",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS start,
+        |    toks, len(toks) AS nt
+        |  FROM t WHERE len(toks) >= 8),
+        |g2 AS (SELECT doc_id, start,
+        |    array_to_string(toks[start + 1:start + 8], ' ') AS gram, nt FROM g),
+        |c AS (SELECT gram, min(doc_id * 1000000 + start) AS canon
+        |  FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |d AS (SELECT g2.doc_id, g2.start, g2.nt,
+        |    lead(g2.start) OVER (PARTITION BY g2.doc_id ORDER BY g2.start) AS nxt
+        |  FROM g2 JOIN c USING (gram)
+        |  WHERE g2.doc_id * 1000000 + g2.start <> c.canon),
+        |s AS (SELECT doc_id, any_value(nt) AS n_tokens,
+        |    CAST(sum(least(8, coalesce(nxt - start, 8))) AS BIGINT) AS cut_tokens
+        |  FROM d GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, cut_tokens, n_tokens - cut_tokens AS kept_tokens,
+        |  round(cut_tokens * 1.0 / n_tokens, 4) AS cut_frac
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // The CUT companion of text_dedup_spans — Lee et al. 2021's actual
+      // dedup action: every duplicated span keeps exactly ONE canonical
+      // instance (global min (doc_id, start), encoded doc_id·10⁶+start —
+      // swap in a struct min past 10⁶-token docs) and every OTHER
+      // instance's tokens are cut. A position is cut iff some
+      // NON-canonical dup instance covers it, so canonical holders
+      // survive untouched and later clones lose the repeated material —
+      // per doc: exact interval-union cut mass and the kept remainder.
+      // Same scale shape as the audit: hash-keyed count/canon aggregate,
+      // hash join back, per-doc lead() window — never pairwise, no
+      // global sort.
+      val grams = spanGrams(s, dir)
+      val canon = grams.groupBy($"ghash")
+        .agg(count(lit(1)).as("n"), min($"doc_id" * 1000000L + $"start").as("canon"))
+        .filter($"n" >= 2).select($"ghash", $"canon")
+      val w = Window.partitionBy($"doc_id").orderBy($"start")
+      grams.join(canon, "ghash")
+        .filter($"doc_id" * 1000000L + $"start" =!= $"canon")
+        .withColumn("nxt", lead($"start", 1).over(w))
+        .groupBy($"doc_id")
+        .agg(first($"nt").as("n_tokens"),
+          sum(least(lit(8), coalesce($"nxt" - $"start", lit(8)))).as("cut_tokens"))
+        .select($"doc_id", $"n_tokens", $"cut_tokens",
+          ($"n_tokens" - $"cut_tokens").as("kept_tokens"),
+          round($"cut_tokens" * lit(1.0) / $"n_tokens", 4).as("cut_frac"))
         .orderBy($"doc_id")
     },
 

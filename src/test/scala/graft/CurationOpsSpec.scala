@@ -31,6 +31,26 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty, "sf0.001 should contain near-dup docs sharing 8-token spans")
   }
 
+  test("text_dedup_spans_cut: cut mass is bounded by audit coverage and one canonical copy survives") {
+    val dir = sf("sf0.01")
+    val audit = SparkEntry.queries("text_dedup_spans")(spark, dir)
+      .select($"doc_id", $"covered_tokens").as[(Long, Long)].collect().toMap
+    val cut = SparkEntry.queries("text_dedup_spans_cut")(spark, dir)
+      .select($"doc_id", $"n_tokens", $"cut_tokens", $"kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cut.nonEmpty, "clone docs must receive cuts at sf0.01")
+    cut.foreach { case (id, nt, c, k) =>
+      assert(c + k == nt, s"doc $id: cut+kept != n_tokens")
+      assert(c <= audit(id), s"doc $id: cut $c exceeds audited dup coverage ${audit(id)}")
+    }
+    // canonical survival: docs flagged by the audit but absent from the
+    // cut output are pure canonical holders — they must exist (the
+    // whole point: one copy of each duplicated span survives)
+    val cutIds = cut.map(_._1).toSet
+    assert(audit.keySet.exists(id => !cutIds(id)),
+      "at least one audited doc should keep all its text as the canonical holder")
+  }
+
   test("sample_weighted: keep rate tracks the quality weights and membership is partition-independent") {
     val out = SparkEntry.queries("sample_weighted")(spark, sf("sf0.01"))
     val kept = out.agg(sum($"n_kept")).as[Long].head()
