@@ -1006,6 +1006,73 @@ object PipelineOps {
     },
 
     entry(
+      "curate_quality_e2e",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, x, count(*) AS n FROM t, unnest(toks) q(x)
+        |  GROUP BY doc_id, x),
+        |st AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(max(n) AS BIGINT) AS topn,
+        |    CAST(sum(CASE WHEN x IN ('the', 'a') THEN n ELSE 0 END) AS BIGINT) AS stopn,
+        |    CAST(sum(len(x) * n) AS BIGINT) AS tl,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM u GROUP BY doc_id),
+        |j AS (SELECT st.*, t.source,
+        |    (nt BETWEEN 30 AND 90 AND tl >= 4 * nt AND tl <= 5 * nt
+        |      AND stopn >= 2 AND topn * 100 <= 15 * nt) AS pass
+        |  FROM st JOIN t USING (doc_id)),
+        |h AS (SELECT *, (doc_id % 1000000007) * 2654435761 % 1000000007
+        |    * 2654435761 % 1000000007 * 2654435761 % 1000000007 AS h3 FROM j),
+        |k AS (SELECT *, (pass AND h3 * nt < nd * 1000000007) AS kept FROM h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rules,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS sampled_tokens,
+        |  round(avg(CASE WHEN kept THEN nd * 1.0 / nt END), 4) AS avg_sampled_quality
+        |FROM k GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // The QUALITY-layer funnel composed end-to-end: Gopher rule
+      // battery → quality-weighted downsample of the passers → per-source
+      // attrition audit (docs in → rule survivors → sampled set, with
+      // the sampled token mass and mean quality). The per-stage counts
+      // in ONE output row per source are the operational report a
+      // curation run publishes — each stage's kill rate visible, so a
+      // threshold change shows WHERE it bit. Composition discipline:
+      // per-doc stats come from the SAME memoized termFreq frame as
+      // text_gopher_rules/tfidf (no re-tokenize), the weighted draw is
+      // the sample_weighted integer Bernoulli on the same third-round
+      // hash (one pipeline, one draw), and the whole funnel is one
+      // aggregate over that frame + a metadata join — no extra corpus
+      // pass, no shuffle beyond the (doc, then source) aggregates.
+      val p = lit(1000000007L)
+      val a = lit(2654435761L)
+      val h3 = ($"doc_id" % p) * a % p * a % p * a % p
+      val stats = TextOps.termFreq(s, dir)
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("nt"), max($"tf").as("topn"),
+          sum(when($"term".isin("the", "a"), $"tf").otherwise(0L)).as("stopn"),
+          sum(length($"term") * $"tf").as("tl"),
+          count(lit(1)).as("nd"))
+      val pass = $"nt" >= 30 && $"nt" <= 90 &&
+        $"tl" >= $"nt" * 4 && $"tl" <= $"nt" * 5 &&
+        $"stopn" >= 2 && $"topn" * 100 <= $"nt" * 15
+      stats
+        .join(load(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+        .withColumn("pass", pass)
+        .withColumn("kept", $"pass" && h3 * $"nt" < $"nd" * p)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"pass".cast("long")).as("n_pass_rules"),
+          sum($"kept".cast("long")).as("n_sampled"),
+          sum(when($"kept", $"nt").otherwise(0L)).as("sampled_tokens"),
+          round(avg(when($"kept", $"nd" * lit(1.0) / $"nt")), 4)
+            .as("avg_sampled_quality"))
+        .orderBy($"source")
+    },
+
+    entry(
       "text_gopher_rules",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

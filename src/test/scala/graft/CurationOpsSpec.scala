@@ -85,6 +85,29 @@ class CurationOpsSpec extends SparkSpecBase {
     } finally { out.unpersist(); () }
   }
 
+  test("curate_quality_e2e: funnel is monotone and consistent with its stage operators") {
+    val dir = sf("sf0.01")
+    val e2e = SparkEntry.queries("curate_quality_e2e")(spark, dir)
+      .select($"source", $"n_docs", $"n_pass_rules", $"n_sampled")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    e2e.foreach { case (src, n, p, k) =>
+      assert(n >= p && p >= k, s"$src: funnel not monotone ($n >= $p >= $k)")
+    }
+    // stage consistency: rule-survivor total equals the standalone rule
+    // battery's pass count, and the sampled set (same third-round hash
+    // draw) is a subset of the standalone weighted sample per source
+    val gopherPass = SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .agg(sum($"pass")).as[Long].head()
+    assert(e2e.map(_._3).sum == gopherPass,
+      "e2e rule survivors must equal text_gopher_rules pass count")
+    val weighted = SparkEntry.queries("sample_weighted")(spark, dir)
+      .select($"source", $"n_kept").as[(String, Long)].collect().toMap
+    e2e.foreach { case (src, _, _, k) =>
+      assert(k <= weighted.getOrElse(src, 0L),
+        s"$src: e2e sampled $k exceeds the standalone weighted draw ${weighted.get(src)}")
+    }
+  }
+
   test("vec_mips_topk: native dotp scores match the higher-order-function form") {
     val e = Core.load(spark, sf("sf0.001"), "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
