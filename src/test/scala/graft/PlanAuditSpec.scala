@@ -210,7 +210,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // bounded-small broadcast sides (threshold scalars, knn query rows,
     // dimension cross products) — BNLJ with a 1-row broadcast is O(n).
     val bnljAllowed = Set(
-      "vec_knn_topk", "vec_knn_join", "vec_cosine_pairs", "vec_ann_ivf",
+      // vec_mips_topk: same deliberate 1-row query-vector broadcast as
+      // vec_knn_topk (O(n) scan, TakeOrderedAndProject pinned above)
+      "vec_knn_topk", "vec_mips_topk", "vec_knn_join", "vec_cosine_pairs", "vec_ann_ivf",
       "semantic_search_e2e", "win_percent_topk", "agg_stats_zscore",
       "join_cross", "join_theta_range", "sql_entry", "sim_index_build",
       "vec_index_build", "text_tfidf", "text_bm25", "mix_weights",
