@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, Funcs, TimeSeriesQ, TextOps, VecOps, ExtensibilityOps, IndexOps, IvfIndex, PqIndex, PipelineOps, EmbedOps, TokenizerOps, QualityOps}
+import graft.queries.{Relational, Funcs, TimeSeriesQ, TextOps, VecOps, ExtensibilityOps, IndexOps, IvfIndex, PqIndex, PipelineOps, EmbedOps, TokenizerOps, QualityOps, GraphOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.entries ++ Funcs.entries ++ TimeSeriesQ.entries ++
       TextOps.entries ++ VecOps.entries ++ ExtensibilityOps.entries ++
       IndexOps.entries ++ IvfIndex.entries ++ PqIndex.entries ++ PipelineOps.entries ++
-      EmbedOps.entries ++ TokenizerOps.entries ++ QualityOps.entries
+      EmbedOps.entries ++ TokenizerOps.entries ++ QualityOps.entries ++ GraphOps.entries
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate entry names: ${all.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }.mkString(",")}")

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Graph / co-occurrence analytics over the event stream — the
+  * interaction-graph layer of the curation surface. The reference's
+  * event table (engine.py:41-47 `events` ingest surface) carries a
+  * per-event item key in `props`; these operators read it as a
+  * user–item bipartite interaction graph, the substrate for
+  * recommendation-style analytics (co-occurrence rules) and
+  * link-analysis quality signals (PageRank — web-graph centrality is a
+  * standard corpus-quality prior in large-scale pretraining pipelines,
+  * e.g. Common-Crawl-derived corpora rank hosts by harmonic/PageRank
+  * centrality before sampling).
+  *
+  * Determinism discipline: BOTH operators are exact-integer end to
+  * end. PageRank runs in fixed-point (total mass 10^12, integer DIV
+  * everywhere), so partial-aggregation order can't move a single
+  * ulp — the iteration is bit-identical on any partitioning, and the
+  * DuckDB oracle replays the identical integer recurrence through a
+  * recursive CTE. Association metrics are integer ppm ratios of exact
+  * counts.
+  */
+object GraphOps {
+
+  /** Distinct undirected bipartite click edges: user nodes are even
+    * (2·user_id), item nodes odd (2·item+1) — one bigint node space,
+    * no string keys on the shuffle. Both directions materialized so
+    * degree and contribution scans are symmetric one-pass aggregates.
+    */
+  private def clickEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = loadEvents(s, dir)
+      .filter($"event_type" === "click")
+      .select(($"user_id" * 2).as("s"),
+        (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("d"))
+      .distinct()
+    e0.unionByName(e0.select($"d".as("s"), $"s".as("d")))
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    entry(
+      "graph_pagerank",
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT user_id * 2 AS s,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS d
+        |  FROM events WHERE event_type = 'click'),
+        |edges AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |deg AS (SELECT s AS nid, count(*) AS deg FROM edges GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM deg),
+        |pr(iter, nid, r) AS (
+        |  SELECT 0, nid, 1000000000000 // nn FROM deg, n
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.d, 150000000000 // n.nn + 85 * sum(p.r // g.deg) // 100
+        |  FROM pr p JOIN edges e ON e.s = p.nid JOIN deg g ON g.nid = p.nid, n
+        |  WHERE p.iter < 3
+        |  GROUP BY p.iter, e.d, n.nn)
+        |SELECT CASE WHEN nid % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+        |  CAST(nid // 2 AS BIGINT) AS entity_id, CAST(r AS BIGINT) AS rank_e12
+        |FROM pr WHERE iter = 3
+        |ORDER BY rank_e12 DESC, kind, entity_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // PageRank over the user–item interaction graph, damping 0.85,
+      // 3 synchronous iterations, EXACT integer fixed-point: ranks are
+      // longs out of a 10^12 total mass, per-edge contributions are
+      // integer DIV, so the long-sum aggregation is associative-exact
+      // and the result hash-matches the oracle's recursive-CTE replay
+      // bit for bit (float PageRank can't make that promise — partial
+      // order moves ulps).
+      //
+      // Scale shape: the classic distributed PageRank — each iteration
+      // is one (rank ⋈ degree) map, one edge join keyed on the source
+      // node, and one destination-keyed sum with map-side combine:
+      // O(E) per round, shuffle keyed by node id, no driver-side state
+      // beyond the 1-row node count. Lineage is CUT per round
+      // (localCheckpoint — the BPE/label-prop loop rule: frame r+1
+      // built from frame r must not chain plans), so 3 or 300 rounds
+      // plan identically. Top-20 via TakeOrderedAndProject. The
+      // floor-division mass leak (~nn ulps of 10^12 per round) is the
+      // documented price of exactness.
+      val ed  = clickEdges(s, dir).localCheckpoint()
+      val deg = ed.groupBy($"s".as("nid")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nn  = deg.agg(count(lit(1)).as("nn"))
+      var pr = deg.crossJoin(broadcast(nn))
+        .select($"nid", expr("1000000000000L DIV nn").as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val contrib = pr.join(deg, "nid")
+          .join(ed, $"nid" === $"s")
+          .groupBy($"d")
+          .agg(sum(expr("r DIV deg")).as("contrib"))
+        pr = contrib.crossJoin(broadcast(nn))
+          .select($"d".as("nid"),
+            (expr("150000000000L DIV nn") + expr("85L * contrib DIV 100")).as("r"))
+          .localCheckpoint()
+      }
+      pr.select(
+          when($"nid" % 2 === 0, "user").otherwise("item").as("kind"),
+          expr("nid DIV 2").as("entity_id"), $"r".as("rank_e12"))
+        .orderBy($"rank_e12".desc, $"kind", $"entity_id")
+        .limit(20)
+    },
+
+    entry(
+      "assoc_rules",
+      """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM e),
+        |f AS (SELECT item, count(*) AS nf FROM e GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_both * 1000000 // fa.nf AS BIGINT) AS conf_ppm,
+        |  CAST(n_both * n_users * 1000000 // (fa.nf * fb.nf) AS BIGINT) AS lift_ppm
+        |FROM p JOIN f fa ON fa.item = item_a JOIN f fb ON fb.item = item_b, n
+        |WHERE n_both >= 5
+        |ORDER BY lift_ppm DESC, item_a, item_b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Market-basket association rules (support / confidence / lift)
+      // over per-user interaction baskets — the two-pass co-occurrence
+      // mining shape (the frequent-pairs core of Apriori/FP-growth):
+      // baskets are each user's DISTINCT clicked/purchased items, so
+      // the pair self-join's per-user fanout is basket², bounded by
+      // the item catalog — never events². Metrics in exact integer
+      // ppm: confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)).
+      //
+      // Scale shape: one distinct pass (two-phase hash-agg), a
+      // user-keyed self-join whose fanout is basket-bounded (the 100 TB
+      // dial is the standard basket cap — truncate pathological
+      // baskets to their top-N items before pairing; a 10⁶-item basket
+      // is bot traffic, not signal), then an item-pair aggregate with
+      // map-side combine into a catalog²-bounded frame. The count
+      // products stay under 2^63 until n_users·n_both·10⁶ ~ 10¹⁸ —
+      // past that, decimal(38) is the dial. Top-20 via
+      // TakeOrderedAndProject.
+      val e = loadEvents(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+        .distinct()
+      val n = e.agg(countDistinct($"user_id").as("n_users"))
+      val f = e.groupBy($"item").agg(count(lit(1)).as("nf"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter($"n_both" >= 5)
+        .join(broadcast(f.select($"item".as("item_a"), $"nf".as("fa"))), "item_a")
+        .join(broadcast(f.select($"item".as("item_b"), $"nf".as("fb"))), "item_b")
+        .crossJoin(broadcast(n))
+        .select($"item_a", $"item_b", $"n_both",
+          expr("n_both * 1000000L DIV fa").as("conf_ppm"),
+          expr("n_both * n_users * 1000000L DIV (fa * fb)").as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"item_a", $"item_b")
+        .limit(20)
+    },
+
+    entry(
+      "graph_triangle_count",
+      """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |p0 AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_both
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |p AS (SELECT ia, ib FROM p0 ORDER BY n_both DESC, ia, ib LIMIT 500),
+        |tr AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        |  FROM p e1 JOIN p e2 ON e2.ia = e1.ib
+        |  JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+        |x AS (SELECT a AS item FROM tr
+        |  UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY item ORDER BY n_triangles DESC, item LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Triangle counting over the co-occurrence backbone — the classic
+      // distributed graph metric (clustering-coefficient numerator,
+      // community-density signal): the top-500 strongest co-occurrence
+      // edges (rank-selected, so the backbone stays comparably sized at
+      // any SF while a fixed support threshold saturates or empties),
+      // then the ORIENTED two-path + closing-edge join. Orientation
+      // (ia < ib everywhere, inherited from the basket pair order)
+      // counts each triangle exactly once with no post-dedup — the
+      // standard trick; at web scale the refinement is degree-ordered
+      // orientation (orient each edge toward the higher-degree node) so
+      // hub nodes never fan out their full adjacency.
+      //
+      // Scale shape: the backbone is top-k via TakeOrderedAndProject
+      // over the basket-bounded pair aggregate (same plan family as
+      // assoc_rules), then two equi-joins on edge endpoints — the
+      // backbone is k-bounded so both joins broadcast; per-item
+      // triangle counts come from one explode + hash-agg. All counts
+      // exact integers.
+      val e = loadEvents(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+        .distinct()
+      val p = e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy($"n_both".desc, $"ia", $"ib")
+        .limit(500)
+        .select($"ia", $"ib")
+      val tr = p.as("e1")
+        .join(broadcast(p.as("e2")), col("e2.ia") === col("e1.ib"))
+        .join(broadcast(p.as("e3")),
+          col("e3.ia") === col("e1.ia") && col("e3.ib") === col("e2.ib"))
+        .select(col("e1.ia").as("a"), col("e1.ib").as("b"), col("e2.ib").as("c"))
+      tr.select(explode(array($"a", $"b", $"c")).as("item"))
+        .groupBy($"item").agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"n_triangles".desc, $"item")
+        .limit(20)
+    })
+}

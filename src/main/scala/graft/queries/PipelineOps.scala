@@ -361,6 +361,87 @@ object PipelineOps {
     },
 
     entry(
+      "dq_check",
+      """WITH li AS (SELECT
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v4,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v5
+        |  FROM lineitem),
+        |uq AS (SELECT count(*) - count(DISTINCT o_orderkey) AS v FROM orders),
+        |fk1 AS (SELECT count(*) AS v FROM orders o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |fk2 AS (SELECT count(*) AS v FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'lineitem.complete.l_orderkey' AS check_name, v1 AS violations FROM li
+        |  UNION ALL SELECT 'lineitem.range.l_quantity', v2 FROM li
+        |  UNION ALL SELECT 'lineitem.range.l_discount', v3 FROM li
+        |  UNION ALL SELECT 'lineitem.accepted.l_returnflag', v4 FROM li
+        |  UNION ALL SELECT 'lineitem.positive.l_extendedprice', v5 FROM li
+        |  UNION ALL SELECT 'orders.unique.o_orderkey', v FROM uq
+        |  UNION ALL SELECT 'orders.fk.o_custkey', v FROM fk1
+        |  UNION ALL SELECT 'lineitem.fk.l_orderkey', v FROM fk2)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r ORDER BY check_name""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Data-quality expectation battery (the Deequ / dbt-test /
+      // Great-Expectations shape): declarative constraints evaluated
+      // as aggregates, one row per check with the exact violation
+      // count — the gate a pipeline owner runs before promoting a
+      // bronze drop to silver. Check classes covered: completeness
+      // (NOT NULL), range, accepted-values, sign, key uniqueness, and
+      // two referential-integrity checks (fact→dim and fact→fact).
+      //
+      // Scale shape: ALL five column checks fuse into ONE conditional
+      // aggregate over a single lineitem scan (the oracle's UNION ALL
+      // form re-states them; this plan never rescans), uniqueness is a
+      // two-level exact distinct-count, and the FK checks are
+      // anti-join counts — dim side broadcast, fact→fact left to the
+      // planner (shuffle anti-join past the broadcast threshold, the
+      // right call at 100 TB). Output is check-cardinality rows; all
+      // counts exact integers, so the gate is hash-stable at any
+      // parallelism. A failed check carries its violation mass, not
+      // just a flag — triage starts from the count.
+      val lineitem = load(s, dir, "lineitem")
+      val orders   = load(s, dir, "orders")
+      val li = lineitem.agg(
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L).otherwise(0L)).as("v2"),
+        sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L).otherwise(0L)).as("v3"),
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L)).as("v4"),
+        sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("v5"))
+        .select(expr(
+          """stack(5,
+            |  'lineitem.complete.l_orderkey',      v1,
+            |  'lineitem.range.l_quantity',         v2,
+            |  'lineitem.range.l_discount',         v3,
+            |  'lineitem.accepted.l_returnflag',    v4,
+            |  'lineitem.positive.l_extendedprice', v5) AS (check_name, violations)""".stripMargin))
+      val uq = orders
+        .agg((count(lit(1)) - countDistinct($"o_orderkey")).as("violations"))
+        .select(lit("orders.unique.o_orderkey").as("check_name"), $"violations")
+      val fk1 = orders
+        .join(broadcast(load(s, dir, "customer").select($"c_custkey")),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders.fk.o_custkey").as("check_name"), $"violations")
+      val fk2 = lineitem
+        .join(orders.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.fk.l_orderkey").as("check_name"), $"violations")
+      li.unionByName(uq).unionByName(fk1).unionByName(fk2)
+        .select($"check_name", $"violations",
+          when($"violations" === 0, "pass").otherwise("fail").as("status"))
+        .orderBy($"check_name")
+    },
+
+    entry(
       "profile_drift",
       """WITH b AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
         |m AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM b),

@@ -694,6 +694,63 @@ object TextOps {
     },
 
     entry(
+      "text_dedup_cross_source",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(list_transform(range(len(toks) - 4),
+        |    i -> array_to_string(list_slice(toks, i+1, i+5), ' '))) AS gram
+        |  FROM t),
+        |n AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_grams,
+        |  CAST(shared * 1000000 // least(na.n_grams, nb.n_grams) AS BIGINT)
+        |    AS containment_ppm
+        |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY containment_ppm DESC, src_a, src_b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Cross-SOURCE duplication matrix — the corpus-level sibling of
+      // the per-document dedup family: which pairs of ingest sources
+      // carry the same content (mirrors, scrapes of scrapes, shared
+      // syndication). Every major curation effort audits this before
+      // setting mixture weights (double-counted sources silently
+      // up-weight their content); the per-pair metric is word-5-gram
+      // CONTAINMENT of the smaller source, in exact integer ppm.
+      //
+      // Scale shape: the gram stream is projected to DISTINCT
+      // (source, gram) FIRST, so each gram key appears at most
+      // n_sources times and the self-join's per-key fanout is bounded
+      // by sources² — never doc² (the same cap the banded dedup joins
+      // rely on). One gram-keyed shuffle for the join, a
+      // sources²-sized aggregate after it, and the per-source totals
+      // broadcast back. At 100 TB: identical plan; the only growing
+      // stage is the distinct over the gram stream, a two-phase
+      // hash-agg with map-side combine. Top-20 pairs via
+      // TakeOrderedAndProject.
+      val g = docTokens(s, dir)
+        .select($"source",
+          explode(when(size($"toks") >= 5,
+              transform(sequence(lit(1), size($"toks") - 4),
+                i => concat_ws(" ", slice($"toks", i, lit(5)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .distinct()
+      val n = g.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      g.as("a").join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .join(broadcast(n.select($"source".as("src_a"), $"n_grams".as("na"))), "src_a")
+        .join(broadcast(n.select($"source".as("src_b"), $"n_grams".as("nb"))), "src_b")
+        .select($"src_a", $"src_b", $"shared_grams",
+          expr("shared_grams * 1000000L DIV least(na, nb)").as("containment_ppm"))
+        .orderBy($"containment_ppm".desc, $"src_a", $"src_b")
+        .limit(20)
+    },
+
+    entry(
       "text_boilerplate_score",
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

@@ -52,6 +52,142 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_downsample_lttb",
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS x, value AS y
+        |  FROM events),
+        |w AS (SELECT *,
+        |    row_number() OVER ww AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    lag(x) OVER ww AS xp, lag(y) OVER ww AS yp,
+        |    lead(x) OVER ww AS xn, lead(y) OVER ww AS yn
+        |  FROM e WINDOW ww AS (PARTITION BY event_type ORDER BY x, event_id)),
+        |a AS (SELECT *, (rn - 1) * 20 // n AS bucket,
+        |    abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS area2
+        |  FROM w),
+        |keep AS (
+        |  SELECT event_type, event_id, x, y FROM a WHERE rn = 1 OR rn = n
+        |  UNION ALL
+        |  SELECT event_type, event_id, x, y FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |        ORDER BY area2 DESC, event_id) AS pk
+        |    FROM a WHERE rn > 1 AND rn < n) WHERE pk = 1)
+        |SELECT event_type, event_id, CAST(x AS BIGINT) AS ts_us,
+        |  round(y, 4) AS value
+        |FROM keep ORDER BY event_type, ts_us, event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Largest-triangle downsampling (LTTB family, one-bucket
+      // neighbor variant) — the standard lossy series reduction for
+      // dashboards/previews: each per-type series keeps its endpoints
+      // plus, per time-order bucket (20 here), the single point whose
+      // triangle with its immediate neighbors has the largest area —
+      // spikes and inflections survive, flat runs collapse.
+      // Determinism: the area is per-ROW arithmetic on (lag, lead)
+      // neighbors — no aggregation-order float sums anywhere — and
+      // the per-bucket argmax ties on event_id, so the selection is
+      // exact on both engines.
+      //
+      // Scale shape: two linear per-series window passes over ONE
+      // (event_type)-partitioned sort (rank/neighbors, then the
+      // per-(type, bucket) argmax — Spark plans the second as a
+      // WindowGroupLimit-style top-1 on the already-sorted runs); no
+      // shuffle beyond the series key, state per row is O(1). Output
+      // is series × buckets — viewer-sized by construction. At 100 TB
+      // the parallel unit is the series key; for few fat series the
+      // dial is bucket-count-per-task pre-aggregation (bucket becomes
+      // part of the partition key; endpoints stitch per task).
+      val e = loadEvents(s, dir)
+        .select($"event_type", $"event_id", unix_micros($"ts").as("x"), $"value".as("y"))
+      val ww  = Window.partitionBy($"event_type").orderBy($"x", $"event_id")
+      val all = Window.partitionBy($"event_type")
+      val a = e
+        .withColumn("rn", row_number().over(ww))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("xp", lag($"x", 1).over(ww))
+        .withColumn("yp", lag($"y", 1).over(ww))
+        .withColumn("xn", lead($"x", 1).over(ww))
+        .withColumn("yn", lead($"y", 1).over(ww))
+        .withColumn("bucket", expr("(rn - 1) * 20 DIV n"))
+        .withColumn("area2",
+          abs(($"xp" - $"xn") * ($"y" - $"yp") - ($"xp" - $"x") * ($"yn" - $"yp")))
+      val ends = a.filter($"rn" === 1 || $"rn" === $"n")
+        .select($"event_type", $"event_id", $"x", $"y")
+      val pk = Window.partitionBy($"event_type", $"bucket")
+        .orderBy($"area2".desc, $"event_id")
+      val interior = a.filter($"rn" > 1 && $"rn" < $"n")
+        .withColumn("pk", row_number().over(pk))
+        .filter($"pk" === 1)
+        .select($"event_type", $"event_id", $"x", $"y")
+      ends.unionByName(interior)
+        .select($"event_type", $"event_id", $"x".as("ts_us"),
+          round($"y", 4).as("value"))
+        .orderBy($"event_type", $"ts_us", $"event_id")
+    },
+
+    entry(
+      "ts_attribution",
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS pt,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS val_micro
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS vt
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.p_id, p.val_micro, v.v_id,
+        |    1000000 // (1 + (p.pt - v.vt) // 3600000000) AS w
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.vt <= p.pt AND p.pt - v.vt <= 7 * 86400000000),
+        |t AS (SELECT p_id, sum(w) AS tw FROM j GROUP BY 1),
+        |c AS (SELECT j.v_id, j.val_micro * j.w // t.tw AS credit_micro
+        |  FROM j JOIN t ON j.p_id = t.p_id)
+        |SELECT v_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(credit_micro) AS BIGINT) AS attributed_micro
+        |FROM c GROUP BY v_id
+        |ORDER BY attributed_micro DESC, v_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Multi-touch attribution (time-decay) — the marketing-analytics
+      // op behind "which impression gets credit for this conversion":
+      // every purchase splits its value across the user's views in the
+      // preceding 7 days, weighted by inverse age in hours, and each
+      // view accumulates its credited value across all purchases it
+      // influenced. The one-to-MANY credit split is what distinguishes
+      // this from join_asof (last-touch is the rank-1 special case).
+      //
+      // Determinism: EXACT integer fixed-point end to end — value is
+      // rounded into micro-units BEFORE the cast (CAST alone rounds in
+      // DuckDB but truncates in Spark — a real ulp trap), weights and
+      // credit splits are integer DIV, and the final per-view sums are
+      // exact long sums (associative at any partitioning).
+      //
+      // Scale shape: one user-keyed equi-join with the 7-day window as
+      // a residual predicate — per-user fanout is views×purchases
+      // WITHIN the window, the inherent output size of attribution
+      // (bounded by user activity rate × window, not history length);
+      // the per-purchase weight totals are a purchase-keyed hash-agg
+      // joined back on the same key. At 100 TB the window predicate is
+      // what keeps the join linear-ish; pathological users (bots) are
+      // the skew dial — cap views-per-window or salt the hot user
+      // keys, same discipline as join_skew_salted. Top-20 via
+      // TakeOrderedAndProject.
+      val ev = loadEvents(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", unix_micros($"ts").as("pt"),
+          round($"value" * 1000000, 0).cast("long").as("val_micro"))
+      val v = ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id", unix_micros($"ts").as("vt"))
+      val j = p.join(v, Seq("user_id"))
+        .filter($"vt" <= $"pt" && $"pt" - $"vt" <= 7L * 86400000000L)
+        .select($"p_id", $"val_micro", $"v_id",
+          expr("1000000L DIV (1 + (pt - vt) DIV 3600000000L)").as("w"))
+      val t = j.groupBy($"p_id").agg(sum($"w").as("tw"))
+      j.join(t, "p_id")
+        .select($"v_id", expr("val_micro * w DIV tw").as("credit_micro"))
+        .groupBy($"v_id")
+        .agg(count(lit(1)).as("n_purchases"), sum($"credit_micro").as("attributed_micro"))
+        .orderBy($"attributed_micro".desc, $"v_id")
+        .limit(20)
+    },
+
+    entry(
       "ts_ewma",
       """SELECT user_id, event_id, round(
         |    list_sum(list_transform(w, (x, i) -> x * power(0.6, len(w) - i))) /

@@ -642,6 +642,48 @@ object VecOps {
     },
 
     entry(
+      "vec_hard_negatives",
+      """WITH s AS (SELECT a.vec_id AS q_id, a.label AS q_label, b.vec_id AS neg_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+        |  WHERE a.vec_id % 8 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, neg_id) AS rnk FROM s)
+        |SELECT q_id, q_label, rnk, neg_id, score FROM r WHERE rnk <= 2
+        |ORDER BY q_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Hard-negative mining — the contrastive-training data op
+      // (dense retrieval / embedding finetunes sample their negatives
+      // from the CLOSEST other-class vectors, not random ones; the
+      // in-batch-negatives literature calls these "hard"): for each
+      // anchor, the top-2 most-cosine-similar vectors carrying a
+      // DIFFERENT label. Exact anchor form, bounded to the
+      // deterministic 1/8 anchor subset (exact cross-label k-NN is
+      // O(|anchors|·n) by definition — the guard names the banded
+      // sibling); the 100 TB path is the same mining through
+      // vec_knn_join_lsh / vec_index_probe with the label-mismatch
+      // predicate applied to the candidate set after bucket expansion
+      // (labels ride the index rows, so the filter is free).
+      exactAnchorGuard(s, dir, "embeddings", "vec_hard_negatives",
+        "vec_knn_join_lsh with label filter")
+      val e = emb(s, dir)
+      val a = e.filter(pmod($"vec_id", lit(8)) === 0)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"),
+          $"emb".as("a_emb"), $"norm".as("a_n"))
+      val b = e.select($"vec_id".as("neg_id"), $"label".as("b_label"),
+        $"emb".as("b_emb"), $"norm".as("b_n"))
+      val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"neg_id")
+      a.join(broadcast(b), $"q_label" =!= $"b_label")
+        .select($"q_id", $"q_label", $"neg_id",
+          round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 2)
+        .select($"q_id", $"q_label", $"rnk", $"neg_id", $"score")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    entry(
       "vec_cosine_pairs",
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -205,6 +205,41 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("dq_check fuses the column checks into one scan and broadcasts the FK dims") {
+    val p = formatted("dq_check")
+    // exactly TWO lineitem scans: the fused five-check conditional
+    // aggregate (one pass, never one scan per check) + the fact→fact
+    // FK anti-join probe side
+    val liScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(liScans == 2, s"expected 2 lineitem scans, got $liScans:\n$p")
+    // both referential-integrity checks plan as broadcast anti-joins
+    assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")) == 2,
+      "FK checks should be broadcast anti-joins at gate SF")
+  }
+
+  test("text_dedup_cross_source dedups (source, gram) before the self-join; top-20 lowers to TakeOrdered") {
+    val p = formatted("text_dedup_cross_source")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not materialize a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "gram self-join must stay equi-keyed")
+    // the distinct runs BELOW the join on both sides (bounded per-key
+    // fanout): two-phase hash aggregates feed the join inputs
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("ts_downsample_lttb is join-free and every window is keyed by the series") {
+    val p = formatted("ts_downsample_lttb")
+    assert(!p.contains("Join"), "LTTB must not join:\n" + p)
+    val inline = SparkEntry.queries("ts_downsample_lttb")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val winLines = inline.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "neighbor/rank windows missing")
+    assert(winLines.forall(_.contains("event_type")),
+      "unkeyed window (single-partition sort):\n" + winLines.mkString("\n"))
+  }
+
   test("no query plan contains a cartesian product or an unpartitioned window") {
     // Sweep every declared query. Exceptions are intentional 1-row or
     // bounded-small broadcast sides (threshold scalars, knn query rows,
@@ -213,6 +248,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // vec_mips_topk: same deliberate 1-row query-vector broadcast as
       // vec_knn_topk (O(n) scan, TakeOrderedAndProject pinned above)
       "vec_knn_topk", "vec_mips_topk", "vec_knn_join", "vec_cosine_pairs", "vec_ann_ivf",
+      // vec_hard_negatives: the guarded exact cross-label anchor —
+      // same bounded-anchor broadcast BNLJ as vec_knn_join
+      "vec_hard_negatives",
       "semantic_search_e2e", "win_percent_topk", "agg_stats_zscore",
       "join_cross", "join_theta_range", "sql_entry", "sim_index_build",
       "vec_index_build", "text_tfidf", "text_bm25", "mix_weights",
@@ -255,7 +293,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "profile_drift",
       // text_keyword_extract: the same 1-row corpus-count broadcast as
       // text_tfidf (it scores with the identical tf·idf formula)
-      "text_keyword_extract")
+      "text_keyword_extract",
+      // graph_pagerank / assoc_rules: 1-row node-count / user-count
+      // broadcasts feeding the integer teleport term and lift
+      // denominators — same shape as mix_weights' stats row
+      "graph_pagerank", "assoc_rules")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
