@@ -592,6 +592,50 @@ object PipelineOps {
     },
 
     entry(
+      "mix_temperature",
+      """WITH t AS (SELECT source,
+        |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT sum(n_tokens) AS total FROM t),
+        |q AS (SELECT source, n_tokens,
+        |    CAST(round(sqrt(n_tokens * 1.0 / total) * 1000000000, 0) AS BIGINT) AS qw
+        |  FROM t, g),
+        |s AS (SELECT sum(qw) AS sq FROM q)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(qw * 1000000 // sq AS BIGINT) AS weight_ppm
+        |FROM q, s ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Temperature-scaled mixture sampling (α = 0.5): sampling weight
+      // ∝ share^α, the standard low-resource up-weighting every
+      // multilingual/multi-source pretraining run uses (XLM-R /
+      // mT5-style temperature sampling — uniform at α=0, proportional
+      // at α=1) — the dial between mix_weights' two extremes.
+      // Determinism: sqrt is IEEE-correctly-rounded on an identically
+      // computed ratio, then QUANTIZED to integer nano-units before
+      // the normalizing sum — so the Σ over sources is an exact long
+      // sum (a float Σ of 20 sqrt values would be partial-order
+      // dependent), and the declared ppm weights are pure integer DIV.
+      // Scale shape: same ride as mix_weights — map-only size(toks)
+      // over the shared tokenized frame, a source-sized aggregate, two
+      // 1-row broadcasts. Output is source-cardinality rows.
+      TextOps.requireDocMeta(s, dir, "source")
+      val t = TextOps.docTokens(s, dir)
+        .select($"source", size($"toks").cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val g = t.agg(sum($"n_tokens").as("total"))
+      val q = t.crossJoin(broadcast(g))
+        .select($"source", $"n_tokens",
+          round(sqrt($"n_tokens" * lit(1.0) / $"total") * 1000000000L, 0)
+            .cast("long").as("qw"))
+      val sq = q.agg(sum($"qw").as("sq"))
+      q.crossJoin(broadcast(sq))
+        .select($"source", $"n_tokens",
+          expr("qw * 1000000L DIV sq").as("weight_ppm"))
+        .orderBy($"source")
+    },
+
+    entry(
       "mix_apply",
       """WITH t AS (SELECT source,
         |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens

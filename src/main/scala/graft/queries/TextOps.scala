@@ -1018,6 +1018,46 @@ object TextOps {
     },
 
     entry(
+      "text_lang_confusion",
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |    CASE WHEN len(list_filter(toks, x -> list_contains(['the','a'], x)))*1.0/len(toks) >= 0.05
+        |         THEN 'en' ELSE 'und' END AS guess
+        |  FROM t),
+        |c AS (SELECT lang, guess, count(*) AS n FROM s GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.lang, c.guess, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // row_n AS BIGINT) AS row_ppm
+        |FROM c JOIN r ON r.lang = c.lang
+        |ORDER BY c.lang, c.guess""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Classifier-vs-label confusion matrix — the evaluation audit for
+      // text_lang_id: predicted language (same marker-lexicon
+      // heuristic) against the table's declared `lang` column, with
+      // each cell's share of its true-label row in exact integer ppm.
+      // The eval-layer op every heuristic/learned filter needs beside
+      // it (quality_classifier and lang_id both get graded against
+      // SOME label column eventually — this is that query shape).
+      // Scale: map-side predict + one (lang, guess) hash-agg; the
+      // matrix is label²-bounded, row totals derive from the
+      // aggregated frame (no second scan). All-integer output.
+      requireDocMeta(s, dir, "lang")
+      val toks    = tokens(lower($"text"))
+      val markers = typedLit(Seq("the", "a"))
+      val ratio   = size(filter(toks, t => array_contains(markers, t))) / size(toks).cast("double")
+      val c = load(s, dir, "documents")
+        .select($"lang", when(ratio >= 0.05, "en").otherwise("und").as("guess"))
+        .groupBy($"lang", $"guess").agg(count(lit(1)).as("n"))
+      val r = c.groupBy($"lang".as("l2")).agg(sum($"n").as("row_n"))
+      c.join(broadcast(r), $"lang" === $"l2")
+        .select($"lang", $"guess", $"n", expr("n * 1000000L DIV row_n").as("row_ppm"))
+        .orderBy($"lang", $"guess")
+    },
+
+    entry(
       "text_ngram_jaccard",
       """WITH t AS (SELECT doc_id,
         |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS term

@@ -475,6 +475,43 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_cumulative_distinct",
+      """WITH e AS (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |    date_trunc('day', ts) AS d
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (SELECT user_id, item, min(d) AS first_d FROM e GROUP BY 1, 2),
+        |c AS (SELECT user_id, first_d AS d, count(*) AS new_items FROM f GROUP BY 1, 2)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(new_items AS BIGINT) AS new_items,
+        |  CAST(sum(new_items) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_to_date
+        |FROM c ORDER BY user_id, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Running distinct count (per-user catalog discovery curve: how
+      // many DISTINCT items each user has clicked to date, by day).
+      // The naive window form — count(DISTINCT item) OVER an expanding
+      // frame — holds a per-row distinct SET in window state and is a
+      // scale-killer; the reduction here is the standard trick:
+      // distinct-to-date ≡ running SUM of first-occurrence counts, so
+      // the heavy work is one (user, item) min-aggregate (two-phase,
+      // map-side combine) and the window runs over the (user, day)
+      // aggregated frame with O(1) state. Exact integers throughout.
+      val e = loadEvents(s, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"),
+          date_trunc("day", $"ts").as("d"))
+      val f = e.groupBy($"user_id", $"item").agg(min($"d").as("first_d"))
+      val c = f.groupBy($"user_id", $"first_d".as("d"))
+        .agg(count(lit(1)).as("new_items"))
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select($"user_id", dayStr($"d").as("day"), $"new_items",
+          sum($"new_items").over(w).as("distinct_to_date"))
+        .orderBy($"user_id", $"day")
+    },
+
+    entry(
       "ts_retention_cohort",
       """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
         |  FROM events GROUP BY 1),

@@ -258,6 +258,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // (total, ns) stats broadcast as mix_weights, feeding the
       // per-source keep probabilities / merged weights
       "mix_apply", "mix_weights_incremental",
+      // mix_temperature: the same 1-row totals broadcasts as
+      // mix_weights (corpus total, then the quantized-weight sum)
+      "mix_temperature",
       // curate_corpus_e2e / pipeline_report compose mix_weights' stats
       // broadcast and pack_sequences' bucket-offset window (both
       // already allowed)
