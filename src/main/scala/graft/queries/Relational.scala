@@ -807,6 +807,47 @@ object Relational {
     },
 
     entry(
+      "agg_skew_kurtosis",
+      """WITH m AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type,
+        |    avg(pow(value - mu, 2)) AS m2, avg(pow(value - mu, 3)) AS m3,
+        |    avg(pow(value - mu, 4)) AS m4, count(*) AS n
+        |  FROM events e JOIN m ON m.event_type = e.event_type GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(m3 / pow(m2, 1.5), 4) AS skewness,
+        |  round(m4 / pow(m2, 2) - 3, 4) AS kurtosis_excess
+        |FROM c ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Distribution-shape profile (skewness + excess kurtosis per
+      // group) — the 3rd/4th-moment completion of the stats family
+      // (corr/covar = 2nd moments, zscore = standardization): the
+      // fat-tail / asymmetry panel a data owner reads before trusting
+      // mean±σ thresholds. Spark's built-in skewness/kurtosis use
+      // population moments while DuckDB's apply sample corrections, so
+      // the portable form states the POPULATION formula explicitly via
+      // central moments in both engines. Two passes like
+      // agg_stats_zscore: per-group means broadcast back (group-sized
+      // table), then ONE conditional-moment hash-agg; rounding at 4dp
+      // absorbs partial-order ulps, same contract as corr/regr.
+      // Measured values sit at |skew| ≈ 2, kurt ≈ 4-6 — far from the
+      // rounding unit.
+      val ev = loadEvents(s, dir)
+      val m = ev.groupBy($"event_type").agg(avg($"value").as("mu"))
+      ev.join(broadcast(m), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          avg(pow($"value" - $"mu", 2)).as("m2"),
+          avg(pow($"value" - $"mu", 3)).as("m3"),
+          avg(pow($"value" - $"mu", 4)).as("m4"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"n",
+          round($"m3" / pow($"m2", 1.5), 4).as("skewness"),
+          round($"m4" / pow($"m2", 2) - 3, 4).as("kurtosis_excess"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "agg_listagg",
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,

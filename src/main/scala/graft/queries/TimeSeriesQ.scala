@@ -475,6 +475,40 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_autocorr",
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.c AS c0, b.c AS c1
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND b.day = a.day + INTERVAL 1 DAY)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(corr(c0, c1), 4) AS acf1
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Lag-1 autocorrelation of the daily volume series per type —
+      // the "is today predictive of tomorrow" one-number diagnostic
+      // behind seasonality/forecast decisions (an ACF near 0 says the
+      // daily series is noise; near ±1 says trend/oscillation).
+      // Scale shape: the heavy work is the (type, day) count — a
+      // two-phase hash-agg off the scan; the lag pairing is an
+      // equi-join ON THE AGGREGATED series (days × types rows, not
+      // events), and corr's co-moment partials merge associatively
+      // (the agg_corr_covar contract, rounded at 4dp). Integer day
+      // counts make corr's inputs exact.
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = d.select($"event_type", $"day", $"c".as("c0"))
+      val b = d.select($"event_type".as("et2"), ($"day" - expr("INTERVAL 1 DAY")).as("day2"),
+        $"c".as("c1"))
+      a.join(b, $"event_type" === $"et2" && $"day" === $"day2")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"), round(corr($"c0", $"c1"), 4).as("acf1"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "ts_cumulative_distinct",
       """WITH e AS (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
         |    date_trunc('day', ts) AS d
