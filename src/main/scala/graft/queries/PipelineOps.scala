@@ -592,6 +592,50 @@ object PipelineOps {
     },
 
     entry(
+      "agg_gini",
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS nt
+        |  FROM documents),
+        |r AS (SELECT source, nt,
+        |    row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk
+        |  FROM t),
+        |g AS (SELECT source, count(*) AS n, sum(nt) AS tot, sum(rk * nt) AS rs
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(tot AS BIGINT) AS n_tokens,
+        |  CAST((2 * rs - (n + 1) * tot) * 1000000 // (n * tot) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Token-mass concentration per source (Gini coefficient, exact
+      // integer ppm) — the inequality audit behind mixture decisions:
+      // a source whose token mass concentrates in a few giant docs
+      // behaves very differently under doc-level sampling than its
+      // token share suggests (dedup, packing and per-doc quality
+      // filters all act doc-wise). Rank formula
+      // G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) on the ascending sort;
+      // equal-valued docs contribute the same Σ rk·x under any
+      // tie order (i+j constant × equal x), and the doc_id tiebreak
+      // pins the rest — all-integer, hash-exact.
+      // Scale shape: rides the shared tokenized frame (map-only
+      // size(toks)); the rank window is source-keyed (per-source sort,
+      // parallel across sources); the final frame is source-sized. For
+      // a single fat source the dial is the two-level rank (bucket
+      // histogram prefix-sum, the pack_sequences device).
+      TextOps.requireDocMeta(s, dir, "source")
+      val t = TextOps.docTokens(s, dir)
+        .select($"source", $"doc_id", size($"toks").cast("long").as("nt"))
+      val w = Window.partitionBy($"source").orderBy($"nt", $"doc_id")
+      t.withColumn("rk", row_number().over(w))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"nt").as("tot"),
+          sum($"rk" * $"nt").as("rs"))
+        .select($"source", $"n".as("n_docs"), $"tot".as("n_tokens"),
+          expr("(2 * rs - (n + 1) * tot) * 1000000L DIV (n * tot)").as("gini_ppm"))
+        .orderBy($"source")
+    },
+
+    entry(
       "mix_temperature",
       """WITH t AS (SELECT source,
         |    sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens

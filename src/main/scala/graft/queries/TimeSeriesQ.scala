@@ -475,6 +475,50 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_forecast_linear",
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS di, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, min(di) AS d0 FROM d GROUP BY 1),
+        |f AS (SELECT d.event_type,
+        |    regr_slope(c, di - d0) AS slope, regr_intercept(c, di - d0) AS icept,
+        |    max(di - d0) AS span, count(*) AS n_days
+        |  FROM d JOIN m ON m.event_type = d.event_type GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(slope, 4) AS slope_per_day,
+        |  round(icept + slope * (span + 1), 2) AS forecast_next_day
+        |FROM f ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Per-type next-day volume forecast by least-squares trend — the
+      // capacity-planning one-liner on top of the regr aggregate
+      // family: fit daily counts against a day index CENTERED at each
+      // type's first day (centering keeps the extrapolation point
+      // small, so slope ulps aren't amplified by an epoch-sized x —
+      // the determinism lesson from agg_regression's per-hour x), then
+      // extrapolate one day past the span. The regression runs on the
+      // AGGREGATED (type, day) series — days × types rows — never the
+      // event stream; co-moment partials merge associatively and 4dp/
+      // 2dp rounding absorbs partial-order ulps.
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type",
+          (unix_micros(date_trunc("day", $"ts")) / lit(86400000000L)).cast("long").as("di"))
+        .agg(count(lit(1)).as("c"))
+      val m = d.groupBy($"event_type".as("et2")).agg(min($"di").as("d0"))
+      d.join(broadcast(m), $"event_type" === $"et2")
+        .groupBy($"event_type")
+        .agg(
+          regr_slope($"c", $"di" - $"d0").as("slope"),
+          regr_intercept($"c", $"di" - $"d0").as("icept"),
+          max($"di" - $"d0").as("span"),
+          count(lit(1)).as("n_days"))
+        .select($"event_type", $"n_days",
+          round($"slope", 4).as("slope_per_day"),
+          round($"icept" + $"slope" * ($"span" + 1), 2).as("forecast_next_day"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "ts_autocorr",
       """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
         |  FROM events GROUP BY 1, 2),
