@@ -442,6 +442,73 @@ object PipelineOps {
     },
 
     entry(
+      "dq_freshness",
+      """WITH g AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+        |t AS (SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((now_us - last_us) // 60000000 AS BIGINT) AS staleness_min,
+        |  CASE WHEN now_us - last_us <= 86400000000 THEN 'fresh' ELSE 'stale' END AS status
+        |FROM t, g ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Data-freshness audit (the dq_check sibling for the TIME axis):
+      // per event type, how far its newest event lags the table's
+      // newest event — the "this upstream stopped flowing" alarm.
+      // "Now" is the table's own max event time, NOT the wall clock, so
+      // the declared output is deterministic and replayable; a serving
+      // deployment swaps in the clock via the same plan. Integer
+      // epoch-micro arithmetic throughout. Scale shape: ONE two-phase
+      // (type) max/count hash-agg + a 1-row global-max broadcast —
+      // two scans collapse into the same pruned column.
+      val ev = loadEvents(s, dir)
+      val g = ev.agg(max(unix_micros($"ts")).as("now_us"))
+      ev.groupBy($"event_type")
+        .agg(max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(g))
+        .select($"event_type", $"n",
+          expr("(now_us - last_us) DIV 60000000L").as("staleness_min"),
+          when($"now_us" - $"last_us" <= 86400000000L, "fresh")
+            .otherwise("stale").as("status"))
+        .orderBy($"event_type")
+    },
+
+    entry(
+      "sample_reservoir",
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS hk
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY hk, doc_id) AS rk FROM h)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Deterministic per-group reservoir sample (k=3 docs per source)
+      // — the "show me a few examples from each source" op every
+      // curation review starts with. Classic reservoir sampling is
+      // stream-order-dependent; the distributed deterministic form is
+      // MIN-K BY HASH: rank on the same Knuth multiplicative hash
+      // sample_split uses (engine-independent integer arithmetic) and
+      // keep rank ≤ k — a uniform sample that is identical on any
+      // engine, any partitioning, any rerun, and MERGEABLE (min-k of a
+      // union = min-k of min-ks, so per-partition partial reservoirs
+      // combine associatively — at 100 TB the rank filter lowers to
+      // WindowGroupLimit and each task keeps only its local top-k).
+      TextOps.requireDocMeta(s, dir, "source")
+      val hk = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
+      val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+      load(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars", hk.as("hk"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"source", $"rk", $"doc_id", $"n_chars")
+        .orderBy($"source", $"rk")
+    },
+
+    entry(
       "profile_drift",
       """WITH b AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
         |m AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM b),

@@ -134,6 +134,68 @@ object Streams {
       }
   }
 
+  final case class Credit(user_id: Long, p_id: Long, v_id: Long,
+                          credit_micro: Long)
+  final case class ViewBuf(views: Seq[(Long, Long)]) // (v_id, ts_us)
+
+  /** Streaming multi-touch attribution — the ingest-time form of the
+    * batch `ts_attribution` entry, SAME integer fixed-point arithmetic
+    * (micro-unit values, inverse-age-hours weights, integer-DIV credit
+    * splits), so a replay of the event stream produces credits the
+    * batch operator's formula reproduces exactly (spec-pinned).
+    * Per-user state is the view buffer BOUNDED two ways: views older
+    * than the 7-day window are evicted as event time advances (the
+    * attribution window IS the retention bound), and the buffer is
+    * capped at the newest [[AttributionMaxViews]] views (a bot user
+    * can't grow state without bound — the cap is the stream-side twin
+    * of the batch op's documented skew dial). State shards by user_id.
+    *
+    * Same in-group ordering contract as [[milestoneCrossings]]:
+    * MemoryStream preserves input order within a group; production
+    * sources pre-sort by event time upstream.
+    */
+  val AttributionMaxViews = 64
+
+  def streamAttribution(events: Dataset[Ev]): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    val windowUs = 7L * 86400000000L
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewBuf, Credit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[ViewBuf]) =>
+          var buf = state.getOption.map(_.views).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Credit]
+          rows.foreach { e =>
+            // full-precision epoch micros (Timestamp.getTime truncates
+            // to millis; the batch op compares unix_micros)
+            val i = e.ts.toInstant
+            val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            if (e.event_type == "view") {
+              buf = (buf :+ (e.event_id, t)).takeRight(AttributionMaxViews)
+            } else {
+              // evict views outside the window BEFORE weighting: the
+              // batch predicate (pt - vt <= 7 days) and the state bound
+              // are the same expression
+              buf = buf.filter { case (_, vt) => t - vt <= windowUs && vt <= t }
+              if (buf.nonEmpty) {
+                val valMicro = math.round(e.value * 1000000L)
+                val ws = buf.map { case (vid, vt) =>
+                  (vid, 1000000L / (1L + (t - vt) / 3600000000L))
+                }
+                val tw = ws.map(_._2).sum
+                ws.foreach { case (vid, w) =>
+                  out += Credit(uid, e.event_id, vid, valMicro * w / tw)
+                }
+              }
+            }
+          }
+          state.update(ViewBuf(buf))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * views within the preceding 5 minutes. BOTH sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

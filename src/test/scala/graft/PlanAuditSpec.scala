@@ -294,6 +294,8 @@ class PlanAuditSpec extends SparkSpecBase {
       // the half totals) feeding map-side conditional sums — same
       // shape as agg_histogram's range row
       "profile_drift",
+      // dq_freshness: the 1-row global-max "now" broadcast — same shape
+      "dq_freshness",
       // text_keyword_extract: the same 1-row corpus-count broadcast as
       // text_tfidf (it scores with the identical tf·idf formula)
       "text_keyword_extract",

@@ -94,6 +94,64 @@ class StreamingSpec extends SparkSpecBase {
       Streams.Crossing(7, 15.0, 16.0)))
   }
 
+  test("stream_attribution: time-decay credits match the batch integer formula; state evicts and caps") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.streamAttribution(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two views for user 7, then a purchase 1h after the last
+    in.addData(
+      Ev(1, 7, "view", ts(0), 1.0),
+      Ev(2, 7, "view", ts(30), 1.0),
+      Ev(3, 7, "purchase", Timestamp.valueOf("2026-01-01 11:30:00"), 2.5))
+    q.processAllAvailable()
+    // batch 2: cross-batch state — another purchase sees BOTH old views
+    in.addData(Ev(4, 7, "purchase", Timestamp.valueOf("2026-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_out").as[Streams.Credit].collect()
+      .sortBy(c => (c.p_id, c.v_id))
+    // exact integer recompute of the batch ts_attribution formula
+    def expect(pId: Long, valMicro: Long, views: Seq[(Long, Long)]): Seq[Streams.Credit] = {
+      val ws = views.map { case (vid, ageHours) =>
+        (vid, 1000000L / (1L + ageHours)) }
+      val tw = ws.map(_._2).sum
+      ws.map { case (vid, w) => Streams.Credit(7, pId, vid, valMicro * w / tw) }
+    }
+    val exp = (expect(3, 2500000L, Seq((1L, 1L), (2L, 1L))) ++
+      expect(4, 1000000L, Seq((1L, 2L), (2L, 2L)))).sortBy(c => (c.p_id, c.v_id))
+    assert(rows.toSeq == exp,
+      s"stream credits diverge from the batch formula: ${rows.toSeq}")
+    // credit conservation per purchase (integer floors only lose mass)
+    rows.groupBy(_.p_id).foreach { case (p, cs) =>
+      val cap = if (p == 3) 2500000L else 1000000L
+      assert(cs.map(_.credit_micro).sum <= cap)
+    }
+  }
+
+  test("stream_attribution: view buffer is capped and out-of-window views earn nothing") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.streamAttribution(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("attr_cap_out")
+      .outputMode(OutputMode.Append()).start()
+    // 70 views: only the newest 64 survive the cap; the first 6 ids drop
+    val views = (1 to 70).map(i => Ev(i, 9, "view", ts(0, i % 60), 1.0))
+    in.addData(views: _*)
+    // a stale view 8 days before the purchase would be in-window only if
+    // eviction failed
+    in.addData(Ev(200, 9, "view", Timestamp.valueOf("2025-12-20 10:00:00"), 1.0))
+    in.addData(Ev(300, 9, "purchase", Timestamp.valueOf("2026-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val credited = spark.table("attr_cap_out").as[Streams.Credit].collect()
+      .map(_.v_id).toSet
+    assert(!credited.exists(_ <= 6), "capped-out views must not earn credit")
+    assert(!credited.contains(200L), "out-of-window view must not earn credit")
+    assert(credited.size == 63, s"expected 63 credited views, got ${credited.size}")
+  }
+
   test("stream_stream_join: purchases match same-user views within the 5-minute interval") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[Ev]
