@@ -1292,6 +1292,52 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    entry(
+      "dq_duplicate_rate",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lab.label <> lab.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN lab.label <> lab.doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Per-SOURCE duplication rate (exact integer ppm of docs that are
+      // non-canonical members of a near-dup cluster) — the dq_check-style
+      // summary of the dedup layer: which ingest sources ship duplicated
+      // content, the number a curation owner watches per drop before
+      // mixture weighting (the pair-level view is
+      // text_dedup_cross_source; this is the doc-level rate). Rides the
+      // same memoized/stamped cluster-labels artifact as the dedup
+      // family — the audit costs one broadcast-sized join + a
+      // source-keyed hash-agg on top of clustering already paid for.
+      requireDocMeta(s, dir, "source")
+      val lab = clusterLabels(s, dir)
+        .select($"doc_id", ($"doc_id" =!= $"label").cast("long").as("is_dup"))
+      load(s, dir, "documents").select($"doc_id", $"source")
+        .join(lab, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"is_dup").as("n_dups"))
+        .select($"source", $"n_docs", $"n_dups",
+          expr("n_dups * 1000000L DIV n_docs").as("dup_ppm"))
+        .orderBy($"source")
+    },
 
 
     entry(

@@ -475,6 +475,55 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_gap_detect",
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hi) AS h0, max(hi) AS h1 FROM d GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hi FROM b),
+        |miss AS (SELECT g.event_type, g.hi FROM g
+        |  LEFT JOIN d ON d.event_type = g.event_type AND d.hi = g.hi
+        |  WHERE d.hi IS NULL),
+        |runs AS (SELECT event_type,
+        |    hi - row_number() OVER (PARTITION BY event_type ORDER BY hi) AS grp
+        |  FROM miss),
+        |rl AS (SELECT event_type, grp, count(*) AS run_len FROM runs GROUP BY 1, 2)
+        |SELECT b.event_type,
+        |  CAST(coalesce(sum(run_len), 0) AS BIGINT) AS n_missing_hours,
+        |  CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_gap_hours
+        |FROM b LEFT JOIN rl ON rl.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Coverage-gap report (the dq_freshness sibling for INTERIOR
+      // holes): per type, how many hour cells inside the observed span
+      // have zero events, and the LONGEST consecutive outage — silence
+      // mid-history that max-lag freshness can't see. Missing cells
+      // come from a per-type hour grid anti-joined against observed
+      // hours; consecutive cells collapse into runs with the classic
+      // gaps-and-islands key (cell − row_number is constant within a
+      // run). Scale shape: the event stream reduces to DISTINCT
+      // (type, hour) FIRST (two-phase agg — the only lake-scale pass);
+      // the grid, anti-join, islands window and run aggregate all run
+      // on span-sized frames (types × hours). All-integer output.
+      val d = loadEvents(s, dir)
+        .select($"event_type",
+          (unix_micros(date_trunc("hour", $"ts")) / lit(3600000000L)).cast("long").as("hi"))
+        .distinct()
+      val b = d.groupBy($"event_type").agg(min($"hi").as("h0"), max($"hi").as("h1"))
+      val g = b.select($"event_type", explode(sequence($"h0", $"h1")).as("hi"))
+      val miss = g.join(d, Seq("event_type", "hi"), "left_anti")
+      val w = Window.partitionBy($"event_type").orderBy($"hi")
+      val rl = miss.withColumn("grp", $"hi" - row_number().over(w))
+        .groupBy($"event_type", $"grp").agg(count(lit(1)).as("run_len"))
+      b.join(rl, Seq("event_type"), "left")
+        .groupBy($"event_type")
+        .agg(coalesce(sum($"run_len"), lit(0L)).as("n_missing_hours"),
+          coalesce(max($"run_len"), lit(0L)).as("longest_gap_hours"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "ts_forecast_linear",
       """WITH d AS (SELECT event_type,
         |    epoch_us(date_trunc('day', ts)) // 86400000000 AS di, count(*) AS c
