@@ -508,6 +508,48 @@ object Relational {
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
         .orderBy($"n_name")
+    },
+
+    entry(
+      "q5_local_supplier",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q5 shape (local-supplier volume): the 6-table composite
+      // that exercises the planner end to end — region/nation prune the
+      // customer side, the date filter prunes orders at the scan, and
+      // the LOCAL-supplier constraint (s_nationkey = c_nationkey) rides
+      // the supplier equi-join as a residual, correlating the customer
+      // and supplier dimensions through the fact. Plan shape at scale:
+      // every dimension chain broadcasts (region→nation→customer stays
+      // dim-sized after the region filter); the one real shuffle is
+      // orders⋈lineitem on the order key (AQE broadcasts orders at gate
+      // SFs); the nation-sized aggregate ranks by rounded revenue with
+      // a name tie-break.
+      load(s, dir, "region").filter($"r_name" === "ASIA")
+        .join(load(s, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+        .join(load(s, dir, "customer"), $"c_nationkey" === $"n_nationkey")
+        .join(load(s, dir, "orders")
+          .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+            $"o_orderdate" < to_timestamp(lit("1997-01-01"))),
+          $"o_custkey" === $"c_custkey")
+        .join(load(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+        .join(load(s, dir, "supplier"),
+          $"s_suppkey" === $"l_suppkey" && $"s_nationkey" === $"c_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
     }
   )
 
