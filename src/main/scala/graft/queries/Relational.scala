@@ -1120,6 +1120,55 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           round(cume_dist().over(w), 4).as("cd"))
         .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+    },
+
+    entry(
+      "win_ntile_global",
+      """WITH r AS (SELECT o_totalprice,
+        |    (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 4
+        |      // (count(*) OVER ()) + 1 AS quartile
+        |  FROM orders)
+        |SELECT quartile, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // GLOBAL rank-based quartiles WITHOUT a global sort — the
+      // distributed total-ranking device (the oracle's
+      // row_number() OVER (ORDER BY …) is the single-partition
+      // pathology the fleet-wide plan guard bans): range-bucket by 15
+      // APPROXIMATE split points (approximation only affects bucket
+      // BALANCE, never correctness), per-bucket exact sort-rank in
+      // parallel, then global rank = bucket prefix offset + in-bucket
+      // rank — the same two-level prefix-sum shape as pack_sequences.
+      // The only unpartitioned window runs over the 16-row bucket
+      // totals. The quartile is the explicit rank formula
+      // (rk−1)·4 DIV n + 1 — stated identically in the oracle instead
+      // of ntile() so the semantics match at ANY n (ntile's
+      // ceil/floor group split coincides only when n divides evenly).
+      val o = load(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      val bounds = o.agg(percentile_approx($"o_totalprice",
+        typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"))
+      val bucketed = o.crossJoin(broadcast(bounds))
+        .select($"o_orderkey", $"o_totalprice",
+          aggregate($"bs", lit(0),
+            (acc, b) => acc + when($"o_totalprice" > b, 1).otherwise(0)).as("bkt"))
+      val wOff = Window.orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum($"bn").over(wOff), lit(0L)))
+        .select($"bkt", $"off")
+      val n1 = o.agg(count(lit(1)).as("n"))
+      val wIn = Window.partitionBy($"bkt").orderBy($"o_totalprice", $"o_orderkey")
+      bucketed.join(broadcast(offs), "bkt")
+        .withColumn("rk", row_number().over(wIn) + $"off")
+        .crossJoin(broadcast(n1))
+        .select($"o_totalprice", expr("(rk - 1) * 4 DIV n + 1").as("quartile"))
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min($"o_totalprice"), 4).as("lo"),
+          round(max($"o_totalprice"), 4).as("hi"))
+        .orderBy($"quartile")
     }
   )
 

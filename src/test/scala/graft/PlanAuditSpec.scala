@@ -302,7 +302,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // graph_pagerank / assoc_rules: 1-row node-count / user-count
       // broadcasts feeding the integer teleport term and lift
       // denominators — same shape as mix_weights' stats row
-      "graph_pagerank", "assoc_rules")
+      "graph_pagerank", "assoc_rules",
+      // win_ntile_global: 1-row split-point / total-count broadcasts
+      // feeding the range bucketing and the rank formula
+      "win_ntile_global")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
@@ -325,7 +328,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // curate_token_budget: its unpartitioned running sum is over the
       // quality-BUCKET totals frame (≤10⁴ rows — quality is 4dp in
       // [0,1]); the doc-level window is bucket-partitioned
-      "curate_token_budget")
+      "curate_token_budget",
+      // win_ntile_global: the prefix-offset window runs over the
+      // 16-row range-bucket totals; the row-level rank window is
+      // bucket-partitioned — the pack_sequences two-level shape
+      "win_ntile_global")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
       val p = qe.executedPlan.toString
