@@ -550,6 +550,83 @@ object Relational {
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
+    },
+
+    entry(
+      "q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q3 shape (shipping priority): unshipped revenue for one
+      // market segment — the classic selective-dimension star probe.
+      // Plan shape at scale: the segment filter keeps customer
+      // dim-sized (1/5 of customers) → broadcast into orders; the date
+      // filters are pushed into both fact scans (PushedFilters on
+      // o_orderdate / l_shipdate prune row groups BEFORE the join);
+      // the one real shuffle is the order-key aggregate, and the final
+      // top-10 is TakeOrderedAndProject — per-partition heaps, never a
+      // global sort.
+      val cust = load(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = load(s, dir, "orders")
+        .filter($"o_orderdate" < to_timestamp(lit("1997-01-01")))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val li = load(s, dir, "lineitem")
+        .filter($"l_shipdate" > to_timestamp(lit("1997-01-01")))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(li, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+        .select($"l_orderkey", $"revenue", $"orderdate", $"o_orderpriority")
+        .orderBy($"revenue".desc, $"l_orderkey").limit(10)
+    },
+
+    entry(
+      "q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey AS bkey, round(sum(l_quantity), 4) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o_totalprice, 4) AS totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = bkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q18 shape (large-volume customer): find the extreme-tail
+      // orders by total quantity, then decorate with order + customer
+      // attributes. The scale device is aggregate-THEN-broadcast: the
+      // quantity aggregate runs once over the fact (map-side partial
+      // sums, one shuffle on the order key), the HAVING filter cuts it
+      // to the top ~0.5% tail, and that tiny survivor set broadcasts
+      // into orders and then customer — neither dimension table is
+      // shuffled at all, and lineitem is scanned exactly once (TPC-H's
+      // textbook formulation re-scans it inside an IN-subquery).
+      val big = load(s, dir, "lineitem")
+        .groupBy($"l_orderkey".as("bkey"))
+        .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
+        .filter($"sum_qty" > 300)
+      val qual = load(s, dir, "orders")
+        .join(broadcast(big), $"o_orderkey" === $"bkey")
+      load(s, dir, "customer").join(broadcast(qual), $"c_custkey" === $"o_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          round($"o_totalprice", 4).as("totalprice"), $"sum_qty")
+        .orderBy($"totalprice".desc, $"o_orderkey").limit(100)
     }
   )
 

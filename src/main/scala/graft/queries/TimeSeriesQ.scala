@@ -792,6 +792,71 @@ object TimeSeriesQ {
         .filter($"rn" === 1)
         .select($"user_id", $"cusum".as("max_cusum_micro"), $"event_id".as("at_event"))
         .orderBy($"user_id")
+    },
+
+    entry(
+      "ts_decompose",
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |    FROM events GROUP BY 1),
+        |t AS (SELECT day, n, sum(n) OVER w AS s7, count(*) OVER w AS c7,
+        |    CAST(strftime(day, '%w') AS INT) AS dow
+        |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT day, n, dow,
+        |    CASE WHEN c7 = 7 THEN CAST((s7 * 1000000) // 7 AS BIGINT) END AS trend_micro,
+        |    CASE WHEN c7 = 7 THEN CAST(n * 1000000 - (s7 * 1000000) // 7 AS BIGINT) END AS det_micro
+        |  FROM t),
+        |sraw AS (SELECT dow,
+        |    CAST((sum(det_micro) + 1000000000 * count(det_micro)) // count(det_micro)
+        |      - 1000000000 AS BIGINT) AS s_raw
+        |  FROM det WHERE det_micro IS NOT NULL GROUP BY dow),
+        |ctr AS (SELECT CAST((sum(s_raw) + 1000000000 * count(*)) // count(*)
+        |      - 1000000000 AS BIGINT) AS g FROM sraw),
+        |seas AS (SELECT dow, s_raw - g AS seasonal_micro FROM sraw CROSS JOIN ctr)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |  trend_micro, seasonal_micro,
+        |  det_micro - seasonal_micro AS resid_micro
+        |FROM det LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Classical additive decomposition of the daily volume series:
+      // observed = trend + seasonal + residual. Trend is the centered
+      // 7-row moving average (defined only on full windows), seasonal
+      // is the mean detrended value per day-of-week re-centered to sum
+      // ~zero across the week, residual is what's left — the anomaly
+      // monitors' baseline input (MAD/CUSUM fire on residuals, not raw
+      // counts, once volume has weekly structure). Exactness: all
+      // arithmetic in integer micro-units; the floor divisions add a
+      // +1e9·cnt offset so the numerator is positive, making Spark's
+      // truncating DIV equal DuckDB's flooring // even when the
+      // detrended sums are negative. Scale shape: events collapse to
+      // the DAY frame first (one hash-agg — output is |days| rows
+      // regardless of event volume); the only unpartitioned window
+      // runs over that bounded day frame, and the 7-row day-of-week
+      // profile broadcasts back. Series-per-key variants partition
+      // every window by the key and drop the exemption.
+      val d = loadEvents(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      val det = d
+        .withColumn("s7", sum($"n").over(w))
+        .withColumn("c7", count(lit(1)).over(w))
+        .withColumn("dow", (dayofweek($"day") - 1).cast("int"))
+        .withColumn("trend_micro",
+          when($"c7" === 7, expr("s7 * 1000000L DIV 7")))
+        .withColumn("det_micro", $"n" * lit(1000000L) - $"trend_micro")
+      val sraw = det.filter($"det_micro".isNotNull).groupBy($"dow")
+        .agg(expr("(sum(det_micro) + 1000000000L * count(det_micro)) " +
+          "DIV count(det_micro) - 1000000000L").as("s_raw"))
+      val ctr = sraw.agg(expr(
+        "(sum(s_raw) + 1000000000L * count(*)) DIV count(*) - 1000000000L").as("g"))
+      val seas = sraw.crossJoin(broadcast(ctr))
+        .select($"dow", ($"s_raw" - $"g").as("seasonal_micro"))
+      det.join(broadcast(seas), Seq("dow"), "left")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n",
+          $"trend_micro", $"seasonal_micro",
+          ($"det_micro" - $"seasonal_micro").as("resid_micro"))
+        .orderBy($"day")
     }
   )
 }

@@ -305,7 +305,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "graph_pagerank", "assoc_rules",
       // win_ntile_global: 1-row split-point / total-count broadcasts
       // feeding the range bucketing and the rank formula
-      "win_ntile_global")
+      "win_ntile_global",
+      // ts_decompose: the 1-row weekly-profile center broadcast (the
+      // re-centering constant g) — same shape as mix_weights' stats row
+      "ts_decompose")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
@@ -332,7 +335,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // win_ntile_global: the prefix-offset window runs over the
       // 16-row range-bucket totals; the row-level rank window is
       // bucket-partitioned — the pack_sequences two-level shape
-      "win_ntile_global")
+      "win_ntile_global",
+      // ts_decompose: the moving-average window runs over the DAY
+      // frame (|days| rows after the first hash-agg, bounded by the
+      // calendar span, not event volume)
+      "ts_decompose")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
       val p = qe.executedPlan.toString
