@@ -627,6 +627,210 @@ object Relational {
           date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
           round($"o_totalprice", 4).as("totalprice"), $"sum_qty")
         .orderBy($"totalprice".desc, $"o_orderkey").limit(100)
+    },
+
+    entry(
+      "q4_priority_check",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q4 shape (order-priority check): EXISTS over the fact,
+      // expressed as a LEFT SEMI join — Spark never materializes the
+      // match side, it just probes for presence and short-circuits on
+      // the first hit. Both date bounds are pushed into the orders
+      // scan (row-group pruning BEFORE the join); the semi join
+      // shuffles only (orderkey) pairs, and the returnflag filter cuts
+      // the probe side to a third before the exchange.
+      val ord = load(s, dir, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1999-01-01")) &&
+          $"o_orderdate" < to_timestamp(lit("1999-07-01")))
+      val ret = load(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      ord.join(ret, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    entry(
+      "q13_customer_distribution",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q13 shape (customer order distribution): how many
+      // customers placed k orders, zeros included. The textbook form
+      // left-joins the full fact to the dimension and THEN aggregates
+      // — at scale that exchange carries every order row. Aggregating
+      // orders FIRST collapses the fact to one row per customer before
+      // any join; the left join then only fills the zero bucket, and
+      // the second aggregate is over |customers| rows. Same answer,
+      // one fact-sized shuffle instead of two.
+      val cnt = load(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      load(s, dir, "customer")
+        .join(cnt, $"c_custkey" === $"o_custkey", "left")
+        .select(coalesce($"cnt", lit(0L)).as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    entry(
+      "q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS skey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |      AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev_micro) AS m FROM rev)
+        |SELECT s_suppkey, s_name, round(rev_micro / 10000.0, 4) AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = skey JOIN mx ON rev_micro = m
+        |ORDER BY s_suppkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q15 shape (top supplier): argmax over a grouped revenue
+      // aggregate, ties kept. The revenue is accumulated in exact
+      // integer micro-units (each line's discounted price rounds to
+      // 1e-4 BEFORE summing — term-level rounding is order-independent,
+      // so the argmax decision is exact and engine-portable; summing
+      // doubles first could flip a near-tie between engines). Plan: one
+      // fact shuffle to supplier grain, a 1-row max broadcast joined
+      // back by equality (BroadcastHashJoin, not a rank sort), winners
+      // broadcast into the supplier dim.
+      val rev = load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("2000-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("2000-04-01")))
+        .groupBy($"l_suppkey".as("skey"))
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("rev_micro"))
+      val mx = rev.agg(max($"rev_micro").as("m"))
+      val winners = rev.join(broadcast(mx), $"rev_micro" === $"m")
+      load(s, dir, "supplier")
+        .join(broadcast(winners), $"s_suppkey" === $"skey")
+        .select($"s_suppkey", $"s_name",
+          round($"rev_micro" / 10000.0, 4).as("total_rev"))
+        .orderBy($"s_suppkey")
+    },
+
+    entry(
+      "q17_small_quantity",
+      """WITH st AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) AS sq, count(*) AS cnt
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#3' GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN st ON pk = l_partkey
+        |WHERE p_brand = 'Brand#3' AND 5 * l_quantity * cnt < sq""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q17 shape (small-quantity revenue): lines below 20% of
+      // their part's average quantity. The correlated AVG subquery is
+      // decorrelated by hand: filter the part dim to the brand FIRST
+      // (broadcast, so the per-part stats aggregate only ever sees the
+      // brand's 1/25 slice of the fact), then broadcast the tiny stats
+      // frame back. The threshold l_quantity < 0.2·avg is evaluated as
+      // 5·qty·cnt < sum — quantities are integer-valued, so the
+      // comparison is exact in both engines; a double 0.2·(sum/count)
+      // could disagree at the boundary.
+      val pf = load(s, dir, "part")
+        .filter($"p_brand" === "Brand#3").select($"p_partkey")
+      val li = load(s, dir, "lineitem")
+        .join(broadcast(pf), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val st = li.groupBy($"l_partkey".as("pk"))
+        .agg(sum($"l_quantity").as("sq"), count(lit(1)).as("cnt"))
+      li.join(broadcast(st), $"l_partkey" === $"pk")
+        .filter(lit(5) * $"l_quantity" * $"cnt" < $"sq")
+        .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"))
+    },
+
+    entry(
+      "q21_lone_blame",
+      """WITH ps AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (SELECT ok, count(*) AS nsupp, sum(ret) AS nret
+        |       FROM ps GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ps JOIN po USING (ok) JOIN supplier ON s_suppkey = sk
+        |WHERE ret = 1 AND nsupp > 1 AND nret = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q21 shape (suppliers who kept waiting): the supplier
+      // solely to blame in multi-supplier orders — the textbook form is
+      // EXISTS + NOT EXISTS self-joins over the fact, three row-level
+      // lineitem⋈lineitem probes. Re-expressed as a two-level
+      // aggregation: collapse to (order, supplier) pairs with a
+      // returned-flag max (one fact shuffle), roll those up per order
+      // (pairs frame is orders-sized), and the "only culprit" test
+      // becomes nsupp > 1 AND nret = 1 — no self-join ever touches
+      // row-level data, so a skewed mega-order can't explode a probe.
+      val ps = load(s, dir, "lineitem")
+        .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+        .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+      val po = ps.groupBy($"ok")
+        .agg(count(lit(1)).as("nsupp"), sum($"ret").as("nret"))
+      ps.filter($"ret" === 1)
+        .join(po.filter($"nsupp" > 1 && $"nret" === 1), "ok")
+        .join(broadcast(load(s, dir, "supplier")), $"s_suppkey" === $"sk")
+        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name").limit(20)
+    },
+
+    entry(
+      "q22_dormant_balance",
+      """WITH a AS (SELECT round(avg(c_acctbal), 4) AS ab
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey CROSS JOIN a
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q22 shape (global sales opportunity): above-average-
+      // balance customers gone quiet — scalar AVG subquery + NOT
+      // EXISTS, grouped by nation. The average is a 1-row broadcast
+      // (rounded to 4dp so the threshold is engine-portable); the NOT
+      // EXISTS is a LEFT ANTI join whose probe side is date-pruned at
+      // the orders scan before the exchange. Nation is a broadcast dim.
+      // Every customer here has SOME order, so the anti join's
+      // selectivity comes entirely from the pushed date bound.
+      val cust = load(s, dir, "customer")
+      val a = cust.filter($"c_acctbal" > 0.0)
+        .agg(round(avg($"c_acctbal"), 4).as("ab"))
+      val recent = load(s, dir, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("2000-08-01")))
+        .select($"o_custkey")
+      cust.crossJoin(broadcast(a))
+        .filter($"c_acctbal" > $"ab")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .join(broadcast(load(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum($"c_acctbal"), 4).as("totacctbal"))
+        .orderBy($"n_name")
     }
   )
 

@@ -308,7 +308,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "win_ntile_global",
       // ts_decompose: the 1-row weekly-profile center broadcast (the
       // re-centering constant g) — same shape as mix_weights' stats row
-      "ts_decompose")
+      "ts_decompose",
+      // q22_dormant_balance: the 1-row average-balance broadcast (the
+      // scalar AVG subquery) feeding the threshold filter
+      "q22_dormant_balance")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
