@@ -857,6 +857,127 @@ object TimeSeriesQ {
           $"trend_micro", $"seasonal_micro",
           ($"det_micro" - $"seasonal_micro").as("resid_micro"))
         .orderBy($"day")
+    },
+
+    entry(
+      "ts_markov_transitions",
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |t AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+        |      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, sum(n) AS tn FROM t GROUP BY 1)
+        |SELECT src, dst, n, round(n * 1.0 / tn, 6) AS p
+        |FROM t JOIN tot USING (src) ORDER BY src, dst""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // First-order Markov transition matrix over per-user event
+      // sequences — the journey-analysis primitive (what follows a
+      // signup? where do error loops sit?). One shuffle on user_id for
+      // the sequence window (the same partitioned-sort every
+      // sessionization entry pays), after which the space collapses to
+      // |types|² transition cells; the per-source normalizer is a
+      // broadcast of that tiny frame. p = n/tn divides exact integers,
+      // so the probabilities are bit-identical across engines.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t = loadEvents(s, dir)
+        .select($"event_type", lead($"event_type", 1).over(w).as("nxt"))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy($"src").agg(sum($"n").as("tn"))
+      t.join(broadcast(tot), "src")
+        .select($"src", $"dst", $"n", round($"n" * 1.0 / $"tn", 6).as("p"))
+        .orderBy($"src", $"dst")
+    },
+
+    entry(
+      "ts_moving_median",
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(median(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+        |FROM d ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // 7-row moving MEDIAN of the per-type daily volume — the robust
+      // smoother (a single spike day drags a moving average but not the
+      // median; monitoring baselines want this next to ts_ewma /
+      // ts_anomaly_mad). Events collapse to the (type, day) frame first
+      // — one hash-agg, output bounded by types × calendar span — and
+      // the order-statistic window runs over that bounded frame only,
+      // partitioned by type. Spark's `median` aggregate rejects window
+      // frames, so the order statistic is taken from the frame's
+      // collect_list sorted in place — O(7 log 7) per row on the
+      // bounded day frame, never on raw events. Counts are integers,
+      // so the even-frame interpolation (x.5) is exact in both engines.
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day").rowsBetween(-6, 0)
+      val arr = sort_array(collect_list($"n").over(w))
+      val k = size(arr)
+      val med = (element_at(arr, ((k + lit(1)) / 2).cast("int")) +
+        element_at(arr, (k / 2 + lit(1)).cast("int"))) / 2.0
+      d.select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"), $"n",
+          round(med, 4).as("med7"))
+        .orderBy($"event_type", $"day")
+    },
+
+    entry(
+      "ts_rolling_corr",
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, sum(n) AS tn FROM d GROUP BY 1),
+        |j AS (SELECT event_type, day, n, tn FROM d JOIN tot USING (day)),
+        |w AS (SELECT event_type, day, count(*) OVER fr AS k,
+        |    sum(n) OVER fr AS sx, sum(tn) OVER fr AS sy,
+        |    sum(n * n) OVER fr AS sxx, sum(tn * tn) OVER fr AS syy,
+        |    sum(n * tn) OVER fr AS sxy
+        |  FROM j WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN k = 14 AND k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+        |    THEN round(CAST(k * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(k * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 4) END AS corr14
+        |FROM w ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // 14-day rolling Pearson correlation between each type's daily
+      // volume and TOTAL daily volume — the co-movement monitor (a type
+      // decoupling from overall traffic is a leading incident signal;
+      // error volume correlating with traffic is load-driven, error
+      // volume decorrelating is a regression). Same bounded-frame
+      // discipline as ts_moving_median: the day frame is built once,
+      // the total rides a tiny per-day broadcast join, and the sum
+      // windows are type-partitioned. The correlation is assembled from
+      // EXACT integer moment sums (counts are integers, so sx/sxx/sxy
+      // are order-independent longs) with one explicitly-ordered double
+      // formula on both sides — engine corr() built-ins differ in
+      // accumulation order and NaN conventions; this is bit-portable.
+      // Partial frames (< 14 days) and zero-variance frames emit NULL.
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = d.groupBy($"day").agg(sum($"n").as("tn"))
+      val w = Window.partitionBy($"event_type").orderBy($"day").rowsBetween(-13, 0)
+      val vx = $"k" * $"sxx" - $"sx" * $"sx"
+      val vy = $"k" * $"syy" - $"sy" * $"sy"
+      val c = ($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+        (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+      d.join(broadcast(tot), "day")
+        .select($"event_type", $"day",
+          count(lit(1)).over(w).as("k"),
+          sum($"n").over(w).as("sx"), sum($"tn").over(w).as("sy"),
+          sum($"n" * $"n").over(w).as("sxx"),
+          sum($"tn" * $"tn").over(w).as("syy"),
+          sum($"n" * $"tn").over(w).as("sxy"))
+        .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+          when($"k" === 14 && vx > 0 && vy > 0, round(c, 4)).as("corr14"))
+        .orderBy($"event_type", $"day")
     }
   )
 }

@@ -38,6 +38,37 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected map-side partial + final HashAggregate")
   }
 
+  test("TPC-H composite shapes keep their scale devices in the physical plan") {
+    // q3: segment dim broadcasts; both date bounds reach the scans; the
+    // top-10 is a per-partition heap, not a global sort
+    val q3 = formatted("q3_shipping_priority")
+    assert(q3.contains("BroadcastHashJoin"), "q3: customer dim should broadcast")
+    assert(q3.contains("TakeOrderedAndProject"), "q3: top-10 should be heap-based")
+    assert(q3.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || q3.contains("LessThan(o_orderdate"), s"q3: order date bound not pushed\n$q3")
+    // q4: EXISTS must stay a semi join (never materializing matches)
+    val q4 = formatted("q4_priority_check")
+    assert(q4.contains("LeftSemi"), "q4: EXISTS should plan as a semi join")
+    // q15: the argmax is a 1-row max broadcast equality join, not a rank
+    val q15 = formatted("q15_top_supplier")
+    assert(q15.contains("BroadcastHashJoin"), "q15: max row should broadcast")
+    assert(!q15.contains("Window"), "q15: argmax must not degrade to a rank window")
+    // q17: per-part stats and the brand dim both broadcast back into the fact
+    val q17 = formatted("q17_small_quantity")
+    assert(q17.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "q17: brand dim + stats frame should both broadcast")
+    // q18: a single lineitem scan (the textbook IN-subquery form pays two)
+    val q18 = formatted("q18_large_orders")
+    assert(q18.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      "q18: lineitem must be scanned exactly once")
+    // q22: the anti join's probe side is date-pruned at the scan
+    val q22 = formatted("q22_dormant_balance")
+    assert(q22.contains("LeftAnti"), "q22: NOT EXISTS should plan as anti join")
+    assert(q22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q22: orders date bound not pushed\n$q22")
+  }
+
   test("agg_stats_zscore broadcasts the 1-row stats side") {
     val p = formatted("agg_stats_zscore")
     assert(p.contains("Broadcast"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))

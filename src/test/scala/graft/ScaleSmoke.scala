@@ -14,6 +14,10 @@ package graft
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
+    // optional second arg: comma-separated entry filter, for measuring
+    // just a session's additions against the 10× corpus
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +32,9 @@ object ScaleSmoke {
     queries.TextOps.warmDedupClusters(spark, sfDir)
     queries.IndexOps.warmPersistedIndexes(spark, sfDir)
     var failed = 0
-    val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val times = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val n = fn(spark, sfDir).count()
