@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical
+
+/** Preflight plan audit — the cluster-scale failure modes that are
+  * invisible at test scale, surfaced BEFORE a query runs. At sf0.01 a
+  * cartesian product or a whole-table single-task window finishes in
+  * milliseconds; at 100 TB the same plan is a cluster outage. The
+  * engine's own test suite has pinned these properties per query since
+  * round 6 (PlanAuditSpec's global guard); this promotes the check to a
+  * user-facing component so a pipeline can gate ad-hoc or generated SQL
+  * (the reference's NL→SQL agent shape, agent.py:22-47, is exactly the
+  * producer of plans nobody hand-reviewed) with the same discipline:
+  *
+  *   PlanGuard.audit(df) match {
+  *     case Nil        => df.write...
+  *     case violations => fail(violations)
+  *   }
+  *
+  * Checks (each cites why it kills a 1000-executor run):
+  *   - `cartesian`: a CartesianProduct physical node — O(n·m) row
+  *     generation with every partition pair shipped; no cluster width
+  *     survives it on two fact tables.
+  *   - `bnlj`: BroadcastNestedLoopJoin — the non-equi fallback; fine
+  *     for a deliberate 1-row stats broadcast (callers allowlist those
+  *     by construction), an outage when it appears by accident (a typo
+  *     turning an equi join condition into an expression Spark can't
+  *     hash on).
+  *   - `unpartitioned-window`: a logical Window with an empty
+  *     partitionSpec — the whole input sorts through ONE task
+  *     regardless of parallelism. Legitimate only over frames already
+  *     reduced to bounded cardinality (day grids, bucket totals);
+  *     callers allowlist those knowingly.
+  *
+  * The audit inspects the OPTIMIZED logical plan for windows (the
+  * physical text never prints empty partition specs — Spark's
+  * TreeNode.argString omits empty sequences, a trap this repo hit in
+  * round 6) and the executed physical plan for join strategies, so it
+  * sees what will actually run, after AQE-independent planning.
+  */
+object PlanGuard {
+
+  /** One audit finding: `kind` is a stable machine key (`cartesian`,
+    * `bnlj`, `unpartitioned-window`), `detail` names the offending
+    * node for the human reading the gate failure.
+    */
+  final case class Violation(kind: String, detail: String) {
+    override def toString: String = s"$kind: $detail"
+  }
+
+  /** Audit a frame's plan. `allow` suppresses named kinds for callers
+    * that have REVIEWED a hit (the 1-row broadcast crossJoin, the
+    * bounded-frame window) — allowlisting is per-call and explicit, the
+    * same contract as the test suite's per-query exemption lists.
+    */
+  def audit(df: DataFrame, allow: Set[String] = Set.empty): Seq[Violation] = {
+    val qe = df.queryExecution
+    val out = Seq.newBuilder[Violation]
+    if (!allow("cartesian") || !allow("bnlj")) {
+      val phys = qe.executedPlan.toString
+      if (!allow("cartesian") && phys.contains("CartesianProduct"))
+        out += Violation("cartesian",
+          "CartesianProduct node — O(n*m) all-pairs join; rewrite with an equi key or broadcast a provably tiny side")
+      if (!allow("bnlj") && phys.contains("BroadcastNestedLoopJoin"))
+        out += Violation("bnlj",
+          "BroadcastNestedLoopJoin — non-equi fallback; intended only for deliberate 1-row/stats broadcasts")
+    }
+    if (!allow("unpartitioned-window")) {
+      qe.optimizedPlan.foreach {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          out += Violation("unpartitioned-window",
+            s"Window [${w.windowExpressions.map(_.name).mkString(", ")}] has no PARTITION BY — " +
+              "the whole input sorts through one task; partition it or reduce the frame to bounded cardinality first")
+        case _ =>
+      }
+    }
+    out.result()
+  }
+
+  /** Gate form: throw with every violation listed (the preflight call
+    * a scheduled pipeline puts between plan construction and execute).
+    */
+  def require(df: DataFrame, allow: Set[String] = Set.empty): DataFrame = {
+    val v = audit(df, allow)
+    if (v.nonEmpty)
+      throw new IllegalStateException(
+        s"PlanGuard: ${v.size} scale-unsafe plan shape(s):\n  " + v.mkString("\n  "))
+    df
+  }
+}

@@ -1361,6 +1361,79 @@ object PipelineOps {
           ($"r_len" === 1 && $"r_wordlen" === 1 && $"r_stop" === 1 &&
             $"r_rep" === 1).cast("int"))
         .orderBy($"doc_id")
+    },
+
+    entry(
+      "text_chunk_fixed",
+      """SELECT doc_id, k AS chunk_idx,
+        |  length(substr(text, CAST(k * 300 + 1 AS INT), 400)) AS chunk_len,
+        |  md5(substr(text, CAST(k * 300 + 1 AS INT), 400)) AS chunk_md5
+        |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |  CAST(greatest(0, ceil((length(text) - 400) / 300.0)) AS INT))) AS k) g
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Sliding-window document chunking — the context-window prep step
+      // every RAG / long-context training pipeline runs (400-char
+      // windows, 100-char overlap, so no boundary-straddling content is
+      // lost). Declared output is the chunk MANIFEST: per-chunk length
+      // + md5 digest (md5 hashes identical UTF-8 bytes in both engines,
+      // so the manifest is a portable content fingerprint — the digest
+      // is also what chunk-level exact dedup keys on). Map-side only:
+      // the chunk grid is a per-row sequence explode, no shuffle before
+      // the declared sort, and chunk count is chars/stride-bounded.
+      // Consumers take the same frame with the chunk text column kept.
+      val starts = sequence(lit(0),
+        greatest(lit(0), ceil((length($"text") - 400) / 300.0)).cast("int"))
+      load(s, dir, "documents")
+        .select($"doc_id", $"text", explode(starts).as("k"))
+        .select($"doc_id", $"k".as("chunk_idx"),
+          expr("substr(text, k * 300 + 1, 400)").as("chunk"))
+        .select($"doc_id", $"chunk_idx",
+          length($"chunk").as("chunk_len"), md5($"chunk").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    entry(
+      "curate_shuffle_shards",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || source) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, h,
+        |    CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) AS shard
+        |  FROM d),
+        |r AS (SELECT shard, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(CASE WHEN rn = 1 THEN doc_id END) AS first_doc
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Deterministic pre-training shuffle-shard export: every doc gets
+      // a content-addressed shard (first md5 nibble → 16 shards) and a
+      // reproducible within-shard order (the md5 string itself — a
+      // seeded permutation any engine can replay byte-for-byte, which
+      // is what makes training-data order AUDITABLE). The global
+      // shuffle never globally sorts: shard assignment is map-side,
+      // and each shard's order is a shard-local sort — the
+      // write-out shape is partitionBy(shard) with a local sort, the
+      // same two-level device as pack_sequences. Declared output is the
+      // shard manifest (doc/char totals + the lead doc as an order
+      // witness); the export itself takes the same frame unaggregated.
+      val d = load(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          md5(concat($"doc_id".cast("string"), lit(":"), $"source")).as("h"))
+        .withColumn("shard",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"h", $"doc_id")
+      d.withColumn("rn", row_number().over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          min(when($"rn" === 1, $"doc_id")).as("first_doc"))
+        .orderBy($"shard")
     }
   )
 

@@ -374,18 +374,14 @@ class PlanAuditSpec extends SparkSpecBase {
       // frame (|days| rows after the first hash-agg, bounded by the
       // calendar span, not event volume)
       "ts_decompose")
+    // the fleet-wide sweep IS the engine's user-facing preflight gate
+    // (plans.PlanGuard) — the suite exercises the same code users call
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
-      val p = qe.executedPlan.toString
-      val cartesian = p.contains("CartesianProduct")
-      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-      val unpartWin = !unpartWinAllowed(name) && qe.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }.nonEmpty
-      if (cartesian || bnlj || unpartWin)
-        Some(s"$name: cartesian=$cartesian bnlj=$bnlj unpartitionedWindow=$unpartWin")
-      else None
+      val allow = (if (bnljAllowed(name)) Set("bnlj") else Set.empty[String]) ++
+        (if (unpartWinAllowed(name)) Set("unpartitioned-window") else Set.empty[String])
+      val v = graft.plans.PlanGuard.audit(
+        SparkEntry.queries(name)(spark, sf("sf0.001")), allow)
+      if (v.nonEmpty) Some(s"$name: ${v.mkString("; ")}") else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

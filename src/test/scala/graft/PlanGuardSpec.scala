@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.PlanGuard
+
+/** PlanGuard (plans/PlanGuard.scala): the user-facing preflight gate
+  * must flag each scale-unsafe shape on a plan that provably HAS it,
+  * stay quiet on clean plans, and honor per-call allowlists — the same
+  * contract the fleet-wide PlanAuditSpec sweep runs through it.
+  */
+class PlanGuardSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("flags a cartesian product") {
+    val big = docs.select($"doc_id")
+    // two multi-row sides, no join condition, too big to auto-broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v = PlanGuard.audit(big.as("a").crossJoin(big.as("b")))
+      assert(v.exists(_.kind == "cartesian"), v.mkString("; "))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("flags a broadcast nested-loop join, and allowlisting suppresses it") {
+    val one = docs.agg(count(lit(1)).as("n"))
+    val df = docs.crossJoin(broadcast(one))
+    val v = PlanGuard.audit(df)
+    assert(v.exists(_.kind == "bnlj"), v.mkString("; "))
+    assert(v.forall(_.kind != "cartesian"), "1-row broadcast is BNLJ, not cartesian")
+    assert(PlanGuard.audit(df, allow = Set("bnlj")).isEmpty)
+    intercept[IllegalStateException](PlanGuard.require(df))
+    // the gate form passes the frame through untouched when allowed
+    assert(PlanGuard.require(df, allow = Set("bnlj")) eq df)
+  }
+
+  test("flags an unpartitioned window (logical plan — physical text never shows it)") {
+    val w = Window.orderBy($"doc_id")
+    val df = docs.withColumn("rn", row_number().over(w))
+    val v = PlanGuard.audit(df)
+    assert(v.exists(_.kind == "unpartitioned-window"), v.mkString("; "))
+    assert(PlanGuard.audit(df, allow = Set("unpartitioned-window")).isEmpty)
+  }
+
+  test("clean partitioned-window plan passes") {
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val df = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    assert(PlanGuard.audit(df).isEmpty)
+  }
+}
