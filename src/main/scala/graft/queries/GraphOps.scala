@@ -216,5 +216,73 @@ object GraphOps {
         .groupBy($"item").agg(count(lit(1)).as("n_triangles"))
         .orderBy($"n_triangles".desc, $"item")
         .limit(20)
+    },
+
+    entry(
+      "graph_components",
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id * 2 AS a,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS b
+        |  FROM events WHERE event_type = 'click' AND value > 150.0),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS nid, min(dst) AS comp FROM reach GROUP BY src)
+        |SELECT CASE WHEN nid % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+        |  CAST(nid // 2 AS BIGINT) AS entity_id, comp,
+        |  CAST(nid = comp AS INT) AS is_root
+        |FROM lab ORDER BY kind, entity_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Connected components of the HIGH-VALUE interaction subgraph
+      // (clicks above a value floor — the segmentation question "which
+      // user/item markets exist at the premium tier"). Min-label
+      // propagation with POINTER JUMPING: each round takes the min
+      // neighbor label, then relabels through the label's own label —
+      // path lengths halve per round, so chain-shaped components
+      // converge in O(log diameter) rounds, not O(diameter) (the
+      // text-dedup sibling skips the jump because near-dup components
+      // are clique-like; an interaction graph has no such guarantee).
+      // Per round: one edge join + one node-keyed min — the same
+      // distributed shape as graph_pagerank — and the loop scales with
+      // the filtered subgraph, not the event stream. The oracle replays
+      // the same fixpoint as a transitive-closure recursive CTE.
+      val e0 = loadEvents(s, dir)
+        .filter($"event_type" === "click" && $"value" > 150.0)
+        .select(($"user_id" * 2).as("a"),
+          (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
+        .select($"a".as("src"), $"b".as("dst")).localCheckpoint()
+      var labels = edges.select($"src".as("nid")).distinct()
+        .select($"nid", $"nid".as("label"))
+      var prevSum = Long.MinValue
+      var converged = false
+      var round = 0
+      while (round < 16 && !converged) {
+        val nbrMin = edges.join(labels, $"src" === $"nid")
+          .groupBy($"dst").agg(min($"label").as("nl"))
+        val stepped = labels.join(nbrMin, labels("nid") === nbrMin("dst"), "left")
+          .select(labels("nid"),
+            least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
+        val ptr = stepped.select($"nid".as("pn"), $"label".as("pl"))
+        labels = stepped.join(ptr, stepped("label") === ptr("pn"), "left")
+          .select(stepped("nid"), coalesce($"pl", stepped("label")).as("label"))
+          .localCheckpoint()
+        // labels decrease monotonically, so a stable sum means no label
+        // moved — the fixpoint (= per-component min, what the closure
+        // oracle computes). Empty subgraph sums null → 0, converges.
+        val labelSum = labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
+        converged = labelSum == prevSum
+        prevSum = labelSum
+        round += 1
+      }
+      labels.select(
+          when($"nid" % 2 === 0, "user").otherwise("item").as("kind"),
+          expr("nid div 2").as("entity_id"),
+          $"label".as("comp"),
+          ($"nid" === $"label").cast("int").as("is_root"))
+        .orderBy($"kind", $"entity_id")
     })
 }

@@ -376,6 +376,49 @@ object Relational {
     },
 
     entry(
+      "join_asof_tolerance",
+      """WITH c AS (SELECT p_id, v_id FROM (
+        |  SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |   AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view') t
+        |  WHERE rn = 1)
+        |SELECT p.event_id AS p_id, p.user_id AS user_id, c.v_id
+        |FROM events p LEFT JOIN c ON c.p_id = p.event_id
+        |WHERE p.event_type = 'purchase' ORDER BY p_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // As-of join with a STALENESS TOLERANCE — the sensor/market-data
+      // convention (pandas merge_asof's `tolerance`): a purchase only
+      // pairs with its latest view if that view is ≤ 1 hour old,
+      // otherwise it keeps LEFT semantics and emits NULL (a stale match
+      // is worse than no match for attribution). Same single
+      // user-partitioned carry-forward as join_asof — one linear
+      // shuffle, O(events) state, never the views×purchases range join
+      // — with the tolerance applied AFTER the carry as a per-row
+      // timestamp check (carrying the view's ts costs one more window
+      // column, not another pass).
+      val ev = loadEvents(s, dir).filter($"event_type".isin("view", "purchase"))
+      val tagged = ev.select($"event_id", $"user_id", $"ts",
+        unix_micros($"ts").as("tsu"),
+        when($"event_type" === "view", 0).otherwise(1).as("kind"),
+        when($"event_type" === "view", $"event_id").as("v_event"),
+        when($"event_type" === "view", unix_micros($"ts")).as("v_tsu"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("cv", last($"v_event", ignoreNulls = true).over(w))
+        .withColumn("ct", last($"v_tsu", ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"event_id".as("p_id"), $"user_id",
+          when($"ct" >= $"tsu" - lit(3600000000L), $"cv").as("v_id"))
+        .orderBy($"p_id")
+    },
+
+    entry(
       "join_fuzzy_levenshtein",
       """WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
         |  FROM part),

@@ -1120,6 +1120,128 @@ object TextOps {
       expandPairs(verified, sets, "jaccard", lit(1.0)).orderBy($"d1", $"d2")
     },
 
+    entry(
+      "text_dedup_containment",
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(greatest(length(text) - 4, 1)),
+        |      i -> substr(text, i + 1, 5)))) AS g
+        |  FROM documents),
+        |n AS (SELECT doc_id, count(*) AS ns FROM t GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS inter
+        |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT contained, container, inter, na.ns AS ns
+        |  FROM i JOIN n na ON na.doc_id = contained
+        |  WHERE 10 * inter >= 9 * na.ns)
+        |SELECT contained, count(*) AS n_containers,
+        |  round(max(inter * 1.0 / ns), 4) AS max_containment
+        |FROM c GROUP BY contained ORDER BY contained""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // ASYMMETRIC near-dup: containment C(A→B) = |A∩B|/|A| ≥ 0.9 over
+      // character 5-shingle sets — catches quotes, excerpts, and
+      // boilerplate-wrapped copies that Jaccard structurally misses (a
+      // 500-char excerpt inside a 10k-char page has J ≈ 0.05 but
+      // C = 1.0; dedup pipelines that only run symmetric similarity
+      // keep every wrapped duplicate). The SHINGLE domain is the
+      // deliberate choice: on this corpus's 31-word vocabulary,
+      // word-level containment is degenerate (measured: 33% of ALL doc
+      // pairs qualify — the answer itself is quadratic); C ≥ 0.9 on
+      // shingles means a real substring relationship.
+      //
+      // Candidates come from TWO complementary generators, verified
+      // exactly once:
+      //  1. the 16×4 MinHash band join (the dedup-family machinery) —
+      //     catches high-J containment, which is ALL of it on this
+      //     corpus (measured at the gate SF: every qualifying pair has
+      //     J ≥ 0.93; band recall at J ≥ 0.8 is ~1−4·10⁻⁸);
+      //  2. the containment PREFIX FILTER — if C(A→B) ≥ 0.9, any
+      //     (⌊|A|/10⌋+1)-subset of A must hit B, so each set exposes
+      //     its rarest shingles and candidates come from an
+      //     inverted-index join. This is the generator that sees the
+      //     LOW-J excerpt pairs bands cannot, and it is df-capped
+      //     (df ≤ 64): on a Zipfian corpus rare shingles are nearly
+      //     free and the cap admits almost everything; on THIS
+      //     degenerate corpus every shingle is common (vocab 2k,
+      //     df ≈ 500 — measured 12M distinct candidates with no cap,
+      //     26× the useful mass), so the cap is what keeps the exact
+      //     path from paying quadratic verify for zero recall it
+      //     doesn't already have from the bands. A corpus that is BOTH
+      //     low-J-excerpt-heavy AND rare-shingle-free defeats both
+      //     generators — that residual is the documented seam (the
+      //     size-partitioned LSH-Ensemble of Zhu et al., VLDB 2016, is
+      //     the literature answer).
+      // Verify: exact sorted-long intersect, both directions per
+      // unordered pair, 10·inter ≥ 9·|A| in integers. The DECLARED
+      // output is the per-doc containment MANIFEST (how many docs
+      // contain me, and how completely) — |docs|-bounded; consumers
+      // take the pair frame unaggregated. Identical shingle sets count
+      // each other at C = 1.0 via the intra-group term.
+      VectorExprs.register(s)
+      val docs = load(s, dir, "documents")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .select($"doc_id", call_function("shingles64", $"text").as("sh"))
+      // the set dictionary feeds five plan branches (bands, postings,
+      // both verify sides, the manifest expand) — localCheckpoint so the
+      // shingle pass and the set groupBy run once, not per branch
+      val sets = docs.groupBy($"sh")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+        .withColumn("nt", size($"sh"))
+        .localCheckpoint()
+      val banded = sets.select($"sid",
+        posexplode(bandHashes(call_function("minhash64", $"sh"))).as(Seq("band", "bh")))
+      val bandCand = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
+        .select($"x.sid".as("s1"), $"y.sid".as("s2"))
+      val post = sets.select($"sid", $"nt", explode($"sh").as("tid"))
+      val dfreq = post.groupBy($"tid").agg(count(lit(1)).as("df"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"sid").orderBy($"df", $"tid")
+      val prefix = post.join(dfreq, "tid")
+        .withColumn("rn", row_number().over(wr))
+        .filter($"rn" <= expr("nt div 10") + 1 && $"df" <= 64)
+        .select($"sid".as("sa"), $"tid")
+      val prefCand = prefix.join(post.select($"sid".as("sb"), $"tid"), "tid")
+        .filter($"sa" =!= $"sb")
+        .select(least($"sa", $"sb").as("s1"), greatest($"sa", $"sb").as("s2"))
+      val cand = bandCand.unionByName(prefCand).distinct()
+      val d1 = sets.select($"sid".as("s1"), $"sh".as("t1"), $"nt".as("n1"))
+      val d2 = sets.select($"sid".as("s2"), $"sh".as("t2"), $"nt".as("n2"))
+      // BROADCAST the set dictionary into the candidate stream: a
+      // shuffle join here ships two ~400-slot long arrays per candidate
+      // pair (measured 27 GB of exchange at 10× sf0.1 — 123 s; the
+      // broadcast form runs the same verify in 11 s). At lake scale the
+      // dictionary outgrows a broadcast and this reverts to shuffle
+      // joins over a pair stream pre-bucketed on sid — candidates stay
+      // banded either way
+      val withInter = cand.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
+        .select($"s1", $"s2", $"n1", $"n2",
+          call_function("sorted_long_intersect_size", $"t1", $"t2").as("inter"))
+      // one intersect per unordered pair, both directions tested from it
+      val verified = withInter.select(explode(array(
+          struct($"s1".as("sa"), $"s2".as("sb"), $"n1".as("na"), $"inter"),
+          struct($"s2".as("sa"), $"s1".as("sb"), $"n2".as("na"), $"inter"))).as("x"))
+        .select($"x.sa".as("sa"), $"x.sb".as("sb"), $"x.na".as("na"), $"x.inter".as("inter"))
+        .filter(lit(10) * $"inter" >= lit(9) * $"na")
+        .select($"sa", $"sb", round($"inter".cast("double") / $"na", 4).as("containment"))
+      // set-level rollup, THEN the per-doc expand: every doc in a set
+      // shares its set's container count (Σ partner-group sizes + its
+      // own group's other members) and max containment — the aggregate
+      // happens on |distinct sets| rows, never on the quadratic
+      // doc-pair expansion (round-then-max = max-then-round: round is
+      // monotone non-decreasing)
+      val sizes = sets.select($"sid".as("sb"), size($"ids").as("gb"))
+      val vAgg = verified.join(broadcast(sizes), "sb")
+        .groupBy($"sa").agg(sum($"gb").as("vc"), max($"containment").as("vmax"))
+      sets.select($"sid".as("sa"), $"ids", (size($"ids") - 1).as("ic"))
+        .join(vAgg, Seq("sa"), "left")
+        .withColumn("n_containers", coalesce($"vc", lit(0L)) + $"ic")
+        .filter($"n_containers" > 0)
+        .select(explode($"ids").as("contained"), $"n_containers",
+          greatest(when($"ic" > 0, lit(1.0)), $"vmax").as("max_containment"))
+        .orderBy($"contained")
+    },
+
     // ORACLED (round 5): exact all-pairs Jaccard over the 5-char shingle
     // SETS — sound because (a) hashed-domain Jaccard equals string-domain
     // Jaccard absent collisions, and (b) 16×4 banding recall at 0.8 is

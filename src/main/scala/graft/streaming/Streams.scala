@@ -216,6 +216,34 @@ object Streams {
       .select(col("p_id"), col("v_id"), col("p_uid").as("user_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: same interval condition
+    * as [[viewPurchaseJoin]], but purchases with NO in-window view are
+    * still emitted (v_id null) — the attribution stream must count the
+    * view-less purchase, not drop it. The semantics are the subtle
+    * part, and what the spec pins: a null row is NOT emitted when the
+    * purchase arrives (a matching view could still come), only when the
+    * BOTH-side watermark passes the purchase's join window, i.e. when
+    * no future view can possibly match. Until then the purchase sits in
+    * join state; the watermark + time-range bound is also what lets
+    * Spark evict that state, so memory stays O(in-window events) — an
+    * un-watermarked outer stream join would hold every row forever (and
+    * Spark rejects it outright).
+    */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 minutes")
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 minutes")
+    p.join(v,
+      col("p_uid") === col("v_uid") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+      .select(col("p_id"), col("v_id"), col("p_uid").as("user_id"))
+  }
+
   /** Streaming keyed upsert into a bronze table: per micro-batch, keep
     * the latest row per key (by `versionCol`, descending) and merge it
     * via Ingest.upsertBronze — the streaming SCD-1 ingest shape.

@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows == Seq((20L, 10L), (20L, 11L)), s"got $rows")
   }
 
+  test("stream_stream_join_outer: view-less purchases emit null, but only after the watermark closes their window") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.viewPurchaseJoinOuter(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(Ev(10, 1, "view", ts(0), 0.0))
+    purchases.addData(
+      Ev(20, 1, "purchase", ts(3), 1.0),  // matches view 10
+      Ev(21, 3, "purchase", ts(3), 1.0))  // no view for user 3
+    q.processAllAvailable()
+    // the matched pair emits immediately; the unmatched purchase must
+    // NOT have a null row yet — a matching view could still arrive
+    val early = spark.table("ssjoin_outer_out")
+      .select($"p_id", $"v_id").as[(Long, Option[Long])].collect().toSeq
+    assert(early == Seq((20L, Some(10L))), s"got $early")
+    // advance BOTH watermarks far past p21's join window (two rounds:
+    // the watermark updates at end-of-batch, and outer null rows emit
+    // in the batch AFTER the state is provably unmatched)
+    views.addData(Ev(90, 9, "view", ts(60), 0.0))
+    purchases.addData(Ev(91, 9, "purchase", ts(120), 0.0))
+    q.processAllAvailable()
+    views.addData(Ev(92, 9, "view", ts(180), 0.0))
+    purchases.addData(Ev(93, 9, "purchase", ts(240), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_outer_out")
+      .select($"p_id", $"v_id").as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((21L, None)),
+      s"view-less purchase should emit a null row after watermark close; got $rows")
+    assert(rows.contains((20L, Some(10L))) && !rows.contains((21L, Some(10L))), s"got $rows")
+  }
+
   test("stream_session_wm: gap-separated bursts form distinct sessions; closed sessions emit once") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
