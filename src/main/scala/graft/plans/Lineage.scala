@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, Generator}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Column-level lineage — which source table columns feed each output
+  * column. The governance question every pipeline gets asked ("where
+  * does `revenue` come from?", "which outputs would a change to
+  * `l_discount` touch?") answered from the ANALYZED logical plan, so it
+  * works on any frame the engine can run — composed operators,
+  * generated SQL, the reference's NL→SQL output — with no source-code
+  * annotation.
+  *
+  * Mechanics: walk the plan bottom-up carrying, per live attribute id,
+  * the set of `table.column` leaves it transitively derives from. At a
+  * leaf scan every attribute maps to itself (table = the scanned
+  * path's basename, catalog name when present); every intermediate node
+  * maps its produced attributes (Alias targets, aggregate/window
+  * expressions, generator outputs) to the union of their referenced
+  * attributes' lineage. Join/filter/sort nodes add nothing — their
+  * outputs pass through by attribute id. This is DATA lineage (what
+  * flows into the value), deliberately not CONTROL lineage (a filter
+  * column influences which rows survive but not any output value);
+  * control inputs are a separate question with a much bigger closure.
+  */
+object Lineage {
+
+  /** Output column name → source columns as "table.column" strings.
+    * Duplicate output names (rare, legal) are merged by union.
+    */
+  def columnLineage(df: DataFrame): Map[String, Set[String]] = {
+    val plan = df.queryExecution.analyzed
+    val m = walk(plan)
+    plan.output.groupBy(_.name).map { case (name, attrs) =>
+      name -> attrs.flatMap(a => m.get(a).getOrElse(Set.empty)).toSet
+    }
+  }
+
+  /** Every output column that `table.column` feeds — the impact side. */
+  def impactOf(df: DataFrame, source: String): Seq[String] =
+    columnLineage(df).collect {
+      case (out, srcs) if srcs(source) => out
+    }.toSeq.sorted
+
+  private def leafName(p: LeafNode): String = p match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.table).orElse {
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.headOption.map { rp =>
+              rp.getName.replaceAll("\\.parquet$|\\.orc$|\\.csv$|\\.json$|\\.avro$", "")
+            }
+          case _ => None
+        }
+      }.getOrElse(p.nodeName)
+    case other =>
+      // in-memory relations, streaming sources, ranges: the node name
+      // is still a stable anchor for "this input", if not a table
+      other.nodeName
+  }
+
+  private def walk(plan: LogicalPlan): AttributeMap[Set[String]] = plan match {
+    case leaf: LeafNode =>
+      val t = leafName(leaf)
+      AttributeMap(leaf.output.map(a => a -> Set(s"$t.${a.name}")))
+    case node =>
+      val childMap = {
+        val all = node.children.map(walk)
+        if (all.size == 1) all.head
+        else AttributeMap(all.flatMap(_.iterator))
+      }
+      def lineageOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] =
+        e.references.iterator.flatMap(a => childMap.get(a).getOrElse(Set.empty)).toSet
+      val produced: Seq[(Attribute, Set[String])] = node match {
+        case g: Generate =>
+          // generator outputs (explode/posexplode/inline) all derive
+          // from the generator's input expression
+          val gl = lineageOf(g.generator.asInstanceOf[Generator])
+          g.generatorOutput.map(a => a -> gl)
+        case _ =>
+          node.expressions.flatMap { top =>
+            top.collect { case al: Alias => al.toAttribute -> lineageOf(al.child) }
+          }
+      }
+      // pass-through attributes keep their child lineage; produced ones
+      // override (an Alias shadows a same-id pass-through never, ids are
+      // fresh)
+      AttributeMap(childMap.iterator.toSeq ++ produced)
+  }
+}

@@ -1667,6 +1667,48 @@ object TextOps {
             transform(slice(call_function("shingles64", $"text"), 1, 4),
               v => v.cast("string")))).as("fingerprint"))
         .orderBy($"doc_id")
+    },
+
+    entry(
+      "text_winnowing",
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(length(text) - 4),
+        |      i -> md5(substr(text, CAST(i + 1 AS INT), 5))) AS grams
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(greatest(len(grams) - 3, 1)),
+        |      j -> list_aggregate(list_slice(grams, CAST(j + 1 AS INT), CAST(j + 4 AS INT)),
+        |        'min')))) AS fps
+        |  FROM g)
+        |SELECT doc_id, len(fps) AS n_fps, md5(array_to_string(fps, '')) AS fp_digest
+        |FROM w ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+      // 2003 — the MOSS algorithm): hash every 5-gram, slide a 4-hash
+      // window, keep each window's minimum — the selection GUARANTEES
+      // any shared substring of ≥ 8 chars yields at least one shared
+      // fingerprint, with expected density 2/(w+1) of all grams. That
+      // positional guarantee is what the bottom-k sketch
+      // (text_fingerprint) can't give: bottom-k is a whole-document
+      // sketch, winnowing is a local-match detector (plagiarism /
+      // quote finding). Hashes are md5 of the gram bytes — identical in
+      // both engines, which is what upgrades this entry from the
+      // sketch family's Q-gate to a hard oracle; the declared output is
+      // the per-doc selected-set manifest (count + order-insensitive
+      // digest). Map-side only: both transforms are per-row lambdas on
+      // the scan, no shuffle before the declared sort; fingerprint
+      // count is chars-bounded (2/(w+1) density).
+      val grams = expr(
+        "transform(sequence(0, length(text) - 5), i -> md5(substr(text, i + 1, 5)))")
+      load(s, dir, "documents")
+        .select($"doc_id", grams.as("grams"))
+        .select($"doc_id", sort_array(array_distinct(expr(
+          "transform(sequence(0, greatest(size(grams) - 4, 0)), " +
+            "j -> array_min(slice(grams, j + 1, 4)))"))).as("fps"))
+        .select($"doc_id", size($"fps").as("n_fps"),
+          md5(concat_ws("", $"fps")).as("fp_digest"))
+        .orderBy($"doc_id")
     }
   )
 }

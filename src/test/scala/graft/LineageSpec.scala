@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Lineage
+
+/** Lineage (plans/Lineage.scala): column-level data lineage from the
+  * analyzed plan — correct through projections, aggregates, joins,
+  * windows, and generators, on both hand-built frames and the declared
+  * query surface.
+  */
+class LineageSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("projection + arithmetic: derived column names both source columns") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val df = li.select(($"l_extendedprice" * (lit(1) - $"l_discount")).as("net"),
+      $"l_orderkey")
+    val lin = Lineage.columnLineage(df)
+    assert(lin("net") == Set("lineitem.l_extendedprice", "lineitem.l_discount"), lin)
+    assert(lin("l_orderkey") == Set("lineitem.l_orderkey"), lin)
+  }
+
+  test("aggregate + join: lineage crosses the join and the agg") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val ord = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val df = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum($"l_quantity" * $"l_extendedprice").as("weighted"))
+    val lin = Lineage.columnLineage(df)
+    assert(lin("weighted") ==
+      Set("lineitem.l_quantity", "lineitem.l_extendedprice"), lin)
+    assert(lin("o_orderpriority") == Set("orders.o_orderpriority"), lin)
+  }
+
+  test("window + generator: rank tracks its order key; explode tracks its array") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars")
+    val ranked = docs.withColumn("rk", row_number().over(w))
+    val linW = Lineage.columnLineage(ranked)
+    // row_number references its partition/order spec
+    assert(linW("rk").contains("documents.n_chars"), linW)
+    val exploded = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val linG = Lineage.columnLineage(exploded)
+    assert(linG("tok") == Set("documents.text"), linG)
+    assert(linG("doc_id") == Set("documents.doc_id"), linG)
+  }
+
+  test("impactOf inverts the map") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val df = li.select(($"l_extendedprice" * (lit(1) - $"l_discount")).as("net"),
+      ($"l_quantity" + lit(1)).as("q1"))
+    assert(Lineage.impactOf(df, "lineitem.l_discount") == Seq("net"))
+    assert(Lineage.impactOf(df, "lineitem.l_quantity") == Seq("q1"))
+  }
+
+  test("declared surface: q3's revenue derives from exactly the price and discount") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf("sf0.001"))
+    val lin = Lineage.columnLineage(df)
+    assert(lin("revenue") ==
+      Set("lineitem.l_extendedprice", "lineitem.l_discount"), lin)
+    assert(lin("orderdate") == Set("orders.o_orderdate"), lin)
+  }
+}
