@@ -978,6 +978,68 @@ object TimeSeriesQ {
         .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
           when($"k" === 14 && vx > 0 && vy > 0, round(c, 4)).as("corr14"))
         .orderBy($"event_type", $"day")
+    },
+
+    entry(
+      "ts_holt_linear",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY date_trunc('day', ts)) AS rn
+        |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |h(event_type, rn, s, b) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), n * 1000000, CAST(0 AS BIGINT)
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn + 1,
+        |    (2 * d.n * 1000000 + 8 * (h.s + h.b) + 10000000000000000) // 10
+        |      - 1000000000000000,
+        |    (((2 * d.n * 1000000 + 8 * (h.s + h.b) + 10000000000000000) // 10
+        |      - 1000000000000000) - h.s + 9 * h.b + 10000000000000000) // 10
+        |      - 1000000000000000
+        |  FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.rn + 1),
+        |f AS (SELECT event_type, max(rn) AS n_days FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS s_micro, CAST(b AS BIGINT) AS b_micro,
+        |  CAST(s + b AS BIGINT) AS forecast_micro
+        |FROM h JOIN f ON f.event_type = h.event_type AND h.rn = f.n_days
+        |ORDER BY h.event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Holt double exponential smoothing (level + trend, α=0.2 β=0.1)
+      // per event-type daily series — the one-step volume forecast with
+      // trend, next to ts_ewma (level only) and ts_forecast_linear
+      // (global fit). The recurrence s_t = αy_t + (1−α)(s+b),
+      // b_t = β(s_t−s) + (1−β)b is SEQUENTIAL by nature — the
+      // distributable shape is: collapse events to the bounded per-type
+      // day frame (one hash-agg — the only pass over raw volume), then
+      // run the recursion as a higher-order `aggregate` FOLD over each
+      // type's sorted day array, one task per type, O(|days|) each.
+      // Series count scales out (one fold per key), series length is
+      // calendar-bounded — the same two-level contract as ts_decompose.
+      // Exactness: integer micro fixed-point; the +10¹⁶ offset before
+      // each ÷10 keeps numerators positive so Spark's truncating DIV
+      // equals DuckDB's flooring // even when the trend goes negative
+      // (same device as ts_decompose).
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"n"))).as("dd"))
+        .select($"event_type", expr("transform(dd, x -> x.n)").as("ys"))
+        .select($"event_type", size($"ys").cast("long").as("n_days"),
+          expr("""aggregate(slice(ys, 2, size(ys) - 1),
+            named_struct('s', ys[0] * 1000000L, 'b', 0L),
+            (a, y) -> named_struct(
+              's', (2L * y * 1000000L + 8L * (a.s + a.b) + 10000000000000000L)
+                     DIV 10L - 1000000000000000L,
+              'b', ((2L * y * 1000000L + 8L * (a.s + a.b) + 10000000000000000L)
+                     DIV 10L - 1000000000000000L - a.s + 9L * a.b
+                     + 10000000000000000L) DIV 10L - 1000000000000000L))""")
+            .as("h"))
+        .select($"event_type", $"n_days", $"h.s".as("s_micro"),
+          $"h.b".as("b_micro"), ($"h.s" + $"h.b").as("forecast_micro"))
+        .orderBy($"event_type")
     }
   )
 }
