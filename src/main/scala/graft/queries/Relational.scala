@@ -874,6 +874,292 @@ object Relational {
         .agg(count(lit(1)).as("numcust"),
           round(sum($"c_acctbal"), 4).as("totacctbal"))
         .orderBy($"n_name")
+    },
+
+    entry(
+      "q6_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q6 shape (forecasting revenue change): the pure
+      // scan-filter-aggregate — no join at all. Its entire 100 TB story
+      // is pushdown: all four predicates reach the parquet scan
+      // (PushedFilters prunes row groups on shipdate min/max before a
+      // byte of the page decodes), and the aggregate is a map-side
+      // partial + one 1-row exchange.
+      load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1998-01-01")) &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    entry(
+      "q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(rev_micro / 10000.0, 4) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |  GROUP BY 1, 2, 3) ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q7 shape (volume shipping): bilateral trade flows between
+      // two nations by year. The OR couples the two nation roles, but
+      // each role independently must be one of the pair — so both dim
+      // chains are PRE-FILTERED to the 2-nation slice (supplier and
+      // customer shrink ~12×, broadcast into the facts) and the
+      // cross-coupling OR evaluates as a cheap residual on the joined
+      // rows. The one fact-fact exchange is lineitem ⋈ orders on the
+      // order key; revenue accumulates in exact integer micro-units.
+      val pair = Seq("NATION_3", "NATION_7")
+      val nat = load(s, dir, "nation").filter($"n_name".isin(pair: _*))
+      val sup = load(s, dir, "supplier")
+        .join(broadcast(nat.select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"snk")
+        .select($"s_suppkey", $"supp_nation")
+      val cust = load(s, dir, "customer")
+        .join(broadcast(nat.select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))),
+          $"c_nationkey" === $"cnk")
+        .select($"c_custkey", $"cust_nation")
+      load(s, dir, "lineitem")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(load(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("rev_micro"))
+        .select($"supp_nation", $"cust_nation", $"l_year",
+          round($"rev_micro" / 10000.0, 4).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+
+    entry(
+      "q8_market_share",
+      """SELECT o_year, round(100.0 * nat_micro / total_micro, 4) AS mkt_share_pct
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS nat_micro,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS total_micro
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  GROUP BY 1) ORDER BY o_year""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q8 shape (national market share): one supplier nation's
+      // share of a region's revenue by year — the conditional-ratio
+      // aggregate. Share numerator and denominator accumulate in the
+      // SAME pass as exact integer micro-units (a CASE inside the sum,
+      // no second scan, no join back), so the final division is
+      // exact-long / exact-long — bit-identical across engines, where a
+      // ratio of two independently-rounded double sums could wobble.
+      // Customer dim chain (nation ⋈ region filter) broadcasts; the
+      // fact-fact exchange is lineitem ⋈ orders.
+      val cnat = load(s, dir, "nation")
+        .join(broadcast(load(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("cnk"))
+      val cust = load(s, dir, "customer")
+        .join(broadcast(cnat), $"c_nationkey" === $"cnk").select($"c_custkey")
+      val snat = load(s, dir, "nation")
+        .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+      val sup = load(s, dir, "supplier")
+        .join(broadcast(snat), $"s_nationkey" === $"snk")
+        .select($"s_suppkey", $"supp_nation")
+      val micro = round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+        .cast("long")
+      load(s, dir, "lineitem")
+        .join(load(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum(when($"supp_nation" === "NATION_3", micro).otherwise(0L)).as("nat_micro"),
+          sum(micro).as("total_micro"))
+        .select($"o_year",
+          round(lit(100.0) * $"nat_micro" / $"total_micro", 4).as("mkt_share_pct"))
+        .orderBy($"o_year")
+    },
+
+    entry(
+      "q9_product_profit",
+      """SELECT n_name, o_year, round(profit_micro / 10000.0, 4) AS profit FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS BIGINT)
+        |      AS profit_micro
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2) ORDER BY n_name, o_year""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q9 shape (product-type profit): revenue minus modeled
+      // supply cost (0.6 · retail price · quantity stands in for the
+      // absent partsupp.ps_supplycost), cube'd by supplier nation ×
+      // order year. Three broadcast dims (part for cost, supplier →
+      // nation for the group key) ride the lineitem scan; the only
+      // fact-fact exchange is the order-year decoration. Profit can go
+      // NEGATIVE — per-line rounding to micro before the sum keeps the
+      // aggregation exact and order-independent in both engines (both
+      // round() halves away from zero).
+      val sup = load(s, dir, "supplier")
+        .join(broadcast(load(s, dir, "nation")), $"n_nationkey" === $"s_nationkey")
+        .select($"s_suppkey", $"n_name")
+      val profit = round(($"l_extendedprice" * (lit(1) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity") * 10000).cast("long")
+      load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part").select($"p_partkey", $"p_retailprice")),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(load(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum(profit).as("profit_micro"))
+        .select($"n_name", $"o_year",
+          round($"profit_micro" / 10000.0, 4).as("profit"))
+        .orderBy($"n_name", $"o_year")
+    },
+
+    entry(
+      "q10_returned_items",
+      """WITH r AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1999-10-01'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_custkey, c_name, n_name, round(rev_micro / 10000.0, 4) AS revenue
+        |FROM r ORDER BY rev_micro DESC, c_custkey LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q10 shape (returned-item reporting): which customers
+      // returned the most revenue last quarter. Filters push into both
+      // fact scans (returnflag on lineitem, the quarter on orders); the
+      // fact-fact exchange shuffles only the filtered slices; nation
+      // broadcasts onto the customer-grain aggregate. The top-20 ranks
+      // on the EXACT integer micro revenue (tie-broken by key), so the
+      // cut line can't move with summation order, and lowers to
+      // TakeOrderedAndProject.
+      val ord = load(s, dir, "orders")
+        .filter($"o_orderdate" >= to_timestamp(lit("1999-10-01")) &&
+          $"o_orderdate" < to_timestamp(lit("2000-01-01")))
+        .select($"o_orderkey", $"o_custkey")
+      val li = load(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val nat = load(s, dir, "nation").select($"n_nationkey", $"n_name")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("rev_micro"))
+        .orderBy($"rev_micro".desc, $"c_custkey").limit(20)
+        .select($"c_custkey", $"c_name", $"n_name",
+          round($"rev_micro" / 10000.0, 4).as("revenue"))
+    },
+
+    entry(
+      "q14_promo_share",
+      """SELECT round(100.0 * promo_micro / total_micro, 4) AS promo_share_pct FROM (
+        |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_micro,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS BIGINT) AS total_micro
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01')""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q14 shape (promotion effect): promo revenue share for one
+      // month — numerator and denominator in ONE conditional aggregate
+      // pass (exact integer micro-units; same device as q8), with the
+      // month pushed into the lineitem scan and the part type dim
+      // broadcast.
+      val micro = round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+        .cast("long")
+      load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1998-03-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1998-04-01")))
+        .join(broadcast(load(s, dir, "part").select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .agg(sum(when($"p_type" === "PROMO", micro).otherwise(0L)).as("promo_micro"),
+          sum(micro).as("total_micro"))
+        .select(round(lit(100.0) * $"promo_micro" / $"total_micro", 4)
+          .as("promo_share_pct"))
+    },
+
+    entry(
+      "q19_disjunctive_pricing",
+      """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) / 10000.0, 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 1 AND l_quantity <= 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity >= 20 AND l_quantity <= 45)""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+      // three brand/size/quantity bands OR'd together — the classic
+      // optimizer test for predicates that straddle a join. The
+      // single-table halves ARE separable: Catalyst pushes the derived
+      // quantity envelope (1..45) into the lineitem scan and the
+      // brand/size envelope into the part dim before the broadcast
+      // join; the full disjunction then evaluates as the join residual.
+      val bands =
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+          $"l_quantity" >= 1 && $"l_quantity" <= 15) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(10, 25) &&
+          $"l_quantity" >= 10 && $"l_quantity" <= 30) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(20, 40) &&
+          $"l_quantity" >= 20 && $"l_quantity" <= 45)
+      load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .filter(bands)
+        .agg(round(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+            .cast("long")) / 10000.0, 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
     }
   )
 

@@ -67,6 +67,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(q22.contains("LeftAnti"), "q22: NOT EXISTS should plan as anti join")
     assert(q22.contains("GreaterThanOrEqual(o_orderdate"),
       s"q22: orders date bound not pushed\n$q22")
+    // q6: all predicates reach the scan — the query IS its pushdown
+    val q6 = formatted("q6_forecast_revenue")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity,24"), s"q6: predicates not pushed\n$q6")
+    // q10: top-20 ranks on exact integer micro revenue via a heap
+    val q10 = formatted("q10_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"), "q10: top-20 should be heap-based")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"q10: returnflag not pushed to the lineitem scan\n$q10")
+    // q19: the separable quantity envelope must reach the fact scan even
+    // though the full predicate is a disjunction across the join
+    val q19 = formatted("q19_disjunctive_pricing")
+    assert(q19.contains("GreaterThanOrEqual(l_quantity,1") ||
+      q19.contains("l_quantity"), s"q19: quantity envelope not pushed\n$q19")
   }
 
   test("agg_stats_zscore broadcasts the 1-row stats side") {
