@@ -860,6 +860,71 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_decompose_anomaly",
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |    FROM events GROUP BY 1),
+        |t AS (SELECT day, n, sum(n) OVER w AS s7, count(*) OVER w AS c7,
+        |    CAST(strftime(day, '%w') AS INT) AS dow
+        |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT day, n, dow,
+        |    CASE WHEN c7 = 7 THEN CAST(n * 1000000 - (s7 * 1000000) // 7 AS BIGINT) END AS det_micro
+        |  FROM t),
+        |sraw AS (SELECT dow,
+        |    CAST((sum(det_micro) + 1000000000 * count(det_micro)) // count(det_micro)
+        |      - 1000000000 AS BIGINT) AS s_raw
+        |  FROM det WHERE det_micro IS NOT NULL GROUP BY dow),
+        |ctr AS (SELECT CAST((sum(s_raw) + 1000000000 * count(*)) // count(*)
+        |      - 1000000000 AS BIGINT) AS g FROM sraw),
+        |seas AS (SELECT dow, s_raw - g AS seasonal_micro FROM sraw CROSS JOIN ctr),
+        |r AS (SELECT day, det_micro - seasonal_micro AS resid_micro
+        |  FROM det LEFT JOIN seas USING (dow) WHERE det_micro IS NOT NULL),
+        |med AS (SELECT median(resid_micro) AS med FROM r),
+        |mad AS (SELECT median(abs(resid_micro - med)) AS mad FROM r, med)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(resid_micro AS BIGINT) AS resid_micro,
+        |  CAST(abs(resid_micro - med) > 3 * mad AS INT) AS is_anomaly
+        |FROM r, med, mad ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Residual-based anomaly flags — the reason ts_decompose exists:
+      // once volume has weekly structure, thresholding RAW counts fires
+      // every Saturday (ts_anomaly_mad's limitation on seasonal series);
+      // thresholding the DECOMPOSITION RESIDUAL (observed − trend −
+      // seasonal) at 3·MAD flags only days that deviate from their own
+      // seasonal norm. Same exact-integer decomposition as
+      // ts_decompose; the median/MAD are exact order statistics over
+      // the bounded residual frame (integers, so the even-count
+      // interpolation at x.5 is exact in both engines), each a 1-row
+      // broadcast back onto the day frame.
+      val d = loadEvents(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      val det = d
+        .withColumn("s7", sum($"n").over(w))
+        .withColumn("c7", count(lit(1)).over(w))
+        .withColumn("dow", (dayofweek($"day") - 1).cast("int"))
+        .withColumn("det_micro",
+          when($"c7" === 7, $"n" * lit(1000000L) - expr("s7 * 1000000L DIV 7")))
+        .filter($"det_micro".isNotNull)
+      val sraw = det.groupBy($"dow")
+        .agg(expr("(sum(det_micro) + 1000000000L * count(det_micro)) " +
+          "DIV count(det_micro) - 1000000000L").as("s_raw"))
+      val ctr = sraw.agg(expr(
+        "(sum(s_raw) + 1000000000L * count(*)) DIV count(*) - 1000000000L").as("g"))
+      val seas = sraw.crossJoin(broadcast(ctr))
+        .select($"dow", ($"s_raw" - $"g").as("seasonal_micro"))
+      val r = det.join(broadcast(seas), Seq("dow"), "left")
+        .select($"day", ($"det_micro" - $"seasonal_micro").as("resid_micro"))
+      val med = r.agg(expr("percentile(resid_micro, 0.5D)").as("med"))
+      val dev = r.crossJoin(broadcast(med))
+      val mad = dev.agg(expr("percentile(abs(resid_micro - med), 0.5D)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"resid_micro",
+          (abs($"resid_micro" - $"med") > lit(3) * $"mad").cast("int").as("is_anomaly"))
+        .orderBy($"day")
+    },
+
+    entry(
       "ts_markov_transitions",
       """WITH seq AS (
         |  SELECT event_type,

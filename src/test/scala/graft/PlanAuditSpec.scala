@@ -356,7 +356,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "ts_decompose",
       // q22_dormant_balance: the 1-row average-balance broadcast (the
       // scalar AVG subquery) feeding the threshold filter
-      "q22_dormant_balance")
+      "q22_dormant_balance",
+      // ts_decompose_anomaly: three 1-row broadcasts (the seasonal
+      // center, the residual median, the MAD) — the ts_decompose shape
+      // plus the robust-stats rows
+      "ts_decompose_anomaly")
     // Unpartitioned windows sort their whole input on ONE task — the
     // single-partition pathology. The old check grepped the physical
     // plan text for "partitionBy=[]", a string Spark 4 never prints
@@ -384,10 +388,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // 16-row range-bucket totals; the row-level rank window is
       // bucket-partitioned — the pack_sequences two-level shape
       "win_ntile_global",
-      // ts_decompose: the moving-average window runs over the DAY
-      // frame (|days| rows after the first hash-agg, bounded by the
-      // calendar span, not event volume)
-      "ts_decompose")
+      // ts_decompose / ts_decompose_anomaly: the moving-average window
+      // runs over the DAY frame (|days| rows after the first hash-agg,
+      // bounded by the calendar span, not event volume)
+      "ts_decompose", "ts_decompose_anomaly")
     // the fleet-wide sweep IS the engine's user-facing preflight gate
     // (plans.PlanGuard) — the suite exercises the same code users call
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
