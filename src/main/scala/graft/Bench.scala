@@ -16,6 +16,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Noise-floor calibration (r11 verdict ask #4): a FIXED trivial plan
+    // — 1M-row range summed across 32 tasks, no IO, no shuffle — timed
+    // at run start and run end. On a quiet box this is ~0.05-0.15 s; a
+    // contended box (other JVMs stealing the cores) inflates it 10-100×,
+    // which is exactly what happened to the r11 driver artifact (540 s
+    // total vs 119 s quiet, with a bare column projection "taking" 13 s).
+    // Consumers reject or normalize a run whose floor is elevated instead
+    // of reading contention as an engine regression (rule: floor > ~0.5 s
+    // at either end ⇒ the run's absolute numbers are not engine evidence;
+    // see docs/SCALE.md "Bench noise floor"). Min-of-3 after one untimed
+    // warmup so the floor measures the scheduler, not first-plan codegen.
+    def noiseFloor(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L << 20, 1L, 32).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // untimed warmup
+      Seq.fill(3)(once()).min
+    }
+    val floorStart = noiseFloor()
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query doesn't absorb ~5s of JVM warmup. One cheap query per
     // module family — relational, text (tokenize/explode paths), vector
@@ -101,12 +122,17 @@ object Bench {
     // into a crash must not LOWER the total and read as a speedup
     val total = results.values.filter(_ >= 0).sum
     queries.TextOps.evictCaches(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // end-of-run floor: contention can start mid-run; both ends must be
+    // quiet for the run's absolute numbers to be comparable
+    val floorEnd = noiseFloor()
+    val floors = s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$floors,"queries":$qs,"sf":"$sfDir"}""")
     // Short trailing duplicate of the headline number: the full line above
     // can exceed the driver's log-tail capture, truncating from the HEAD —
     // this one-liner always survives a tail cut. Distinct metric name so
-    // consumers that sum "total" lines can't double-count.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // consumers that sum "total" lines can't double-count. Carries the
+    // floor too: the tail line is often the only one a log capture keeps.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, Generator}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, LeafNode, LogicalPlan, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Column-level lineage — which source table columns feed each output
@@ -65,6 +65,30 @@ object Lineage {
     case leaf: LeafNode =>
       val t = leafName(leaf)
       AttributeMap(leaf.output.map(a => a -> Set(s"$t.${a.name}")))
+    case u: Union =>
+      // a Union's output reuses the FIRST child's attribute ids — the
+      // generic pass-through would silently drop lineage from every
+      // other branch. Merge BY POSITION: output column i derives from
+      // every child's column i.
+      val childMaps = u.children.map(walk)
+      val byPos = u.children.lazyZip(childMaps).map { (c, m) =>
+        c.output.map(a => m.get(a).getOrElse(Set.empty[String]))
+      }
+      val merged = u.output.zipWithIndex.map { case (a, i) =>
+        a -> byPos.flatMap(cols => if (i < cols.size) cols(i) else Set.empty[String]).toSet
+      }
+      AttributeMap(childMaps.flatMap(_.iterator) ++ merged)
+    case ex: Expand =>
+      // Expand (rollup/cube grouping sets, stack-based unpivot) emits
+      // FRESH output ids bound to its projection rows, not Aliases —
+      // output column i derives from position i of every projection
+      // (grouping-id literals contribute nothing, correctly).
+      val childMap = walk(ex.child)
+      val produced = ex.output.zipWithIndex.map { case (a, i) =>
+        a -> ex.projections.flatMap(p =>
+          p(i).references.iterator.flatMap(r => childMap.get(r).getOrElse(Set.empty))).toSet
+      }
+      AttributeMap(childMap.iterator.toSeq ++ produced)
     case node =>
       val childMap = {
         val all = node.children.map(walk)

@@ -324,23 +324,30 @@ object ExtensibilityOps {
       // dedup here (pigeonhole guarantees recall to Hamming ≤ 3 with
       // 4 clean bands; ≤ 6 is the standard probabilistic band dial —
       // MultimodalSpec pins the planted-near-dup recall). Byte-hash
-      // fallback rows (decoded=false) only ever match exactly.
+      // fallback rows (decoded=false) carry a MurmurHash, not a
+      // perceptual hash — Hamming proximity between them (or against a
+      // real dHash) is meaningless, so a pair touching a fallback row
+      // must match EXACTLY (hamming == 0 ⇒ identical bytes for
+      // fallback-vs-fallback), and the output carries `perceptual` so
+      // a consumer can tell a pixel-level near-dup from a byte-level
+      // exact dup.
       val h = graft.operators.Multimodal
         .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-      val bands = h.select($"asset_id", $"dhash",
+      val bands = h.select($"asset_id", $"dhash", $"decoded",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned($"dhash", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-        .select($"asset_id", $"dhash", $"bk.band".as("band"), $"bk.key".as("key"))
+        .select($"asset_id", $"dhash", $"decoded", $"bk.band".as("band"), $"bk.key".as("key"))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.asset_id") < col("b.asset_id"))
         .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+          (col("a.decoded") && col("b.decoded")).as("perceptual"))
         .distinct()
         .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
-        .filter($"hamming" <= 6)
-        .select($"id_a", $"id_b", $"hamming")
+        .filter($"hamming" <= 6 && ($"perceptual" || $"hamming" === 0))
+        .select($"id_a", $"id_b", $"hamming", $"perceptual")
         .orderBy($"id_a", $"id_b")
     },
 
@@ -349,23 +356,27 @@ object ExtensibilityOps {
       // Audio near-dedup by energy-envelope fingerprint
       // (Codecs.audioFingerprint64 — normalized-RMS gradient bits,
       // amplitude/codec invariant): identical band-bucket LSH shape as
-      // mm_image_dedup, Hamming ≤ 6 verify, never all-pairs.
+      // mm_image_dedup, Hamming ≤ 6 verify, never all-pairs. Same
+      // fallback rule too: a pair touching a byte-hash row
+      // (decoded=false) must match exactly — MurmurHash proximity is
+      // not audio similarity — and `perceptual` marks which rule fired.
       val h = graft.operators.Multimodal
         .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-      val bands = h.select($"asset_id", $"afp",
+      val bands = h.select($"asset_id", $"afp", $"decoded",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned($"afp", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-        .select($"asset_id", $"afp", $"bk.band".as("band"), $"bk.key".as("key"))
+        .select($"asset_id", $"afp", $"decoded", $"bk.band".as("band"), $"bk.key".as("key"))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.asset_id") < col("b.asset_id"))
         .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-          col("a.afp").as("ha"), col("b.afp").as("hb"))
+          col("a.afp").as("ha"), col("b.afp").as("hb"),
+          (col("a.decoded") && col("b.decoded")).as("perceptual"))
         .distinct()
         .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
-        .filter($"hamming" <= 6)
-        .select($"id_a", $"id_b", $"hamming")
+        .filter($"hamming" <= 6 && ($"perceptual" || $"hamming" === 0))
+        .select($"id_a", $"id_b", $"hamming", $"perceptual")
         .orderBy($"id_a", $"id_b")
     }
   )

@@ -1676,9 +1676,10 @@ object TextOps {
         |      i -> md5(substr(text, CAST(i + 1 AS INT), 5))) AS grams
         |  FROM documents),
         |w AS (SELECT doc_id,
+        |    CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[]) ELSE
         |    list_sort(list_distinct(list_transform(range(greatest(len(grams) - 3, 1)),
         |      j -> list_aggregate(list_slice(grams, CAST(j + 1 AS INT), CAST(j + 4 AS INT)),
-        |        'min')))) AS fps
+        |        'min')))) END AS fps
         |  FROM g)
         |SELECT doc_id, len(fps) AS n_fps, md5(array_to_string(fps, '')) AS fp_digest
         |FROM w ORDER BY doc_id""".stripMargin
@@ -1699,13 +1700,23 @@ object TextOps {
       // digest). Map-side only: both transforms are per-row lambdas on
       // the scan, no shuffle before the declared sort; fingerprint
       // count is chars-bounded (2/(w+1) density).
+      // SHORT-TEXT GUARD (both stages): for length(text) < 5, Spark's
+      // sequence(0, length-5) DESCENDS (e.g. [0,-1]) and would emit
+      // garbage grams via non-positive substr positions, where DuckDB's
+      // range(n<0) is empty — the same trap guarded in
+      // text_boilerplate_ngrams and TokenizerOps.initSeg. The oracle's w
+      // CTE carries the matching empty-grams CASE so both engines agree
+      // a <5-char doc has zero grams and zero fingerprints.
       val grams = expr(
-        "transform(sequence(0, length(text) - 5), i -> md5(substr(text, i + 1, 5)))")
+        "CASE WHEN length(text) >= 5 THEN " +
+          "transform(sequence(0, length(text) - 5), i -> md5(substr(text, i + 1, 5))) " +
+          "ELSE cast(array() as array<string>) END")
       load(s, dir, "documents")
         .select($"doc_id", grams.as("grams"))
         .select($"doc_id", sort_array(array_distinct(expr(
-          "transform(sequence(0, greatest(size(grams) - 4, 0)), " +
-            "j -> array_min(slice(grams, j + 1, 4)))"))).as("fps"))
+          "CASE WHEN size(grams) = 0 THEN cast(array() as array<string>) ELSE " +
+            "transform(sequence(0, greatest(size(grams) - 4, 0)), " +
+            "j -> array_min(slice(grams, j + 1, 4))) END"))).as("fps"))
         .select($"doc_id", size($"fps").as("n_fps"),
           md5(concat_ws("", $"fps")).as("fp_digest"))
         .orderBy($"doc_id")

@@ -55,6 +55,32 @@ class LineageSpec extends SparkSpecBase {
     assert(Lineage.impactOf(df, "lineitem.l_quantity") == Seq("q1"))
   }
 
+  test("union: every branch's sources survive the position-wise merge") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val ord = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val df = li.select($"l_orderkey".as("k"), $"l_quantity".as("v"))
+      .unionByName(ord.select($"o_orderkey".as("k"), $"o_totalprice".as("v")))
+    val lin = Lineage.columnLineage(df)
+    // pre-fix behavior: only the first branch's ids resolved, so the
+    // orders contributions vanished silently
+    assert(lin("k") == Set("lineitem.l_orderkey", "orders.o_orderkey"), lin)
+    assert(lin("v") == Set("lineitem.l_quantity", "orders.o_totalprice"), lin)
+  }
+
+  test("expand: rollup and stack-unpivot outputs keep their source lineage") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val rolled = li.rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("q"))
+    val linR = Lineage.columnLineage(rolled)
+    assert(linR("q") == Set("lineitem.l_quantity"), linR)
+    assert(linR("l_returnflag") == Set("lineitem.l_returnflag"), linR)
+    val unpiv = li.select($"l_orderkey",
+      expr("stack(2, 'qty', l_quantity, 'price', l_extendedprice) as (measure, value)"))
+    val linU = Lineage.columnLineage(unpiv)
+    assert(linU("value") ==
+      Set("lineitem.l_quantity", "lineitem.l_extendedprice"), linU)
+  }
+
   test("declared surface: q3's revenue derives from exactly the price and discount") {
     val df = SparkEntry.queries("q3_shipping_priority")(spark, sf("sf0.001"))
     val lin = Lineage.columnLineage(df)
