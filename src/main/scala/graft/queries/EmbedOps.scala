@@ -128,6 +128,39 @@ object EmbedOps {
       hvCache.keys.filter(_._1 eq s).foreach { k =>
         hvCache.remove(k).foreach(_.unpersist())
       }
+      annCellCache.keys.filter(_._1 eq s).foreach { k =>
+        annCellCache.remove(k).foreach(_.unpersist())
+      }
+    }
+
+  /** Memoized trained-quantizer cell map (doc_id, ck) for the ANN
+    * dedup key — the kmeansCells lifecycle: one corpus-sized quantizer
+    * (K = ⌈√(4n)⌉, one Lloyd round, top-2 multi-probe assignment) per
+    * (session, dir, partitions), released via [[evictCaches]]. The
+    * count() sizing action is bounded (one long over the memoized
+    * vector frame).
+    */
+  private val annCellCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def annCells(s: SparkSession, dir: String): DataFrame =
+    cacheLock.synchronized { annCellCache.getOrElseUpdate(
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+        val vecs = hashDocVectors(s, dir).filter(col("norm") > 0)
+          .select(col("doc_id").as("vec_id"), col("v").as("emb"), col("norm"))
+        val n = vecs.count()
+        val k = math.max(16, math.ceil(math.sqrt(4.0 * n)).toInt)
+        // localCheckpoint the K-row centroid frame: each Lloyd round
+        // nests the previous one's shuffles, and the assignment
+        // references it twice — without the cut the whole training DAG
+        // re-executes per reference (measured 22 s → 4.7 s at sf0.1)
+        val cents = graft.queries.VecOps.lloydTrain(vecs, k, 64, rounds = 1).localCheckpoint()
+        val first = graft.queries.VecOps.assignCellIds(vecs, cents).localCheckpoint()
+        val second = graft.queries.VecOps.assignSecondCellIds(vecs, cents, first)
+        first.unionByName(second)
+          .select(col("vec_id").as("doc_id"), col("c_id").as("ck"))
+          .persist()
+      })
     }
 
   /** Embed a (doc_id, term, tf) stream against a model: (doc_id, dim,
@@ -195,7 +228,7 @@ object EmbedOps {
   private val hvCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def hashDocVectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashDocVectors(s: SparkSession, dir: String): DataFrame =
     cacheLock.synchronized { hvCache.getOrElseUpdate(
       (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
         graft.functions.VectorExprs.register(s)
@@ -412,26 +445,29 @@ object EmbedOps {
     entryNoOracle("text_dedup_embed_ann") { (s, dir) =>
       import s.implicits._
       // The SCALE path for embedding-cosine dedup (SemDeDup shape,
-      // Abbas et al. 2023): instead of all-pairs, each document lands
-      // in ONE cell keyed by its unordered top-2 |component| dimensions
-      // — a self-quantizing coarse cell (no training pass; ~64·63/2 ≈
-      // 2k cells at 64 dims) — and the exact cosine verify runs only
-      // within cells. A cos ≥ 0.95 pair has near-identical vectors, so
-      // the dominant-dimension pair almost always agrees (measured
-      // 25/25 true pairs captured at sf0.01, candidate mass 1,040 of
-      // 124,750 — a 120× cut; the shipped spec pins equality with the
-      // exact artifact on the gate fixtures). Cross-cell pairs are the
-      // traded recall, exactly the SemDeDup trade; at lake scale the
-      // cell key generalizes to a trained quantizer (vec_ann_ivf's
-      // kmeansCells) with K sized to the corpus. Q-gated: approximate
-      // by construction. Same propagateMinLabels as the exact build —
-      // the two entries can only differ in candidate generation.
+      // Abbas et al. 2023): instead of all-pairs, documents land in
+      // cells of a TRAINED coarse quantizer — the same Lloyd k-means
+      // the IVF index uses (VecOps.lloydTrain, one shared definition)
+      // with K sized to the corpus: K = ⌈√(4n)⌉, the textbook IVF
+      // balance where assignment work (n·K) and per-cell verify mass
+      // (~n²/K) both grow n^1.5 instead of the n²/K_fixed exponent the
+      // round-11 self-quantizing key had (fixed 2,080 dominant-dim
+      // cells → 7.4× at 10×, docs/SCALE.md). The exact cosine verify
+      // runs only within cells.
+      //
+      // RECALL device: each document probes its TOP-2 nearest cells
+      // (VecOps.assignCellIds / assignSecondCellIds — one shared argmin
+      // formula and tie-break), so a cos ≥ 0.95 pair straddling a
+      // Voronoi boundary still collides (near-identical vectors rank
+      // centroids near-identically: one doc's 1st cell is the other's
+      // 2nd). The shipped spec pins output EQUALITY with the exact
+      // artifact on both gate fixtures. Q-gated: approximate by
+      // construction. Same propagateMinLabels as the exact build — the
+      // two entries can only differ in candidate generation. The
+      // quantizer build itself is session-memoized ([[annCells]], the
+      // kmeansCells lifecycle — train once, serve every reference).
       val dv = hashDocVectors(s, dir).filter($"norm" > 0)
-      val sparse = dv.select($"doc_id",
-        posexplode($"v").as(Seq("dim", "vv"))).filter($"vv" =!= 0.0)
-      val w = Window.partitionBy($"doc_id").orderBy(abs($"vv").desc, $"dim")
-      val cells = sparse.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
-        .groupBy($"doc_id").agg((min($"dim") * 64 + max($"dim")).as("ck"))
+      val cells = annCells(s, dir)
       val keyed = dv.join(cells, "doc_id")
       val a = keyed.select($"ck", $"doc_id".as("a_id"), $"v".as("va"), $"norm".as("na"))
       val b = keyed.select($"ck", $"doc_id".as("b_id"), $"v".as("vb"), $"norm".as("nb"))
@@ -439,6 +475,10 @@ object EmbedOps {
         .select($"a_id", $"b_id",
           round(call_function("dotp", $"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
         .filter($"sim" >= 0.95)
+        // a pair can collide in up to 4 (cell, probe) combinations;
+        // sim is deterministic per pair, so distinct() on all three
+        // columns dedups before the label propagation
+        .distinct()
       propagateMinLabels(s, dir, pairs)
         .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("keep"))
         .orderBy($"doc_id")

@@ -313,7 +313,9 @@ object ExtensibilityOps {
         .orderBy($"asset_id", $"window_idx")
     },
 
-    entryNoOracle("mm_image_dedup") { (s, _) =>
+    entry(
+      "mm_image_dedup", mmDedupOracle("image")
+    ) { (s, dir) =>
       import s.implicits._
       // Perceptual image near-dedup — the multimodal sibling of
       // text_dedup_near: REAL dHash fingerprints (ImageIO raster →
@@ -331,27 +333,19 @@ object ExtensibilityOps {
       // fallback-vs-fallback), and the output carries `perceptual` so
       // a consumer can tell a pixel-level near-dup from a byte-level
       // exact dup.
-      val h = graft.operators.Multimodal
-        .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-      val bands = h.select($"asset_id", $"dhash", $"decoded",
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned($"dhash", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-        .select($"asset_id", $"dhash", $"decoded", $"bk.band".as("band"), $"bk.key".as("key"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.asset_id") < col("b.asset_id"))
-        .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-          col("a.dhash").as("ha"), col("b.dhash").as("hb"),
-          (col("a.decoded") && col("b.decoded")).as("perceptual"))
-        .distinct()
-        .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
-        .filter($"hamming" <= 6 && ($"perceptual" || $"hamming" === 0))
-        .select($"id_a", $"id_b", $"hamming", $"perceptual")
-        .orderBy($"id_a", $"id_b")
+      //
+      // HARD-ORACLED in round 12 (r11 verdict ask #6, the
+      // text_dedup_near pattern): the codec stage (JDK decode → dHash)
+      // persists its fingerprints as a stamped lake artifact —
+      // MultimodalSpec gates the codec math — and the RELATIONAL stage
+      // (band join → Hamming verify → fallback rule) is replayed by
+      // DuckDB over the same artifact via read_parquet.
+      mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "image")))
     },
 
-    entryNoOracle("mm_audio_dedup") { (s, _) =>
+    entry(
+      "mm_audio_dedup", mmDedupOracle("audio")
+    ) { (s, dir) =>
       import s.implicits._
       // Audio near-dedup by energy-envelope fingerprint
       // (Codecs.audioFingerprint64 — normalized-RMS gradient bits,
@@ -360,24 +354,91 @@ object ExtensibilityOps {
       // fallback rule too: a pair touching a byte-hash row
       // (decoded=false) must match exactly — MurmurHash proximity is
       // not audio similarity — and `perceptual` marks which rule fired.
-      val h = graft.operators.Multimodal
-        .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-      val bands = h.select($"asset_id", $"afp", $"decoded",
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned($"afp", b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-        .select($"asset_id", $"afp", $"decoded", $"bk.band".as("band"), $"bk.key".as("key"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.asset_id") < col("b.asset_id"))
-        .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-          col("a.afp").as("ha"), col("b.afp").as("hb"),
-          (col("a.decoded") && col("b.decoded")).as("perceptual"))
-        .distinct()
-        .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
-        .filter($"hamming" <= 6 && ($"perceptual" || $"hamming" === 0))
-        .select($"id_a", $"id_b", $"hamming", $"perceptual")
-        .orderBy($"id_a", $"id_b")
+      // Hard-oracled through the persisted fingerprint artifact exactly
+      // like mm_image_dedup above.
+      mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "audio")))
     }
   )
+
+  /** Version stamp for the persisted multimodal fingerprint artifacts —
+    * bump with any change to the codec hash math (dhash64 /
+    * audioFingerprint64 / fallback MurmurHash) or the asset synthesis.
+    */
+  private val mmFpVersion = "mmfp-v1:dhash64;afp64;murmur-fallback;assets120"
+
+  /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
+    * modality — the codec stage of mm_*_dedup as a build-once lake
+    * artifact (IndexOps lifecycle: clear stamp, stage-and-swap, stamp).
+    * Persisting the fingerprints is what lets the relational dedup
+    * stage be oracle-replayed by an engine that cannot run the codecs.
+    */
+  private def ensureMmFingerprints(s: org.apache.spark.sql.SparkSession,
+                                   dir: String, kind: String): String = {
+    val path = IndexOps.indexDir(dir)
+    val table = s"mmfp_$kind"
+    if (!IndexOps.indexCurrent(path, Seq(table), table, mmFpVersion)) {
+      IndexOps.clearStamp(path, table)
+      val assets = graft.operators.Multimodal.syntheticAssets(s, 120)
+      val df = kind match {
+        case "image" => graft.operators.Multimodal.imageHashes(assets).toDF()
+          .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
+        case _ => graft.operators.Multimodal.audioHashes(assets).toDF()
+          .select(col("asset_id"), col("afp").as("h"), col("decoded"))
+      }
+      graft.sources.Ingest.stageAndSwap(df, path, table)
+      IndexOps.writeStamp(path, table, mmFpVersion)
+    }
+    s"$path/$table.parquet"
+  }
+
+  /** The relational stage shared by both modalities: 4×16-bit band
+    * candidate join over (asset_id, h, decoded), Hamming ≤ 6 verify,
+    * exact-match rule for non-perceptual (fallback) hashes.
+    */
+  private def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = h.select(col("asset_id"), col("h"), col("decoded"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("asset_id"), col("h"), col("decoded"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"),
+        (col("a.decoded") && col("b.decoded")).as("perceptual"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 6 && (col("perceptual") || col("hamming") === 0))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("perceptual"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB replay of [[mmDedupPairs]] over the persisted fingerprint
+    * artifact. The artifact path is resolved ABSOLUTE at class-init
+    * time for the correctness gate's fixture (the driver always
+    * verifies at sf0.01), so the oracle is independent of the DuckDB
+    * process's working directory; Verify runs the entry first, which
+    * builds/refreshes the artifact the oracle then reads. DuckDB's
+    * arithmetic >> matches shiftrightunsigned here because the 16-bit
+    * mask keeps only bits [16b, 16b+15], and xor/bit_count operate on
+    * the same two's-complement longs.
+    */
+  private def mmDedupOracle(kind: String): String = {
+    val abs = new java.io.File(
+      IndexOps.indexDir("/root/testdata/sf0.01") + s"/mmfp_$kind.parquet").getAbsolutePath
+    s"""WITH fp AS (SELECT asset_id, h, decoded FROM read_parquet('$abs/*.parquet')),
+       |bands AS (SELECT asset_id, h, decoded, r.range AS band,
+       |    (h >> CAST(r.range * 16 AS INT)) & 65535 AS key
+       |  FROM fp CROSS JOIN range(4) r),
+       |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+       |    a.h AS ha, b.h AS hb, (a.decoded AND b.decoded) AS perceptual
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming, perceptual
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) <= 6 AND (perceptual OR bit_count(xor(ha, hb)) = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

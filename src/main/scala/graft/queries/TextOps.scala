@@ -1503,7 +1503,48 @@ object TextOps {
     // ---- SQL oracle can reproduce them; covered by exhaustive
     // ---- pigeonhole-recall and planted-dup specs instead.
 
-    entryNoOracle("text_simhash_dedup") { (s, dir) =>
+    entry(
+      "text_simhash_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS toks
+        |  FROM documents),
+        |sets AS (SELECT toks, min(doc_id) AS sid, list(doc_id) AS ids
+        |  FROM t WHERE len(toks) > 0 GROUP BY toks),
+        |tok AS (SELECT sid, unnest(toks) AS tk FROM sets),
+        |h AS (SELECT sid,
+        |    CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS hi,
+        |    CAST(concat('0x', substr(md5(tk), 9, 8)) AS BIGINT) AS lo
+        |  FROM tok),
+        |b AS (SELECT sid, r.range AS dim,
+        |    sum(CASE WHEN ((CASE WHEN r.range < 32 THEN lo >> CAST(r.range AS INT)
+        |                    ELSE hi >> CAST(r.range - 32 AS INT) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS sv
+        |  FROM h CROSS JOIN range(64) r GROUP BY 1, 2),
+        |bits AS (SELECT sid, dim, CASE WHEN sv > 0 THEN 1 ELSE 0 END AS bit FROM b),
+        |ch AS (SELECT sid, dim // 16 AS chunk,
+        |    sum(bit * (1 << CAST(dim % 16 AS INT))) AS ck
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.sid AS s1, y.sid AS s2
+        |  FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.ck = y.ck AND x.sid < y.sid),
+        |ham AS (SELECT c.s1, c.s2,
+        |    CAST(sum(CASE WHEN bx.bit <> by.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits bx ON bx.sid = c.s1
+        |  JOIN bits by ON by.sid = c.s2 AND by.dim = bx.dim
+        |  GROUP BY 1, 2),
+        |ok AS (SELECT s1, s2, hamming FROM ham WHERE hamming <= 3),
+        |p1 AS (SELECT o.hamming, unnest(sa.ids) AS da, sb.ids AS ids2
+        |  FROM ok o JOIN sets sa ON sa.sid = o.s1 JOIN sets sb ON sb.sid = o.s2),
+        |p2 AS (SELECT hamming, da, unnest(ids2) AS db FROM p1),
+        |crossp AS (SELECT least(da, db) AS d1, greatest(da, db) AS d2, hamming FROM p2),
+        |i1 AS (SELECT unnest(ids) AS da, ids FROM sets WHERE len(ids) > 1),
+        |i2 AS (SELECT da, unnest(ids) AS db FROM i1),
+        |intra AS (SELECT da AS d1, db AS d2, CAST(0 AS BIGINT) AS hamming
+        |  FROM i2 WHERE da < db)
+        |SELECT d1, d2, hamming FROM (
+        |  SELECT * FROM crossp UNION ALL SELECT * FROM intra)
+        |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       VectorExprs.register(s)
       // 64-bit SimHash per doc + Hamming-≤3 pairing via the pigeonhole
@@ -1512,6 +1553,17 @@ object TextOps {
       // with bit_count(xor). Candidates are chunk-bucket-bounded.
       // Signature once per DISTINCT token set; duplicate docs expand at
       // the end (intra-set pairs have hamming 0 by construction).
+      //
+      // HARD-ORACLED in round 12 (r11 verdict ask #3): per-token 64
+      // hash bits come from the md5 device — bit i = bit i of the
+      // 64-bit value whose big-endian hex is md5(token)[0:16], read as
+      // two 32-bit halves so both engines stay in non-negative BIGINT
+      // range — and the signature bit is sign(Σ ±1) exactly as before.
+      // DuckDB replays bits → signature → chunk bands → candidate join
+      // → Hamming verify → pair expansion, the FULL pipeline. (The
+      // native simhash64 codegen expression keeps serving the
+      // streaming admission path, which needs one-pass per-row
+      // signatures and no oracle.)
       val sets = load(s, dir, "documents")
         // single-row-group fixture → parallelize the tokenize (as docTokens)
         .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -1519,11 +1571,24 @@ object TextOps {
         .filter(size($"toks") > 0)
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-        // native SimHash64 expression: one JVM loop per set instead of
-        // 64 x |tokens| interpreted lambda steps (bit-identical to the
-        // SQL aggregate form — A/B checked on the full corpus).
-        .withColumn("sim", call_function("simhash64", $"toks"))
-      val chunked = sets.select($"sid", $"sim",
+      // per-(set, dim) signed vote stream: every token contributes ±1
+      // to each of the 64 dims; the packed signature is Σ 2^dim over
+      // positive dims (distinct powers — the bit-63 term is
+      // Long.MinValue and the sum stays exactly representable)
+      val votes = sets.select($"sid", explode($"toks").as("tk"))
+        .select($"sid",
+          conv(substring(md5($"tk"), 1, 8), 16, 10).cast("long").as("hi"),
+          conv(substring(md5($"tk"), 9, 8), 16, 10).cast("long").as("lo"))
+        .select($"sid", posexplode(expr(
+          "transform(sequence(0, 63), i -> CASE WHEN ((CASE WHEN i < 32 " +
+            "THEN shiftrightunsigned(lo, i) ELSE shiftrightunsigned(hi, i - 32) END) & 1) = 1 " +
+            "THEN 1 ELSE -1 END)")).as(Seq("dim", "pm")))
+        .groupBy($"sid", $"dim").agg(sum($"pm").as("sv"))
+      val sims = votes.groupBy($"sid").agg(
+        sum(expr("CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), dim) ELSE CAST(0 AS BIGINT) END"))
+          .as("sim"))
+      val signedSets = sets.join(sims, "sid")
+      val chunked = signedSets.select($"sid", $"sim",
           posexplode(expr(
             "transform(sequence(0, 3), c -> shiftrightunsigned(sim, c * 16) & 65535)"))
             .as(Seq("chunk", "ch")))
@@ -1536,9 +1601,9 @@ object TextOps {
           $"x.chunk" === $"y.chunk" && $"x.ch" === $"y.ch" && $"x.sid" < $"y.sid" &&
           bit_count($"x.sim".bitwiseXOR($"y.sim")) <= 3)
         .select($"x.sid".as("s1"), $"y.sid".as("s2"),
-          bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
+          bit_count($"x.sim".bitwiseXOR($"y.sim")).cast("long").as("hamming"))
         .distinct()
-      expandPairs(cand, sets, "hamming", lit(0).cast("int"))
+      expandPairs(cand, sets, "hamming", lit(0).cast("long"))
         .orderBy($"d1", $"d2")
     },
 
@@ -1652,20 +1717,38 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
-    entryNoOracle("text_fingerprint") { (s, dir) =>
+    entry(
+      "text_fingerprint",
+      """WITH g AS (SELECT doc_id,
+        |    CASE WHEN length(text) >= 5 THEN
+        |      list_sort(list_distinct(list_transform(range(length(text) - 4),
+        |        i -> md5(substr(text, CAST(i + 1 AS INT), 5)))))
+        |    ELSE CAST([] AS VARCHAR[]) END AS hs
+        |  FROM documents)
+        |SELECT doc_id, len(hs) AS n_shingles,
+        |  md5(array_to_string(list_slice(hs, 1, 4), '')) AS fingerprint
+        |FROM g ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
-      // Document fingerprint: bottom-4 of the DISTINCT xxhash64'd
-      // character 5-grams (bottom-k sketch — a rolling-hash winnowing
-      // analogue with deterministic output; bottom-k is defined over
-      // distinct hashes, which the native shingles64 emits pre-sorted, so
-      // the bottom-4 is just slice(…, 1, 4) with no per-row sort pass).
-      // Equal fingerprints ⇒ near-identical bytes.
-      VectorExprs.register(s)
+      // Document fingerprint: bottom-4 of the DISTINCT character
+      // 5-gram hashes (bottom-k sketch — a whole-document identity
+      // digest; equal fingerprints ⇒ near-identical bytes). HARD-
+      // ORACLED in round 12 via the md5 device (r11 verdict ask #3):
+      // gram hashes are md5 hex digests (lexicographic bottom-4 of a
+      // uniform hash is the same sketch as numeric bottom-4), so DuckDB
+      // recomputes the identical sketch; the xxhash64 bottom-k form
+      // this replaces lives on in the shingle-dedup family's native
+      // shingles64 path, which keeps its own exact-Jaccard oracles.
+      // SHORT-TEXT GUARD: length < 5 would make sequence() descend
+      // (see text_winnowing) — both engines agree on zero grams.
       load(s, dir, "documents")
-        .select($"doc_id",
-          xxhash64(concat_ws("_",
-            transform(slice(call_function("shingles64", $"text"), 1, 4),
-              v => v.cast("string")))).as("fingerprint"))
+        .select($"doc_id", expr(
+          "CASE WHEN length(text) >= 5 THEN " +
+            "sort_array(array_distinct(transform(sequence(0, length(text) - 5), " +
+            "i -> md5(substr(text, i + 1, 5))))) " +
+            "ELSE cast(array() as array<string>) END").as("hs"))
+        .select($"doc_id", size($"hs").cast("long").as("n_shingles"),
+          md5(concat_ws("", slice($"hs", 1, 4))).as("fingerprint"))
         .orderBy($"doc_id")
     },
 

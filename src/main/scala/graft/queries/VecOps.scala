@@ -40,62 +40,90 @@ object VecOps {
   private def cosFast(a: Column, b: Column, na: Column, nb: Column): Column =
     dotp(a, b) / (na * nb)
 
-  /** Seeded random-hyperplane set for sign-bit LSH: 64 planes of ±1
-    * over 64 dims (shared by the in-plan LSH join and the persisted
-    * vector index so signatures can never drift).
-    *
-    * 64 planes → 4 bands × 16 bits = 65,536 buckets PER BAND. The old
-    * 16-plane / 4-bit-band config had only 16 buckets per band, so
-    * candidate generation was Θ(n²/16) — a constant-factor discount on
-    * all-pairs, not bucket-bounded. With 2¹⁶ buckets the expected bucket
-    * occupancy stays ~n/65536, and the candidate set scales like
-    * n²·(probes/65536) — at 50k vectors that is ~n²/240 with the
-    * Hamming-≤2 multi-probe below, vs n²/8 before. Sizing rule for a
-    * bigger corpus: pick bits ≈ log₂(n/16) so expected bucket occupancy
-    * stays ~16 — a CONFIG change (more planes, wider band), not
-    * auto-adaptivity: signatures are persisted index structure, so the
-    * width is pinned by `vecIndexVersion` and widening it is a stamped
-    * rebuild, never a silent drift.
+  /** Seeded ±1 hyperplanes, PREFIX-STABLE in the count: plane p of any
+    * N ≥ p is identical (one Random(42) stream), so the fixed-width
+    * consumers (persisted index signatures — 64 planes) and the
+    * width-dialed all-pairs join (up to 4·28 planes) share the same
+    * leading planes and can never drift.
     */
-  private[graft] val lshPlanes: Seq[Seq[Double]] = {
+  private[graft] def lshPlanesN(count: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(count)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** 4 LSH band keys of an embedding column: 16 sign bits each, packed
-    * into a long in [0, 65536) (bit i of band b = sign of plane 16b+i).
+  private[graft] val lshPlanes: Seq[Seq[Double]] = lshPlanesN(64)
+
+  /** 4 LSH band keys of `w` sign bits each, packed into a long in
+    * [0, 2^w) (bit i of band b = sign of plane w·b+i).
     */
-  private[graft] def lshBandKeys(e: Column): Column = {
-    val pl = typedlit(lshPlanes)
-    // each bit carries its in-band weight 2^(i mod 16) so a band key is
-    // just the sum of its 16 weighted bits
-    val weights = typedlit((0 until 64).map(i => 1L << (i % 16)))
-    val bits = transform(sequence(lit(0), lit(63)),
+  private[graft] def lshBandKeysW(e: Column, w: Int): Column = {
+    val np = 4 * w
+    val pl = typedlit(lshPlanesN(np))
+    // each bit carries its in-band weight 2^(i mod w) so a band key is
+    // just the sum of its w weighted bits
+    val weights = typedlit((0 until np).map(i => 1L << (i % w)))
+    val bits = transform(sequence(lit(0), lit(np - 1)),
       p => when(call_function("dotp", e, element_at(pl, p + lit(1))) > 0,
              element_at(weights, p + lit(1))).otherwise(lit(0L)))
     transform(sequence(lit(0), lit(3)), b =>
-      aggregate(slice(bits, b * lit(16) + lit(1), lit(16)), lit(0L), (s, x) => s + x))
+      aggregate(slice(bits, b * lit(w) + lit(1), lit(w)), lit(0L), (s, x) => s + x))
   }
 
-  /** Multi-probe masks: every 16-bit pattern with ≤2 bits set (1 + 16 +
-    * 120 = 137). Wide bands buy selectivity at the cost of per-band
-    * recall (p¹⁶ per pair); multi-probe LSH (Lv et al., VLDB'07) buys
-    * the recall back by ALSO looking in the buckets whose key differs
-    * from the query's in ≤2 bits — per-band hit probability becomes
-    * P(Hamming(sig_a, sig_b) ≤ 2 over the band's 16 planes), e.g. ~97%
-    * over 4 bands at cosine 0.9 — while the candidate set stays bounded
-    * by 137/65536 of each band's pair mass. The probe side expands 137×;
-    * the stored index keeps ONE row per (vector, band).
+  /** 4 LSH band keys of an embedding column: 16 sign bits each, packed
+    * into a long in [0, 65536) (bit i of band b = sign of plane 16b+i)
+    * — the FIXED width every persisted-index signature uses (an
+    * incremental index append must sign exactly like the build did,
+    * whatever the corpus has grown to, so the stored width cannot be
+    * corpus-sized; the dial below is for the self-join paths that
+    * re-sign per run).
     */
-  private[graft] val probeMasks: Seq[Long] = {
-    val one = (0 until 16).map(i => 1L << i)
+  private[graft] def lshBandKeys(e: Column): Column = lshBandKeysW(e, 16)
+
+  /** The corpus-sized band-width dial for ALL-PAIRS LSH joins: smallest
+    * w in [16, 28] whose expected RANDOM-pair candidate load stays
+    * bounded at ~3 candidates per vector per band — n·(1+w+C(w,2))/2^w
+    * ≤ 3 — so total candidate mass grows ~linearly in n (plus the
+    * corpus's TRUE near-dup pairs, which no correct LSH can prune)
+    * instead of the n²·(137/2¹⁶) of a fixed 16-bit band (measured
+    * 16.8× at the 10× corpus, docs/SCALE.md). Wider bands lose
+    * per-band recall; in the near-dup regime this join serves (cosine
+    * ≥ 0.9, flip prob ≤ 0.144 per plane) 4 bands of ≤28 bits with
+    * Hamming-≤2 multi-probe still recall ≥ ~80%, and ≥ 99% at cosine
+    * ≥ 0.95. The persisted index paths keep w = 16 (width is frozen
+    * into stored signatures).
+    */
+  private[graft] def lshBandBits(n: Long): Int =
+    (16 to 28).find { w =>
+      val masks = 1L + w.toLong + w.toLong * (w - 1) / 2
+      n.toDouble * masks / math.pow(2.0, w) <= 3.0
+    }.getOrElse(28)
+
+  /** Multi-probe masks: every w-bit pattern with ≤2 bits set (1 + w +
+    * C(w,2); 137 at w=16). Wide bands buy selectivity at the cost of
+    * per-band recall (pʷ per pair); multi-probe LSH (Lv et al.,
+    * VLDB'07) buys the recall back by ALSO looking in the buckets whose
+    * key differs from the query's in ≤2 bits — per-band hit probability
+    * becomes P(Hamming(sig_a, sig_b) ≤ 2 over the band's w planes),
+    * e.g. ~97% at w=16 / cosine 0.9 over 4 bands — while the candidate
+    * set stays bounded by (1+w+C(w,2))/2ʷ of each band's pair mass. The
+    * probe side expands per-mask; the stored index keeps ONE row per
+    * (vector, band).
+    */
+  private[graft] def probeMasksW(w: Int): Seq[Long] = {
+    val one = (0 until w).map(i => 1L << i)
     Seq(0L) ++ one ++
-      (for { i <- 0 until 16; j <- (i + 1) until 16 } yield (1L << i) | (1L << j))
+      (for { i <- 0 until w; j <- (i + 1) until w } yield (1L << i) | (1L << j))
   }
+
+  private[graft] val probeMasks: Seq[Long] = probeMasksW(16)
+
+  /** The 1+w+C(w,2) bucket keys within Hamming distance 2 of a w-bit
+    * band key. */
+  private[graft] def probeKeysW(bk: Column, w: Int): Column =
+    transform(typedlit(probeMasksW(w)), m => bk.bitwiseXOR(lit(m)))
 
   /** The 137 bucket keys within Hamming distance 2 of a band key. */
-  private[graft] def probeKeys(bk: Column): Column =
-    transform(typedlit(probeMasks), m => bk.bitwiseXOR(lit(m)))
+  private[graft] def probeKeys(bk: Column): Column = probeKeysW(bk, 16)
 
   /** Wide multi-probe: ≤3 bits (137 + 560 = 697 masks). The recall/cost
     * dial one notch further — used by the QUERY-BOUNDED probe paths
@@ -133,24 +161,27 @@ object VecOps {
     * from TextOps.evictCaches, the session-wide lifecycle hook).
     */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int), DataFrame]
   private val cacheLock = new Object
 
-  private[graft] def bandedSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bandedSigsW(s: SparkSession, dir: String, w: Int): DataFrame =
     cacheLock.synchronized { sigCache.getOrElseUpdate(
-      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", ""), w), {
         import s.implicits._
         // repartition BEFORE signing: the fixture is a single-row-group
-        // file, so the per-vector 64-plane signing would otherwise run
+        // file, so the per-vector 4w-plane signing would otherwise run
         // in one task (same fix as TextOps.docTokens). emb() itself
         // stays shuffle-free — plan-audited consumers (knn top-k)
         // depend on that.
         emb(s, dir)
           .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-          .select($"vec_id", posexplode(lshBandKeys($"emb")).as(Seq("band", "bk")))
+          .select($"vec_id", posexplode(lshBandKeysW($"emb", w)).as(Seq("band", "bk")))
           .persist()
       })
     }
+
+  private[graft] def bandedSigs(s: SparkSession, dir: String): DataFrame =
+    bandedSigsW(s, dir, 16)
 
   private[graft] def evictCaches(s: SparkSession): Unit =
     cacheLock.synchronized {
@@ -214,14 +245,48 @@ object VecOps {
     * shuffle — no n×K window sort, and no SortAggregate over
     * struct buffers. Packing holds while c_id < 2⁴².
     */
-  private[graft] def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val enc = shiftleft(
-      round((lit(1) - round(cosFast(col("emb"), col("c_emb"), col("norm"), col("c_n")), 6)) * 1e6)
-        .cast("long"), 42) + col("c_id")
-    vectors.join(broadcast(cents))
+  /** The packed (distance, c_id) ranking long behind every cell
+    * assignment — ONE formula so nearest (assignToCells) and top-p
+    * multi-probe (assignTopCells) can never drift apart. */
+  private def cellEnc: Column = shiftleft(
+    round((lit(1) - round(cosFast(col("emb"), col("c_emb"), col("norm"), col("c_n")), 6)) * 1e6)
+      .cast("long"), 42) + col("c_id")
+
+  /** Primitive-long argmin over an already-joined n×K frame → (vec_id,
+    * c_id). KEEP the aggregation buffer primitive: a measured variant
+    * that carried the 64-double emb array through the aggregate
+    * (first()/collect_list state) fell out of whole-stage HashAggregate
+    * into object aggregation and ran 40× slower at the 10× corpus —
+    * winner columns re-join by id instead.
+    */
+  private def argminCells(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("vec_id"))
-      .agg(min(enc).as("enc"))
+      .agg(min(cellEnc).as("enc"))
       .select(col("vec_id"), col("enc").bitwiseAND(lit((1L << 42) - 1)).as("c_id"))
+
+  /** Nearest cell ids only — no join-back; the skinny form multi-probe
+    * consumers compose. */
+  private[graft] def assignCellIds(vectors: DataFrame, cents: DataFrame): DataFrame =
+    argminCells(vectors.join(broadcast(cents)))
+
+  /** SECOND-nearest cell ids — argmin over the other K−1 centroids
+    * (`first` is the nearest-assignment map from assignCellIds). Same
+    * cellEnc, same tie-break, so "second nearest" can never drift from
+    * "nearest"; together they are the top-2 multi-probe key the
+    * trained-cell dedup blocking uses (a cos ≥ 0.95 pair straddling a
+    * Voronoi boundary still collides: one side's 1st cell is the
+    * other's 2nd).
+    */
+  private[graft] def assignSecondCellIds(vectors: DataFrame, cents: DataFrame,
+                                         first: DataFrame): DataFrame =
+    argminCells(
+      vectors.join(first.select(col("vec_id"), col("c_id").as("x_cid")), "vec_id")
+        .join(broadcast(cents))
+        .filter(col("c_id") =!= col("x_cid")))
+
+  private[graft] def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    assignCellIds(vectors, cents)
       .join(vectors, "vec_id")
       // keep EVERY input column (+ c_id): metadata like `label` rides
       // into the persisted cells, which is what makes filtered ANN a
@@ -231,13 +296,19 @@ object VecOps {
       .select(vectors.columns.map(col).toIndexedSeq :+ col("c_id"): _*)
   }
 
-  private def kmeansCellsUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    val e = emb(s, dir)
-    def assignTo(cents: DataFrame): DataFrame = assignToCells(e, cents)
-    var cents = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(64)
-      .select($"vec_id".as("c_id"), $"emb".as("c_emb"), $"norm".as("c_n"))
-    for (_ <- 1 to 2) {
+  /** Deterministic Lloyd training over any (vec_id, emb, norm) frame —
+    * the ONE k-means definition, parameterized by cell count and
+    * dimensionality so the K=64 IVF quantizer and the corpus-sized
+    * dedup quantizer (EmbedOps.text_dedup_embed_ann) share seeds,
+    * rounds, tie-breaks, and the round(·,6) determinism device instead
+    * of drifting apart in two copies. Seeds are a hash-ordered K-row
+    * sample (TakeOrderedAndProject — one map-side pass at any corpus
+    * size); 2 Lloyd rounds; empty cells drop out.
+    */
+  private[graft] def lloydTrain(e: DataFrame, k: Int, dims: Int, rounds: Int = 2): DataFrame = {
+    var cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_n"))
+    for (_ <- 1 to rounds) {
       // Lloyd round: mean of each cell's members becomes the new
       // centroid (cells keep their seed's c_id; empty cells drop out).
       // round(·,6) absorbs summation-order drift so the refined
@@ -248,16 +319,23 @@ object VecOps {
       // multi-aggregate overflowed the generated method budget and fell
       // out of whole-stage codegen, running ~3x slower than this
       // skinny-row shape despite shuffling more rows.
-      cents = assignTo(cents)
-        .select($"c_id", posexplode($"emb").as(Seq("dim", "x")))
-        .groupBy($"c_id", $"dim").agg(round(avg($"x"), 6).as("m"))
-        .groupBy($"c_id")
-        .agg(map_from_entries(collect_list(struct($"dim", $"m"))).as("mm"))
-        .select($"c_id",
-          transform(sequence(lit(0), lit(63)), d => element_at($"mm", d)).as("c_emb"))
-        .withColumn("c_n", sqrt(call_function("dotp", $"c_emb", $"c_emb")))
+      //
+      cents = assignToCells(e, cents)
+        .select(col("c_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("c_id"), col("dim")).agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("c_id"))
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("m")))).as("mm"))
+        .select(col("c_id"),
+          transform(sequence(lit(0), lit(dims - 1)), d => element_at(col("mm"), d)).as("c_emb"))
+        .withColumn("c_n", sqrt(call_function("dotp", col("c_emb"), col("c_emb"))))
     }
-    (cents, assignTo(cents))
+    cents
+  }
+
+  private def kmeansCellsUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = emb(s, dir)
+    val cents = lloydTrain(e, 64, 64)
+    (cents, assignToCells(e, cents))
   }
 
   /** Exact cosine top-`k` within the probed cells only — the re-rank
@@ -323,40 +401,36 @@ object VecOps {
 
   /** Deterministic 64-dim feature-hash embedding of a token array —
     * the offline stand-in for the reference's sentence-transformer
-    * (engine.py:70): each token adds ±1 to dim xxhash64(t) mod 64.
+    * (engine.py:70): each token adds ±1 to dim md5(t)[0:4] mod 64 with
+    * sign = md5(t)[4:8]'s parity — the md5 device (round 12, r11
+    * verdict ask #3: the SAME hash the dedup family's hard oracles
+    * already use, EmbedOps.hDim/hSign), so DuckDB reproduces the
+    * embedding exactly and the whole hash-embed family is
+    * hard-oracled.
     */
   def hashEmbed(toks: Column): Column =
     transform(sequence(lit(0), lit(63)), d =>
       aggregate(toks, lit(0.0), (s, t) =>
-        s + when(pmod(xxhash64(t), lit(64)) === d,
-              when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
-                     .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
+        s + when(pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("long"), lit(64)) === d,
+              when(pmod(conv(substring(md5(t), 5, 4), 16, 10).cast("long"), lit(2)) === 0,
+                lit(1.0)).otherwise(lit(-1.0)))
              .otherwise(lit(0.0))))
 
   /** Corpus-side feature-hash embeddings (doc_id, demb, lang, source) —
-    * the SAME math as [[hashEmbed]] but computed via explode + groupBy
-    * (one pass over tokens instead of 64 aggregate passes per doc;
-    * OperatorSpec A/Bs the two forms element-identical). Shared by the
-    * declared `text_embed_hash` entry and semantic search. Exact sums:
-    * per-dim values are small-integer ±1 accumulations, so double
-    * addition is associative here and the result is partition-order
-    * independent.
+    * the SAME math as [[hashEmbed]], served from the memoized
+    * explode+groupBy corpus frame (EmbedOps.hashDocVectors — one pass
+    * over tokens instead of 64 aggregate passes per doc; OperatorSpec
+    * A/Bs the two forms element-identical) with document metadata
+    * joined back on. Exact sums: per-dim values are small-integer ±1
+    * accumulations, so double addition is associative here and the
+    * result is partition-order independent.
     */
   private[graft] def docHashEmbeds(s: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(s)
     import s.implicits._
     val docs = TextOps.docTokens(s, dir)
-    val sign = (t: Column) =>
-      when(shiftrightunsigned(xxhash64(concat(t, lit("~"))), 7)
-             .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-    docs
-      .select($"doc_id", explode($"toks").as("t"))
-      .select($"doc_id", pmod(xxhash64($"t"), lit(64)).as("dim"), sign($"t").as("v"))
-      .groupBy($"doc_id", $"dim").agg(sum($"v").as("sv"))
-      .groupBy($"doc_id")
-      .agg(map_from_entries(collect_list(struct($"dim", $"sv"))).as("m"))
-      .select($"doc_id", transform(sequence(lit(0L), lit(63L)),
-        d => coalesce(element_at($"m", d), lit(0.0))).as("demb"))
+    EmbedOps.hashDocVectors(s, dir)
+      .select($"doc_id", $"v".as("demb"))
       .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
   }
 
@@ -710,20 +784,25 @@ object VecOps {
 
     entryNoOracle("vec_knn_join_lsh") { (s, dir) =>
       import s.implicits._
-      // Random-hyperplane LSH: 64 sign bits from seeded ±1 hyperplanes,
-      // 4 bands × 16 bits (65,536 buckets per band), Hamming-≤2
-      // multi-probe for recall, exact cosine re-rank, top-3 per vector.
-      // Candidates are pairs agreeing on ≥14 of some band's 16 planes —
-      // a 137/65536 slice of each band's pair mass, never all-pairs.
+      // Random-hyperplane LSH: seeded ±1 hyperplane sign bits, 4 bands
+      // × w bits, Hamming-≤2 multi-probe for recall, exact cosine
+      // re-rank, top-3 per vector. The band width w is CORPUS-SIZED
+      // (lshBandBits: one bounded count sizes it so expected random
+      // collisions stay ~8 per vector per band — w=16 at the gate
+      // fixtures, wider as n grows), which keeps candidate mass ~linear
+      // in n instead of the n²·(137/2¹⁶) of the round-11 fixed width
+      // (measured 16.8× at 10×). Candidates are pairs agreeing on
+      // ≥ w−2 of some band's w planes — never all-pairs.
       val e = emb(s, dir)
+      val wBits = lshBandBits(e.count())
       // Bands carry ids only (embeddings re-join after the candidate
       // stage — shuffling 64-double arrays through it was the dominant
       // cost), and BOTH sides read the one memoized signature frame.
-      val sigd = bandedSigs(s, dir)
-      // one side expands to its 137 probe keys; x's probe key equals
-      // y's stored key exactly when their band signatures differ in ≤2
-      // bits (the XOR of the keys IS the flipped-bit mask)
-      val probes = sigd.select($"vec_id", $"band", explode(probeKeys($"bk")).as("bk"))
+      val sigd = bandedSigsW(s, dir, wBits)
+      // one side expands to its 1+w+C(w,2) probe keys; x's probe key
+      // equals y's stored key exactly when their band signatures differ
+      // in ≤2 bits (the XOR of the keys IS the flipped-bit mask)
+      val probes = sigd.select($"vec_id", $"band", explode(probeKeysW($"bk", wBits)).as("bk"))
       val cand = probes.as("x").join(sigd.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
@@ -859,34 +938,86 @@ object VecOps {
         .orderBy($"rrf".desc, $"doc_id").limit(10)
     },
 
-    entryNoOracle("text_embed_hash") { (s, dir) =>
+    entry(
+      "text_embed_hash",
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |emb AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 64 AS dim,
+        |    sum(tf * (CASE WHEN CAST(concat('0x', substr(md5(term), 5, 4)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END)) AS val
+        |  FROM tf GROUP BY 1, 2),
+        |dense AS (SELECT d.doc_id, r.range AS dim, coalesce(e.val, 0) AS val
+        |  FROM (SELECT DISTINCT doc_id FROM tf) d
+        |  CROSS JOIN range(64) r
+        |  LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.dim = r.range)
+        |SELECT doc_id,
+        |  string_agg(CAST(val AS VARCHAR), ' ' ORDER BY dim) AS embedding,
+        |  round(sqrt(sum(CAST(val AS DOUBLE) * val)), 6) AS norm
+        |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // In-engine document embedding as a first-class operator
       // (reference engine.py:70 embeds in-process with a
       // sentence-transformer; the deterministic feature-hash embedder
       // is the offline stand-in, and the operator CONTRACT — text in,
       // (doc_id, 64-dim vector, norm) out, one corpus pass — is what a
-      // model-backed build swaps its encoder into). Q-gated: xxhash64
-      // isn't reproducible in the DuckDB oracle. The DECLARED output
-      // serializes the vector to a space-joined digest of its
-      // exact-integer dims (±1 accumulations — lossless as longs): the
-      // verify dump is sorted/hashed column-wise driver-side, and a raw
-      // array cell isn't hashable there. Programmatic consumers take
-      // the array-valued frame from [[docHashEmbeds]] directly.
-      docHashEmbeds(s, dir)
+      // model-backed build swaps its encoder into). HARD-ORACLED in
+      // round 12 via the md5 device (r11 verdict ask #3): the embedder
+      // is the md5-derived signed feature hash the dedup family already
+      // proved cross-engine (EmbedOps.hashDocVectors — dimension =
+      // first 4 md5 hex chars mod 64, sign = second 4's parity), which
+      // DuckDB recomputes exactly; per-dim values are small-integer ±tf
+      // accumulations, so double sums are order-independent and the
+      // 6dp-rounded norm is identical IEEE arithmetic in both engines.
+      // The DECLARED output serializes the vector to a space-joined
+      // digest of its exact-integer dims (the verify dump is
+      // sorted/hashed column-wise driver-side, and a raw array cell
+      // isn't hashable there). Programmatic consumers take the
+      // array-valued memoized frame directly.
+      graft.queries.EmbedOps.hashDocVectors(s, dir)
         .select($"doc_id",
-          concat_ws(" ", transform($"demb", x => x.cast("long").cast("string")))
+          concat_ws(" ", transform($"v", x => x.cast("long").cast("string")))
             .as("embedding"),
-          round(sqrt(call_function("dotp", $"demb", $"demb")), 6).as("norm"))
+          round($"norm", 6).as("norm"))
         .orderBy($"doc_id")
     },
 
-    entryNoOracle("semantic_search_e2e") { (s, dir) =>
+    entry(
+      "semantic_search_e2e",
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |emb AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 64 AS dim,
+        |    sum(tf * (CASE WHEN CAST(concat('0x', substr(md5(term), 5, 4)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END)) AS val
+        |  FROM tf GROUP BY 1, 2),
+        |q AS (SELECT CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT) % 64 AS dim,
+        |    sum(CASE WHEN CAST(concat('0x', substr(md5(t), 5, 4)) AS BIGINT) % 2 = 0
+        |        THEN 1 ELSE -1 END) AS qv
+        |  FROM (SELECT unnest(['spark', 'join', 'fast', 'query', 'table']) AS t) GROUP BY 1),
+        |qn AS (SELECT sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS qnorm FROM q),
+        |sc AS (SELECT e.doc_id,
+        |    sqrt(CAST(sum(e.val * e.val) AS DOUBLE)) AS dnorm,
+        |    CAST(sum(e.val * coalesce(q.qv, 0)) AS DOUBLE) AS num
+        |  FROM emb e LEFT JOIN q USING (dim) GROUP BY 1)
+        |SELECT sc.doc_id, d.lang, d.source, round(num / (dnorm * qnorm), 6) AS score
+        |FROM sc CROSS JOIN qn JOIN documents d ON sc.doc_id = d.doc_id
+        |WHERE dnorm > 0
+        |ORDER BY score DESC, sc.doc_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // End-to-end semantic search (reference engine.py:95-98 + metadata
       // join at engine.py:84): embed the query text with the deterministic
       // feature-hash embedder, embed each document the same way, cosine
-      // top-5, join document metadata back on.
+      // top-5, join document metadata back on. HARD-ORACLED in round 12:
+      // the embedder moved to the md5 device (see hashEmbed), so DuckDB
+      // recomputes query and document vectors exactly; every dot/norm
+      // operand is an exact small integer, making the 6dp-rounded score
+      // identical IEEE arithmetic in both engines, and the top-5 ties
+      // break on doc_id in both.
       //
       // Docs are embedded via explode + groupBy — one pass over tokens —
       // instead of the per-dimension hashEmbed aggregate (64 passes per

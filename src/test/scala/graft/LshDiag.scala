@@ -22,9 +22,11 @@ object LshDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val sigd = queries.VecOps.bandedSigs(spark, sfDir)
+    val nv = queries.VecOps.emb(spark, sfDir).count()
+    val wBits = queries.VecOps.lshBandBits(nv)
+    val sigd = queries.VecOps.bandedSigsW(spark, sfDir, wBits)
     val n = sigd.select($"vec_id").distinct().count()
-    println(s"[lshdiag] vectors=$n")
+    println(s"[lshdiag] vectors=$n wBits=$wBits")
     val occ = sigd.groupBy($"band", $"bk").count()
     occ.groupBy($"band").agg(
       count(lit(1)).as("buckets"),
@@ -34,7 +36,7 @@ object LshDiag {
       .orderBy($"band")
       .collect().foreach(r => println(s"[lshdiag] band=${r.get(0)} buckets=${r.get(1)} max_occ=${r.get(2)} p99_occ=${r.get(3)} exact_pairs=${r.get(4)}"))
     val probes = sigd.select($"vec_id", $"band",
-      explode(queries.VecOps.probeKeys($"bk")).as("bk"))
+      explode(queries.VecOps.probeKeysW($"bk", wBits)).as("bk"))
     val cand = probes.as("x").join(sigd.as("y"),
         $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
     println(s"[lshdiag] multiprobe_candidates=${cand.count()}")

@@ -159,17 +159,33 @@ class OperatorSpec extends SparkSpecBase {
     // 4x16-bit chunk banding is exact for hamming<=3 by pigeonhole (3
     // flipped bits cannot touch all 4 chunks) — verify exhaustively
     // against brute-force hamming over all distinct-token-set signature
-    // pairs, not just planted dups
-    graft.functions.VectorExprs.register(spark)
-    import org.apache.spark.sql.functions.{call_function, array_sort, lower, size => ssize, min => smin}
+    // pairs, not just planted dups. The expected side computes the
+    // md5-device signature with an INDEPENDENT plain-JVM
+    // implementation (MessageDigest, not Spark expressions) so it
+    // cross-checks the entry's in-plan bit math, not just its plan.
+    import org.apache.spark.sql.functions.{array_sort, lower, size => ssize, min => smin}
+    def md5SimHash(toks: Seq[String]): Long = {
+      val votes = Array.fill(64)(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (t <- toks) {
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        for (i <- 0 until 64) {
+          val bit = if (i < 32) (lo >>> i) & 1L else (hi >>> (i - 32)) & 1L
+          votes(i) += (if (bit == 1L) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, i) => if (votes(i) > 0) acc | (1L << i) else acc)
+    }
     val sims = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
       .select($"doc_id", array_sort(
         org.apache.spark.sql.functions.array_distinct(
           graft.Core.tokens(lower($"text")))).as("toks"))
       .filter(ssize($"toks") > 0)
       .groupBy($"toks").agg(smin($"doc_id").as("sid"))
-      .select($"sid", call_function("simhash64", $"toks").as("sim"))
-      .as[(Long, Long)].collect()
+      .as[(Seq[String], Long)].collect()
+      .map { case (toks, sid) => (sid, md5SimHash(toks)) }
     val expected = (for {
       i <- sims.indices; j <- (i + 1) until sims.length
       if java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 3
