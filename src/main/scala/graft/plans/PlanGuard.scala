@@ -32,6 +32,13 @@ import org.apache.spark.sql.catalyst.plans.logical
   *     regardless of parallelism. Legitimate only over frames already
   *     reduced to bounded cardinality (day grids, bucket totals);
   *     callers allowlist those knowingly.
+  *   - `unpruned-partitioned-scan`: a file scan over a PARTITIONED
+  *     source with no partition filters (static or dynamic) — at test
+  *     scale indistinguishable from a pruned read; at 100 TB it is the
+  *     difference between touching one date partition and listing +
+  *     reading every partition of the lake table. Legitimate only for
+  *     deliberate full-table passes (compaction, index build
+  *     summaries); callers allowlist those knowingly.
   *
   * The audit inspects the OPTIMIZED logical plan for windows (the
   * physical text never prints empty partition specs — Spark's
@@ -74,6 +81,25 @@ object PlanGuard {
               "the whole input sorts through one task; partition it or reduce the frame to bounded cardinality first")
         case _ =>
       }
+    }
+    if (!allow("unpruned-partitioned-scan")) {
+      // the pre-AQE physical plan carries both static partition filters
+      // and inserted dynamic-pruning subqueries, so a scan that is
+      // pruned EITHER way reads as filtered here; subquery plans are
+      // walked too (a DPP probe can hide a second scan)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.partitionSchema.nonEmpty && f.partitionFilters.isEmpty =>
+            out += Violation("unpruned-partitioned-scan",
+              s"scan of ${f.relation.location.rootPaths.headOption.getOrElse("?")} reads ALL partitions " +
+                s"(partitioned by [${f.relation.partitionSchema.fieldNames.mkString(", ")}], no PartitionFilters) — " +
+                "filter on a partition column, or allowlist a deliberate full-table pass")
+          case _ =>
+        }
+        p.subqueries.foreach(walk)
+      }
+      walk(qe.sparkPlan)
     }
     out.result()
   }

@@ -60,6 +60,13 @@ class IngestSpec extends SparkSpecBase {
       org.apache.spark.sql.execution.FormattedMode)
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("lang"), s"partition filter not pushed: $pf")
+    // PlanGuard integration (round 12): the preflight gate catches an
+    // unpruned read of this same partitioned bronze — and stays quiet
+    // on the pruned read above
+    val full = spark.read.parquet(s"$tmp/part_t.parquet").groupBy($"lang").count()
+    assert(graft.plans.PlanGuard.audit(full)
+      .exists(_.kind == "unpruned-partitioned-scan"))
+    assert(graft.plans.PlanGuard.audit(back).isEmpty)
   }
 
   test("sink_upsert: batch keys replace, new keys append, others survive") {

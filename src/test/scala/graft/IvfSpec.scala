@@ -129,7 +129,7 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
-  test("ivf_index_incremental: measured top-3 recall vs exact stays above the floor") {
+  test("ivf_index_incremental: measured top-3 recall vs exact stays above the floor on BOTH gate fixtures") {
     // The quantitative recall contract for the batch ANN lookup, the
     // vec_ann_ivf convention: on THIS fixture's random vectors (no
     // cluster structure — true neighbors sit at cosine ~0.3-0.5 and
@@ -137,31 +137,35 @@ class IvfSpec extends SparkSpecBase {
     // (VecOps.ivfNprobe = 8 of K=64) scans ~12.5% of the corpus and
     // measured top-3 recall is ~0.7 at both gate SFs; real embedding
     // corpora cluster, recalling far higher at the same scan fraction.
-    // Floor at 0.5 so a broken quantizer, assignment, or probe
-    // regression fails CI instead of silently degrading answers.
-    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
-    val got = SparkEntry.queries("ivf_index_incremental")(spark, dir)
-      .select($"b_id", $"vec_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-      .as[(Long, Array[Double])].collect()
+    // Floor at 0.65 (round 12, tightened from 0.5 as a regression
+    // guard at the measured value minus margin) so a broken quantizer,
+    // assignment, or probe regression fails CI instead of silently
+    // degrading answers.
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val batch = e.filter(_._1 % 10 == 7)
-    val hits = batch.map { case (b, bemb) =>
-      val exact = e.filter(_._1 != b)
-        .map { case (v, ve) =>
-          (BigDecimal(cos(bemb, ve)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v)
-        }
-        .sortBy { case (s, v) => (-s, v) }.take(3).map(_._2).toSet
-      exact.intersect(got.getOrElse(b, Set.empty)).size
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      SparkEntry.queries("ivf_index_build")(spark, d).collect()
+      val got = SparkEntry.queries("ivf_index_incremental")(spark, d)
+        .select($"b_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .as[(Long, Array[Double])].collect()
+      val batch = e.filter(_._1 % 10 == 7)
+      val hits = batch.map { case (b, bemb) =>
+        val exact = e.filter(_._1 != b)
+          .map { case (v, ve) =>
+            (BigDecimal(cos(bemb, ve)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, v)
+          }
+          .sortBy { case (s, v) => (-s, v) }.take(3).map(_._2).toSet
+        exact.intersect(got.getOrElse(b, Set.empty)).size
+      }
+      val recall = hits.sum.toDouble / (batch.length * 3)
+      assert(recall >= 0.65,
+        f"$d: IVF incremental top-3 recall $recall%.3f < 0.65 (measured ~0.7 at this seed)")
     }
-    val recall = hits.sum.toDouble / (batch.length * 3)
-    assert(recall >= 0.5,
-      f"IVF incremental top-3 recall $recall%.3f < 0.5 (measured ~0.7 at this seed)")
   }
 
   test("appendToIvfIndex grows cells without re-clustering; rows land in their nearest cell") {

@@ -392,11 +392,17 @@ class PlanAuditSpec extends SparkSpecBase {
       // runs over the DAY frame (|days| rows after the first hash-agg,
       // bounded by the calendar span, not event volume)
       "ts_decompose", "ts_decompose_anomaly")
+    // Round-12 fourth check (unpruned scan of a partitioned source):
+    // ivf_index_build's declared output is the per-cell summary of the
+    // cells table it JUST wrote — a deliberate, build-owned full pass
+    // (the probe/serving entries prune via DPP and are NOT exempt).
+    val unprunedScanAllowed = Set("ivf_index_build")
     // the fleet-wide sweep IS the engine's user-facing preflight gate
     // (plans.PlanGuard) — the suite exercises the same code users call
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val allow = (if (bnljAllowed(name)) Set("bnlj") else Set.empty[String]) ++
-        (if (unpartWinAllowed(name)) Set("unpartitioned-window") else Set.empty[String])
+        (if (unpartWinAllowed(name)) Set("unpartitioned-window") else Set.empty[String]) ++
+        (if (unprunedScanAllowed(name)) Set("unpruned-partitioned-scan") else Set.empty[String])
       val v = graft.plans.PlanGuard.audit(
         SparkEntry.queries(name)(spark, sf("sf0.001")), allow)
       if (v.nonEmpty) Some(s"$name: ${v.mkString("; ")}") else None

@@ -49,4 +49,28 @@ class PlanGuardSpec extends SparkSpecBase {
     val df = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
     assert(PlanGuard.audit(df).isEmpty)
   }
+
+  test("flags an unpruned scan of a partitioned table; a partition filter or allowlist clears it") {
+    // the 100 TB failure mode the other three checks don't see: a scan
+    // that lists and reads EVERY partition of a partitioned lake table
+    val dir = java.nio.file.Files.createTempDirectory("pgpart").toString
+    try {
+      docs.select($"doc_id", $"source", $"lang")
+        .write.partitionBy("source").mode("overwrite").parquet(s"$dir/bronze.parquet")
+      val bronze = spark.read.parquet(s"$dir/bronze.parquet")
+      val v = PlanGuard.audit(bronze.groupBy($"lang").count())
+      assert(v.exists(_.kind == "unpruned-partitioned-scan"), v.mkString("; "))
+      // deliberate full pass, reviewed: allowlist suppresses
+      assert(PlanGuard.audit(bronze.groupBy($"lang").count(),
+        allow = Set("unpruned-partitioned-scan")).isEmpty)
+      // a partition-column predicate prunes — the gate stays quiet
+      val pruned = bronze.filter($"source" === "web").groupBy($"lang").count()
+      assert(PlanGuard.audit(pruned).isEmpty,
+        PlanGuard.audit(pruned).mkString("; "))
+      // an UNPARTITIONED source never trips this check
+      assert(PlanGuard.audit(docs.groupBy($"lang").count()).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
