@@ -284,5 +284,75 @@ object GraphOps {
           $"label".as("comp"),
           ($"nid" === $"label").cast("int").as("is_root"))
         .orderBy($"kind", $"entity_id")
+    },
+
+    entry(
+      "graph_shortest_paths",
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT user_id * 2 AS s,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS d
+        |  FROM events WHERE event_type = 'click'),
+        |edges AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |src AS (SELECT min(s) AS s0 FROM edges),
+        |bfs(nid, dist) AS (
+        |  SELECT s0, CAST(0 AS BIGINT) FROM src WHERE s0 IS NOT NULL
+        |  UNION
+        |  SELECT e.d, b.dist + 1 FROM bfs b JOIN edges e ON e.s = b.nid
+        |  WHERE b.dist < 8),
+        |sp AS (SELECT nid, min(dist) AS dist FROM bfs GROUP BY 1)
+        |SELECT CASE WHEN nid % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+        |  CAST(nid // 2 AS BIGINT) AS entity_id, dist
+        |FROM sp ORDER BY kind, entity_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Single-source shortest paths (unweighted BFS) over the full
+      // click interaction graph, from the smallest user node — the
+      // "how many hops from this seed does the catalog sit" structure
+      // question (ego-network radius / influence-distance analytics).
+      // Distributed BFS as iterative frontier relaxation: each round is
+      // ONE edge join + ONE node-keyed min — O(E) shuffle per round,
+      // O(radius) rounds — with localCheckpoint truncating the
+      // self-referential lineage (the graph-family loop discipline).
+      // EXACTLY 8 fixed rounds, matching the oracle's dist < 8
+      // recursion bound term for term: after round r every node within
+      // r hops holds its true BFS distance, so both engines emit
+      // min(dist) over paths of length ≤ 8 — identical even on a graph
+      // whose radius exceeds the bound. The 1-row source probe is a
+      // bounded driver action (the convergence-probe pattern).
+      val e0 = loadEvents(s, dir)
+        .filter($"event_type" === "click")
+        .select(($"user_id" * 2).as("s"),
+          (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("d"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"d".as("s"), $"s".as("d")))
+        .localCheckpoint()
+      val s0Row = edges.agg(min($"s")).first()
+      // empty interaction graph → empty result (the oracle's NOT NULL
+      // guard on the seed row)
+      var dist =
+        if (s0Row.isNullAt(0)) Seq.empty[(Long, Long)].toDF("nid", "dist")
+        else Seq((s0Row.getLong(0), 0L)).toDF("nid", "dist")
+      var round = 0
+      var converged = false
+      var prev = (-1L, -1L)
+      while (round < 8 && !converged) {
+        val next = dist.join(edges, dist("nid") === edges("s"))
+          .select(edges("d").as("nid"), (dist("dist") + 1).as("dist"))
+        dist = dist.unionByName(next)
+          .groupBy($"nid").agg(min($"dist").as("dist"))
+          .localCheckpoint()
+        // (count, sum) probe: count only grows (new frontier nodes),
+        // per-node dist only shrinks — both stable ⇔ fixpoint, and the
+        // early exit cannot change the ≤8-bound result the oracle pins
+        val row = dist.agg(count(lit(1)), coalesce(sum($"dist"), lit(0L))).first()
+        val cur = (row.getLong(0), row.getLong(1))
+        converged = cur == prev
+        prev = cur
+        round += 1
+      }
+      dist.select(
+          when($"nid" % 2 === 0, "user").otherwise("item").as("kind"),
+          expr("nid div 2").as("entity_id"),
+          $"dist")
+        .orderBy($"kind", $"entity_id")
     })
 }

@@ -70,4 +70,31 @@ class GraphSpec extends SparkSpecBase {
       "lift recompute mismatch")
     e.unpersist()
   }
+
+  test("graph_shortest_paths: BFS triangle inequality + an independent driver-side replay") {
+    val rows = SparkEntry.queries("graph_shortest_paths")(spark, dir)
+      .collect()
+      .map(r => ((if (r.getAs[String]("kind") == "user") 0L else 1L) +
+        r.getAs[Long]("entity_id") * 2, r.getAs[Long]("dist")))
+      .toMap
+    assert(rows.nonEmpty && rows.values.min == 0L, "source must report dist 0")
+    // independent replay: plain Scala BFS over the same edge set
+    val e0 = Core.loadEvents(spark, dir)
+      .filter($"event_type" === "click")
+      .select(($"user_id" * 2).as("s"),
+        (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("d"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val s0 = adj.keys.min
+    val distRef = scala.collection.mutable.Map(s0 -> 0L)
+    var frontier = Set(s0)
+    for (r <- 1 to 8; if frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(distRef.contains)
+      frontier.foreach(n => distRef(n) = r.toLong)
+    }
+    assert(rows == distRef.toMap,
+      s"BFS distances drifted from the driver replay (got ${rows.size}, ref ${distRef.size})")
+  }
 }
