@@ -312,6 +312,34 @@ object EmbedOps {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
   }
 
+  /** The full embed→pair→recursive-closure oracle — ONE definition
+    * shared by the exact entry and the cell-blocked ANN sibling (the
+    * latter's blocking is required lossless on the gate fixtures, so
+    * both must hash-match the same closure).
+    */
+  private val embDedupOracleSql: String =
+    """WITH RECURSIVE tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      |    FROM documents) GROUP BY 1, 2),
+      |emb AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 64 AS dim,
+      |    sum(tf * (CASE WHEN CAST(concat('0x', substr(md5(term), 5, 4)) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE -1 END)) AS val
+      |  FROM tf GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM emb GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.val * b.val) AS dot
+      |  FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM dots
+      |  JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2
+      |  WHERE na.n > 0 AND nb.n > 0 AND round(dot / (na.n * nb.n), 6) >= 0.95),
+      |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      |SELECT src AS doc_id, min(dst) AS cluster, (src = min(dst)) AS keep
+      |FROM reach GROUP BY src ORDER BY src""".stripMargin
+
   private[graft] val embDedupVersion =
     "embdedup-v1:ws-tokens;md5-hash64;cos0.95;cc-minlabel"
 
@@ -402,27 +430,7 @@ object EmbedOps {
 
     entry(
       "text_dedup_embed",
-      """WITH RECURSIVE tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
-        |    FROM documents) GROUP BY 1, 2),
-        |emb AS (SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 64 AS dim,
-        |    sum(tf * (CASE WHEN CAST(concat('0x', substr(md5(term), 5, 4)) AS BIGINT) % 2 = 0
-        |              THEN 1 ELSE -1 END)) AS val
-        |  FROM tf GROUP BY 1, 2),
-        |nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM emb GROUP BY 1),
-        |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.val * b.val) AS dot
-        |  FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM dots
-        |  JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2
-        |  WHERE na.n > 0 AND nb.n > 0 AND round(dot / (na.n * nb.n), 6) >= 0.95),
-        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-        |SELECT src AS doc_id, min(dst) AS cluster, (src = min(dst)) AS keep
-        |FROM reach GROUP BY src ORDER BY src""".stripMargin
+      embDedupOracleSql
     ) { (s, dir) =>
       // Embedding-cosine near-duplicate dedup over documents — the
       // semantic member of the dedup family (exact hash / MinHash-LSH /
@@ -442,7 +450,16 @@ object EmbedOps {
         .orderBy(col("doc_id"))
     },
 
-    entryNoOracle("text_dedup_embed_ann") { (s, dir) =>
+    entry(
+      "text_dedup_embed_ann",
+      // the EXACT closure oracle, deliberately: the cell-blocked path
+      // is approximate by construction, but its blocking is REQUIRED
+      // to be lossless on the gate fixtures (EmbedSpec pins equality
+      // with the exact artifact) — attaching the exact oracle turns
+      // that recall statement into a driver-checked correctness gate
+      // instead of a test-only pin (round 12 promotion)
+      embDedupOracleSql
+    ) { (s, dir) =>
       import s.implicits._
       // The SCALE path for embedding-cosine dedup (SemDeDup shape,
       // Abbas et al. 2023): instead of all-pairs, documents land in
@@ -460,9 +477,11 @@ object EmbedOps {
       // formula and tie-break), so a cos ≥ 0.95 pair straddling a
       // Voronoi boundary still collides (near-identical vectors rank
       // centroids near-identically: one doc's 1st cell is the other's
-      // 2nd). The shipped spec pins output EQUALITY with the exact
-      // artifact on both gate fixtures. Q-gated: approximate by
-      // construction. Same propagateMinLabels as the exact build — the
+      // 2nd). EmbedSpec pins output EQUALITY with the exact artifact
+      // on both gate fixtures, and since round 12 the entry carries
+      // the exact closure's DuckDB oracle too — lossless blocking on
+      // the gate corpora is a driver-checked gate, not a test-only
+      // pin. Same propagateMinLabels as the exact build — the
       // two entries can only differ in candidate generation. The
       // quantizer build itself is session-memoized ([[annCells]], the
       // kmeansCells lifecycle — train once, serve every reference).

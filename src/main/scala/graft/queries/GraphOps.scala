@@ -162,6 +162,52 @@ object GraphOps {
     },
 
     entry(
+      "graph_jaccard_similarity",
+      """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |f AS (SELECT item, count(*) AS nf FROM e GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_both * 1000000 // (fa.nf + fb.nf - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN f fa ON fa.item = item_a JOIN f fb ON fb.item = item_b
+        |WHERE n_both >= 5
+        |ORDER BY jaccard_ppm DESC, item_a, item_b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Neighborhood Jaccard similarity between item nodes — the
+      // link-prediction / item-similarity member of the graph family
+      // (Jaccard index over user-neighborhoods: |N(a)∩N(b)| /
+      // |N(a)∪N(b)|): where assoc_rules measures statistical LIFT
+      // against independence, this measures structural OVERLAP — the
+      // similarity recommenders and graph-dedup passes rank candidate
+      // edges by. Exact integer ppm: the union is inclusion-exclusion
+      // (nf_a + nf_b − n_both), never a second join.
+      //
+      // Scale shape (shared with assoc_rules): one distinct pass, a
+      // user-keyed self-join with basket-bounded fanout, item-pair
+      // hash-agg with map-side combine, degree frames broadcast
+      // (catalog-sized), top-20 via TakeOrderedAndProject.
+      val e = loadEvents(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+        .distinct()
+      val f = e.groupBy($"item").agg(count(lit(1)).as("nf"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter($"n_both" >= 5)
+        .join(broadcast(f.select($"item".as("item_a"), $"nf".as("fa"))), "item_a")
+        .join(broadcast(f.select($"item".as("item_b"), $"nf".as("fb"))), "item_b")
+        .select($"item_a", $"item_b", $"n_both",
+          expr("n_both * 1000000L DIV (fa + fb - n_both)").as("jaccard_ppm"))
+        .orderBy($"jaccard_ppm".desc, $"item_a", $"item_b")
+        .limit(20)
+    },
+
+    entry(
       "graph_triangle_count",
       """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
         |  FROM events WHERE event_type IN ('click', 'purchase')),

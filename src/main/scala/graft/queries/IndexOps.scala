@@ -549,8 +549,19 @@ object IndexOps {
     // ---- a vector store — engine.py:74-93 — so this is the closest
     // ---- structural analogue: embed-and-index once, probe many).
 
-    entryNoOracle("vec_index_build") { (s, dir) =>
+    entry(
+      "vec_index_build",
+      s"""WITH ${VecOps.lshBandsCteSql},
+         |n AS (SELECT count(*) AS n_vecs FROM embeddings)
+         |SELECT band, count(*) AS n_sigs, count(DISTINCT bk) AS n_buckets, n_vecs
+         |FROM bands, n GROUP BY band, n_vecs ORDER BY band""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
+      // HARD-ORACLED (round 12, literal-planes device — see
+      // VecOps.lshBandsCteSql): the declared per-band summary of the
+      // PERSISTED tables is replayed by DuckDB recomputing every
+      // signature from the literal ±1 plane matrix, so a signing or
+      // layout drift in the stored index hash-mismatches.
       val path = buildVecIndex(s, dir)
       val bands = s.read.parquet(s"$path/vec_bands.parquet")
       val vecs  = s.read.parquet(s"$path/vecs.parquet")
@@ -560,7 +571,21 @@ object IndexOps {
         .orderBy($"band")
     },
 
-    entryNoOracle("vec_index_probe") { (s, dir) =>
+    entry(
+      "vec_index_probe",
+      s"""WITH ${VecOps.lshBandsCteSql},
+         |q AS (SELECT band, bk FROM bands WHERE vec_id = 0),
+         |qv AS (SELECT embedding::DOUBLE[] AS qemb,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT y.vec_id FROM q JOIN bands y
+         |  ON y.band = q.band AND bit_count(xor(y.bk, q.bk)) <= 3 AND y.vec_id <> 0)
+         |SELECT c.vec_id,
+         |  round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qemb), 6) AS score
+         |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qv
+         |WHERE qv.qnorm > 0
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       VectorExprs.register(s)
       val path = ensureVecIndex(s, dir)
@@ -619,9 +644,32 @@ object IndexOps {
       }
     },
 
-    entryNoOracle("vec_index_incremental") { (s, dir) =>
+    entry(
+      "vec_index_incremental",
+      s"""WITH ${VecOps.lshBandsCteSql},
+         |batch AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS b_emb FROM embeddings
+         |  WHERE vec_id % 10 = 7
+         |    AND sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+         |qb AS (SELECT b.b_id, s.band, s.bk FROM batch b JOIN bands s ON s.vec_id = b.b_id),
+         |cand AS (SELECT DISTINCT qb.b_id, y.vec_id FROM qb JOIN bands y
+         |  ON y.band = qb.band AND bit_count(xor(y.bk, qb.bk)) <= 3
+         |    AND y.vec_id <> qb.b_id),
+         |sc AS (SELECT c.b_id, c.vec_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], b.b_emb), 6) AS score
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN batch b ON b.b_id = c.b_id),
+         |rk AS (SELECT b_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT b_id, rnk, vec_id, score FROM rk WHERE rnk <= 3
+         |ORDER BY b_id, rnk""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       VectorExprs.register(s)
+      // HARD-ORACLED (round 12, literal-planes device): DuckDB replays
+      // batch signing, the Hamming-≤3 ring (as bit_count(xor) ≤ 3 —
+      // equivalent to the stored probeKeysWide mask expansion), and the
+      // 6dp cosine row_number ranking.
       val path = ensureVecIndex(s, dir)
       // Incremental ANN lookup for a NEW embedding batch (vec_id % 10
       // == 7 stands in for today's ingest): sign only the batch, band-

@@ -216,6 +216,49 @@ object PipelineOps {
     },
 
     entry(
+      "sample_balanced",
+      """WITH h AS (SELECT doc_id, lang,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007
+        |      * 2654435761 % 1000000007 * 2654435761 % 1000000007 AS h3
+        |  FROM documents),
+        |m AS (SELECT min(cnt) AS m FROM (
+        |    SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h3, doc_id) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, lang, sample_rank FROM r, m
+        |WHERE sample_rank <= m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // CLASS-BALANCED downsampling: every language keeps exactly the
+      // minority class's count — the classifier-training prep step
+      // (language-ID / quality-model training wants balanced classes,
+      // where sample_stratified's fixed quota and sample_split's
+      // proportional buckets both preserve skew). Deterministic
+      // third-round Knuth hash (decorrelated from the split buckets
+      // and the stratified ranks), per-class rank windows (class-
+      // partitioned — no global sort, WindowGroupLimit cannot apply
+      // since the quota is data-derived, but the rank cut still
+      // bounds every class at the broadcast minority count), minority
+      // count as a 1-row broadcast. At 100 TB: one window shuffle on
+      // the class key + one broadcast scalar — the same shape as
+      // win_percent_topk's threshold broadcast.
+      val h3 = ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) *
+        lit(2654435761L) % lit(1000000007L) * lit(2654435761L) % lit(1000000007L)
+      val m = load(s, dir, "documents").groupBy($"lang").count()
+        .agg(min($"count").as("m"))
+      val w = Window.partitionBy($"lang").orderBy($"h3", $"doc_id")
+      load(s, dir, "documents")
+        .select($"doc_id", $"lang", h3.as("h3"))
+        .withColumn("sample_rank", row_number().over(w))
+        .crossJoin(broadcast(m))
+        .filter($"sample_rank" <= $"m")
+        .select($"doc_id", $"lang", $"sample_rank")
+        .orderBy($"doc_id")
+    },
+
+    entry(
       "curate_token_budget",
       """WITH t AS (SELECT doc_id, source,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

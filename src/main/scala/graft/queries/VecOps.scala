@@ -98,6 +98,58 @@ object VecOps {
       n.toDouble * masks / math.pow(2.0, w) <= 3.0
     }.getOrElse(28)
 
+  /** DuckDB replay of the ENTIRE vec_knn_join_lsh pipeline — the
+    * round-12 promotion device for the one approximate entry whose
+    * every stage is still deterministic: the seeded ±1 hyperplanes are
+    * emitted as a LITERAL 64×64 matrix into the SQL (sign bits via
+    * list_inner_product), band packing / Hamming-≤2 probe masks / the
+    * candidate join / the 6dp cosine re-rank all replayed exactly.
+    * Valid at the correctness fixture's width (n=500 → w=16, with
+    * headroom to n≈3.9k before the dial widens); the cross-engine
+    * float-cosine-at-6dp device is the one vec_knn_topk has proven
+    * since round 4, and sign bits sit far from the rounding knife edge
+    * (|dot| ~ 0.1-scale sums vs ~1e-13 accumulation-order noise).
+    */
+  /** The shared oracle-SQL prefix computing every vector's 4×16-bit
+    * band keys from the LITERAL plane matrix — reused by the
+    * vec_knn_join_lsh oracle and the three persisted-vec-index oracles
+    * so the replayed signature definition exists once.
+    */
+  private[graft] def lshBandsCteSql: String = {
+    val planes = lshPlanesN(64)
+      .map(p => "[" + p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",") + "]")
+      .mkString("[", ",", "]")
+    s"""pl AS (SELECT $planes AS l),
+       |planes AS (SELECT r.range AS pid, l[CAST(r.range + 1 AS INT)] AS plane
+       |  FROM pl CROSS JOIN range(64) r),
+       |sbits AS (SELECT e.vec_id, p.pid,
+       |    CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.plane) > 0
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bands AS (SELECT vec_id, pid // 16 AS band,
+       |    CAST(sum(bit * (1 << CAST(pid % 16 AS INT))) AS BIGINT) AS bk
+       |  FROM sbits GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def lshKnnOracle: String = {
+    val masks = probeMasksW(16).mkString("[", ",", "]")
+    s"""WITH $lshBandsCteSql,
+       |masks AS (SELECT unnest($masks) AS m),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bands x CROSS JOIN masks JOIN bands y
+       |    ON y.band = x.band AND y.bk = xor(x.bk, CAST(m AS BIGINT))
+       |      AND y.vec_id <> x.vec_id),
+       |scored AS (SELECT c.a_id, c.b_id,
+       |    round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS score
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id),
+       |rk AS (SELECT a_id, b_id, score,
+       |    dense_rank() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rnk
+       |  FROM scored)
+       |SELECT a_id, rnk, b_id, score FROM rk WHERE rnk <= 3
+       |ORDER BY a_id, rnk""".stripMargin
+  }
+
   /** Multi-probe masks: every w-bit pattern with ≤2 bits set (1 + w +
     * C(w,2); 137 at w=16). Wide bands buy selectivity at the cost of
     * per-band recall (pʷ per pair); multi-probe LSH (Lv et al.,
@@ -796,7 +848,7 @@ object VecOps {
     // ---- Q-gated scale paths (approximate → no SQL oracle; ScalaTest ----
     // ---- specs assert recall against the exact forms).               ----
 
-    entryNoOracle("vec_knn_join_lsh") { (s, dir) =>
+    entry("vec_knn_join_lsh", lshKnnOracle) { (s, dir) =>
       import s.implicits._
       // Random-hyperplane LSH: seeded ±1 hyperplane sign bits, 4 bands
       // × w bits, Hamming-≤2 multi-probe for recall, exact cosine

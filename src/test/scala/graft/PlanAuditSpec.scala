@@ -351,6 +351,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // win_ntile_global: 1-row split-point / total-count broadcasts
       // feeding the range bucketing and the rank formula
       "win_ntile_global",
+      // sample_balanced: the 1-row minority-class-count broadcast
+      // feeding the per-class rank cut — same shape as
+      // win_percent_topk's threshold row
+      "sample_balanced",
       // ts_decompose: the 1-row weekly-profile center broadcast (the
       // re-centering constant g) — same shape as mix_weights' stats row
       "ts_decompose",
