@@ -385,6 +385,48 @@ class OperatorSpec extends SparkSpecBase {
     assert(out.sortBy(_._1) == again.sortBy(_._1))
   }
 
+  test("sample_balanced: every class lands exactly at the minority count, deterministically") {
+    val dir = sf("sf0.01")
+    val out = SparkEntry.queries("sample_balanced")(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    val totals = Core.load(spark, dir, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val minority = totals.values.min
+    val byLang = out.groupBy(_._2)
+    assert(byLang.keySet == totals.keySet, "every class must survive balancing")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.size.toLong == minority,
+        s"class $lang: ${rows.size} kept, expected exactly the minority count $minority")
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq,
+        s"class $lang: ranks must be contiguous 1..${rows.size}")
+    }
+    val again = SparkEntry.queries("sample_balanced")(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out.sortBy(_._1) == again.sortBy(_._1))
+  }
+
+  test("graph_jaccard_similarity: reported ppm equals the first-principles overlap ratio") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("graph_jaccard_similarity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val e = Core.loadEvents(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+      .distinct().cache()
+    val r = rows.head
+    val (ia, ib) = (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"))
+    val na = e.filter($"item" === ia).count()
+    val nb = e.filter($"item" === ib).count()
+    val both = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item") === ia && col("b.item") === ib).count()
+    assert(r.getAs[Long]("n_both") == both)
+    assert(r.getAs[Long]("jaccard_ppm") == both * 1000000L / (na + nb - both),
+      "jaccard recompute mismatch")
+    e.unpersist()
+  }
+
   test("curate_token_budget: equals the flat quality-ordered prefix, budget maximal") {
     val dir = sf("sf0.01")
     val out = SparkEntry.queries("curate_token_budget")(spark, dir)
