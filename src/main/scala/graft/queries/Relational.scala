@@ -376,6 +376,44 @@ object Relational {
     },
 
     entry(
+      "join_asof_forward",
+      """SELECT p_id, user_id, v_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id, v.event_id AS v_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |  FROM events p JOIN events v
+        |    ON v.user_id = p.user_id AND v.ts >= p.ts
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view') t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // FORWARD as-of (pandas merge_asof direction='forward'): each
+      // purchase pairs with its EARLIEST view at ts ≥ p.ts — the
+      // "next reading after the event" convention (post-purchase
+      // behavior, next sensor sample after an actuation). Completes
+      // the as-of family (backward / tolerance / nearest / forward).
+      // Same scale shape as join_asof, mirrored: ONE linear shuffle on
+      // user_id, carry the nearest FUTURE view backward with a
+      // ts-DESCENDING rows-frame window — never the views×purchases
+      // range self-join. Tie discipline: at equal ts views sort before
+      // purchases in the descending scan (kind 0 first) so v.ts >= p.ts
+      // ties count, and same-ts views order event_id DESC so the
+      // carried last() is the SMALLEST id — exactly the oracle's
+      // ORDER BY v.ts ASC, v.event_id ASC pick.
+      val ev = loadEvents(s, dir).filter($"event_type".isin("view", "purchase"))
+      val tagged = ev.select($"event_id", $"user_id", $"ts",
+        when($"event_type" === "view", 0).otherwise(1).as("kind"),
+        when($"event_type" === "view", $"event_id").as("v_event"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"kind", $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("v_id", last($"v_event", ignoreNulls = true).over(w))
+        .filter($"kind" === 1 && $"v_id".isNotNull)
+        .select($"event_id".as("p_id"), $"user_id", $"v_id")
+        .orderBy($"p_id")
+    },
+
+    entry(
       "join_asof_tolerance",
       """WITH c AS (SELECT p_id, v_id FROM (
         |  SELECT p.event_id AS p_id, v.event_id AS v_id,

@@ -334,6 +334,53 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_outlier_iqr",
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(f.q1, 4) AS q1, round(f.q3, 4) AS q3,
+        |  round(f.lo, 4) AS lo, round(f.hi, 4) AS hi
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.q1, f.q3, f.lo, f.hi
+        |ORDER BY e.event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Tukey IQR outlier fences per event type — the quartile-based
+      // member of the anomaly family (MAD = robust-median,
+      // zscore = moment-based, IQR = the boxplot rule dashboards and
+      // dq monitors default to): fences at Q1/Q3 ∓ 1.5·IQR, reported
+      // with per-type outlier counts. Both engines interpolate exact
+      // quantiles with the same (1−f)·lower + f·upper rule on the
+      // identical 2dp-valued doubles (the agg_percentile device), so
+      // the UNROUNDED fences are bit-identical and the strict
+      // comparisons agree; fences are rounded only for display. Scale
+      // shape: one stats pass per type (exact quantiles swap to
+      // percentile_approx at lake scale), fences broadcast back onto a
+      // single fact scan — the agg_stats_zscore plan.
+      val q = loadEvents(s, dir)
+        .groupBy($"event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select($"event_type", $"q1", $"q3",
+          ($"q1" - lit(1.5) * ($"q3" - $"q1")).as("lo"),
+          ($"q3" + lit(1.5) * ($"q3" - $"q1")).as("hi"))
+      loadEvents(s, dir)
+        .join(broadcast(q), "event_type")
+        .groupBy($"event_type", $"q1", $"q3", $"lo", $"hi")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"value" < $"lo" || $"value" > $"hi", 1L).otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n", $"n_outliers",
+          round($"q1", 4).as("q1"), round($"q3", 4).as("q3"),
+          round($"lo", 4).as("lo"), round($"hi", 4).as("hi"))
+        .orderBy($"event_type")
+    },
+
+    entry(
       "ts_anomaly_mad",
       """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
         |mad AS (SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
