@@ -334,6 +334,47 @@ object TimeSeriesQ {
     },
 
     entry(
+      "ts_peak_detect",
+      """WITH d AS (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+        |    lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+        |  FROM d)
+        |SELECT event_type, day, round(cents / 100.0, 2) AS day_value,
+        |  round(prev / 100.0, 2) AS prev_value, round(nxt / 100.0, 2) AS next_value
+        |FROM w
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND cents > prev AND cents > nxt
+        |ORDER BY event_type, day""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Local-maximum peak detection on the per-type daily series —
+      // the spike finder alerting/capacity dashboards run (a strict
+      // local max over both neighbors; the changepoint/anomaly
+      // siblings catch level shifts and point outliers, this catches
+      // the one-day crests). Exact integer cents (the ts_decompose
+      // micro-unit device) make the daily sums and the strict
+      // comparisons partition-order-exact in both engines. Scale
+      // shape: events collapse to the (type, day) frame FIRST (one
+      // two-phase hash-agg); the lag/lead windows run on the
+      // calendar-bounded day frame, never event volume.
+      val d = loadEvents(s, dir)
+        .groupBy($"event_type", dayStr($"ts").as("day"))
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      d.withColumn("prev", lag($"cents", 1).over(w))
+        .withColumn("nxt", lead($"cents", 1).over(w))
+        .filter($"prev".isNotNull && $"nxt".isNotNull &&
+          $"cents" > $"prev" && $"cents" > $"nxt")
+        .select($"event_type", $"day",
+          round($"cents" / 100.0, 2).as("day_value"),
+          round($"prev" / 100.0, 2).as("prev_value"),
+          round($"nxt" / 100.0, 2).as("next_value"))
+        .orderBy($"event_type", $"day")
+    },
+
+    entry(
       "ts_outlier_iqr",
       """WITH q AS (SELECT event_type,
         |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
