@@ -889,7 +889,30 @@ object VecOps {
         .orderBy($"a_id", $"rnk")
     },
 
-    entryNoOracle("vec_ann_ivf") { (s, dir) =>
+    // PROMOTED r13 (persisted-artifact replay): the in-plan entry's
+    // answer is byte-equal to ivf_index_probe's BY CONTRACT (same
+    // kmeansCells quantizer, same ivfProbe/ivfRerank stages — IvfSpec
+    // pins the equality on both gate fixtures), and the quantizer is
+    // deterministic, so DuckDB can verify it against the stamped
+    // centroids/cells the persisted build wrote for the SAME corpus:
+    // rank the persisted centroids by rounded cosine to query vector 0,
+    // keep 8, exact-rerank inside those cells. Verify builds/refreshes
+    // the artifact (ivf_index_build runs in the same gate sweep) before
+    // DuckDB reads it.
+    entry(
+      "vec_ann_ivf",
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qemb,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+         |  FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT * FROM read_parquet('${IndexOps.oracleArtifactBase}/ivf_centroids.parquet/*.parquet')),
+         |probed AS (SELECT c_id FROM cents, q
+         |  ORDER BY round(list_inner_product(c_emb, qemb)/(c_n*qnorm), 6) DESC, c_id LIMIT 8),
+         |cells AS (SELECT vec_id, emb, norm, c_id
+         |  FROM read_parquet('${IndexOps.oracleArtifactBase}/ivf_cells.parquet/*/*.parquet', hive_partitioning=1))
+         |SELECT vec_id, round(list_inner_product(emb, qemb)/(norm*qnorm), 6) AS score
+         |FROM cells JOIN probed USING (c_id), q
+         |WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       // IVF-style ANN, in-plan: K=64 k-means coarse quantizer (shared
       // [[kmeansCells]] definition — the persisted IvfIndex builds the
