@@ -1182,17 +1182,39 @@ object TextOps {
         .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .select($"doc_id", call_function("shingles64", $"text").as("sh"))
       // the set dictionary feeds five plan branches (bands, postings,
-      // both verify sides, the manifest expand) — localCheckpoint so the
-      // shingle pass and the set groupBy run once, not per branch
+      // the prefix-tail join-back, the manifest expand) — localCheckpoint
+      // so the shingle pass and the set groupBy run once, not per branch.
+      // bhs (the 16 band hashes) is precomputed INTO the checkpoint: the
+      // band explode, the first-collision dedup, and the prefix-tail
+      // exclusion all read the same vector.
       val sets = docs.groupBy($"sh")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
         .withColumn("nt", size($"sh"))
+        .withColumn("bhs", bandHashes(call_function("minhash64", $"sh")))
         .localCheckpoint()
-      val banded = sets.select($"sid",
-        posexplode(bandHashes(call_function("minhash64", $"sh"))).as(Seq("band", "bh")))
-      val bandCand = banded.as("x").join(banded.as("y"),
-          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid")
-        .select($"x.sid".as("s1"), $"y.sid".as("s2"))
+      // IN-BUCKET verify (r12 verdict ask #2 — the broadcast-dictionary
+      // kill): the banded rows CARRY the shingle array, so the exact
+      // intersect runs where the band join already co-located both
+      // sides — no O(corpus) dictionary broadcast, and no per-pair
+      // array shipping (the shuffle-join-back form measured 27 GB of
+      // exchange at 10×: every candidate pair re-shipped a ~400-slot
+      // array through the second join's exchange; here each set's array
+      // ships 16× — once per band row — which is linear in the corpus,
+      // and the self-join reuses one exchange for both sides).
+      // Exactly-once without a candidate DISTINCT: a pair is verified
+      // only in its FIRST agreeing band (no earlier slot of the two
+      // band vectors matches) — a 16-slot compare, far cheaper than
+      // the ~400-slot intersect it dedups, and cheaper than shuffling
+      // millions of candidate rows into a distinct.
+      val banded = sets
+        .select($"sid", $"nt", $"sh", $"bhs", posexplode($"bhs").as(Seq("band", "bh")))
+      val firstAgree = !exists(
+        zip_with(slice($"x.bhs", lit(1), $"x.band"), slice($"y.bhs", lit(1), $"y.band"),
+          (a, b) => a === b), p => p)
+      val bandInter = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid" && firstAgree)
+        .select($"x.sid".as("s1"), $"y.sid".as("s2"), $"x.nt".as("n1"), $"y.nt".as("n2"),
+          call_function("sorted_long_intersect_size", $"x.sh", $"y.sh").as("inter"))
       val post = sets.select($"sid", $"nt", explode($"sh").as("tid"))
       val dfreq = post.groupBy($"tid").agg(count(lit(1)).as("df"))
       val wr = org.apache.spark.sql.expressions.Window
@@ -1204,19 +1226,21 @@ object TextOps {
       val prefCand = prefix.join(post.select($"sid".as("sb"), $"tid"), "tid")
         .filter($"sa" =!= $"sb")
         .select(least($"sa", $"sb").as("s1"), greatest($"sa", $"sb").as("s2"))
-      val cand = bandCand.unionByName(prefCand).distinct()
-      val d1 = sets.select($"sid".as("s1"), $"sh".as("t1"), $"nt".as("n1"))
-      val d2 = sets.select($"sid".as("s2"), $"sh".as("t2"), $"nt".as("n2"))
-      // BROADCAST the set dictionary into the candidate stream: a
-      // shuffle join here ships two ~400-slot long arrays per candidate
-      // pair (measured 27 GB of exchange at 10× sf0.1 — 123 s; the
-      // broadcast form runs the same verify in 11 s). At lake scale the
-      // dictionary outgrows a broadcast and this reverts to shuffle
-      // joins over a pair stream pre-bucketed on sid — candidates stay
-      // banded either way
-      val withInter = cand.join(broadcast(d1), "s1").join(broadcast(d2), "s2")
+        .distinct()
+      // prefix-tail join-back: only the df-capped prefix candidates (the
+      // LOW-J excerpt pairs the bands cannot see — a bounded tail by
+      // construction) meet the dictionary through PLAIN joins (AQE picks
+      // the strategy from measured sizes — no broadcast hint, so at lake
+      // scale this is a shuffle join over a small pair stream, never an
+      // O(corpus) broadcast build). Pairs that agree in ANY band are
+      // dropped here — the in-bucket path already verified them.
+      val prefInter = prefCand
+        .join(sets.select($"sid".as("s1"), $"sh".as("t1"), $"nt".as("n1"), $"bhs".as("bh1")), "s1")
+        .join(sets.select($"sid".as("s2"), $"sh".as("t2"), $"nt".as("n2"), $"bhs".as("bh2")), "s2")
+        .filter(!exists(zip_with($"bh1", $"bh2", (a, b) => a === b), p => p))
         .select($"s1", $"s2", $"n1", $"n2",
           call_function("sorted_long_intersect_size", $"t1", $"t2").as("inter"))
+      val withInter = bandInter.unionByName(prefInter)
       // one intersect per unordered pair, both directions tested from it
       val verified = withInter.select(explode(array(
           struct($"s1".as("sa"), $"s2".as("sb"), $"n1".as("na"), $"inter"),
@@ -1230,8 +1254,11 @@ object TextOps {
       // happens on |distinct sets| rows, never on the quadratic
       // doc-pair expansion (round-then-max = max-then-round: round is
       // monotone non-decreasing)
+      // sizes is a skinny (sid, count) frame but still O(distinct sets):
+      // no broadcast hint — AQE broadcasts it at gate SF and shuffles it
+      // at lake scale, where the verified pair stream is the small side
       val sizes = sets.select($"sid".as("sb"), size($"ids").as("gb"))
-      val vAgg = verified.join(broadcast(sizes), "sb")
+      val vAgg = verified.join(sizes, "sb")
         .groupBy($"sa").agg(sum($"gb").as("vc"), max($"containment").as("vmax"))
       sets.select($"sid".as("sa"), $"ids", (size($"ids") - 1).as("ic"))
         .join(vAgg, Seq("sa"), "left")
