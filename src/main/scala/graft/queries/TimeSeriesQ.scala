@@ -12,6 +12,39 @@ import graft.Core._
   */
 object TimeSeriesQ {
 
+  /** Lake-scale quantile dial (r12 verdict ask #3). The exact-quantile
+    * anomaly entries (ts_anomaly_mad, ts_outlier_iqr) aggregate with
+    * `median`/`percentile`, which buffer the full per-group value
+    * multiset — correct and oracle-exact at gate SF, unbounded memory
+    * at 100 TB where one event_type can hold billions of values.
+    * `spark.graft.quantile.approx=true` swaps every stats-pass quantile
+    * to percentile_approx (Greenwald–Khanna sketch: buffer bounded by
+    * the accuracy dial `spark.graft.quantile.accuracy`, default 10000,
+    * at ANY group cardinality, and partials merge associatively like
+    * any other agg — the map-side-combine property the exact form
+    * loses at scale). The sketch returns a member of the data (no
+    * interpolation) within rank error n/accuracy, so fences/medians
+    * shift slightly and outlier FLAGS can disagree near a fence;
+    * QuantileDialSpec bounds the flag disagreement against the exact
+    * path on both gate fixtures (measured: zero disagreements — the
+    * fixtures' fence neighborhoods are empty at that rank error).
+    * Default stays exact: the DuckDB oracles demand exact order
+    * statistics, and the dial is the documented lake deployment knob.
+    */
+  private[graft] def quantileApprox(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("spark.graft.quantile.approx", "false").toBoolean
+
+  private[graft] def quantileAccuracy(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.quantile.accuracy", "10000").toInt
+
+  /** One quantile aggregate, dial-routed: exact `percentile` (the
+    * oracle-matching interpolating form) or the bounded-memory sketch.
+    */
+  private def pctile(s: org.apache.spark.sql.SparkSession,
+                     c: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column =
+    if (quantileApprox(s)) percentile_approx(c, lit(p), lit(quantileAccuracy(s)))
+    else call_function("percentile", c, lit(p))
+
   val entries: Seq[Entry] = Seq(
     entry(
       "ts_ohlc",
@@ -400,13 +433,14 @@ object TimeSeriesQ {
       // identical 2dp-valued doubles (the agg_percentile device), so
       // the UNROUNDED fences are bit-identical and the strict
       // comparisons agree; fences are rounded only for display. Scale
-      // shape: one stats pass per type (exact quantiles swap to
-      // percentile_approx at lake scale), fences broadcast back onto a
-      // single fact scan — the agg_stats_zscore plan.
+      // shape: one stats pass per type — quantiles route through the
+      // [[pctile]] dial (spark.graft.quantile.approx swaps in the
+      // bounded-memory GK sketch at lake scale) — fences broadcast back
+      // onto a single fact scan — the agg_stats_zscore plan.
       val q = loadEvents(s, dir)
         .groupBy($"event_type")
-        .agg(expr("percentile(value, 0.25)").as("q1"),
-          expr("percentile(value, 0.75)").as("q3"))
+        .agg(pctile(s, $"value", 0.25).as("q1"),
+          pctile(s, $"value", 0.75).as("q3"))
         .select($"event_type", $"q1", $"q3",
           ($"q1" - lit(1.5) * ($"q3" - $"q1")).as("lo"),
           ($"q3" + lit(1.5) * ($"q3" - $"q1")).as("hi"))
@@ -440,15 +474,17 @@ object TimeSeriesQ {
       // their own threshold. Two passes over the fact (median, then
       // MAD of residuals), each reduced to a GROUP-sized stats table
       // that broadcasts back onto the scan — at 100 TB both joins stay
-      // map-side and the medians swap to percentile_approx with a
-      // documented tolerance. Medians stay UNROUNDED through the
-      // residual pass (both engines select the same middle elements
-      // from identical doubles), rounding only in the declared output.
+      // map-side and the medians route through the [[pctile]] dial
+      // (spark.graft.quantile.approx=true swaps in the bounded-memory
+      // GK sketch; QuantileDialSpec bounds the flag drift). Medians
+      // stay UNROUNDED through the residual pass (both engines select
+      // the same middle elements from identical doubles), rounding only
+      // in the declared output.
       val ev = loadEvents(s, dir).select($"event_id", $"event_type", $"value")
-      val med = ev.groupBy($"event_type").agg(median($"value").as("med"))
+      val med = ev.groupBy($"event_type").agg(pctile(s, $"value", 0.5).as("med"))
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy($"event_type", $"med")
-        .agg(median(abs($"value" - $"med")).as("mad"))
+        .agg(pctile(s, abs($"value" - $"med"), 0.5).as("mad"))
       ev.join(broadcast(mad), "event_type")
         .filter($"mad" > 0 && abs($"value" - $"med") > lit(3) * $"mad")
         .select($"event_id", $"event_type", round($"value", 4).as("value"),

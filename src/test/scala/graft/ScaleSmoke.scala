@@ -19,14 +19,21 @@ object ScaleSmoke {
     val only: Set[String] =
       if (args.length > 1) args(1).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    var builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v,k=v": measure dial variants (e.g. the
+    // spark.graft.quantile.approx lake path) without a code edit
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmSharedFrames(spark, sfDir)
     queries.TextOps.warmDedupClusters(spark, sfDir)
