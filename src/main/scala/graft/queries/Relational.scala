@@ -1198,6 +1198,91 @@ object Relational {
         .agg(round(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
             .cast("long")) / 10000.0, 4).as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    entry(
+      "q12_shipping_pivot",
+      """SELECT l_returnflag AS mode_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q12 plan shape, adapted to the fixture's columns (r12
+      // verdict ask #8 — the real Q12 needs l_shipmode/l_commitdate/
+      // l_receiptdate, which this lineitem does not carry): a fact-fact
+      // equijoin on the order key whose residual is a DATE-WINDOW
+      // relation between the two tables' date columns (lines shipped
+      // ≥60 days after their order — the "late shipping" audit), then
+      // the Q12 CASE-PIVOT: one hash aggregate producing BOTH priority
+      // counts as conditional sums, never two scans or a pivot shuffle.
+      // The absolute year bounds push into the lineitem scan
+      // (row-group pruning before the join); the cross-table window
+      // stays a join residual — exactly where an optimizer must leave
+      // it. PlanAuditSpec pins the pushed scan bounds + single-agg
+      // shape.
+      val li = load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1999-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("2000-01-01")))
+        .select($"l_orderkey", $"l_shipdate", $"l_returnflag")
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .join(li, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"l_returnflag".as("mode_class"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_count"))
+        .orderBy($"mode_class")
+    },
+
+    entry(
+      "q16_supplier_variety",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'STANDARD%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q16 plan shape, adapted (r12 verdict ask #8 — the real
+      // Q16 reads partsupp, absent from the fixture; DISTINCT
+      // (l_partkey, l_suppkey) from lineitem is the same part↔supplier
+      // relation): supplier variety per (brand, size) for the
+      // qualifying part classes, EXCLUDING flagged suppliers. The three
+      // Q16 plan idioms all exercise: (1) the fact collapses to the
+      // distinct part-supplier pairs FIRST (two-phase hash distinct —
+      // the exchange carries the relation, never raw lines); (2) the
+      // NOT-IN subquery lowers to a broadcast LEFT ANTI join
+      // (s_suppkey is non-null by schema, so NOT IN ≡ anti join — with
+      // nullable keys NOT IN needs null-aware anti semantics, which is
+      // why the declared form keeps the key non-null); (3) the
+      // negated/IN-list part predicates filter the DIMENSION before its
+      // broadcast, so the join build side is pre-pruned. Final
+      // count(DISTINCT) is the standard two-shuffle distinct aggregate.
+      val ps = load(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val bad = load(s, dir, "supplier")
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      val pt = load(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#4" &&
+          !$"p_type".startsWith("STANDARD") &&
+          $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
+        .select($"p_partkey", $"p_brand", $"p_size")
+      ps.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+        .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
     }
   )
 

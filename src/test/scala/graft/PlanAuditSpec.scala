@@ -83,6 +83,27 @@ class PlanAuditSpec extends SparkSpecBase {
       q19.contains("l_quantity"), s"q19: quantity envelope not pushed\n$q19")
   }
 
+  test("q12/q16 shape-adapted composites keep their plan idioms (r12 verdict ask #8)") {
+    // q12: the absolute year bounds push into the lineitem scan; the
+    // cross-table date window stays a join residual; BOTH priority
+    // counts come out of one final aggregate (CASE pivot, not two scans)
+    val q12 = formatted("q12_shipping_pivot")
+    assert(q12.contains("GreaterThanOrEqual(l_shipdate") &&
+      q12.contains("LessThan(l_shipdate"), s"q12: year bounds not pushed\n$q12")
+    assert(q12.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      "q12: lineitem must be scanned exactly once (CASE pivot, not per-priority scans)")
+    assert(q12.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "q12: conditional sums must partial-aggregate map-side")
+    // q16: NOT IN lowers to an ANTI join; the part dim is filtered then
+    // broadcast; the fact collapses to distinct pairs before joining
+    val q16 = formatted("q16_supplier_variety")
+    assert(q16.contains("LeftAnti"), "q16: NOT IN should plan as an anti join")
+    assert(q16.contains("BroadcastHashJoin"), "q16: filtered part dim should broadcast")
+    assert(q16.contains("Not(EqualTo(p_brand") ||
+      q16.contains("In(p_size"), s"q16: part predicates not pushed to the dim scan\n$q16")
+  }
+
   test("agg_stats_zscore broadcasts the 1-row stats side") {
     val p = formatted("agg_stats_zscore")
     assert(p.contains("Broadcast"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
