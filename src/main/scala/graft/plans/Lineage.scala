@@ -27,6 +27,78 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object Lineage {
 
+  /** Lineage SIDECAR for persisted lake artifacts (r12 verdict ask #9).
+    * A stamped artifact (labels.parquet, ivf_centroids, band tables) is
+    * a plan LEAF to every consumer, so lineage used to dead-end at the
+    * artifact instead of the corpus that built it. The builder now
+    * records, per artifact column, the source `table.column` set it
+    * derives from — `_graft_lineage.tsv` beside the data files (the
+    * leading underscore keeps it out of every reader's file listing) —
+    * and [[walk]] SPLICES it at the scan: a consumer of labels.parquet
+    * sees documents.text, transitively through any number of artifact
+    * layers (a builder that itself read a sidecar'd artifact resolved
+    * that sidecar when ITS lineage was computed). Builders whose plans
+    * are truncated by iteration checkpoints (label propagation) declare
+    * the map explicitly; straight-plan builders call the DataFrame
+    * overload and the map is computed from the very frame being
+    * written. Values are URL-encoded per entry; one line per column:
+    * `col \t src1,src2`.
+    */
+  private val sidecarName = "_graft_lineage.tsv"
+
+  private val sidecarCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, Set[String]]]]
+
+  private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** Record the builder frame's own (spliced) lineage beside the
+    * artifact it is about to describe — call AFTER the parquet commit
+    * (Overwrite deletes the dir) and BEFORE the stamp.
+    */
+  def writeSidecar(df: DataFrame, path: String): Unit =
+    writeSidecar(path, columnLineage(df))
+
+  /** Explicit-map overload for builders whose plan lineage is truncated
+    * by iteration checkpoints (localCheckpoint leaves a LogicalRDD).
+    */
+  def writeSidecar(path: String, lin: Map[String, Set[String]]): Unit = {
+    val sb = new StringBuilder
+    lin.toSeq.sortBy(_._1).foreach { case (c, srcs) =>
+      sb.append(enc(c)).append('\t')
+        .append(srcs.toSeq.sorted.map(enc).mkString(",")).append('\n')
+    }
+    java.nio.file.Files.write(
+      new java.io.File(path, sidecarName).toPath,
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Parse (and mtime-cache) an artifact scan's sidecar, resolved
+    * through the Hadoop FileSystem API so a non-local lake works; any
+    * failure degrades to None (lineage then truthfully names the
+    * artifact — never throws from inside an analysis walk).
+    */
+  private def sidecar(h: HadoopFsRelation): Option[Map[String, Set[String]]] =
+    try {
+      val rp = h.location.rootPaths.headOption.getOrElse(return None)
+      val fs = rp.getFileSystem(h.sparkSession.sessionState.newHadoopConf())
+      val p = new org.apache.hadoop.fs.Path(rp, sidecarName)
+      if (!fs.exists(p)) return None
+      val mtime = fs.getFileStatus(p).getModificationTime
+      sidecarCache.getOrElseUpdate((p.toString, mtime), {
+        val in = fs.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          in.transferTo(buf); buf.toByteArray
+        } finally in.close()
+        Some(new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.split("\t")).collect {
+            case Array(c, srcs) =>
+              dec(c) -> srcs.split(",").filter(_.nonEmpty).map(dec).toSet
+          }.toMap)
+      })
+    } catch { case _: Exception => None }
+
   /** Output column name → source columns as "table.column" strings.
     * Duplicate output names (rare, legal) are merged by union.
     */
@@ -64,7 +136,19 @@ object Lineage {
   private def walk(plan: LogicalPlan): AttributeMap[Set[String]] = plan match {
     case leaf: LeafNode =>
       val t = leafName(leaf)
-      AttributeMap(leaf.output.map(a => a -> Set(s"$t.${a.name}")))
+      // artifact splice: a scan carrying a builder-written sidecar
+      // resolves each column to the CORPUS columns the builder derived
+      // it from; columns the sidecar does not know (partition dirs,
+      // later appends) keep the artifact-local name, truthfully
+      val side = leaf match {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => sidecar(h)
+          case _ => None
+        }
+        case _ => None
+      }
+      AttributeMap(leaf.output.map(a =>
+        a -> side.flatMap(_.get(a.name)).getOrElse(Set(s"$t.${a.name}"))))
     case u: Union =>
       // a Union's output reuses the FIRST child's attribute ids — the
       // generic pass-through would silently drop lineage from every

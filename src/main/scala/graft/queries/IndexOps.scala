@@ -72,7 +72,7 @@ object IndexOps {
     * or emb/lshBandKeys (vec); ensureIndex then rebuilds instead of
     * serving stale structure.
     */
-  private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4"
+  private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4;lin1"
   private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2"
 
   /** Cheap SOURCE-DATA identity fingerprint folded into every family's
@@ -249,18 +249,24 @@ object IndexOps {
     // first or how often the build is re-timed (lifecycle owned by
     // TextOps.evictCaches)
     val sig = TextOps.signatureTableCached(s, dir)
-    sig.select(col("sid"), col("ids"), col("tids"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    val sets = sig.select(col("sid"), col("ids"), col("tids"))
+    sets.write.mode(SaveMode.Overwrite).parquet(s"$path/sets.parquet")
+    // lineage sidecar (r12 verdict ask #9): the signature plan is
+    // un-truncated, so the map is computed from the written frame —
+    // probes over the persisted tables trace to documents.text
+    graft.plans.Lineage.writeSidecar(sets, s"$path/sets.parquet")
     // the probe-serving layout: rows range-partitioned and sorted by
     // (band, bh), so a probe's literal point predicates skip every row
     // group whose [min,max] range misses the probed buckets (see the
     // object doc for why this is a sort, not a partitionBy). File count
     // scales with the range-partition count, never tasks × bands.
-    sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val bands = sig.select(col("sid"), posexplode(col("bands")).as(Seq("band", "bh")))
+    bands
       .repartitionByRange(col("band"), col("bh"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$path/bands.parquet")
+    graft.plans.Lineage.writeSidecar(bands, s"$path/bands.parquet")
     path
   }
 

@@ -41,7 +41,7 @@ object IvfIndex {
     * rounding) or the cell layout — see IndexOps.simIndexVersion for
     * why a stale persisted index must never serve silently.
     */
-  private[graft] val ivfIndexVersion = "ivf-v3:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta;meta-stats"
+  private[graft] val ivfIndexVersion = "ivf-v3:kmeans64-lloyd2;cos6-argmin;cells-by-cid+meta;meta-stats;lin1"
 
   /** Code version + source-data fingerprint (IndexOps.dataStamp). */
   private[graft] def ivfStamp(dir: String): String =
@@ -175,6 +175,12 @@ object IvfIndex {
     // (see writeMetaStats doc); written before the stamp — a current
     // stamp implies the stats exist
     writeMetaStats(s, path, Some(assigned))
+    // lineage sidecars (r12 verdict ask #9), computed from the very
+    // frames just written (no checkpoint truncates the quantizer plan):
+    // probe consumers of the persisted tables now trace to
+    // embeddings.embedding instead of dead-ending at the artifact
+    graft.plans.Lineage.writeSidecar(cents, s"$path/ivf_centroids.parquet")
+    graft.plans.Lineage.writeSidecar(assigned, s"$path/ivf_cells.parquet")
     // stamp AFTER both tables commit (crashed build → rebuild)
     IndexOps.writeStamp(path, "ivf", stamp)
     path

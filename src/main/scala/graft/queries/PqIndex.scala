@@ -52,7 +52,7 @@ object PqIndex {
     * rounds, rounding, or the packed-code layout — a stale persisted
     * code table must rebuild, never serve old geometry.
     */
-  private[graft] val pqIndexVersion = "pq-v1:m16d4k16;l2-lloyd2;adc-ip;code-packed-long"
+  private[graft] val pqIndexVersion = "pq-v1:m16d4k16;l2-lloyd2;adc-ip;code-packed-long;lin1"
 
   /** Code version + source-data fingerprint (IndexOps.dataStamp). */
   private[graft] def pqStamp(dir: String): String =
@@ -134,6 +134,10 @@ object PqIndex {
       val book = trainCodebook(s, subs, e)
       book.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/pq_codebook.parquet")
+      // lineage sidecar BEFORE the codes build reads the codebook back:
+      // the codes frame's own sidecar then splices THROUGH the codebook
+      // scan to embeddings.* (the nested-artifact case, r12 ask #9)
+      graft.plans.Lineage.writeSidecar(book, s"$path/pq_codebook.parquet")
       val served = s.read.parquet(s"$path/pq_codebook.parquet")
       // pack the 16 assigned nibbles into one long: codes are disjoint
       // 4-bit fields, so sum ≡ bitwise OR — exact integer arithmetic
@@ -143,6 +147,7 @@ object PqIndex {
         .join(e.drop("emb"), "vec_id")
       codes.repartition(4).write.mode(SaveMode.Overwrite)
         .parquet(s"$path/pq_codes.parquet")
+      graft.plans.Lineage.writeSidecar(codes, s"$path/pq_codes.parquet")
     } finally subs.unpersist()
     IndexOps.writeStamp(path, "pq", stamp)
     path

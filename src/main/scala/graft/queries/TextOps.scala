@@ -457,7 +457,7 @@ object TextOps {
     * consuming entries share one scan. Build-once-serve-many, the same
     * lifecycle the reference's index follows (engine.py:72-98).
     */
-  private[graft] val labelsVersion = IndexOps.simIndexVersion + ";jac0.9;cc-minlabel-v1"
+  private[graft] val labelsVersion = IndexOps.simIndexVersion + ";jac0.9;cc-minlabel-v1;lin1"
 
   /** Code version + source-data fingerprint (IndexOps.dataStamp). */
   private[graft] def labelsStamp(dir: String): String =
@@ -477,6 +477,15 @@ object TextOps {
           computeLabels(s, dir)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$path/labels.parquet")
+          // lineage sidecar (r12 verdict ask #9): the propagation loop's
+          // localCheckpoints truncate the builder plan, so the map is
+          // DECLARED — label values are component-min doc_ids selected
+          // by text-similarity edges, so both columns trace to the
+          // corpus; consumers of labels.parquet now see documents.*,
+          // not a lineage dead-end at the artifact
+          graft.plans.Lineage.writeSidecar(s"$path/labels.parquet", Map(
+            "doc_id" -> Set("documents.doc_id"),
+            "label"  -> Set("documents.doc_id", "documents.text")))
           // stamp AFTER the table commits (crashed build → rebuild)
           IndexOps.writeStamp(path, "labels", stamp)
         }

@@ -177,6 +177,15 @@ object Ingest {
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmpPath)
+    // a compaction rewrite is row-preserving, so the builder-written
+    // lineage sidecar (plans/Lineage) stays true — carry it across the
+    // swap instead of silently degrading consumers back to
+    // artifact-dead-end lineage
+    val sidecar = new java.io.File(path, "_graft_lineage.tsv")
+    if (sidecar.isFile)
+      java.nio.file.Files.copy(sidecar.toPath,
+        new java.io.File(tmpPath, "_graft_lineage.tsv").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     def rmTree(f: java.io.File): Unit = {
       // listFiles is null if the dir vanished under us (concurrent
       // cleanup) — treat as already-deleted, not an NPE

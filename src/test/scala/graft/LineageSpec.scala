@@ -88,4 +88,44 @@ class LineageSpec extends SparkSpecBase {
       Set("lineitem.l_extendedprice", "lineitem.l_discount"), lin)
     assert(lin("orderdate") == Set("orders.o_orderdate"), lin)
   }
+
+  test("artifact seam: text_dedup_cluster's keep traces to documents.text (r12 ask #9)") {
+    val dir = sf("sf0.001")
+    // force the labels artifact through the builder (writes the sidecar)
+    SparkEntry.queries("text_dedup_cluster")(spark, dir).collect()
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("text_dedup_cluster")(spark, dir))
+    // pre-sidecar this dead-ended at labels.doc_id/labels.label — the
+    // artifact scan now splices the recorded builder lineage
+    assert(lin("keep").contains("documents.text"),
+      s"keep must trace through labels.parquet to the corpus text: $lin")
+    assert(lin("keep").contains("documents.doc_id"), lin)
+    assert(lin("cluster").contains("documents.text"), lin)
+    assert(!lin.values.flatten.exists(_.startsWith("labels.")),
+      s"no column may dead-end at the artifact: $lin")
+  }
+
+  test("artifact seam: ivf probe scores trace to embeddings.embedding (auto sidecar)") {
+    val dir = sf("sf0.001")
+    SparkEntry.queries("ivf_index_build")(spark, dir).collect()
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("ivf_index_probe")(spark, dir))
+    // score = cos(emb, qemb)/(norm·qnorm): cells emb/norm through the
+    // sidecar + the query row read directly from the corpus
+    assert(lin("score").contains("embeddings.embedding"),
+      s"score must trace through ivf_cells/ivf_centroids to the corpus: $lin")
+    assert(lin("vec_id").contains("embeddings.vec_id"), lin)
+  }
+
+  test("artifact seam: nested splice — pq scores resolve through codebook AND codes") {
+    val dir = sf("sf0.001")
+    SparkEntry.queries("pq_index_build")(spark, dir).collect()
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("pq_index_probe")(spark, dir))
+    // the codes builder itself read the codebook artifact back; its
+    // sidecar was computed with the codebook's sidecar already spliced,
+    // so the probe resolves through TWO artifact layers
+    assert(lin("score").contains("embeddings.embedding"),
+      s"ADC score must trace through pq_codes → pq_codebook → corpus: $lin")
+  }
 }
