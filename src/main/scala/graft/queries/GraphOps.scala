@@ -251,6 +251,58 @@ object GraphOps {
     },
 
     entry(
+      "graph_resource_allocation",
+      """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |d AS (SELECT user_id, count(*) AS deg FROM e GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.item < b.item),
+        |r AS (SELECT item_a, item_b, count(*) AS n_common,
+        |    CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+        |  FROM p JOIN d USING (user_id) GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(n_common AS BIGINT) AS n_common, ra_ppm
+        |FROM r WHERE n_common >= 5
+        |ORDER BY ra_ppm DESC, item_a, item_b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // Resource-Allocation link-prediction index (Zhou, Lü & Zhang,
+      // EPJ B 2009): RA(a,b) = Σ_{u ∈ N(a)∩N(b)} 1/deg(u) — the
+      // degree-weighted refinement of common-neighbor counting that
+      // consistently beats Jaccard and Adamic–Adar on dense graphs: a
+      // promiscuous hub user connecting every item pair contributes
+      // ~nothing, a selective user contributes a lot. Completes the
+      // item-similarity family (assoc_rules = statistical lift,
+      // graph_jaccard = structural overlap, RA = weighted evidence).
+      // Exact integer micro-units: each common neighbor contributes
+      // 10⁶ DIV deg(u) BEFORE the sum, so the aggregate is an
+      // associative long sum and hash-matches the oracle at any
+      // partitioning (Adamic–Adar's 1/ln(deg) would hang cross-engine
+      // exactness on libm ulp agreement — RA is the member of the
+      // family that admits an integer device).
+      //
+      // Scale shape: unlike the pair-COUNT entries, the pair stream
+      // here carries the common USER through to a degree join before
+      // aggregating — one extra user-keyed hash join (the degree frame
+      // is user-cardinality, so it shuffle-joins at lake scale; AQE
+      // broadcasts it at gate SF), then the same map-side-combine
+      // item-pair aggregate. Basket fanout rides the same
+      // [[baskets]]/basketCap dial as its siblings.
+      val e = baskets(s, dir)
+      val d = e.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("item_a"), col("b.item").as("item_b"),
+          col("a.user_id").as("user_id"))
+        .join(d, "user_id")
+        .groupBy($"item_a", $"item_b")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000L DIV deg")).as("ra_ppm"))
+        .filter($"n_common" >= 5)
+        .orderBy($"ra_ppm".desc, $"item_a", $"item_b")
+        .limit(20)
+    },
+
+    entry(
       "graph_triangle_count",
       """WITH e AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
         |  FROM events WHERE event_type IN ('click', 'purchase')),

@@ -1307,6 +1307,53 @@ object Relational {
     },
 
     entry(
+      "agg_weighted_median",
+      """WITH g AS (SELECT l_returnflag, l_extendedprice AS p,
+        |    CAST(sum(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, p, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM g)
+        |SELECT l_returnflag, round(min(p), 4) AS wmedian,
+        |  CAST(min(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE 2 * cw >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // WEIGHTED median — the order statistic metrics pipelines need
+      // when rows carry unequal mass (here: price weighted by shipped
+      // quantity — "the price at which half the VOLUME moved", which
+      // plain median-of-rows misstates whenever quantity correlates
+      // with price). Definition: smallest value whose cumulative weight
+      // reaches half the total — integer-exact end to end (quantities
+      // are integral longs, the crossing test is 2·cw ≥ tw in longs),
+      // so both engines pick the identical crossing row.
+      //
+      // Scale shape: the heavy reduction is the (flag, price) GROUP BY
+      // — a two-phase hash aggregate over the fact with map-side
+      // combine; the windows then run on the DISTINCT-PRICE frame
+      // (bounded by price cardinality, not row count), partitioned by
+      // flag. ROWS framing pinned on both engines (prices are unique
+      // within a group post-aggregate, so ROWS ≡ RANGE — pinned anyway
+      // against tie-semantics drift). The crossing row via filter+min,
+      // never a per-group sort-and-index on the driver.
+      val g = load(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_extendedprice")
+        .agg(sum($"l_quantity".cast("long")).as("w"))
+      val wc = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy($"l_returnflag")
+      g.withColumn("cw", sum($"w").over(wc))
+        .withColumn("tw", sum($"w").over(wt))
+        .filter($"cw" * 2 >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(round(min($"l_extendedprice"), 4).as("wmedian"),
+          min($"tw").as("total_weight"))
+        .orderBy($"l_returnflag")
+    },
+
+    entry(
       "agg_count_distinct",
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -97,4 +97,23 @@ class GraphSpec extends SparkSpecBase {
     assert(rows == distRef.toMap,
       s"BFS distances drifted from the driver replay (got ${rows.size}, ref ${distRef.size})")
   }
+
+  test("graph_resource_allocation: RA bounded by common-neighbor evidence, consistent ordering") {
+    // RA(a,b) = sum over common users of 10^6 DIV deg(u): each term is
+    // in (0, 10^6], so n_common < ra_ppm <= n_common * 10^6 once any
+    // user has deg > 1... the sound bounds are per-term: 10^6 DIV deg
+    // >= 10^6 DIV maxDeg and <= 10^6 (deg >= 1)
+    val rows = SparkEntry.queries("graph_resource_allocation")(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty, "top-20 contract")
+    val e = graft.queries.GraphOps.baskets(spark, dir)
+    val maxDeg = e.groupBy($"user_id").count().agg(max($"count")).collect().head.getLong(0)
+    rows.foreach { r =>
+      val (nc, ra) = (r.getAs[Long]("n_common"), r.getAs[Long]("ra_ppm"))
+      assert(nc >= 5, "support floor")
+      assert(ra <= nc * 1000000L, s"RA term cannot exceed 10^6: $r")
+      assert(ra >= nc * (1000000L / maxDeg), s"RA term floor violated: $r")
+    }
+    val ras = rows.map(_.getAs[Long]("ra_ppm")).toSeq
+    assert(ras == ras.sorted.reverse, "must be RA-sorted descending")
+  }
 }

@@ -597,4 +597,23 @@ class OperatorSpec extends SparkSpecBase {
     val firstNz = v.find(math.abs(_) > 1e-12).get
     assert(firstNz > 0, "canonical sign: first nonzero component positive")
   }
+
+  test("agg_weighted_median picks the smallest price whose cumulative weight crosses half") {
+    val fx = sf("sf0.001")
+    val got = SparkEntry.queries("agg_weighted_median")(spark, fx).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent driver replay of the definition over the raw rows
+    val rows = spark.read.parquet(s"$fx/lineitem.parquet")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+    val ref = rows.groupBy(_._1).map { case (flag, rs) =>
+      val byPrice = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = byPrice.map(_._2).sum
+      var cum = 0L
+      val crossing = byPrice.find { case (_, w) => cum += w; 2 * cum >= total }.get._1
+      flag -> math.rint(crossing * 10000) / 10000
+    }
+    assert(got == ref, s"weighted medians drifted: got=$got ref=$ref")
+  }
 }
