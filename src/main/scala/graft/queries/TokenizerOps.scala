@@ -30,13 +30,23 @@ import graft.Core._
   * apply stays a broadcast map (a 10⁷-word segmentation dict is
   * ~100 MB, broadcastable; past that, a shuffle join on `term`).
   *
-  * Q-gated: the training loop is iterative argmax — not expressible as
-  * one DuckDB SQL statement (RE2 regexp_replace can't express the
-  * greedy overlap-free merge, and list_reduce can't fold into a list
-  * accumulator). TokenizerSpec A/Bs the WHOLE merge table and the
-  * applied segmentations against an independent in-memory reference
-  * implementation at both gate SFs, plus repartition-invariance (all
-  * training statistics are exact integer sums).
+  * HARD-ORACLED in round 13 (was Q-gated "iterative argmax isn't one
+  * SQL statement"): [[nMerges]] is a compile-time constant, so the
+  * "loop" UNROLLS into a generated chain of 3·nMerges materialized
+  * CTEs — round i's argmax depends only on merges 0..i−1, which the
+  * chain's earlier CTEs already computed, so no recursion is needed.
+  * The greedy overlap-free merge that RE2 can't express becomes plain
+  * `replace()` over a DELIMITER-ENCODED segmentation string
+  * (chr(1)·sym·chr(2) per symbol: exact whole-symbol matches with no
+  * token-boundary ambiguity, and leftmost non-overlapping replacement
+  * = the mergeFold semantics, including "a a a" → "aa a" and merged
+  * symbols joining LATER rounds only). `AS MATERIALIZED` is
+  * load-bearing: DuckDB inlines plain CTEs, and seg_{i+1} referencing
+  * seg_i twice would make the unrolled tree re-read the corpus 2^12
+  * times. TokenizerSpec's independent in-memory A/B stays as the
+  * second witness. Assumption the device documents: corpus text never
+  * contains chr(1)/chr(2) (a corpus that did would fail the gate
+  * loudly, not silently).
   */
 object TokenizerOps {
 
@@ -158,9 +168,54 @@ object TokenizerOps {
       bpeCache.keys.filter(_._1 eq s).foreach(bpeCache.remove)
     }
 
+  /** The unrolled-training CTE chain shared by both oracles (see the
+    * object doc): tok → wf → seg0, then per round i: pair counts over
+    * seg_i, the round's argmax m_{i+1} (count desc, a, b — the exact
+    * trainBpe tie-break), and the merged segmentation seg_{i+1} via
+    * delimiter-encoded replace.
+    */
+  private def bpeCtes: Seq[String] = {
+    val head = Seq(
+      "tok AS MATERIALIZED (SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents)",
+      "wf AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY term)",
+      """seg0 AS MATERIALIZED (SELECT term, freq,
+        |  chr(1) || array_to_string(list_transform(range(length(term)), i -> term[i+1:i+1]), chr(2)||chr(1)) || chr(2) || chr(1)||'</w>'||chr(2) AS enc
+        |  FROM wf)""".stripMargin)
+    head ++ (0 until nMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (SELECT s.a AS a, s.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(len(syms)-1), j -> {'a': syms[j+1], 'b': syms[j+2]})) AS s
+           |    FROM (SELECT freq, string_split(enc[2:length(enc)-1], chr(2)||chr(1)) AS syms FROM seg$i)
+           |  ) GROUP BY 1, 2)""".stripMargin,
+        s"m${i + 1} AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)",
+        s"""seg${i + 1} AS MATERIALIZED (SELECT term, freq, replace(enc,
+           |    (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM m${i + 1}),
+           |    (SELECT chr(1)||a||b||chr(2) FROM m${i + 1})) AS enc FROM seg$i)""".stripMargin)
+    }
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to nMerges).map(r =>
+      s"""SELECT $r AS "rank", a AS "left", b AS "right", a||b AS merged, cnt AS pair_freq FROM m$r""")
+      .mkString("\nUNION ALL ")
+    "WITH " + bpeCtes.mkString(",\n") +
+      s"""\nSELECT * FROM ($union) ORDER BY "rank""""
+  }
+
+  private def bpeApplyOracle: String =
+    "WITH " + (bpeCtes ++ Seq(
+      s"""dict AS (SELECT term,
+         |    CAST(len(string_split(enc[2:length(enc)-1], chr(2)||chr(1))) AS BIGINT) AS n_sub FROM seg$nMerges)""".stripMargin,
+      "dt AS (SELECT doc_id, source, unnest(toks) AS term FROM tok)")).mkString(",\n") +
+      """
+        |SELECT source, count(DISTINCT doc_id) AS docs, count(*) AS words,
+        |  CAST(sum(n_sub) AS BIGINT) AS subwords,
+        |  CAST(sum(n_sub) * 1000 // count(*) AS BIGINT) AS subwords_per_kword
+        |FROM dt JOIN dict USING (term) GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
-    entryNoOracle("text_bpe_train") { (s, dir) =>
+    entry("text_bpe_train", bpeTrainOracle) { (s, dir) =>
       import s.implicits._
       // The trained merge table itself — the tokenizer MODEL a corpus
       // owner ships (rank order IS application order). Inherently tiny
@@ -172,7 +227,7 @@ object TokenizerOps {
         .orderBy($"rank")
     },
 
-    entryNoOracle("text_bpe_apply") { (s, dir) =>
+    entry("text_bpe_apply", bpeApplyOracle) { (s, dir) =>
       import s.implicits._
       // Tokenize the corpus with the trained model and report the
       // per-source subword budget — the number a mixture or token
