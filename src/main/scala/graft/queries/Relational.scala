@@ -1283,6 +1283,150 @@ object Relational {
         .groupBy($"p_brand", $"p_size")
         .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+    },
+
+    entry(
+      "q2_min_cost_supplier",
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+        |        // CAST(l_quantity AS BIGINT)) AS uc
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'),
+        |c AS (SELECT l_partkey, uc, s_name, s_acctbal, n_name
+        |  FROM ps JOIN eu ON s_suppkey = l_suppkey),
+        |m AS (SELECT l_partkey, min(uc) AS mc FROM c GROUP BY 1)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        |  c.l_partkey AS p_partkey, p_name, CAST(c.uc AS BIGINT) AS unit_cost_micro
+        |FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.uc = m.mc
+        |JOIN part ON p_partkey = c.l_partkey
+        |WHERE p_size <= 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q2 plan shape, adapted (the real Q2 reads partsupp;
+      // DISTINCT-aggregated lineitem is the part↔supplier bridge, its
+      // min observed unit price the ps_supplycost stand-in): for each
+      // small part, the EUROPE supplier(s) offering the minimum unit
+      // cost. The Q2 idiom under test is the CORRELATED SCALAR SUBQUERY
+      // (cost = min cost for this part among the region's suppliers)
+      // decorrelated into an aggregate + equality join-back — argmin
+      // per group without a window sort — under a supplier→nation→
+      // region dim chain (region filter prunes the chain BEFORE the
+      // bridge join) and a top-20 TakeOrderedAndProject. Unit costs in
+      // exact integer micro-units (cents × 10⁴ DIV integral quantity),
+      // so the min and the equality join-back are bit-portable; ties
+      // keep every minimal supplier, as Q2's does.
+      val ps = load(s, dir, "lineitem")
+        .filter($"l_quantity" > 0)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min((round($"l_extendedprice" * 100).cast("long") * 10000L)
+          .divide($"l_quantity".cast("long")).cast("long")).as("uc"))
+      val eu = load(s, dir, "supplier")
+        .join(broadcast(load(s, dir, "nation")), $"n_nationkey" === $"s_nationkey")
+        .join(broadcast(load(s, dir, "region")
+          .filter($"r_name" === "EUROPE")), $"r_regionkey" === $"n_regionkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val c = ps.join(broadcast(eu), $"s_suppkey" === $"l_suppkey")
+        .select($"l_partkey", $"uc", $"s_name", $"s_acctbal", $"n_name")
+      val m = c.groupBy($"l_partkey".as("m_part")).agg(min($"uc").as("mc"))
+      c.join(m, $"l_partkey" === $"m_part" && $"uc" === $"mc")
+        .join(broadcast(load(s, dir, "part").filter($"p_size" <= 10)
+          .select($"p_partkey", $"p_name")), $"p_partkey" === $"l_partkey")
+        .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
+          $"l_partkey".as("p_partkey"), $"p_name", $"uc".as("unit_cost_micro"))
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(20)
+    },
+
+    entry(
+      "q11_important_stock",
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |      AS BIGINT) AS val
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_8') GROUP BY 1),
+        |t AS (SELECT sum(val) AS tot FROM v)
+        |SELECT l_partkey AS p_partkey, val AS value_micro
+        |FROM v, t WHERE val * 1000 > tot
+        |ORDER BY val DESC, l_partkey""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q11 plan shape, adapted (real Q11 sums partsupp stock
+      // value; discounted lineitem revenue through the two target
+      // nations' suppliers is the value surface): parts whose value
+      // share exceeds the Q11-style GLOBAL-FRACTION threshold
+      // (> 1/1000 of the total). The idiom under test: a HAVING
+      // against a scalar aggregate OF THE SAME grouped frame — the
+      // per-part aggregate feeds both the filter's left side and (via
+      // a 1-row broadcast crossJoin) the threshold, one grouped pass,
+      // no second fact scan. Exact integer micro-revenue makes the
+      // share test val·1000 > tot bit-portable.
+      val v = load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "supplier")), $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(load(s, dir, "nation")
+          .filter($"n_name".isin("NATION_3", "NATION_8"))),
+          $"n_nationkey" === $"s_nationkey")
+        .groupBy($"l_partkey")
+        .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("long")).as("val"))
+      val t = v.agg(sum($"val").as("tot"))
+      v.crossJoin(broadcast(t))
+        .filter($"val" * 1000 > $"tot")
+        .select($"l_partkey".as("p_partkey"), $"val".as("value_micro"))
+        .orderBy($"val".desc, $"p_partkey")
+    },
+
+    entry(
+      "q20_concentrated_suppliers",
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+        |      AND l_shipdate < TIMESTAMP '2000-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q99,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qall
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |  GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT l_suppkey FROM pq WHERE 2 * q99 > qall)
+        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+        |FROM supplier JOIN sel ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_6')
+        |ORDER BY s_name""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q20 plan shape, adapted (real Q20 compares partsupp
+      // availability against a year's shipped volume; here the same
+      // NESTED SEMI-JOIN CHAIN asks which suppliers CONCENTRATED their
+      // shipping of pattern-matched parts into 1999 — more than half
+      // of their all-time quantity): part-name LIKE filter pre-prunes
+      // the bridge (pushed to the dim before its broadcast), one
+      // (part, supplier) aggregate computes BOTH the windowed and
+      // all-time quantities as conditional sums in a single pass (no
+      // second fact scan — the Q20 textbook form pays two), the
+      // qualifying supplier set collapses to a DISTINCT key frame, and
+      // the outer query is a SEMI-shaped equality join into the
+      // supplier dim under a nation filter. Integer quantities make
+      // the 2·q99 > qall test exact.
+      val pq = load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part")
+          .filter($"p_name".contains("red")).select($"p_partkey")),
+          $"p_partkey" === $"l_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum(when($"l_shipdate" >= to_timestamp(lit("1999-01-01")) &&
+              $"l_shipdate" < to_timestamp(lit("2000-01-01")),
+              $"l_quantity".cast("long")).otherwise(0L)).as("q99"),
+          sum($"l_quantity".cast("long")).as("qall"))
+      val sel = pq.filter(lit(2) * $"q99" > $"qall")
+        .select($"l_suppkey").distinct()
+      load(s, dir, "supplier")
+        .join(sel, $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(load(s, dir, "nation")
+          .filter($"n_name".isin("NATION_1", "NATION_6"))),
+          $"n_nationkey" === $"s_nationkey")
+        .select($"s_name", round($"s_acctbal", 2).as("s_acctbal"), $"n_name")
+        .orderBy($"s_name")
     }
   )
 

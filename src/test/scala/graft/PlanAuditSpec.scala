@@ -104,6 +104,40 @@ class PlanAuditSpec extends SparkSpecBase {
       q16.contains("In(p_size"), s"q16: part predicates not pushed to the dim scan\n$q16")
   }
 
+  test("q2/q11/q20 shape-adapted composites keep their plan idioms (round 13)") {
+    // q2: the correlated min-cost subquery decorrelates to an
+    // aggregate + equality join-back — never a per-part window sort;
+    // dims broadcast; top-20 is heap-based
+    val q2 = formatted("q2_min_cost_supplier")
+    assert(!q2.contains("Window"), "q2: argmin must not degrade to a rank window")
+    assert(q2.contains("TakeOrderedAndProject"), "q2: top-20 should be heap-based")
+    assert(q2.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "q2: dim chain + part filter should broadcast")
+    // q11: ONE grouped pass feeds both the shares and (via a 1-row
+    // broadcast) the global threshold. The per-part aggregate is
+    // referenced twice, so the STATIC plan shows the subtree twice —
+    // under AQE the static ReuseExchangeAndSubquery rule is skipped and
+    // reuse happens at runtime (stage-level), so the single-scan
+    // property must be asserted on the EXECUTED plan's ReusedExchange.
+    val q11df = SparkEntry.queries("q11_important_stock")(spark, sf("sf0.001"))
+    q11df.collect()
+    val q11exec = q11df.queryExecution.executedPlan.toString
+    assert(q11exec.contains("ReusedExchange"),
+      s"q11: the grouped fact subtree must be exchange-reused, not re-scanned\n$q11exec")
+    assert(formatted("q11_important_stock").contains("BroadcastNestedLoopJoin") ||
+      formatted("q11_important_stock").contains("BroadcastHashJoin"),
+      "q11: the 1-row total should broadcast")
+    // q20: both quantity sums come from one conditional-sum aggregate
+    // over one fact scan; the name pattern prunes the part dim before
+    // its broadcast
+    val q20 = formatted("q20_concentrated_suppliers")
+    assert(q20.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      "q20: lineitem must be scanned exactly once (conditional sums, not two scans)")
+    assert(q20.contains("Contains(p_name") || q20.contains("p_name"),
+      s"q20: part name pattern should prune the dim scan\n$q20")
+  }
+
   test("agg_stats_zscore broadcasts the 1-row stats side") {
     val p = formatted("agg_stats_zscore")
     assert(p.contains("Broadcast"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
@@ -382,6 +416,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // q22_dormant_balance: the 1-row average-balance broadcast (the
       // scalar AVG subquery) feeding the threshold filter
       "q22_dormant_balance",
+      // q11_important_stock: the 1-row grand-total broadcast (the Q11
+      // global-fraction threshold) against the reused per-part frame
+      "q11_important_stock",
       // ts_decompose_anomaly: three 1-row broadcasts (the seasonal
       // center, the residual median, the MAD) — the ts_decompose shape
       // plus the robust-stats rows
