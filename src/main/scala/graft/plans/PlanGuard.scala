@@ -39,6 +39,17 @@ import org.apache.spark.sql.catalyst.plans.logical
   *     reading every partition of the lake table. Legitimate only for
   *     deliberate full-table passes (compaction, index build
   *     summaries); callers allowlist those knowingly.
+  *   - `oversized-broadcast` (round 13): a broadcast HINT whose hinted
+  *     side's estimated size exceeds `spark.graft.guard.maxBroadcastBytes`
+  *     (default 1 GiB). Planner-CHOSEN broadcasts are already
+  *     stats-bounded by autoBroadcastJoinThreshold; a hint overrides
+  *     that judgment, and a hint that was right at test scale can be
+  *     hiding an O(corpus) build (this round's text_dedup_containment
+  *     rebuild removed exactly such a dictionary broadcast — the hint
+  *     was measured-right on a 31-word-vocabulary fixture and would
+  *     have OOM'd the driver on a real lake). Estimates are Catalyst's
+  *     sizeInBytes propagation — coarse above a join, honest at the
+  *     scan/filter/aggregate grain where hints live.
   *
   * The audit inspects the OPTIMIZED logical plan for windows (the
   * physical text never prints empty partition specs — Spark's
@@ -100,6 +111,44 @@ object PlanGuard {
         p.subqueries.foreach(walk)
       }
       walk(qe.sparkPlan)
+    }
+    if (!allow("oversized-broadcast")) {
+      val maxBytes = df.sparkSession.conf
+        .get("spark.graft.guard.maxBroadcastBytes", (1L << 30).toString).toLong
+      // the size estimate is trusted only where Catalyst's propagation
+      // is honest — scan/filter/project/grouped-aggregate chains. A
+      // join-bearing side is skipped (join estimates MULTIPLY child
+      // sizes: a 3-dim chain at test scale reads as gigabytes of pure
+      // estimator noise), and an ungrouped aggregate is 1-row by
+      // construction whatever its estimate says. The motivating shape —
+      // a hint on a grouped projection of a corpus-sized scan — sits
+      // exactly in the trusted region.
+      def estimateTrusted(p: logical.LogicalPlan): Boolean =
+        !p.exists {
+          case _: logical.Join => true
+          case a: logical.Aggregate if a.groupingExpressions.isEmpty => true
+          case _ => false
+        }
+      qe.optimizedPlan.foreach {
+        case j: logical.Join =>
+          def hinted(h: Option[logical.HintInfo]): Boolean =
+            h.exists(_.strategy.contains(logical.BROADCAST))
+          val sides = Seq(
+            (hinted(j.hint.leftHint), j.left, "left"),
+            (hinted(j.hint.rightHint), j.right, "right"))
+          sides.foreach { case (isHinted, side, name) =>
+            if (isHinted && estimateTrusted(side)) {
+              val est = side.stats.sizeInBytes
+              if (est > maxBytes)
+                out += Violation("oversized-broadcast",
+                  s"broadcast hint on the $name join side with estimated size $est bytes " +
+                    s"(> spark.graft.guard.maxBroadcastBytes=$maxBytes) — a hint overrides the " +
+                    "planner's stats bound; bound the side (filter/aggregate) or drop the hint " +
+                    "and let size-driven planning choose")
+            }
+          }
+        case _ =>
+      }
     }
     out.result()
   }

@@ -73,4 +73,25 @@ class PlanGuardSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("flags an oversized broadcast HINT; bounded hints and unhinted joins pass") {
+    val other = docs.select($"doc_id", $"source")
+    // lower the guard so the fixture's stats exceed it — the check is
+    // threshold-relative, the spec pins the mechanism not the default
+    spark.conf.set("spark.graft.guard.maxBroadcastBytes", "64")
+    try {
+      val hinted = other.join(broadcast(docs), "doc_id")
+      val v = PlanGuard.audit(hinted, allow = Set("bnlj"))
+      assert(v.exists(_.kind == "oversized-broadcast"), v.mkString("; "))
+      // allowlist honors a reviewed hit
+      assert(PlanGuard.audit(hinted, allow = Set("bnlj", "oversized-broadcast"))
+        .forall(_.kind != "oversized-broadcast"))
+      // the SAME join without the hint is size-driven planning — quiet
+      assert(PlanGuard.audit(other.join(docs, "doc_id"))
+        .forall(_.kind != "oversized-broadcast"))
+    } finally spark.conf.unset("spark.graft.guard.maxBroadcastBytes")
+    // at the 1 GiB default the fixture-scale hint is legitimately quiet
+    assert(PlanGuard.audit(other.join(broadcast(docs), "doc_id"))
+      .forall(_.kind != "oversized-broadcast"))
+  }
 }
