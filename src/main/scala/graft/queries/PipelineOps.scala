@@ -177,6 +177,75 @@ object PipelineOps {
     },
 
     entry(
+      "split_leakage_audit",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |n AS (SELECT doc_id, count(*) AS nt FROM tt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM tt a JOIN tt b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM p
+        |  JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+        |  WHERE inter*1.0/(na.nt+nb.nt-inter) >= 0.9),
+        |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |lab AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split FROM documents),
+        |cs AS (SELECT label, split, count(*) AS c
+        |  FROM lab JOIN sp USING (doc_id) GROUP BY 1, 2),
+        |x AS (SELECT a.label, a.split AS split_a, b.split AS split_b, a.c * b.c AS pairs
+        |  FROM cs a JOIN cs b ON a.label = b.label AND a.split < b.split)
+        |SELECT split_a, split_b, CAST(sum(pairs) AS BIGINT) AS n_leaked_pairs,
+        |  count(DISTINCT label) AS n_clusters
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      // SPLIT-LEAKAGE audit — the eval-hygiene check a pipeline runs
+      // AFTER splitting: a near-duplicate of a test document sitting in
+      // train leaks the benchmark into training no matter how clean the
+      // random split was (Lee et al. 2021 measure exactly this
+      // train/valid duplication in C4/RealNews; text_contamination
+      // covers EXTERNAL benchmarks, this covers the pipeline's OWN
+      // held-out splits). Composes two already-oracled pieces: the
+      // near-dup cluster labels (the text_dedup_cluster closure, served
+      // from the stamped labels artifact) and sample_split's
+      // deterministic Knuth-hash assignment. Output = exact leaked-pair
+      // counts per split pair (Σ over clusters of c_a·c_b — counted on
+      // the CLUSTER-SPLIT frame, never by expanding doc pairs) plus how
+      // many clusters straddle the pair. Zero rows = a leak-free split.
+      //
+      // Scale shape: one labels-artifact scan joined to a map-side
+      // split assignment, a (cluster, split) hash-agg, and a self-join
+      // on the ≤|clusters|·|splits| frame with ≤3-way fanout — nothing
+      // touches doc pairs, so a clique of 10⁴ duplicates costs rows,
+      // not rows².
+      val bucket =
+        ($"doc_id" % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(100)
+      val sp = load(s, dir, "documents")
+        .select($"doc_id",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+      val cs = TextOps.clusterLabels(s, dir)
+        .join(sp, "doc_id")
+        .groupBy($"label", $"split").agg(count(lit(1)).as("c"))
+      cs.as("a").join(cs.as("b"),
+          col("a.label") === col("b.label") && col("a.split") < col("b.split"))
+        .select(col("a.split").as("split_a"), col("b.split").as("split_b"),
+          col("a.label").as("label"), (col("a.c") * col("b.c")).as("pairs"))
+        .groupBy($"split_a", $"split_b")
+        .agg(sum($"pairs").as("n_leaked_pairs"),
+          countDistinct($"label").as("n_clusters"))
+        .orderBy($"split_a", $"split_b")
+    },
+
+    entry(
       "sample_stratified",
       """WITH h AS (SELECT doc_id, lang, source,
         |    (doc_id % 1000000007) * 2654435761 % 1000000007
