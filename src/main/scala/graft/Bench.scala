@@ -105,7 +105,17 @@ object Bench {
       queries.IndexOps.warmSteps.map { case (name, f) =>
         setupStep(name) { f(spark, sfDir) }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Mid-run floor series (r13 verdict ask #8): the start/end floors
+    // bracket the run but cannot LOCALIZE a contended episode — the r13
+    // driver artifact carried a mid-run window where agg_gini read 5×
+    // its isolated cost between two quiet endpoints. A floor sample
+    // every 50 entries (each tagged with the exec index and the entry
+    // about to run) lets a consumer excise just the contended window's
+    // entries (exec order = this list's order, which is deterministic
+    // for a fixed entry set) instead of distrusting the whole artifact.
+    val midFloors = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 50 == 0) midFloors += ((i, name, noiseFloor()))
       val m = math.min(timed(fn), timed(fn))
       name -> (if (m.isInfinity) -1.0 else m)
     } ++ setups
@@ -120,12 +130,15 @@ object Bench {
       .mkString("{", ",", "}")
     // failures are excluded from the headline sum: a query regressing
     // into a crash must not LOWER the total and read as a speedup
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     queries.TextOps.evictCaches(spark)
     // end-of-run floor: contention can start mid-run; both ends must be
     // quiet for the run's absolute numbers to be comparable
     val floorEnd = noiseFloor()
-    val floors = s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd"""
+    val mids = midFloors
+      .map { case (i, name, f) => s"""[$i,"$name",$f]""" }.mkString("[", ",", "]")
+    val floors =
+      s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd,"noise_floor_mid":$mids"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",$floors,"queries":$qs,"sf":"$sfDir"}""")
     // Short trailing duplicate of the headline number: the full line above
     // can exceed the driver's log-tail capture, truncating from the HEAD —

@@ -14,6 +14,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * cluster at 100 TB — nothing ever collects to the driver except
   * explicitly-declared serve points.
   */
+/** Fixture directory the persisted-artifact ORACLE SQL strings bind
+  * their absolute read_parquet paths to. Oracle strings are built once
+  * at query-object class-init (the Entry contract is a static String),
+  * so a main that verifies a different fixture MUST set this BEFORE its
+  * first touch of SparkEntry / any graft.queries object — Verify does,
+  * from its sfDir argument. Default = the driver's correctness-gate
+  * fixture. Without this, a Verify run against sf0.001 would compare
+  * that fixture's Spark output to sf0.01's persisted artifacts — a
+  * guaranteed, confusing mismatch.
+  */
+object OracleEnv {
+  @volatile var sfDir: String = "/root/testdata/sf0.01"
+}
+
 object Core {
   type QFn = (SparkSession, String) => DataFrame
 

@@ -8,6 +8,10 @@ object Verify {
     // optional third arg: comma-separated entry-name filter for fast
     // local iteration (the driver always runs the full surface)
     val Array(sfDir, outDir) = args.take(2)
+    // Bind the persisted-artifact oracle paths to the fixture actually
+    // being verified — MUST precede the first SparkEntry touch (oracle
+    // strings are built at query-object class-init). See graft.OracleEnv.
+    OracleEnv.sfDir = sfDir
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

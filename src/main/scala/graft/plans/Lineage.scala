@@ -46,8 +46,13 @@ object Lineage {
     */
   private val sidecarName = "_graft_lineage.tsv"
 
+  // one entry PER PATH (inserting replaces the prior generation — a
+  // long-lived session rebuilding artifacts must not accumulate stale
+  // generations unboundedly), staleness-keyed on (mtime, length): mtime
+  // alone has 1s granularity on some filesystems, so a same-tick
+  // rebuild could serve the old map; length breaks most such ties.
   private val sidecarCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[Map[String, Set[String]]]]
+    scala.collection.concurrent.TrieMap.empty[String, ((Long, Long), Option[Map[String, Set[String]]])]
 
   private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
   private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
@@ -61,6 +66,14 @@ object Lineage {
 
   /** Explicit-map overload for builders whose plan lineage is truncated
     * by iteration checkpoints (localCheckpoint leaves a LogicalRDD).
+    *
+    * Writes through the SAME Hadoop FileSystem API the reader resolves
+    * with, so a non-local lake (s3a/hdfs) gets its sidecar too — a
+    * java.io write here would throw after the parquet commit but before
+    * the stamp on exactly the deployments the read path supports. And
+    * like the reader, failure DEGRADES: the sidecar is metadata, so a
+    * write error must not abort a committed artifact build — lineage
+    * then truthfully dead-ends at the artifact.
     */
   def writeSidecar(path: String, lin: Map[String, Set[String]]): Unit = {
     val sb = new StringBuilder
@@ -68,9 +81,20 @@ object Lineage {
       sb.append(enc(c)).append('\t')
         .append(srcs.toSeq.sorted.map(enc).mkString(",")).append('\n')
     }
-    java.nio.file.Files.write(
-      new java.io.File(path, sidecarName).toPath,
-      sb.toString.getBytes("UTF-8"))
+    try {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path), sidecarName)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[lineage] sidecar write failed for $path (lineage will dead-end at the artifact): ${e.getMessage}")
+    }
   }
 
   /** Parse (and mtime-cache) an artifact scan's sidecar, resolved
@@ -84,19 +108,25 @@ object Lineage {
       val fs = rp.getFileSystem(h.sparkSession.sessionState.newHadoopConf())
       val p = new org.apache.hadoop.fs.Path(rp, sidecarName)
       if (!fs.exists(p)) return None
-      val mtime = fs.getFileStatus(p).getModificationTime
-      sidecarCache.getOrElseUpdate((p.toString, mtime), {
-        val in = fs.open(p)
-        val bytes = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          in.transferTo(buf); buf.toByteArray
-        } finally in.close()
-        Some(new String(bytes, "UTF-8").split("\n").toSeq
-          .map(_.split("\t")).collect {
-            case Array(c, srcs) =>
-              dec(c) -> srcs.split(",").filter(_.nonEmpty).map(dec).toSet
-          }.toMap)
-      })
+      val st = fs.getFileStatus(p)
+      val stamp = (st.getModificationTime, st.getLen)
+      sidecarCache.get(p.toString) match {
+        case Some((s, v)) if s == stamp => v
+        case _ =>
+          val in = fs.open(p)
+          val bytes = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            in.transferTo(buf); buf.toByteArray
+          } finally in.close()
+          val parsed = Some(new String(bytes, "UTF-8").split("\n").toSeq
+            .map(_.split("\t")).collect {
+              case Array(c, srcs) =>
+                dec(c) -> srcs.split(",").filter(_.nonEmpty).map(dec).toSet
+            }.toMap)
+          // put replaces the prior generation — exactly one entry/path
+          sidecarCache.put(p.toString, (stamp, parsed))
+          parsed
+      }
     } catch { case _: Exception => None }
 
   /** Output column name → source columns as "table.column" strings.

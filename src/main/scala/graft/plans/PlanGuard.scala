@@ -48,8 +48,14 @@ import org.apache.spark.sql.catalyst.plans.logical
   *     rebuild removed exactly such a dictionary broadcast — the hint
   *     was measured-right on a 31-word-vocabulary fixture and would
   *     have OOM'd the driver on a real lake). Estimates are Catalyst's
-  *     sizeInBytes propagation — coarse above a join, honest at the
-  *     scan/filter/aggregate grain where hints live.
+  *     sizeInBytes propagation — trusted only on scan/filter/project
+  *     chains (join estimates multiply child sizes; a grouped
+  *     aggregate's estimate is ~its CHILD's size because the size-only
+  *     visitor never estimates group count, which would false-positive
+  *     every textbook stats-broadcast pipeline). Hints on
+  *     aggregate-bearing sides are therefore NOT checked here — that
+  *     false-negative class needs column stats (ANALYZE TABLE) or
+  *     review.
   *
   * The audit inspects the OPTIMIZED logical plan for windows (the
   * physical text never prints empty partition specs — Spark's
@@ -116,17 +122,24 @@ object PlanGuard {
       val maxBytes = df.sparkSession.conf
         .get("spark.graft.guard.maxBroadcastBytes", (1L << 30).toString).toLong
       // the size estimate is trusted only where Catalyst's propagation
-      // is honest — scan/filter/project/grouped-aggregate chains. A
-      // join-bearing side is skipped (join estimates MULTIPLY child
-      // sizes: a 3-dim chain at test scale reads as gigabytes of pure
-      // estimator noise), and an ungrouped aggregate is 1-row by
-      // construction whatever its estimate says. The motivating shape —
-      // a hint on a grouped projection of a corpus-sized scan — sits
-      // exactly in the trusted region.
+      // is honest — scan/filter/project chains. A join-bearing side is
+      // skipped (join estimates MULTIPLY child sizes: a 3-dim chain at
+      // test scale reads as gigabytes of pure estimator noise), and so
+      // is ANY Aggregate: the size-only stats visitor never estimates
+      // group count, so a grouped aggregate reports ~its child's size —
+      // a legitimate 5-row broadcast(groupBy(stats)) over a fact scan
+      // would read as fact-sized and be falsely flagged at exactly the
+      // lake scale the guard targets. The cost of distrusting
+      // aggregates is a false-NEGATIVE class: a hint on a
+      // high-cardinality grouped aggregate of a corpus (the containment
+      // dictionary shape) is out of this check's reach without column
+      // stats — that shape stays a review/PlanAuditSpec concern, and
+      // running ANALYZE TABLE (CBO column stats) restores a real
+      // estimate upstream of the hint.
       def estimateTrusted(p: logical.LogicalPlan): Boolean =
         !p.exists {
           case _: logical.Join => true
-          case a: logical.Aggregate if a.groupingExpressions.isEmpty => true
+          case _: logical.Aggregate => true
           case _ => false
         }
       qe.optimizedPlan.foreach {

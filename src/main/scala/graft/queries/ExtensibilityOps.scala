@@ -417,17 +417,18 @@ object ExtensibilityOps {
 
   /** DuckDB replay of [[mmDedupPairs]] over the persisted fingerprint
     * artifact. The artifact path is resolved ABSOLUTE at class-init
-    * time for the correctness gate's fixture (the driver always
-    * verifies at sf0.01), so the oracle is independent of the DuckDB
-    * process's working directory; Verify runs the entry first, which
-    * builds/refreshes the artifact the oracle then reads. DuckDB's
+    * time against [[graft.OracleEnv]]'s fixture (Verify binds it to its
+    * sfDir argument; default = the driver's sf0.01 gate), so the oracle
+    * is independent of the DuckDB process's working directory and always
+    * reads the verified fixture's own artifacts; Verify runs the entry
+    * first, which builds/refreshes the artifact the oracle then reads. DuckDB's
     * arithmetic >> matches shiftrightunsigned here because the 16-bit
     * mask keeps only bits [16b, 16b+15], and xor/bit_count operate on
     * the same two's-complement longs.
     */
   private def mmDedupOracle(kind: String): String = {
     val abs = new java.io.File(
-      IndexOps.indexDir("/root/testdata/sf0.01") + s"/mmfp_$kind.parquet").getAbsolutePath
+      IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
     s"""WITH fp AS (SELECT asset_id, h, decoded FROM read_parquet('$abs/*.parquet')),
        |bands AS (SELECT asset_id, h, decoded, r.range AS band,
        |    (h >> CAST(r.range * 16 AS INT)) & 65535 AS key

@@ -415,16 +415,18 @@ object IndexOps {
   private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
     warmSteps.foreach { case (_, f) => f(s, dir) }
 
-  /** Absolute lake-artifact base for the correctness gate's fixture —
-    * the persisted-artifact oracle device (mm_image_dedup, round 12):
-    * the driver always verifies at sf0.01, so index-family oracles
-    * resolve their read_parquet paths against THIS directory at
-    * class-init time, independent of the DuckDB process's CWD. Verify
-    * runs the entry first, which builds/refreshes the artifact the
-    * oracle then reads back.
+  /** Absolute lake-artifact base for the fixture being verified — the
+    * persisted-artifact oracle device (mm_image_dedup, round 12):
+    * index-family oracles resolve their read_parquet paths against THIS
+    * directory at class-init time, independent of the DuckDB process's
+    * CWD. The base follows [[graft.OracleEnv]] (Verify binds it to its
+    * sfDir argument before first touch; default = the driver's sf0.01
+    * gate fixture), so verifying any fixture compares against that
+    * fixture's own artifacts. Verify runs the entry first, which
+    * builds/refreshes the artifact the oracle then reads back.
     */
   private[graft] val oracleArtifactBase: String =
-    new java.io.File(indexDir("/root/testdata/sf0.01")).getAbsolutePath
+    new java.io.File(indexDir(graft.OracleEnv.sfDir)).getAbsolutePath
 
   val entries: Seq[Entry] = Seq(
 

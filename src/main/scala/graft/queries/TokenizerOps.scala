@@ -188,9 +188,17 @@ object TokenizerOps {
            |    FROM (SELECT freq, string_split(enc[2:length(enc)-1], chr(2)||chr(1)) AS syms FROM seg$i)
            |  ) GROUP BY 1, 2)""".stripMargin,
         s"m${i + 1} AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)",
+        // coalesce to a chr(3) sentinel (never present in enc — content
+        // is lowercase words, delimiters chr(1)/chr(2)): if training
+        // SATURATES before nMerges rounds, p$i is empty, the scalar
+        // subqueries return NULL, and replace(enc, NULL, NULL) would
+        // NULL-poison every later seg CTE — the apply oracle's dict
+        // would then silently diverge from trainBpe's early stop. With
+        // the sentinel an empty round is a no-op replace, mirroring the
+        // Spark side's `done` exit exactly.
         s"""seg${i + 1} AS MATERIALIZED (SELECT term, freq, replace(enc,
-           |    (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM m${i + 1}),
-           |    (SELECT chr(1)||a||b||chr(2) FROM m${i + 1})) AS enc FROM seg$i)""".stripMargin)
+           |    coalesce((SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM m${i + 1}), chr(3)),
+           |    coalesce((SELECT chr(1)||a||b||chr(2) FROM m${i + 1}), chr(3))) AS enc FROM seg$i)""".stripMargin)
     }
   }
 

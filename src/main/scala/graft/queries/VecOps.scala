@@ -922,6 +922,10 @@ object VecOps {
       // 100 TB the cell assignment replaces the all-pairs product with
       // a scan of ~nprobe/K of the corpus — and the persisted variant
       // makes that literal partition pruning.
+      // The ORACLE reads the persisted IVF artifact (byte-equal cells
+      // by contract), so a filtered Verify of this entry alone must
+      // still build/refresh it — same ensure the probe entries call.
+      IvfIndex.ensureIvfIndex(s, dir)
       val (cents, assigned) = kmeansCells(s, dir)
       val q = assigned.filter($"vec_id" === 0)
         .select($"emb".as("qemb"), $"norm".as("qnorm"))

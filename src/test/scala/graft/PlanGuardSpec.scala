@@ -94,4 +94,21 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(PlanGuard.audit(other.join(broadcast(docs), "doc_id"))
       .forall(_.kind != "oversized-broadcast"))
   }
+
+  test("a stats broadcast (grouped aggregate of a big scan) is never flagged oversized") {
+    // Spark's size-only stats visitor estimates a grouped Aggregate at
+    // ~its CHILD's size (it never estimates group count), so a 2-row
+    // broadcast(groupBy(source).agg(...)) over the corpus scan reads as
+    // corpus-sized. Trusting that estimate would falsely block the
+    // textbook stats-broadcast pipeline (ts_anomaly_mad's shape) at
+    // exactly lake scale — PlanGuard must treat aggregate estimates as
+    // untrusted, the same as join estimates.
+    val stats = docs.groupBy($"source").agg(avg(length($"text")).as("mean_len"))
+    val df = docs.join(broadcast(stats), "source")
+    spark.conf.set("spark.graft.guard.maxBroadcastBytes", "64")
+    try assert(PlanGuard.audit(df, allow = Set("bnlj"))
+      .forall(_.kind != "oversized-broadcast"),
+      PlanGuard.audit(df, allow = Set("bnlj")).mkString("; "))
+    finally spark.conf.unset("spark.graft.guard.maxBroadcastBytes")
+  }
 }
