@@ -118,6 +118,45 @@ object PlanGuard {
       }
       walk(qe.sparkPlan)
     }
+    if (!allow("unbounded-buffer-agg")) {
+      // check #6 (round 14): exact percentile / collect_list /
+      // collect_set buffer EVERY value of their group in one
+      // aggregation buffer — invisible to the five plan-shape checks
+      // (the plan hashes and shuffles perfectly; the BUFFER is the
+      // outage). At test scale a group is thousands of rows; at 100 TB
+      // an unbounded-cardinality group OOMs the executor. Spark's
+      // median() lowers to Percentile before optimization, so it is
+      // covered. Legitimate uses are (a) groups of documented bounded
+      // cardinality (a vocab-sized model pivot, a 16-row subspace) —
+      // callers allowlist those knowingly — and (b) window frames with
+      // BOUNDED ROWS bounds (a moving median over 15 rows), which the
+      // walk skips by construction. The quantile entries' dial
+      // (spark.graft.quantile.approx) is the in-engine escape hatch:
+      // approx_percentile holds a fixed-size sketch instead.
+      import org.apache.spark.sql.catalyst.expressions.{Expression, RowFrame, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet, Percentile}
+      def boundedRowFrame(we: WindowExpression): Boolean =
+        we.windowSpec.frameSpecification match {
+          case f: SpecifiedWindowFrame =>
+            f.frameType == RowFrame &&
+              f.lower != UnboundedPreceding && f.upper != UnboundedFollowing
+          case _ => false
+        }
+      def scan(e: Expression): Unit = e match {
+        case we: WindowExpression if boundedRowFrame(we) => // bounded buffer
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case a @ (_: Percentile | _: CollectList | _: CollectSet) =>
+            out += Violation("unbounded-buffer-agg",
+              s"${a.prettyName} buffers every group value in one aggregation buffer — " +
+                "bounded only if the group's cardinality is; use approx_percentile " +
+                "(spark.graft.quantile.approx for the engine's quantile entries), bound " +
+                "the frame, or allowlist a documented bounded-cardinality group")
+          case _ => ae.children.foreach(scan)
+        }
+        case other => other.children.foreach(scan)
+      }
+      qe.optimizedPlan.foreach(p => p.expressions.foreach(scan))
+    }
     if (!allow("oversized-broadcast")) {
       val maxBytes = df.sparkSession.conf
         .get("spark.graft.guard.maxBroadcastBytes", (1L << 30).toString).toLong

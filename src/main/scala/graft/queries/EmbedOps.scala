@@ -341,7 +341,7 @@ object EmbedOps {
       |FROM reach GROUP BY src ORDER BY src""".stripMargin
 
   private[graft] val embDedupVersion =
-    "embdedup-v1:ws-tokens;md5-hash64;cos0.95;cc-minlabel"
+    "embdedup-v1:ws-tokens;md5-hash64;cos0.95;cc-minlabel;lin1"
 
   private[graft] def embDedupStamp(dir: String): String =
     IndexOps.stampFor(embDedupVersion, dir, Seq("documents"))
@@ -357,6 +357,16 @@ object EmbedOps {
     if (!IndexOps.indexCurrent(path, Seq("emblabels"), "emblabels", stamp)) {
       IndexOps.clearStamp(path, "emblabels")
       graft.sources.Ingest.stageAndSwap(computeEmbLabels(s, dir), path, "emblabels")
+      // declared lineage map (r13 verdict ask #3): the label-propagation
+      // loop localCheckpoints each round, truncating the builder plan at
+      // a LogicalRDD, so the swap's auto-computed sidecar dead-ends —
+      // overwrite it with the truthful closure: clusters are formed by
+      // cosine edges over the md5-hashed token vectors, i.e. from the
+      // corpus ids and text (the same declaration TextOps.clusterLabels
+      // records for the MinHash labels artifact)
+      graft.plans.Lineage.writeSidecar(s"$path/emblabels.parquet", Map(
+        "doc_id"  -> Set("documents.doc_id"),
+        "cluster" -> Set("documents.doc_id", "documents.text")))
       IndexOps.writeStamp(path, "emblabels", stamp)
     }
     path
@@ -365,7 +375,7 @@ object EmbedOps {
   // ---- Persisted frozen-encoder artifact (incremental serving) -------
 
   private[graft] val embedModelVersion =
-    "embedmodel-v1:ws-tokens;win2-sym;ppmi6dp;md5-hash64;base-excl-mod10-7"
+    "embedmodel-v1:ws-tokens;win2-sym;ppmi6dp;md5-hash64;base-excl-mod10-7;lin1"
 
   private[graft] def embedModelStamp(dir: String): String =
     IndexOps.stampFor(embedModelVersion, dir, Seq("documents"))

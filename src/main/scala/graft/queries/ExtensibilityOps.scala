@@ -364,7 +364,7 @@ object ExtensibilityOps {
     * bump with any change to the codec hash math (dhash64 /
     * audioFingerprint64 / fallback MurmurHash) or the asset synthesis.
     */
-  private val mmFpVersion = "mmfp-v1:dhash64;afp64;murmur-fallback;assets120"
+  private val mmFpVersion = "mmfp-v1:dhash64;afp64;murmur-fallback;assets120;lin1"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake
@@ -386,6 +386,16 @@ object ExtensibilityOps {
           .select(col("asset_id"), col("afp").as("h"), col("decoded"))
       }
       graft.sources.Ingest.stageAndSwap(df, path, table)
+      // declared lineage map (r13 verdict ask #3): the codec kernels run
+      // as typed mapPartitions, whose fresh output attributes the plan
+      // walk cannot tie to inputs — declare the truthful map instead:
+      // every fingerprint column is a pure function of the asset bytes
+      // (in production `assets` is the lake's media table; here the
+      // deterministic synthetic generator stands in for it)
+      graft.plans.Lineage.writeSidecar(s"$path/$table.parquet", Map(
+        "asset_id" -> Set("assets.asset_id"),
+        "h"        -> Set("assets.bytes"),
+        "decoded"  -> Set("assets.bytes")))
       IndexOps.writeStamp(path, table, mmFpVersion)
     }
     s"$path/$table.parquet"

@@ -73,7 +73,7 @@ object IndexOps {
     * serving stale structure.
     */
   private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4;lin1"
-  private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2"
+  private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2;lin1"
 
   /** Cheap SOURCE-DATA identity fingerprint folded into every family's
     * stamp: (file name, length, mtime) of each file under the listed
@@ -932,18 +932,24 @@ object IndexOps {
   private def buildVecIndexUnstamped(s: SparkSession, dir: String, ns: String): String = {
     val path = indexDir(dir, ns)
     clearStamp(path, "vec")
-    VecOps.emb(s, dir).select(col("vec_id"), col("emb"), col("norm"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
+    val vecs = VecOps.emb(s, dir).select(col("vec_id"), col("emb"), col("norm"))
+    vecs.write.mode(SaveMode.Overwrite).parquet(s"$path/vecs.parquet")
+    // lineage sidecar (r13 verdict ask #3): both frames are
+    // straight-plan (the memoized signature frame persists without
+    // truncating its plan), so the map is computed from the written
+    // frame — probe consumers trace to embeddings.embedding
+    graft.plans.Lineage.writeSidecar(vecs, s"$path/vecs.parquet")
     // band rows come from the session-memoized signature frame — shared
     // with the in-plan LSH join, so signatures are computed once per
     // session no matter which consumer runs first (and can never drift).
     // Same probe-serving layout as the sim bands: (band, bk)-sorted row
     // groups, so the literal multi-probe predicates stat-skip.
-    VecOps.bandedSigs(s, dir)
+    val bands = VecOps.bandedSigs(s, dir)
       .repartitionByRange(col("band"), col("bk"))
       .sortWithinPartitions(col("band"), col("bk"))
-      .write.mode(SaveMode.Overwrite)
+    bands.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/vec_bands.parquet")
+    graft.plans.Lineage.writeSidecar(bands, s"$path/vec_bands.parquet")
     path
   }
 

@@ -221,11 +221,16 @@ object PqIndex {
     ensurePqIndex(s, dir)
     val cells = s.read.parquet(s"$path/ivf_cells.parquet")
       .select($"vec_id", $"c_id")
-    s.read.parquet(s"$path/pq_codes.parquet")
+    val codes = s.read.parquet(s"$path/pq_codes.parquet")
       .join(cells, "vec_id")
       .repartition($"c_id")
-      .write.partitionBy("c_id").mode(SaveMode.Overwrite)
+    codes.write.partitionBy("c_id").mode(SaveMode.Overwrite)
       .parquet(s"$path/ivfpq_codes.parquet")
+    // lineage sidecar (r13 verdict ask #3): the build frame SCANS two
+    // sidecar'd artifacts (pq_codes, ivf_cells), so the computed map
+    // already resolves through both to embeddings.* — the nested-splice
+    // case, same as the pq_codes-through-codebook chain
+    graft.plans.Lineage.writeSidecar(codes, s"$path/ivfpq_codes.parquet")
     IndexOps.writeStamp(path, "ivfpq", stamp)
     path
   }

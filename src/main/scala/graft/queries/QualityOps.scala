@@ -1,12 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Core._
 
 /** In-engine TRAINED quality classifier — the learned counterpart of
   * the rule battery (`text_gopher_rules`): a hashed-bag-of-tokens
-  * logistic regression, the fastText-style scorer every major
+  * logistic-style regression, the fastText-style scorer every major
   * pretraining pipeline runs after its hard rules (CCNet, Wenzek et
   * al. 2020; GPT-3's "high-quality vs Common Crawl" filter, Brown et
   * al. 2020 App. A; the reference's corpus-prep surface is
@@ -17,10 +17,24 @@ import graft.Core._
   * pipeline shape: a labeled seed set in, a model-sized weight vector
   * out, the whole lake scored by one broadcast-join map pass.
   *
-  * Determinism discipline: the seed rows are canonically sorted before
-  * the in-driver GD loop, so every sum is a fixed-order sequential
-  * reduction — the weights are bit-identical on any parallelism, any
-  * rerun (spec-pinned), with no float-order caveats at all.
+  * PROMOTED to hard DuckDB oracles in round 14 (r13 verdict ask #2)
+  * via INTEGER FIXED-POINT GD + the unrolled-fold device proven on the
+  * BPE trainer (TokenizerOps): all training state lives in micro-units
+  * (1e-6) longs, the sigmoid is the soft-sign rational
+  * σ(x) ≈ 1/2 + x/(2(1+|x|)) — exactly computable with one integer
+  * multiply/divide, no transcendental whose last ULP could differ
+  * between engines — and every division is truncating long division,
+  * which Java `/` and DuckDB `//` define identically (both toward
+  * zero, verified on negative operands). Each GD iteration is then a
+  * pure integer fold the oracle replays as a pair of MATERIALIZED
+  * CTEs (gradient aggregate, weight/momentum update); ITERS is a
+  * compile-time constant so the chain is generated, never recursive.
+  * Feature dims hash via the md5 device (EmbedOps.hDim — first 4 hex
+  * chars mod 64), NOT xxhash64, exactly so DuckDB can replay the
+  * feature map. Integer sums commute exactly, so partition order can
+  * never move a weight — the bit-identical-retrain spec holds by
+  * construction, not by collect-and-sort discipline (the sort is kept
+  * for the stable in-driver layout only).
   *
   * Scale shape (100 TB): the corpus enters only through (a) the seed
   * collect — bounded by contract and guarded at
@@ -34,22 +48,31 @@ import graft.Core._
 object QualityOps {
 
   private val DIMS  = 64
-  private val BIAS  = DIMS.toLong // bias feature index
-  private val ITERS = 300
-  private val LR    = 0.5
-  private val MOMENTUM = 0.95
+  private val BIAS  = DIMS // bias feature index
+  private val ITERS = 100
+  private val U     = 1000000L // micro-unit scale
+  // momentum 0.95 and learning rate 0.5 as integer ratios: v' =
+  // (95·v)/100 + g/n, w' = w − v'/2 — every division truncating.
 
   private val cacheLock = new Object
   private val featCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Array[Double]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Array[Long]]
 
   private def cacheKey(s: SparkSession, dir: String) =
     (s, dir, s.conf.get("spark.sql.shuffle.partitions", ""))
 
+  /** md5-derived hash dimension of a token — first 16 bits of the md5
+    * hex mod 64, the same cross-engine-exact device as EmbedOps.hDim
+    * (xxhash64 has no DuckDB replay). Shared with the streaming scorer
+    * so stream and batch agree doc-by-doc.
+    */
+  private[graft] def hDim(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("long"), lit(DIMS.toLong))
+
   /** (doc_id, y, dim, x) sparse feature frame: token counts hashed into
-    * 64 signed-free buckets + a constant bias feature, label = the
+    * 64 md5 buckets + a constant bias feature, label = the
     * quality-proxy median split 2·nd > nt (exact integer test). One
     * aggregate over the shared termFreq frame; persisted — every
     * training iteration and the apply pass reread cached blocks.
@@ -62,14 +85,15 @@ object QualityOps {
         .agg(sum($"tf").as("nt"), count(lit(1)).as("nd"))
         .select($"doc_id", ($"nd" * 2 > $"nt").cast("int").as("y"))
       val hashed = tf
-        .select($"doc_id", pmod(xxhash64($"term"), lit(DIMS.toLong)).as("dim"), $"tf")
+        .select($"doc_id", hDim($"term").as("dim"), $"tf")
         .groupBy($"doc_id", $"dim").agg(sum($"tf").as("x"))
-      val bias = lab.select($"doc_id", lit(BIAS).as("dim"), lit(1L).as("x"))
+      val bias = lab.select($"doc_id", lit(BIAS.toLong).as("dim"), lit(1L).as("x"))
       hashed.unionByName(bias).join(lab, "doc_id").persist()
     })
     }
 
-  /** Momentum-GD logistic weights, w[0..63] = hashed dims, w[64] = bias.
+  /** Momentum-GD logistic weights in integer MICRO-UNITS,
+    * w[0..63] = hashed dims, w[64] = bias.
     *
     * Trains on a deterministic quarter SEED SET (doc_id ≡ 0 mod 4) —
     * the real pipeline shape: quality classifiers fit a small labeled
@@ -79,11 +103,13 @@ object QualityOps {
     * guarded loudly at `spark.graft.classifier.maxSeedDocs` (default
     * 200k docs ≈ model-training scale; a 100 TB lake trains on a seed
     * this size, never on the lake) — and the K GD iterations run as
-    * in-driver array math: zero per-iteration Spark jobs, and
-    * bit-determinism for free (sequential fixed-order sums after a
-    * canonical (doc, dim) sort, no partition-order effects at all).
+    * in-driver long-array math: zero per-iteration Spark jobs. All
+    * arithmetic is exact integer (soft-sign sigmoid, truncating
+    * division), so the weights are bit-identical on any parallelism,
+    * any rerun, AND replayable by the DuckDB oracle's unrolled CTE
+    * chain — the promotion device.
     */
-  private[graft] def trainedWeights(s: SparkSession, dir: String): Array[Double] =
+  private[graft] def trainedWeights(s: SparkSession, dir: String): Array[Long] =
     cacheLock.synchronized { modelCache.getOrElseUpdate(cacheKey(s, dir), {
       import s.implicits._
       val maxSeed = s.conf.get("spark.graft.classifier.maxSeedDocs", "200000").toLong
@@ -97,31 +123,33 @@ object QualityOps {
           "a labeled SAMPLE by contract; shrink the seed filter, don't " +
           "train on the lake")
       val docIdx = docs.zipWithIndex.toMap
-      val n = docs.length
-      val y = new Array[Double](n)
-      val feat = Array.fill(n)(List.empty[(Int, Double)])
+      val n = docs.length.toLong
+      val y = new Array[Long](docs.length)
+      val feat = Array.fill(docs.length)(List.empty[(Int, Long)])
       rows.foreach { case (d, dim, x, yy) =>
         val i = docIdx(d)
-        y(i) = yy.toDouble
-        feat(i) = (dim.toInt, x.toDouble) :: feat(i)
+        y(i) = yy.toLong
+        feat(i) = (dim.toInt, x) :: feat(i)
       }
-      val w = new Array[Double](DIMS + 1)
-      val v = new Array[Double](DIMS + 1)
-      val g = new Array[Double](DIMS + 1)
+      val w = new Array[Long](DIMS + 1)
+      val v = new Array[Long](DIMS + 1)
+      val g = new Array[Long](DIMS + 1)
       for (_ <- 0 until ITERS) {
-        java.util.Arrays.fill(g, 0.0)
+        java.util.Arrays.fill(g, 0L)
         var i = 0
-        while (i < n) {
-          var score = 0.0
+        while (i < docs.length) {
+          var score = 0L
           feat(i).foreach { case (d, x) => score += w(d) * x }
-          val resid = 1.0 / (1.0 + math.exp(-score)) - y(i)
+          // soft-sign sigmoid in micro-units: p = 1/2 + s/(2(1+|s|))
+          val p = 500000L + score * 500000L / (U + math.abs(score))
+          val resid = p - y(i) * U
           feat(i).foreach { case (d, x) => g(d) += resid * x }
           i += 1
         }
         var d = 0
         while (d <= DIMS) {
-          v(d) = MOMENTUM * v(d) + g(d) / n
-          w(d) -= LR * v(d)
+          v(d) = 95L * v(d) / 100L + g(d) / n
+          w(d) -= v(d) / 2L
           d += 1
         }
       }
@@ -138,32 +166,84 @@ object QualityOps {
       ()
     }
 
+  /** The unrolled-training CTE chain shared by both oracles (the BPE
+    * device, TokenizerOps.bpeCtes): feature frame → seed subset → w0 =
+    * zeros, then per iteration i: per-doc integer residuals under w_i
+    * (soft-sign sigmoid), the gradient aggregate g_i, and the
+    * momentum/weight update w_{i+1} — each step pure BIGINT arithmetic
+    * with `//` (truncating, same as the Scala loop's `/`). MATERIALIZED
+    * is load-bearing exactly as in the BPE chain: inlined CTEs would
+    * re-expand the whole prefix per reference.
+    */
+  private def gdCtes: Seq[String] = {
+    val head = Seq(
+      """tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term FROM documents)
+        |  GROUP BY 1, 2)""".stripMargin,
+      "lab AS MATERIALIZED (SELECT doc_id, CAST(2 * count(*) > sum(tf) AS INT) AS y FROM tf GROUP BY 1)",
+      """allfeat AS MATERIALIZED (SELECT h.doc_id, h.dim, h.x, l.y FROM (
+        |    SELECT doc_id, CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 64 AS dim,
+        |      CAST(sum(tf) AS BIGINT) AS x FROM tf GROUP BY 1, 2
+        |    UNION ALL SELECT doc_id, 64 AS dim, CAST(1 AS BIGINT) AS x FROM lab
+        |  ) h JOIN lab l USING (doc_id))""".stripMargin,
+      "feat AS MATERIALIZED (SELECT * FROM allfeat WHERE doc_id % 4 = 0)",
+      "nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM feat)",
+      "w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS v FROM range(65))")
+    head ++ (0 until ITERS).flatMap { i =>
+      Seq(
+        s"""g$i AS MATERIALIZED (SELECT f.dim, CAST(sum(r.resid * f.x) AS BIGINT) AS g FROM feat f JOIN (
+           |    SELECT f2.doc_id, 500000 + (sum(w.w * f2.x) * 500000) // ($U + abs(sum(w.w * f2.x))) - max(f2.y) * $U AS resid
+           |    FROM feat f2 JOIN w$i w USING (dim) GROUP BY f2.doc_id) r USING (doc_id) GROUP BY f.dim)""".stripMargin,
+        s"""w${i + 1} AS MATERIALIZED (SELECT w.dim,
+           |    w.w - ((95 * w.v) // 100 + coalesce(g.g, 0) // nn.n) // 2 AS w,
+           |    (95 * w.v) // 100 + coalesce(g.g, 0) // nn.n AS v
+           |  FROM w$i w LEFT JOIN g$i g USING (dim), nn)""".stripMargin)
+    }
+  }
+
+  private def trainOracle: String =
+    "WITH " + gdCtes.mkString(",\n") +
+      s"\nSELECT dim, w AS weight_ppm FROM w$ITERS ORDER BY dim"
+
+  private def applyOracle: String =
+    "WITH " + (gdCtes :+
+      s"""sc AS (SELECT h.doc_id, max(h.y) AS y, CAST(sum(h.x * w.w) AS BIGINT) AS score
+         |  FROM allfeat h JOIN w$ITERS w USING (dim) GROUP BY 1)""".stripMargin).mkString(",\n") +
+      """
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(sc.y) AS BIGINT) AS n_label_pos,
+        |  CAST(sum(CASE WHEN (sc.score >= 0) = (sc.y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  round(avg(CASE WHEN (sc.score >= 0) = (sc.y = 1) THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+        |FROM sc JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
-    entryNoOracle("quality_classifier_train") { (s, dir) =>
+    entry("quality_classifier_train", trainOracle) { (s, dir) =>
       import s.implicits._
-      // Declared output = the model itself: 65 (dim, weight) rows —
-      // hashed token dims 0..63 + bias 64. No SQL oracle (iterative
-      // optimization isn't SQL-expressible); the spec gate asserts the
-      // learned model beats the majority class by a wide margin and
-      // that retraining under a different partitioning reproduces the
-      // weights bit-for-bit (the canonical-sort determinism claim).
+      // Declared output = the model itself: 65 (dim, weight_ppm) rows —
+      // hashed token dims 0..63 + bias 64, integer micro-units. Hard
+      // DuckDB oracle since round 14 (the unrolled integer-GD chain);
+      // the spec gate additionally asserts the learned model beats the
+      // majority class by a wide margin and that retraining under a
+      // different partitioning reproduces the weights bit-for-bit.
       val w = trainedWeights(s, dir)
       s.createDataFrame(w.zipWithIndex.toSeq.map { case (v, d) => (d.toLong, v) })
-        .toDF("dim", "weight")
-        .select($"dim", round($"weight", 6).as("weight"))
+        .toDF("dim", "weight_ppm")
         .orderBy($"dim")
     },
 
-    entryNoOracle("quality_classifier_apply") { (s, dir) =>
+    entry("quality_classifier_apply", applyOracle) { (s, dir) =>
       import s.implicits._
       // Score the whole corpus with the trained model and report the
-      // per-source filter audit: docs kept at p ≥ 0.5, label base rate,
-      // and classifier/proxy agreement — the table an operator reads
-      // before committing a learned filter to the pipeline. One
-      // broadcast join of the 65-row model into the persisted feature
-      // frame + two bounded aggregates; at 100 TB this is the serving
-      // path (no training work, no corpus-wide shuffle of text).
+      // per-source filter audit: docs kept at p ≥ 0.5 (⟺ integer score
+      // ≥ 0 — the soft-sign sigmoid is monotone with σ(0) = 1/2
+      // exactly), label base rate, and classifier/proxy agreement —
+      // the table an operator reads before committing a learned filter
+      // to the pipeline. One broadcast join of the 65-row model into
+      // the persisted feature frame + two bounded aggregates; at
+      // 100 TB this is the serving path (no training work, no
+      // corpus-wide shuffle of text).
       val wDf = broadcast(
         s.createDataFrame(trainedWeights(s, dir).zipWithIndex.toSeq.map {
           case (v, d) => (d.toLong, v)
@@ -172,13 +252,12 @@ object QualityOps {
       features(s, dir)
         .join(wDf, "dim")
         .groupBy($"doc_id", $"y").agg(sum($"x" * $"w").as("score"))
-        .select($"doc_id", $"y",
-          (lit(1.0) / (lit(1.0) + exp(-$"score")) >= 0.5).cast("int").as("pred"))
+        .select($"doc_id", $"y", ($"score" >= 0).cast("int").as("pred"))
         .join(src, "doc_id")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          sum($"pred").as("n_kept"),
-          sum($"y").as("n_label_pos"),
+          sum($"pred").cast("long").as("n_kept"),
+          sum($"y").cast("long").as("n_label_pos"),
           sum(($"pred" === $"y").cast("long")).as("n_agree"),
           round(avg(($"pred" === $"y").cast("double")), 4).as("accuracy"))
         .orderBy($"source")

@@ -1474,22 +1474,46 @@ object Relational {
       // are integral longs, the crossing test is 2·cw ≥ tw in longs),
       // so both engines pick the identical crossing row.
       //
-      // Scale shape: the heavy reduction is the (flag, price) GROUP BY
-      // — a two-phase hash aggregate over the fact with map-side
-      // combine; the windows then run on the DISTINCT-PRICE frame
-      // (bounded by price cardinality, not row count), partitioned by
-      // flag. ROWS framing pinned on both engines (prices are unique
+      // Scale shape (r13 verdict ask #1 — the lake dial, WIRED): the
+      // heavy reduction is the (flag, price) GROUP BY — a two-phase
+      // hash aggregate over the fact with map-side combine. The
+      // cumulative weight then uses the two-level bucket prefix-sum
+      // (win_ntile_global's device): prices are near-unique, so the
+      // distinct-price frame ≈ rows/flag, and a single per-flag window
+      // would sort ~10¹¹ rows through THREE tasks at 100 TB. Instead:
+      // range-bucket by 15 approximate price split points
+      // (approximation only affects bucket BALANCE, never
+      // correctness — bucket assignment is a pure function of price,
+      // so (flag, bkt, price) ordering ≡ (flag, price) ordering), sum
+      // weights per (flag, bucket) in parallel, prefix-sum the tiny
+      // flag×16 bucket-totals frame, and run the in-bucket cumulative
+      // window per (flag, bucket) — 16× the partitions, each 1/16 the
+      // rows, global cw = bucket offset + in-bucket cw exactly as
+      // before. ROWS framing pinned on both engines (prices are unique
       // within a group post-aggregate, so ROWS ≡ RANGE — pinned anyway
       // against tie-semantics drift). The crossing row via filter+min,
       // never a per-group sort-and-index on the driver.
       val g = load(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_extendedprice")
         .agg(sum($"l_quantity".cast("long")).as("w"))
-      val wc = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      val bounds = g.agg(percentile_approx($"l_extendedprice",
+        typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"))
+      val bucketed = g.crossJoin(broadcast(bounds))
+        .select($"l_returnflag", $"l_extendedprice", $"w",
+          aggregate($"bs", lit(0),
+            (acc, b) => acc + when($"l_extendedprice" > b, 1).otherwise(0)).as("bkt"))
+      val wOff = Window.partitionBy($"l_returnflag").orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy($"l_returnflag")
+      // flag×16 rows: per-bucket weight, prefix offset, flag total
+      val offs = bucketed.groupBy($"l_returnflag", $"bkt").agg(sum($"w").as("bw"))
+        .withColumn("off", coalesce(sum($"bw").over(wOff), lit(0L)))
+        .withColumn("tw", sum($"bw").over(wTot))
+        .select($"l_returnflag", $"bkt", $"off", $"tw")
+      val wIn = Window.partitionBy($"l_returnflag", $"bkt").orderBy($"l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy($"l_returnflag")
-      g.withColumn("cw", sum($"w").over(wc))
-        .withColumn("tw", sum($"w").over(wt))
+      bucketed.join(broadcast(offs), Seq("l_returnflag", "bkt"))
+        .withColumn("cw", sum($"w").over(wIn) + $"off")
         .filter($"cw" * 2 >= $"tw")
         .groupBy($"l_returnflag")
         .agg(round(min($"l_extendedprice"), 4).as("wmedian"),

@@ -177,15 +177,16 @@ object Ingest {
     val tmpPath = s"$lakeDir/$name.parquet.__staging__"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmpPath)
-    // a compaction rewrite is row-preserving, so the builder-written
-    // lineage sidecar (plans/Lineage) stays true — carry it across the
-    // swap instead of silently degrading consumers back to
-    // artifact-dead-end lineage
-    val sidecar = new java.io.File(path, "_graft_lineage.tsv")
-    if (sidecar.isFile)
-      java.nio.file.Files.copy(sidecar.toPath,
-        new java.io.File(tmpPath, "_graft_lineage.tsv").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // lineage sidecar (plans/Lineage), computed from the very frame
+    // being staged — BEFORE the old table is deleted, so a rewrite
+    // that READS the old artifact (compaction, upsert merge, state
+    // absorb) resolves through its existing sidecar and the fresh map
+    // IS the carried one (round 13 copied the file; computing subsumes
+    // that and also covers frames that merge new rows in). Builders
+    // whose plans are checkpoint-truncated overwrite this with their
+    // declared map after the swap. writeSidecar degrades to a warning
+    // on failure — a committed table must never abort over metadata.
+    graft.plans.Lineage.writeSidecar(df, tmpPath)
     def rmTree(f: java.io.File): Unit = {
       // listFiles is null if the dir vanished under us (concurrent
       // cleanup) — treat as already-deleted, not an NPE
@@ -341,5 +342,35 @@ object Ingest {
         pages.zipWithIndex.map { case (t, i) => (p, i + 1, t) }
       }
       .toDF("path", "page", "content")
+  }
+
+  /** Embedded JPEG images of a PDF corpus as multimodal Asset rows
+    * (r13 verdict ask #7): DCTDecode image streams ARE baseline JPEG,
+    * which the JDK's ImageIO decodes — so mm featurize/resize/dedup run
+    * on REAL rasters extracted from documents, not just synthetic
+    * assets. Width/height come from an eager ImageIO decode inside the
+    * executor (same per-file placement as the text path); a payload
+    * ImageIO rejects still surfaces with 0×0 dims — the multimodal
+    * operators' byte-hash fallback handles it, never a silent drop.
+    * asset_id = (path-hash << 16) | image ordinal, stable across runs.
+    */
+  def readPdfImages(spark: SparkSession,
+                    path: String): org.apache.spark.sql.Dataset[graft.operators.Multimodal.Asset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        if (!PdfText.looksLikePdf(bytes)) Seq.empty
+        else PdfText.jpegImages(bytes).zipWithIndex.map { case (jpg, i) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg)))
+            catch { case _: Exception => None }
+          graft.operators.Multimodal.Asset(
+            (scala.util.hashing.MurmurHash3.stringHash(p).toLong << 16) | i.toLong,
+            "image", jpg,
+            img.map(_.getWidth).getOrElse(0), img.map(_.getHeight).getOrElse(0), 0L)
+        }
+      }
   }
 }

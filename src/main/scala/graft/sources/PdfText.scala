@@ -39,7 +39,8 @@ object PdfText {
   private val lengthRe = "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r
 
   /** All `stream`…`endstream` payloads with their owning object's dict
-    * text, decompressed where the dict says /FlateDecode.
+    * text, RAW (filters not yet applied) — shared by the text path
+    * ([[decodedStreams]]) and the embedded-image path ([[jpegImages]]).
     *
     * Payload end: sliced by the dict's direct-integer `/Length` when one
     * is declared (a compressed payload can contain the literal bytes
@@ -50,9 +51,9 @@ object PdfText {
     * Either way the cursor then jumps past the consumed `endstream`, so
     * a literal "stream" inside a payload can't seed a garbage candidate.
     */
-  private def decodedStreams(bytes: Array[Byte]): Seq[String] = {
+  private def rawStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val raw = latin1(bytes)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var i = raw.indexOf("stream")
     while (i >= 0) {
       var next = i + 6
@@ -91,7 +92,7 @@ object PdfText {
         }
         bounds.foreach { case (dataEnd, endKw) =>
           val payload = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          decodeFilters(dict, payload).foreach(d => out += latin1(d))
+          out += ((dict, payload))
           if (endKw >= 0) next = endKw + 9
         }
       }
@@ -99,6 +100,43 @@ object PdfText {
     }
     out.toSeq
   }
+
+  /** Text-bearing stream payloads, filter chains applied. */
+  private def decodedStreams(bytes: Array[Byte]): Seq[String] =
+    rawStreams(bytes).flatMap { case (dict, payload) =>
+      decodeFilters(dict, payload).map(latin1)
+    }
+
+  private val imageSubtypeRe = "/Subtype\\s*/Image".r
+
+  /** Embedded baseline-JPEG image XObjects (r13 verdict ask #7):
+    * streams whose dict declares `/Subtype /Image` with a /Filter
+    * chain ENDING in DCTDecode. DCTDecode IS baseline JPEG, which the
+    * JDK's ImageIO decodes natively — so these payloads feed the
+    * multimodal operators as REAL rasters (pypdf's image surface,
+    * engine.py:29-33). Pre-DCT transport links (Flate/ASCII wrappers)
+    * are applied; the returned bytes are the JPEG itself. JPXDecode
+    * (JPEG 2000) stays out — the JDK ships no codec for it, the one
+    * permanently closed branch of this gap.
+    */
+  def jpegImages(bytes: Array[Byte]): Seq[Array[Byte]] =
+    rawStreams(bytes).flatMap { case (dict, payload) =>
+      val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
+      if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
+          filters.isEmpty || filters.last != "DCTDecode") None
+      else filters.init.foldLeft(Option(payload)) { (acc, f) =>
+        acc.flatMap { d =>
+          f match {
+            case "FlateDecode"     => inflate(d)
+            case "LZWDecode"       => lzwDecode(d)
+            case "ASCIIHexDecode"  => asciiHexDecode(d)
+            case "ASCII85Decode"   => ascii85Decode(d)
+            case "RunLengthDecode" => runLengthDecode(d)
+            case _                 => None
+          }
+        }
+      }
+    }
 
   private val filterNameRe =
     "/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|DCTDecode|JPXDecode|JBIG2Decode|CCITTFaxDecode|RunLengthDecode|Crypt)".r

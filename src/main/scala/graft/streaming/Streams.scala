@@ -577,8 +577,12 @@ object Streams {
     * operator runs at source parallelism and scales with ingest rate
     * alone. The 65-weight model ships inside the plan as an array
     * literal — the streaming analogue of the batch apply's broadcast.
+    * Weights are the trainer's integer micro-units and the dim hash is
+    * the same md5 device as the batch feature frame, so the integer
+    * score (and hence `keep`) agrees with the batch apply doc-by-doc
+    * EXACTLY — no float-order caveat.
     */
-  def qualityFilterStream(docs: DataFrame, weights: Array[Double]): DataFrame = {
+  def qualityFilterStream(docs: DataFrame, weights: Array[Long]): DataFrame = {
     val warr = typedlit(weights.toSeq)
     val toks = filter(split(lower(col("text")), " "), t => t =!= lit(""))
     val withToks = docs.withColumn("toks", toks)
@@ -592,7 +596,8 @@ object Streams {
       t => size(filter(col("toks"), x => x === t))))
     val score = aggregate(col("toks"),
       lit(weights(64)), // bias
-      (s, t) => s + element_at(warr, (pmod(xxhash64(t), lit(64)) + 1).cast("int")))
+      (s, t) => s + element_at(warr,
+        (pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("long"), lit(64L)) + 1).cast("int")))
     withToks
       .withColumn("tl", tl).withColumn("stopn", stopn).withColumn("topn", topn)
       .withColumn("score", score)

@@ -155,7 +155,7 @@ class CurationOpsSpec extends SparkSpecBase {
   test("quality classifier: learns the proxy label well beyond the majority class; weights are parallelism-independent") {
     val dir = sf("sf0.01")
     val w1 = queries.QualityOps.trainedWeights(spark, dir).toSeq
-    assert(w1.length == 65 && w1.exists(_ != 0.0), "training produced no signal")
+    assert(w1.length == 65 && w1.exists(_ != 0L), "training produced no signal")
     val apply = SparkEntry.queries("quality_classifier_apply")(spark, dir)
       .agg(sum($"n_docs"), sum($"n_agree"), sum($"n_label_pos")).as[(Long, Long, Long)].head()
     val (n, agree, pos) = apply

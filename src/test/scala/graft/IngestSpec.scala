@@ -473,6 +473,52 @@ class IngestSpec extends SparkSpecBase {
     assert(rows(1).contains("chained page"), s"chain: ${rows(1)}")
   }
 
+  test("src_pdf_scan: embedded DCTDecode image decodes to a real raster (readPdfImages)") {
+    // A genuine JPEG (ImageIO-written solid color) planted as an
+    // /Subtype /Image XObject with /Filter /DCTDecode, beside a normal
+    // text page. readPdfImages must surface the JPEG with its true
+    // dimensions (DCTDecode IS baseline JPEG — the JDK decodes it);
+    // readPdfPages must keep skipping it (an image is not page text).
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(200, 30, 30))
+    gfx.fillRect(0, 0, 8, 6); gfx.dispose()
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jb), "JDK must ship a JPEG writer")
+    val jpg = jb.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val txt = "BT (text beside img) Tj ET"
+    w(s"1 0 obj << /Length ${txt.length} >> stream\n")
+    w(txt); w("\nendstream endobj\n")
+    w(s"2 0 obj << /Subtype /Image /Width 8 /Height 6 /Filter /DCTDecode /Length ${jpg.length} >> stream\n")
+    out.write(jpg); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    val p = s"$tmp/img.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val assets = Ingest.readPdfImages(spark, p).collect().toSeq
+    assert(assets.size == 1, s"expected exactly the planted image: $assets")
+    val a = assets.head
+    assert(a.width == 8 && a.height == 6, s"raster dims: ${a.width}x${a.height}")
+    // the surfaced bytes are the decodable JPEG itself: the multimodal
+    // perceptual path (not the byte-hash fallback) engages
+    val hashed = graft.operators.Multimodal.imageHashes(
+      spark.createDataset(assets)(org.apache.spark.sql.Encoders.product)).collect()
+    assert(hashed.length == 1 && hashed.head.decoded,
+      "planted JPEG must take the REAL-decode dHash path")
+    // and the raster is the planted solid color (center pixel ~red;
+    // JPEG is lossy so compare channel-dominance, not exact bytes)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.data))
+    val rgb = back.getRGB(4, 3)
+    val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    assert(r > 120 && r > g + 50 && r > b + 50, s"center pixel should be red-ish: ($r,$g,$b)")
+    // text extraction is unaffected — and still never emits the image
+    val pages = Ingest.readPdfPages(spark, p).select($"content").as[String].collect().toSeq
+    assert(pages.size == 1 && pages.head.contains("text beside img"), pages.toString)
+  }
+
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
     val payload = Array.fill[Byte](3000)(65)

@@ -128,4 +128,70 @@ class LineageSpec extends SparkSpecBase {
     assert(lin("score").contains("embeddings.embedding"),
       s"ADC score must trace through pq_codes → pq_codebook → corpus: $lin")
   }
+
+  // ---- round-14 coverage completion (r13 verdict ask #3): every ----
+  // ---- remaining persisted-artifact family carries a sidecar     ----
+
+  test("artifact seam: vec index probes trace to embeddings (vecs + vec_bands sidecars)") {
+    val dir = sf("sf0.001")
+    SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("vec_index_probe")(spark, dir))
+    assert(lin("score").contains("embeddings.embedding"),
+      s"probe score must trace through vecs/vec_bands to the corpus: $lin")
+    assert(lin("vec_id").contains("embeddings.vec_id"), lin)
+  }
+
+  test("artifact seam: ivfpq probe resolves through ivfpq_codes → pq/ivf layers") {
+    val dir = sf("sf0.001")
+    SparkEntry.queries("pq_index_build")(spark, dir).collect()
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("ivfpq_index_probe")(spark, dir))
+    assert(lin("score").contains("embeddings.embedding"),
+      s"ivfpq score must trace through the partitioned codes to the corpus: $lin")
+  }
+
+  test("artifact seam: frozen-encoder batch embed traces to documents.text (embed_model sidecar)") {
+    val dir = sf("sf0.001")
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("text_embed_learned_incremental")(spark, dir))
+    // the embedded value = tf · model.v; v's sidecar entry derives from
+    // the corpus text through the PPMI training frame
+    assert(lin("val").contains("documents.text"),
+      s"embedded value must trace through embed_model to the corpus: $lin")
+  }
+
+  test("artifact seam: embedding-dedup labels trace to documents (declared emblabels map)") {
+    val dir = sf("sf0.001")
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("text_dedup_embed")(spark, dir))
+    assert(lin("cluster").contains("documents.text"),
+      s"cluster must trace through emblabels to the corpus: $lin")
+    assert(!lin.values.flatten.exists(_.startsWith("emblabels.")),
+      s"no column may dead-end at the artifact: $lin")
+  }
+
+  test("artifact seam: incremental LM score traces to documents.text (lm_state sidecar)") {
+    val dir = sf("sf0.001")
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("text_lm_incremental")(spark, dir))
+    assert(lin("lm_score").contains("documents.text"),
+      s"lm_score must trace through lm_state (c12 is a declared count column): $lin")
+  }
+
+  test("artifact seam: incremental mix weights trace to documents (mix_state sidecar)") {
+    val dir = sf("sf0.001")
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("mix_weights_incremental")(spark, dir))
+    assert(lin("n_tokens").contains("documents.text"),
+      s"merged token totals must trace through mix_state to the corpus: $lin")
+  }
+
+  test("artifact seam: multimodal dedup traces to asset bytes (declared mmfp map)") {
+    val dir = sf("sf0.001")
+    val lin = Lineage.columnLineage(
+      SparkEntry.queries("mm_image_dedup")(spark, dir))
+    assert(lin("hamming").contains("assets.bytes"),
+      s"hamming must trace through the fingerprint artifact to the asset bytes: $lin")
+  }
 }

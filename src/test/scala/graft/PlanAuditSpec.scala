@@ -305,6 +305,25 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_weighted_median / agg_gini: two-level bucket prefix-sum (no single-group window)") {
+    // the r13 #1 lake dial, wired in r14: the row-level cumulative
+    // window must be (group, bucket)-keyed — a fat returnflag/source
+    // partition splits across the 16 range buckets instead of sorting
+    // through one task — and NO window may be unpartitioned (the
+    // prefix-offset window is group-keyed over the group×16 totals)
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("agg_weighted_median", "agg_gini")) {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+      assert(wins.nonEmpty, s"$name: expected windows in the plan")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name: unpartitioned window crept back")
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        s"$name: no (group, bucket)-partitioned window — the single-window " +
+          "shape (one task per group at lake scale) crept back")
+    }
+  }
+
   test("dq_check fuses the column checks into one scan and broadcasts the FK dims") {
     val p = formatted("dq_check")
     // exactly TWO lineitem scans: the fused five-check conditional
@@ -406,6 +425,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // win_ntile_global: 1-row split-point / total-count broadcasts
       // feeding the range bucketing and the rank formula
       "win_ntile_global",
+      // agg_weighted_median / agg_gini: the same deliberate 1-row
+      // approximate-split-point broadcast as win_ntile_global (the
+      // round-14 two-level bucket prefix-sum rewrite — r13 ask #1)
+      "agg_weighted_median", "agg_gini",
       // sample_balanced: the 1-row minority-class-count broadcast
       // feeding the per-class rank cut — same shape as
       // win_percent_topk's threshold row
@@ -459,17 +482,58 @@ class PlanAuditSpec extends SparkSpecBase {
     // cells table it JUST wrote — a deliberate, build-owned full pass
     // (the probe/serving entries prune via DPP and are NOT exempt).
     val unprunedScanAllowed = Set("ivf_index_build")
+    // Round-14 sixth check (unbounded-buffer aggregates): every hit
+    // reviewed — each is either an ORACLE-GRADE exact entry (the
+    // declared small-SF anchor its bounded sibling verifies against)
+    // or a buffer bounded by construction:
+    val unboundedBufAllowed = Set(
+      // exact quantile oracle anchors; agg_percentile_approx is the
+      // bounded sibling, and the ts_* stats passes carry the
+      // spark.graft.quantile.approx dial (pinned below: dial ON makes
+      // these pass UNallowlisted)
+      "agg_median", "agg_percentile", "win_percent_topk",
+      "ts_anomaly_mad", "ts_outlier_iqr",
+      // ts_decompose_anomaly: median/MAD over the DAY-grain residual
+      // frame — bounded by the calendar span, not event volume (its
+      // own scale note); no dial needed
+      "ts_decompose_anomaly",
+      // listagg IS the collect operator — its contract is the buffer;
+      // groups here are flag-cardinality by construction
+      "agg_listagg",
+      // PQ ADC tables: collect over (query, subspace) groups of exactly
+      // K=16 rows — bounded by the codebook, not the corpus
+      "pq_index_probe", "ivfpq_index_probe",
+      // per-DOCUMENT signature buffers (shingle set, simhash votes,
+      // Holt state seed): bounded by one row's text, never by group
+      // cardinality across rows
+      "text_dedup_shingle", "text_simhash_dedup", "ts_holt_linear")
     // the fleet-wide sweep IS the engine's user-facing preflight gate
     // (plans.PlanGuard) — the suite exercises the same code users call
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val allow = (if (bnljAllowed(name)) Set("bnlj") else Set.empty[String]) ++
         (if (unpartWinAllowed(name)) Set("unpartitioned-window") else Set.empty[String]) ++
-        (if (unprunedScanAllowed(name)) Set("unpruned-partitioned-scan") else Set.empty[String])
+        (if (unprunedScanAllowed(name)) Set("unpruned-partitioned-scan") else Set.empty[String]) ++
+        (if (unboundedBufAllowed(name)) Set("unbounded-buffer-agg") else Set.empty[String])
       val v = graft.plans.PlanGuard.audit(
         SparkEntry.queries(name)(spark, sf("sf0.001")), allow)
       if (v.nonEmpty) Some(s"$name: ${v.mkString("; ")}") else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    // the quantile DIAL is the in-engine escape hatch the check points
+    // at: with spark.graft.quantile.approx on, the ts_* stats passes
+    // plan approx_percentile and pass check #6 with NO allowlist —
+    // pinning that the allowlist above covers the oracle-grade default,
+    // not a missing implementation
+    spark.conf.set("spark.graft.quantile.approx", "true")
+    try {
+      for (name <- Seq("ts_anomaly_mad", "ts_outlier_iqr")) {
+        val v = graft.plans.PlanGuard.audit(
+          SparkEntry.queries(name)(spark, sf("sf0.001")),
+          allow = Set("bnlj", "unpartitioned-window"))
+        assert(v.forall(_.kind != "unbounded-buffer-agg"),
+          s"$name under the approx dial: ${v.mkString("; ")}")
+      }
+    } finally spark.conf.unset("spark.graft.quantile.approx")
   }
 
   test("join_scd2_pointintime: entity-key broadcast hash join, validity range as residual") {

@@ -95,6 +95,30 @@ class PlanGuardSpec extends SparkSpecBase {
       .forall(_.kind != "oversized-broadcast"))
   }
 
+  test("flags unbounded-buffer aggregates; bounded window frames and approx forms pass") {
+    // check #6: the buffer, not the plan shape, is the outage — exact
+    // percentile / collect_list / collect_set hold every group value
+    val exact = docs.groupBy($"source").agg(expr("percentile(n_chars, 0.5)").as("p50"))
+    val v = PlanGuard.audit(exact)
+    assert(v.exists(_.kind == "unbounded-buffer-agg"), v.mkString("; "))
+    assert(PlanGuard.audit(exact, allow = Set("unbounded-buffer-agg")).isEmpty)
+    val cl = docs.groupBy($"source").agg(collect_list($"doc_id").as("ids"))
+    assert(PlanGuard.audit(cl).exists(_.kind == "unbounded-buffer-agg"))
+    // median lowers to Percentile before optimization — covered
+    val med = docs.groupBy($"source").agg(median($"n_chars").as("m"))
+    assert(PlanGuard.audit(med).exists(_.kind == "unbounded-buffer-agg"),
+      PlanGuard.audit(med).mkString("; "))
+    // a BOUNDED ROWS window frame is a bounded buffer — quiet
+    val w = Window.partitionBy($"source").orderBy($"doc_id").rowsBetween(-7, 0)
+    val mov = docs.withColumn("cl", collect_list($"n_chars").over(w))
+    assert(PlanGuard.audit(mov).forall(_.kind != "unbounded-buffer-agg"),
+      PlanGuard.audit(mov).mkString("; "))
+    // the sketch form holds fixed-size state — quiet
+    val approx = docs.groupBy($"source")
+      .agg(expr("approx_percentile(n_chars, 0.5)").as("p50"))
+    assert(PlanGuard.audit(approx).forall(_.kind != "unbounded-buffer-agg"))
+  }
+
   test("a stats broadcast (grouped aggregate of a big scan) is never flagged oversized") {
     // Spark's size-only stats visitor estimates a grouped Aggregate at
     // ~its CHILD's size (it never estimates group count), so a 2-row
