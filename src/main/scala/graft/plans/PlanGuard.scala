@@ -175,10 +175,19 @@ object PlanGuard {
       // stats — that shape stays a review/PlanAuditSpec concern, and
       // running ANALYZE TABLE (CBO column stats) restores a real
       // estimate upstream of the hint.
+      // LogicalRDD leaves (localCheckpoint / cached-materialization
+      // frames) carry NO catalog stats: their sizeInBytes is the
+      // spark.sql.defaultSizeInBytes placeholder (Long.MaxValue-ish),
+      // so a perfectly bounded checkpointed frame would read as
+      // petabytes of pure placeholder. Same policy as aggregates:
+      // distrust, stay silent (the materialized frame's bound is a
+      // review/PlanAuditSpec concern).
       def estimateTrusted(p: logical.LogicalPlan): Boolean =
         !p.exists {
           case _: logical.Join => true
           case _: logical.Aggregate => true
+          case l: logical.LeafNode =>
+            l.getClass.getSimpleName.startsWith("LogicalRDD")
           case _ => false
         }
       qe.optimizedPlan.foreach {

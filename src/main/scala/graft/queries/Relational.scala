@@ -1493,9 +1493,14 @@ object Relational {
       // within a group post-aggregate, so ROWS ≡ RANGE — pinned anyway
       // against tie-semantics drift). The crossing row via filter+min,
       // never a per-group sort-and-index on the driver.
+      // g feeds three branches (split points, bucket totals, the ranked
+      // frame) — localCheckpoint so the fact groupBy SHUFFLES ONCE, not
+      // once per branch (3 fact shuffles measured at sf0.1; the
+      // materialized frame is the already-reduced (flag, price) grain)
       val g = load(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_extendedprice")
         .agg(sum($"l_quantity".cast("long")).as("w"))
+        .localCheckpoint()
       val bounds = g.agg(percentile_approx($"l_extendedprice",
         typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"))
       val bucketed = g.crossJoin(broadcast(bounds))
@@ -2095,10 +2100,15 @@ object Relational {
       // of ntile() so the semantics match at ANY n (ntile's
       // ceil/floor group split coincides only when n divides evenly).
       val o = load(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      // split points and the global count come from ONE aggregate scan
+      // (they were two separate scans + a second crossJoin), and n
+      // rides the bucketed rows so the rank formula never re-meets the
+      // fact: 4 scans of orders → 3 (bounds, bucket totals, rank pass)
       val bounds = o.agg(percentile_approx($"o_totalprice",
-        typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"))
+        typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"),
+        count(lit(1)).as("n"))
       val bucketed = o.crossJoin(broadcast(bounds))
-        .select($"o_orderkey", $"o_totalprice",
+        .select($"o_orderkey", $"o_totalprice", $"n",
           aggregate($"bs", lit(0),
             (acc, b) => acc + when($"o_totalprice" > b, 1).otherwise(0)).as("bkt"))
       val wOff = Window.orderBy($"bkt")
@@ -2106,11 +2116,9 @@ object Relational {
       val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("bn"))
         .withColumn("off", coalesce(sum($"bn").over(wOff), lit(0L)))
         .select($"bkt", $"off")
-      val n1 = o.agg(count(lit(1)).as("n"))
       val wIn = Window.partitionBy($"bkt").orderBy($"o_totalprice", $"o_orderkey")
       bucketed.join(broadcast(offs), "bkt")
         .withColumn("rk", row_number().over(wIn) + $"off")
-        .crossJoin(broadcast(n1))
         .select($"o_totalprice", expr("(rk - 1) * 4 DIV n + 1").as("quartile"))
         .groupBy($"quartile")
         .agg(count(lit(1)).as("n_orders"),

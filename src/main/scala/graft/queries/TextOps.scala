@@ -281,6 +281,28 @@ object TextOps {
         xxhash64(array_join(slice($"toks", $"start" + 1, lit(8)), " ")).as("ghash"))
   }
 
+  /** text_dedup_cross_source's one corpus-sized pass: DISTINCT
+    * (source, gram) word-5-gram stream, self-joined on the gram key
+    * with `<=` so the diagonal rows carry each source's gram total
+    * (see the entry's scale note). Factored out so PlanAuditSpec can
+    * pin the distinct-below-join shape — the entry localCheckpoints
+    * this frame, which truncates it out of the final plan's explain.
+    */
+  private[graft] def crossSourceAgg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val g = docTokens(s, dir)
+      .select($"source",
+        explode(when(size($"toks") >= 5,
+            transform(sequence(lit(1), size($"toks") - 4),
+              i => concat_ws(" ", slice($"toks", i, lit(5)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     cacheLock.synchronized {
       vsCache.keys.filter(_._1 eq s).foreach { k =>
@@ -739,18 +761,24 @@ object TextOps {
       // stage is the distinct over the gram stream, a two-phase
       // hash-agg with map-side combine. Top-20 pairs via
       // TakeOrderedAndProject.
-      val g = docTokens(s, dir)
-        .select($"source",
-          explode(when(size($"toks") >= 5,
-              transform(sequence(lit(1), size($"toks") - 4),
-                i => concat_ws(" ", slice($"toks", i, lit(5)))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-        .distinct()
-      val n = g.groupBy($"source").agg(count(lit(1)).as("n_grams"))
-      g.as("a").join(g.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("shared_grams"))
+      //
+      // SINGLE-PASS totals (r13 drift fix): the per-source gram totals
+      // used to be a separate groupBy branch, which recomputed the
+      // tokenize+explode+distinct pipeline once per broadcast side —
+      // the dominant (and only corpus-sized) stage ran 3×. The
+      // self-join now uses `<=` so the DIAGONAL carries the totals:
+      // (source, gram) is distinct, hence a row matches itself exactly
+      // once and count(src, src) = n_grams(src). One sources²-sized
+      // aggregate, localCheckpointed (≤ sources² rows — bounded at any
+      // corpus size), feeds both the pair counts and the totals: the
+      // gram pipeline runs ONCE. (Measured alternative: WITHOUT the
+      // checkpoint, ReusedExchange does NOT unify the three consumers
+      // under AQE — 1.51M shuffle records vs 0.50M checkpointed at
+      // sf0.1 — so the materialization is what enforces exactly-once.)
+      val agg = crossSourceAgg(s, dir).localCheckpoint()
+      val n = agg.filter($"src_a" === $"src_b")
+        .select($"src_a".as("source"), $"shared_grams".as("n_grams"))
+      agg.filter($"src_a" < $"src_b")
         .join(broadcast(n.select($"source".as("src_a"), $"n_grams".as("na"))), "src_a")
         .join(broadcast(n.select($"source".as("src_b"), $"n_grams".as("nb"))), "src_b")
         .select($"src_a", $"src_b", $"shared_grams",
@@ -1228,9 +1256,16 @@ object TextOps {
       val dfreq = post.groupBy($"tid").agg(count(lit(1)).as("df"))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy($"sid").orderBy($"df", $"tid")
-      val prefix = post.join(dfreq, "tid")
+      // df ≤ 64 is pushed BELOW the rank window: the window orders by df
+      // ascending, so capped rows are a PREFIX of each set's ordering and
+      // row_number over the filtered subset equals row_number over the
+      // full set for every row that passes both predicates. The per-sid
+      // sort then runs over the rare-shingle tail only — on a Zipfian
+      // corpus that is the small minority of the posting stream, and the
+      // join against the df table shrinks to the capped vocabulary.
+      val prefix = post.join(dfreq.filter($"df" <= 64), "tid")
         .withColumn("rn", row_number().over(wr))
-        .filter($"rn" <= expr("nt div 10") + 1 && $"df" <= 64)
+        .filter($"rn" <= expr("nt div 10") + 1)
         .select($"sid".as("sa"), $"tid")
       val prefCand = prefix.join(post.select($"sid".as("sb"), $"tid"), "tid")
         .filter($"sa" =!= $"sb")

@@ -343,9 +343,20 @@ class PlanAuditSpec extends SparkSpecBase {
       "top-20 must not materialize a global sort")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "gram self-join must stay equi-keyed")
-    // the distinct runs BELOW the join on both sides (bounded per-key
-    // fanout): two-phase hash aggregates feed the join inputs
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+    // the entry consumes the ONE materialized pass (r14: the corpus-
+    // sized aggregate is localCheckpointed so the gram pipeline runs
+    // once, not once per totals branch) — the final plan reads the
+    // checkpoint, never a re-tokenized scan
+    assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
+      "final plan must read the single materialized aggregate:\n" + p)
+    // the materialized pass itself: distinct runs BELOW the join on
+    // both sides (bounded per-key fanout) — two-phase hash aggregates
+    // feed the join inputs, and the join stays equi-keyed
+    val agg = graft.queries.TextOps.crossSourceAgg(spark, sf("sf0.001"))
+    val ap = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
+    assert(ap.linesIterator.count(_.contains("HashAggregate")) >= 4, ap)
   }
 
   test("ts_downsample_lttb is join-free and every window is keyed by the series") {

@@ -95,6 +95,19 @@ class PlanGuardSpec extends SparkSpecBase {
       .forall(_.kind != "oversized-broadcast"))
   }
 
+  test("a hinted broadcast of a localCheckpointed frame is never flagged oversized") {
+    // LogicalRDD leaves carry no catalog stats — sizeInBytes is the
+    // defaultSizeInBytes placeholder, so trusting it would flag every
+    // bounded checkpointed frame (the text_dedup_cross_source totals
+    // shape) as petabytes. Distrust the estimate, stay silent.
+    val ckpt = docs.select($"doc_id", $"source").limit(5).localCheckpoint()
+    spark.conf.set("spark.graft.guard.maxBroadcastBytes", "64")
+    try {
+      assert(PlanGuard.audit(docs.join(broadcast(ckpt), "doc_id"), allow = Set("bnlj"))
+        .forall(_.kind != "oversized-broadcast"))
+    } finally spark.conf.unset("spark.graft.guard.maxBroadcastBytes")
+  }
+
   test("flags unbounded-buffer aggregates; bounded window frames and approx forms pass") {
     // check #6: the buffer, not the plan shape, is the outage — exact
     // percentile / collect_list / collect_set hold every group value

@@ -2,49 +2,80 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-/** One-off candidate-mass diagnosis for text_dedup_containment:
-  *   sbt "Test/runMain graft.queries.ContainDiag <sfDir>"
+/** Dev stage attribution for text_dedup_containment (r13 verdict ask
+  * #9: cache the banded exchange across consumers) — replicates the
+  * entry's internal stages (the FuzzyDiag pattern) and times each
+  * in isolation after a warm first run.
+  * Usage: Test/runMain graft.ContainDiag <sfDir> [iters]
   */
 object ContainDiag {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    graft.functions.VectorExprs.register(s)
-    val docs = graft.Core.load(s, dir, "documents")
-      .repartition(8)
-      .select(col("doc_id"), call_function("shingles64", col("text")).as("sh"))
-    val sets = docs.groupBy(col("sh"))
-      .agg(min(col("doc_id")).as("sid"), collect_list(col("doc_id")).as("ids"))
-      .withColumn("nt", size(col("sh")))
-      .withColumnRenamed("sh", "tids")
-      .localCheckpoint()
-    println("SETS=" + sets.count())
-    val post = sets.select(col("sid"), col("nt"), explode(col("tids")).as("tid"))
-    println("POST=" + post.count())
-    val dfreq = post.groupBy(col("tid")).agg(count(lit(1)).as("df"))
-    println("VOCAB=" + dfreq.count())
+    val sfDir = args.head
+    val iters = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[contain] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    for (i <- 1 to iters) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries("text_dedup_containment")(spark, sfDir).count()
+      println(f"[contain] full iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    // stage replication (mirrors the entry internals)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select($"doc_id", call_function("shingles64", $"text").as("sh"))
+    val sets = t("sets checkpoint") {
+      docs.groupBy($"sh")
+        .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+        .withColumn("nt", size($"sh"))
+        .withColumn("bhs", TextOps.bandHashes(call_function("minhash64", $"sh")))
+        .localCheckpoint()
+    }
+    val banded = sets
+      .select($"sid", $"nt", $"sh", $"bhs", posexplode($"bhs").as(Seq("band", "bh")))
+    val firstAgree = !exists(
+      zip_with(slice($"x.bhs", lit(1), $"x.band"), slice($"y.bhs", lit(1), $"y.band"),
+        (a, b) => a === b), p => p)
+    val bandInter = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sid" < $"y.sid" && firstAgree)
+      .select($"x.sid".as("s1"), $"y.sid".as("s2"), $"x.nt".as("n1"), $"y.nt".as("n2"),
+        call_function("sorted_long_intersect_size", $"x.sh", $"y.sh").as("inter"))
+    t("bandInter count")(println("  pairs=" + bandInter.count()))
+    t("bandInter count (warm)")(bandInter.count())
+    val post = sets.select($"sid", $"nt", explode($"sh").as("tid"))
+    val dfreq = post.groupBy($"tid").agg(count(lit(1)).as("df"))
     val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sid")).orderBy(col("df"), col("tid"))
-    val prefix = post.join(broadcast(dfreq), "tid")
+      .partitionBy($"sid").orderBy($"df", $"tid")
+    val prefix = post.join(dfreq, "tid")
       .withColumn("rn", row_number().over(wr))
-      .filter(col("rn") <= expr("nt div 10") + 1 && col("df") <= 64)
-      .select(col("sid").as("sa"), col("tid"))
-    println("PREFIX=" + prefix.count())
-    val cand = prefix.join(post.select(col("sid").as("sb"), col("tid")), Seq("tid"))
-      .filter(col("sa") =!= col("sb")).select(col("sa"), col("sb"))
-    println("CAND=" + cand.count())
-    println("CANDD=" + cand.distinct().count())
-    val banded = sets.select(col("sid"),
-      posexplode(TextOps.bandHashes(call_function("minhash64", col("tids")))).as(Seq("band", "bh")))
-    val bandCand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && col("x.sid") < col("y.sid"))
-      .select(col("x.sid").as("s1"), col("y.sid").as("s2"))
-    println("BANDCAND=" + bandCand.count())
-    println("BANDCANDD=" + bandCand.distinct().count())
-    s.stop()
+      .filter($"rn" <= expr("nt div 10") + 1 && $"df" <= 64)
+      .select($"sid".as("sa"), $"tid")
+    val prefCand = prefix.join(post.select($"sid".as("sb"), $"tid"), "tid")
+      .filter($"sa" =!= $"sb")
+      .select(least($"sa", $"sb").as("s1"), greatest($"sa", $"sb").as("s2"))
+      .distinct()
+    t("prefCand count")(println("  cands=" + prefCand.count()))
+    t("prefCand count (warm)")(prefCand.count())
+    val prefInter = prefCand
+      .join(sets.select($"sid".as("s1"), $"sh".as("t1"), $"nt".as("n1"), $"bhs".as("bh1")), "s1")
+      .join(sets.select($"sid".as("s2"), $"sh".as("t2"), $"nt".as("n2"), $"bhs".as("bh2")), "s2")
+      .filter(!exists(zip_with($"bh1", $"bh2", (a, b) => a === b), p => p))
+      .select($"s1", $"s2", $"n1", $"n2",
+        call_function("sorted_long_intersect_size", $"t1", $"t2").as("inter"))
+    t("prefInter count")(println("  pref=" + prefInter.count()))
+    t("prefInter count (warm)")(prefInter.count())
+    spark.stop()
   }
 }
