@@ -500,6 +500,41 @@ object VecOps {
       .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
   }
 
+  /** DuckDB replay of vec_pca_power's integer power iteration — the
+    * unrolled-fold oracle device (TokenizerOps.trainBpe, QualityOps):
+    * the exact integer Gram (the vec_gram_matrix oracle's explode-join
+    * form), then 60 materialized (matvec, renormalize) CTE pairs
+    * mirroring the driver loop statement for statement. All integer
+    * until the final λ ratio / unit-norm projection, so the orbit is
+    * engine-independent; `//` and Java `/` agree on negatives (both
+    * truncate toward zero — verified -7/2 = -3 in both).
+    */
+  private def pcaPowerSql: String = {
+    val iters = (1 to 60).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT g.i AS i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+         |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT i,
+         |    w // greatest((SELECT max(abs(w)) FROM w$k) // 1000000, 1) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000 + 0.5) AS BIGINT) AS m,
+       |    generate_subscripts(embedding, 1) - 1 AS i
+       |  FROM embeddings),
+       |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.m*b.m) AS BIGINT) AS g
+       |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v FROM range(64) t(i)),
+       |$iters,
+       |lam AS (SELECT (SELECT max(abs(w)) FROM w60)::DOUBLE
+       |    / (SELECT max(abs(v)) FROM v59)::DOUBLE AS l),
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v60 WHERE v <> 0 ORDER BY i LIMIT 1) > 0
+       |    THEN 1.0 ELSE -1.0 END AS s),
+       |s2 AS (SELECT sqrt(sum(v*v)::DOUBLE) AS q FROM v60)
+       |SELECT v60.i AS dim, round(sg.s * v60.v / s2.q, 6) AS component,
+       |  round(lam.l, 2) AS eigenvalue
+       |FROM v60, lam, sg, s2 ORDER BY dim""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
 
     entry(
@@ -615,7 +650,13 @@ object VecOps {
         .orderBy($"d1", $"d2")
     },
 
-    entryNoOracle("vec_pca_power") { (s, dir) =>
+    // PROMOTED r14: INTEGER fixed-point power iteration — the quality-
+    // classifier device (integer state, truncating division identical
+    // in Java `/` and DuckDB `//`) applied to the eigen loop, replayed
+    // by 60 unrolled matvec+renormalize CTE pairs (the BPE fold
+    // device). Prototyped in python/duckdb against the exact integer
+    // reference BEFORE the Scala edit — matched bit-for-bit first try.
+    entry("vec_pca_power", pcaPowerSql) { (s, dir) =>
       import s.implicits._
       // Top principal direction of the embedding second-moment matrix
       // by power iteration — the drift/whitening summary a lake
@@ -625,32 +666,44 @@ object VecOps {
       // vec_gram_matrix — dims²-sized partials, no row explosion); the
       // ITERATION runs on the driver over the collected 64×64 matrix
       // (4 KB of model-sized state — the same bounded-driver contract
-      // as the BPE argmax). Fixed start vector + fixed 60 iterations
-      // on one deterministic matrix → bit-stable output. Q-gated: no
-      // SQL engine power-iterates; OperatorSpec checks the eigenpair
-      // PROPERTY (‖Gv − λv‖/λ small, ‖v‖=1) rather than re-deriving
-      // the same code path, so agreement is evidence.
+      // as the BPE argmax). The loop is ALL-INTEGER so both engines
+      // walk the same orbit: v starts at 10⁶ per dim (L∞ scale), each
+      // round is an exact long matvec then renormalization by the
+      // truncating divisor max|w| DIV 10⁶ (never the L2 norm — no
+      // sqrt inside the loop whose final ULP could differ). Overflow
+      // headroom: |w| ≤ 64·max|G|·10⁶ — 1.4·10¹³ measured at sf0.01,
+      // ~2⁶³ needs max|G| ≥ 1.4·10¹¹, i.e. ~10⁸ vectors at |v| ≤ 3;
+      // past that shard the Gram sum and widen to decimal (the
+      // GramMatrix scaladoc bound). λ = max|w| / max|v_prev| — the
+      // component ratio is norm-free and exact in the doubles both
+      // engines derive from the same two longs. The 6dp L2-unit
+      // components and the canonical sign are computed from the same
+      // integer vector on both sides.
       val dims = 64
       val g = load(s, dir, "embeddings")
         .select($"embedding".cast("array<double>").as("emb"))
         .as[Seq[Double]]
         .select(graft.functions.GramMatrix.agg(dims).toColumn)
         .head()
-      val a = Array.tabulate(dims, dims)((i, j) => g(i * dims + j).toDouble)
-      var v = Array.fill(dims)(1.0 / math.sqrt(dims))
-      var lambda = 0.0
+      var v = Array.fill(dims)(1000000L)
+      var mx = 1L
+      var vprevmax = 1000000L
       for (_ <- 1 to 60) {
-        val w = Array.tabulate(dims)(i => {
-          var acc = 0.0; var j = 0
-          while (j < dims) { acc += a(i)(j) * v(j); j += 1 }; acc
-        })
-        lambda = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(_ / lambda)
+        val w = Array.tabulate(dims) { i =>
+          var acc = 0L; var j = 0
+          while (j < dims) { acc += g(i * dims + j) * v(j); j += 1 }; acc
+        }
+        mx = w.map(math.abs).max
+        vprevmax = v.map(math.abs).max
+        val div = math.max(mx / 1000000L, 1L)
+        v = w.map(_ / div)
       }
-      // canonical sign: first nonzero component positive
-      val sgn = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+      val lambda = mx.toDouble / vprevmax.toDouble
+      // Σv² ≤ 64·(10⁶)² ≈ 6.4·10¹³ — exact in long
+      val s2 = math.sqrt(v.map(x => x * x).sum.toDouble)
+      val sgn = v.find(_ != 0L).map(x => if (x > 0) 1.0 else -1.0).getOrElse(1.0)
       s.createDataFrame(v.toSeq.zipWithIndex.map { case (c, i) =>
-        (i.toLong, BigDecimal(sgn * c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        (i.toLong, BigDecimal(sgn * c / s2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(lambda).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }).toDF("dim", "component", "eigenvalue")
         .orderBy($"dim")
