@@ -1635,6 +1635,11 @@ object TextOps {
       // native simhash64 codegen expression keeps serving the
       // streaming admission path, which needs one-pass per-row
       // signatures and no oracle.)
+      // sets feeds three branches (the vote stream, the signature
+      // join-back, the final pair expansion) — localCheckpoint so the
+      // tokenize + set groupBy runs once, not per branch (the
+      // containment/cross_source exactly-once device; |distinct sets|
+      // rows, the already-reduced grain)
       val sets = load(s, dir, "documents")
         // single-row-group fixture → parallelize the tokenize (as docTokens)
         .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -1642,22 +1647,31 @@ object TextOps {
         .filter(size($"toks") > 0)
         .groupBy($"toks")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
-      // per-(set, dim) signed vote stream: every token contributes ±1
-      // to each of the 64 dims; the packed signature is Σ 2^dim over
-      // positive dims (distinct powers — the bit-63 term is
-      // Long.MinValue and the sum stays exactly representable)
-      val votes = sets.select($"sid", explode($"toks").as("tk"))
+        .localCheckpoint()
+      // per-dim signed votes as 64 CONDITIONAL-SUM COLUMNS, not a
+      // (set, dim) row explosion: sv(dim) = Σ±1 = 2·bitcount(dim) − n,
+      // so 64 sum(bit) aggregates + one count carry the same votes in
+      // ONE pass over the (set, token) stream — the exploded form
+      // iterated 64 rows per token (64× the hot-loop rows) and shuffled
+      // a 64×|sets| vote frame; this shuffles |sets| rows of 65
+      // counters and stays in whole-stage codegen. The packed
+      // signature is Σ 2^dim over dims with 2·bitcount > n (distinct
+      // powers — the bit-63 term is Long.MinValue and the sum stays
+      // exactly representable)
+      val tok = sets.select($"sid", explode($"toks").as("tk"))
         .select($"sid",
           conv(substring(md5($"tk"), 1, 8), 16, 10).cast("long").as("hi"),
           conv(substring(md5($"tk"), 9, 8), 16, 10).cast("long").as("lo"))
-        .select($"sid", posexplode(expr(
-          "transform(sequence(0, 63), i -> CASE WHEN ((CASE WHEN i < 32 " +
-            "THEN shiftrightunsigned(lo, i) ELSE shiftrightunsigned(hi, i - 32) END) & 1) = 1 " +
-            "THEN 1 ELSE -1 END)")).as(Seq("dim", "pm")))
-        .groupBy($"sid", $"dim").agg(sum($"pm").as("sv"))
-      val sims = votes.groupBy($"sid").agg(
-        sum(expr("CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), dim) ELSE CAST(0 AS BIGINT) END"))
-          .as("sim"))
+      val bitCols = (0 until 64).map { i =>
+        val half = if (i < 32) $"lo" else $"hi"
+        sum(shiftrightunsigned(half, i % 32).bitwiseAND(lit(1L))).as(s"b$i")
+      }
+      val counts = tok.groupBy($"sid")
+        .agg(count(lit(1)).as("n"), bitCols: _*)
+      val sims = counts.select($"sid",
+        (0 until 64).map(i =>
+            when(col(s"b$i") * 2 > $"n", shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
       val signedSets = sets.join(sims, "sid")
       val chunked = signedSets.select($"sid", $"sim",
           posexplode(expr(
