@@ -177,6 +177,14 @@ object VecOps {
   /** The 137 bucket keys within Hamming distance 2 of a band key. */
   private[graft] def probeKeys(bk: Column): Column = probeKeysW(bk, 16)
 
+  /** The 1+w bucket keys within Hamming distance 1 of a w-bit band key
+    * — the per-side expansion of the midpoint-join device (two ≤1
+    * rings meeting on a shared key cover exactly Hamming ≤ 2).
+    */
+  private[graft] def probeKeys1W(bk: Column, w: Int): Column =
+    transform(typedlit(Seq(0L) ++ (0 until w).map(i => 1L << i)),
+      m => bk.bitwiseXOR(m))
+
   /** Wide multi-probe: ≤3 bits (137 + 560 = 697 masks). The recall/cost
     * dial one notch further — used by the QUERY-BOUNDED probe paths
     * (vec_index_probe / vec_index_incremental), where the probe side is
@@ -918,11 +926,19 @@ object VecOps {
       // stage — shuffling 64-double arrays through it was the dominant
       // cost), and BOTH sides read the one memoized signature frame.
       val sigd = bandedSigsW(s, dir, wBits)
-      // one side expands to its 1+w+C(w,2) probe keys; x's probe key
-      // equals y's stored key exactly when their band signatures differ
-      // in ≤2 bits (the XOR of the keys IS the flipped-bit mask)
-      val probes = sigd.select($"vec_id", $"band", explode(probeKeysW($"bk", wBits)).as("bk"))
-      val cand = probes.as("x").join(sigd.as("y"),
+      // BOTH sides expand to their 1+w Hamming-≤1 keys and meet on the
+      // midpoint key: x⊕i = y⊕j ⟺ x⊕y = i⊕j ⟺ d(x, y) ≤ 2 — the
+      // EXACT same candidate set as the one-sided ≤2 expansion, at
+      // 2·(1+w) exploded rows per band row instead of 1+w+C(w,2)
+      // (5.8× fewer at w=23; the one-sided form's C(w,2) term made the
+      // probe stream the dominant cost at the 25× corpus — 55M rows).
+      // The self-join reuses one exchange for both sides. A pair can
+      // now surface via ≤3 midpoints per band (≤12 copies total) — all
+      // exact ties under (score desc, b_id), which the dense_rank +
+      // post-rank distinct below already dedups.
+      val probe1 = sigd.select($"vec_id", $"band",
+        explode(probeKeys1W($"bk", wBits)).as("bk"))
+      val cand = probe1.as("x").join(probe1.as("y"),
           $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
       // A pair can surface once per band (≤4 copies; measured ~1%
