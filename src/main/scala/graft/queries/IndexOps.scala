@@ -718,21 +718,30 @@ object IndexOps {
         // matching the novelVectors/append zero-norm contract
         .filter($"b_n" > 0)
         .withColumn("bands", VecOps.lshBandKeys($"b_emb"))
+        // the batch feeds the probe explosion AND the post-candidate
+        // embedding join-back — localCheckpoint so the corpus table is
+        // scanned once for the batch read (the ingest batch is the
+        // bounded side by contract)
+        .localCheckpoint()
       // wide (Hamming-≤3) multi-probe on the batch (query) side: ×697
       // narrow key rows, joined against the one-row-per-(vector, band)
       // persisted index — the batch is the bounded side, so the extra
-      // Hamming ring costs key rows, not candidate blowup
-      val qb = batch.select($"b_id", $"b_emb", $"b_n",
-          posexplode($"bands").as(Seq("band", "bk")))
-        .select($"b_id", $"b_emb", $"b_n", $"band",
-          explode(VecOps.probeKeysWide($"bk")).as("bk"))
+      // Hamming ring costs key rows, not candidate blowup. The probe
+      // rows carry IDS ONLY: riding b_emb through the ×2,788 explosion
+      // shipped a 64-double array on every probe row (measured 2.4 GB
+      // of exchange at the 25× fixture, where the stand-in batch is
+      // corpus-proportional) — the batch embeddings re-join AFTER the
+      // candidate distinct, on the |candidates|-sized stream.
+      val qb = batch.select($"b_id", posexplode($"bands").as(Seq("band", "bk")))
+        .select($"b_id", $"band", explode(VecOps.probeKeysWide($"bk")).as("bk"))
       val cand = s.read.parquet(s"$path/vec_bands.parquet")
         .join(qb, Seq("band", "bk"))
         .filter($"vec_id" =!= $"b_id")
-        .select($"b_id", $"b_emb", $"b_n", $"vec_id").distinct()
+        .select($"b_id", $"vec_id").distinct()
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
-      cand.join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+      cand.join(batch.select($"b_id", $"b_emb", $"b_n"), "b_id")
+        .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(w))
