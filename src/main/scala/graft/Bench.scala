@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,33 @@ object Bench {
       Seq.fill(3)(once()).min
     }
     val floorStart = noiseFloor()
+    // Per-entry shuffle records/bytes (r14 verdict ask #2): wall clock on
+    // this box swings 5-10× with neighbour load, but shuffle records are
+    // a property of the PLAN — the round-over-round regression signal of
+    // record. The listener accumulates stage-level shuffle-write metrics;
+    // counters are reset before each entry's SECOND timed run (the warm,
+    // steady-state one — records are plan-deterministic, so either run
+    // reads the same) and snapshotted after a short event-bus drain.
+    val shufRecs = new AtomicLong(0)
+    val shufBytes = new AtomicLong(0)
+    val lastEvent = new AtomicLong(System.nanoTime())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+        lastEvent.set(System.nanoTime())
+      }
+    })
+    // listener events are async — wait for 150ms of bus silence (short:
+    // ~250 entries pay this once each; events land within single-digit ms
+    // on an idle bus, and a missed straggler only shifts a few records
+    // between adjacent entries, never the seconds)
+    def drain(): Unit =
+      while ((System.nanoTime() - lastEvent.get()) < 150L * 1000 * 1000)
+        Thread.sleep(25)
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query doesn't absorb ~5s of JVM warmup. One cheap query per
     // module family — relational, text (tokenize/explode paths), vector
@@ -72,12 +101,21 @@ object Bench {
     //    silently absorb each cache build and the build cost would be
     //    attributed NOWHERE; these lines own the one-time costs so every
     //    per-query number below is an explicit warm marginal cost.
-    def setupStep(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      val ok = try { f; true } catch { case _: Throwable => false }
-      // same failure convention as timed(): -1, never elapsed-until-crash
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // per-entry (records, bytes) snapshots, keyed like the seconds map
+    val recMap = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def recorded(name: String)(run: => Double): Double = {
+      drain(); shufRecs.set(0); shufBytes.set(0)
+      val sec = run
+      drain(); recMap(name) = (shufRecs.get, shufBytes.get)
+      sec
     }
+    def setupStep(name: String)(f: => Unit): (String, Double) =
+      name -> recorded(name) {
+        val t0 = System.nanoTime()
+        val ok = try { f; true } catch { case _: Throwable => false }
+        // same failure convention as timed(): -1, never elapsed-until-crash
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
     //  - setup_{sim,vec,ivf,pq,ivfpq}_index / setup_{mix,hll}_state: each
     //    persisted index/state family ensured current as ITS OWN named
     //    line — a COLD lake (fresh checkout, version bump) pays its
@@ -116,7 +154,11 @@ object Bench {
     val midFloors = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
     val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 50 == 0) midFloors += ((i, name, noiseFloor()))
-      val m = math.min(timed(fn), timed(fn))
+      // records come from the SECOND run (steady-state; plan-identical to
+      // the first, so the snapshot is run-order independent)
+      val t1 = timed(fn)
+      val t2 = recorded(name)(timed(fn))
+      val m = math.min(t1, t2)
       name -> (if (m.isInfinity) -1.0 else m)
     } ++ setups
     // ascending by time: the driver's log capture keeps the TAIL of a
@@ -124,10 +166,20 @@ object Bench {
     // the end to survive head-truncation — and -1 failure markers sort
     // LAST of all (a failure is at least as informative as the slowest
     // query; at the head it would be the first thing truncated away)
-    val qs = results.toSeq
+    val sorted = results.toSeq
       .sortBy { case (_, v) => if (v < 0) Double.PositiveInfinity else v }
+    val qs = sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-entry [shuffle records, shuffle bytes], same ascending-by-time
+    // order as the seconds so the expensive entries' records survive a
+    // head-truncated log capture too
+    val recs = sorted
+      .flatMap { case (k, _) => recMap.get(k).map(r => s"\"$k\":[${r._1},${r._2}]") }
+      .mkString("{", ",", "}")
+    val recTotals =
+      s""""shuf_recs_total":${recMap.values.map(_._1).sum},""" +
+        s""""shuf_mb_total":${recMap.values.map(_._2).sum / 1e6}"""
     // failures are excluded from the headline sum: a query regressing
     // into a crash must not LOWER the total and read as a speedup
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -139,13 +191,13 @@ object Bench {
       .map { case (i, name, f) => s"""[$i,"$name",$f]""" }.mkString("[", ",", "]")
     val floors =
       s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd,"noise_floor_mid":$mids"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$floors,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$floors,$recTotals,"queries":$qs,"records":$recs,"sf":"$sfDir"}""")
     // Short trailing duplicate of the headline number: the full line above
     // can exceed the driver's log-tail capture, truncating from the HEAD —
     // this one-liner always survives a tail cut. Distinct metric name so
     // consumers that sum "total" lines can't double-count. Carries the
     // floor too: the tail line is often the only one a log capture keeps.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -810,8 +810,15 @@ object PipelineOps {
       // source×16 bucket-counts frame). Approximation only affects
       // bucket balance, never rank correctness.
       TextOps.requireDocMeta(s, dir, "source")
+      // t feeds three branches (the percentile bounds pass, the offs
+      // groupBy, and the final rank join) — localCheckpoint the reduced
+      // (source, doc_id, nt) grain so the docTokens projection runs
+      // ONCE, not once per branch (agg_weighted_median's identical fix
+      // measured 1.78M → 1.19M shuffle records; ReusedExchange does NOT
+      // unify these branches on its own — measured control in SCALE.md)
       val t = TextOps.docTokens(s, dir)
         .select($"source", $"doc_id", size($"toks").cast("long").as("nt"))
+        .localCheckpoint()
       val bounds = t.agg(percentile_approx($"nt",
         typedLit((1 to 15).map(_ / 16.0)), lit(10000)).as("bs"))
       val bucketed = t.crossJoin(broadcast(bounds))

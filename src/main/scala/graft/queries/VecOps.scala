@@ -535,7 +535,8 @@ object VecOps {
        |$iters,
        |lam AS (SELECT (SELECT max(abs(w)) FROM w60)::DOUBLE
        |    / (SELECT max(abs(v)) FROM v59)::DOUBLE AS l),
-       |sg AS (SELECT CASE WHEN (SELECT v FROM v60 WHERE v <> 0 ORDER BY i LIMIT 1) > 0
+       |sg AS (SELECT CASE WHEN COALESCE(
+       |      (SELECT v FROM v60 WHERE v <> 0 ORDER BY i LIMIT 1) > 0, TRUE)
        |    THEN 1.0 ELSE -1.0 END AS s),
        |s2 AS (SELECT sqrt(sum(v*v)::DOUBLE) AS q FROM v60)
        |SELECT v60.i AS dim, round(sg.s * v60.v / s2.q, 6) AS component,
@@ -679,10 +680,12 @@ object VecOps {
       // round is an exact long matvec then renormalization by the
       // truncating divisor max|w| DIV 10⁶ (never the L2 norm — no
       // sqrt inside the loop whose final ULP could differ). Overflow
-      // headroom: |w| ≤ 64·max|G|·10⁶ — 1.4·10¹³ measured at sf0.01,
-      // ~2⁶³ needs max|G| ≥ 1.4·10¹¹, i.e. ~10⁸ vectors at |v| ≤ 3;
-      // past that shard the Gram sum and widen to decimal (the
-      // GramMatrix scaladoc bound). λ = max|w| / max|v_prev| — the
+      // headroom: the truncating divisor max(max|w| DIV 10⁶, 1) lets
+      // |v| reach just under 2·10⁶ (max|w|=1,999,999 → div=1), so
+      // |w| < 64·max|G|·2·10⁶ — ~2⁶³ needs max|G| ≳ 7·10¹⁰, i.e.
+      // ~5·10⁷ vectors at |v| ≤ 3 (2.8·10¹³ observed headroom at
+      // sf0.01); past that shard the Gram sum and widen to decimal
+      // (the GramMatrix scaladoc bound). λ = max|w| / max|v_prev| — the
       // component ratio is norm-free and exact in the doubles both
       // engines derive from the same two longs. The 6dp L2-unit
       // components and the canonical sign are computed from the same
@@ -932,10 +935,15 @@ object VecOps {
       // 2·(1+w) exploded rows per band row instead of 1+w+C(w,2)
       // (5.8× fewer at w=23; the one-sided form's C(w,2) term made the
       // probe stream the dominant cost at the 25× corpus — 55M rows).
-      // The self-join reuses one exchange for both sides. A pair can
-      // now surface via ≤3 midpoints per band (≤12 copies total) — all
-      // exact ties under (score desc, b_id), which the dense_rank +
-      // post-rank distinct below already dedups.
+      // The self-join reuses one exchange for both sides. Per band a
+      // pair surfaces via ≤3 midpoints when d(x,y)∈{1,2}, but 1+w
+      // midpoints when the band keys are IDENTICAL (d=0, the plain
+      // bucket collision — every Hamming-≤1 key is shared), so the
+      // worst case is 4·(1+w) ≈ 96 copies. Measured collision mass is
+      // tiny and every copy is an exact tie under (score desc, b_id),
+      // which the dense_rank + post-rank distinct below already
+      // dedups; if exact-collision mass ever grows, dedup bk-equal
+      // pairs before the probe expansion.
       val probe1 = sigd.select($"vec_id", $"band",
         explode(probeKeys1W($"bk", wBits)).as("bk"))
       val cand = probe1.as("x").join(probe1.as("y"),
