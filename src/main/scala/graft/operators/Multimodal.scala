@@ -264,6 +264,59 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic PDF corpus for the PDF-embedded-image
+    * pipeline (mm_pdf_images): n minimal PDFs, each embedding TWO
+    * baseline-JPEG `/Subtype /Image` XObjects behind `/Filter
+    * /DCTDecode` (the stream shape PdfText.jpegImages extracts;
+    * reference pypdf image surface, engine.py:29-33) beside a plain
+    * text page stream. Image 0 is a unique id-seeded raster; image 1
+    * is a shared "logo" raster seeded by pdf_id % 7, so PDFs in the
+    * same logo class embed byte-identical JPEGs — the boilerplate-
+    * image duplication a corpus audit hunts across documents.
+    */
+  def syntheticPdfs(spark: SparkSession, n: Int): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.range(n).map(id => (id, pdfWithJpegs(id)))
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", b)
+    b.toByteArray
+  }
+
+  private def pdfWithJpegs(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def imgObj(num: Int, jpg: Array[Byte]): Unit = {
+      w(s"$num 0 obj << /Subtype /Image /Width 8 /Height 8 " +
+        s"/Filter /DCTDecode /Length ${jpg.length} >> stream\n")
+      out.write(jpg); w("\nendstream endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val txt = s"BT (synthetic pdf $id) Tj ET"
+    w(s"1 0 obj << /Length ${txt.length} >> stream\n")
+    w(txt); w("\nendstream endobj\n")
+    imgObj(2, encodeJpeg(noiseRaster(10000L + id)))
+    imgObj(3, encodeJpeg(noiseRaster(id % 7)))
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Seeded 16×16 noise raster: distinct seeds land ~32 dHash bits
+    * apart (far above the ≤6 pair threshold), so the only pdf-image
+    * pairs are the byte-identical shared logos — the 8×8 gradient
+    * family used by the asset fixtures is dHash-degenerate (low
+    * gradient entropy) and would pair half the corpus.
+    */
+  private def noiseRaster(seed: Long): java.awt.image.BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+    img
+  }
+
   private def syntheticImage(id: Long, frame: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 8; x <- 0 until 8) {

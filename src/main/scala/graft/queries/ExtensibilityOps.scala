@@ -357,6 +357,25 @@ object ExtensibilityOps {
       // Hard-oracled through the persisted fingerprint artifact exactly
       // like mm_image_dedup above.
       mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "audio")))
+    },
+
+    entry(
+      "mm_pdf_images", mmDedupOracle("pdf")
+    ) { (s, dir) =>
+      import s.implicits._
+      // PDF-embedded image dedup (r14 verdict ask #7) — the end-to-end
+      // composition of the two r14 pieces: PdfText.jpegImages extracts
+      // the real baseline-JPEG rasters out of each PDF's /DCTDecode
+      // image XObjects (pypdf's image surface, engine.py:29-33), and
+      // the mm_image_dedup machinery fingerprints them (ImageIO decode
+      // → dHash) into the same stamped lake artifact family, banded
+      // 4×16 with Hamming ≤ 6 verify — which PDFs share an (almost)
+      // identical embedded image, the boilerplate-raster audit a
+      // document corpus runs before training on extracted figures.
+      // asset_id = pdf_id·100 + stream index, so a pair decodes
+      // directly to (which two PDFs, which image slot). Relational
+      // stage + oracle are shared verbatim with mm_image_dedup.
+      mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "pdf")))
     }
   )
 
@@ -364,7 +383,7 @@ object ExtensibilityOps {
     * bump with any change to the codec hash math (dhash64 /
     * audioFingerprint64 / fallback MurmurHash) or the asset synthesis.
     */
-  private val mmFpVersion = "mmfp-v1:dhash64;afp64;murmur-fallback;assets120;lin1"
+  private val mmFpVersion = "mmfp-v3:dhash64;afp64;murmur-fallback;assets120;pdf42x2-noise16-logo7;lin1"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake
@@ -378,12 +397,27 @@ object ExtensibilityOps {
     val table = s"mmfp_$kind"
     if (!IndexOps.indexCurrent(path, Seq(table), table, mmFpVersion)) {
       IndexOps.clearStamp(path, table)
-      val assets = graft.operators.Multimodal.syntheticAssets(s, 120)
       val df = kind match {
-        case "image" => graft.operators.Multimodal.imageHashes(assets).toDF()
-          .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
-        case _ => graft.operators.Multimodal.audioHashes(assets).toDF()
-          .select(col("asset_id"), col("afp").as("h"), col("decoded"))
+        case "pdf" =>
+          // pdf corpus → extracted JPEG streams → the image hash kernel
+          import s.implicits._
+          val extracted = graft.operators.Multimodal.syntheticPdfs(s, 42)
+            .flatMap { case (pid, bytes) =>
+              graft.sources.PdfText.jpegImages(bytes).zipWithIndex.map {
+                case (jpg, i) =>
+                  graft.operators.Multimodal.Asset(pid * 100 + i, "image", jpg, 8, 8, 0L)
+              }
+            }
+          graft.operators.Multimodal.imageHashes(extracted).toDF()
+            .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
+        case "image" =>
+          graft.operators.Multimodal
+            .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
+            .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
+        case _ =>
+          graft.operators.Multimodal
+            .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
+            .select(col("asset_id"), col("afp").as("h"), col("decoded"))
       }
       graft.sources.Ingest.stageAndSwap(df, path, table)
       // declared lineage map (r13 verdict ask #3): the codec kernels run
@@ -392,10 +426,12 @@ object ExtensibilityOps {
       // every fingerprint column is a pure function of the asset bytes
       // (in production `assets` is the lake's media table; here the
       // deterministic synthetic generator stands in for it)
+      val src = if (kind == "pdf") "pdfs.data" else "assets.bytes"
+      val idSrc = if (kind == "pdf") "pdfs.pdf_id" else "assets.asset_id"
       graft.plans.Lineage.writeSidecar(s"$path/$table.parquet", Map(
-        "asset_id" -> Set("assets.asset_id"),
-        "h"        -> Set("assets.bytes"),
-        "decoded"  -> Set("assets.bytes")))
+        "asset_id" -> Set(idSrc),
+        "h"        -> Set(src),
+        "decoded"  -> Set(src)))
       IndexOps.writeStamp(path, table, mmFpVersion)
     }
     s"$path/$table.parquet"
@@ -405,7 +441,7 @@ object ExtensibilityOps {
     * candidate join over (asset_id, h, decoded), Hamming ≤ 6 verify,
     * exact-match rule for non-perceptual (fallback) hashes.
     */
-  private def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = h.select(col("asset_id"), col("h"), col("decoded"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

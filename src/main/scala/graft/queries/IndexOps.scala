@@ -73,7 +73,7 @@ object IndexOps {
     * serving stale structure.
     */
   private[graft] val simIndexVersion = "sim-v2:xxhash64-tokens;minhash64;bands16x4;lin1"
-  private[graft] val vecIndexVersion = "vec-v2:dotp-norm;hyperplane64;bands4x16;probe-h2;lin1"
+  private[graft] val vecIndexVersion = "vec-v3:dotp-norm;hyperplane4xW;w-dial-h3c3;probe-h3;lin1"
 
   /** Cheap SOURCE-DATA identity fingerprint folded into every family's
     * stamp: (file name, length, mtime) of each file under the listed
@@ -583,14 +583,14 @@ object IndexOps {
 
     entry(
       "vec_index_build",
-      s"""WITH ${VecOps.lshBandsCteSql},
+      s"""WITH ${VecOps.vecIndexBandsCteSql},
          |n AS (SELECT count(*) AS n_vecs FROM embeddings)
          |SELECT band, count(*) AS n_sigs, count(DISTINCT bk) AS n_buckets, n_vecs
          |FROM bands, n GROUP BY band, n_vecs ORDER BY band""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
       // HARD-ORACLED (round 12, literal-planes device — see
-      // VecOps.lshBandsCteSql): the declared per-band summary of the
+      // VecOps.vecIndexBandsCteSql): the declared per-band summary of the
       // PERSISTED tables is replayed by DuckDB recomputing every
       // signature from the literal ±1 plane matrix, so a signing or
       // layout drift in the stored index hash-mismatches.
@@ -605,7 +605,7 @@ object IndexOps {
 
     entry(
       "vec_index_probe",
-      s"""WITH ${VecOps.lshBandsCteSql},
+      s"""WITH ${VecOps.vecIndexBandsCteSql},
          |q AS (SELECT band, bk FROM bands WHERE vec_id = 0),
          |qv AS (SELECT embedding::DOUBLE[] AS qemb,
          |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
@@ -621,12 +621,17 @@ object IndexOps {
       import s.implicits._
       VectorExprs.register(s)
       val path = ensureVecIndex(s, dir)
+      // the artifact's FROZEN width — probes must sign exactly like the
+      // build did (r14 verdict ask #1), so w comes from the vec_w file,
+      // never re-derived from the (possibly grown) corpus
+      val w = readVecW(path)
       // Sign the 1-row query CLIENT-SIDE (bounded 1-row collect — the
       // sim_index_probe pattern): the Hamming-≤3 multi-probe ring is
-      // expanded driver-side into 4 × 697 literal bucket keys, pushed
-      // as band-dir pruning + an In(bk, …) filter on the bk-sorted
-      // index. The stored index keeps one row per (vector, band); a
-      // join form would scan all of it per probe.
+      // expanded driver-side into 4 × (1+w+C(w,2)+C(w,3)) literal
+      // bucket keys (697 at w=16), pushed as band-dir pruning + an
+      // In(bk, …) filter on the bk-sorted index. The stored index keeps
+      // one row per (vector, band); a join form would scan all of it
+      // per probe.
       val qrows = load(s, dir, "embeddings")
         .filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>").as("qemb"))
@@ -634,7 +639,7 @@ object IndexOps {
         // a zero-norm query (cosine undefined) must yield an empty
         // result, not NaN scores that sort above every real neighbor
         .filter($"qnorm" > 0)
-        .withColumn("bands", VecOps.lshBandKeys($"qemb"))
+        .withColumn("bands", VecOps.lshBandKeysW($"qemb", w))
         .collect()
       if (qrows.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -661,7 +666,7 @@ object IndexOps {
         // (see sim_index_probe / the object doc for the layout story)
         val probePred = qkeys.zipWithIndex.map { case (k, b) =>
           $"band" === b &&
-            $"bk".isInCollection(VecOps.probeMasksWide.map(_ ^ k))
+            $"bk".isInCollection(VecOps.probeMasksWideW(w).map(_ ^ k))
         }.reduce(_ || _)
         val cand = s.read.parquet(s"$path/vec_bands.parquet")
           .filter(probePred)
@@ -678,7 +683,7 @@ object IndexOps {
 
     entry(
       "vec_index_incremental",
-      s"""WITH ${VecOps.lshBandsCteSql},
+      s"""WITH ${VecOps.vecIndexBandsCteSql},
          |batch AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS b_emb FROM embeddings
          |  WHERE vec_id % 10 = 7
          |    AND sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
@@ -703,6 +708,12 @@ object IndexOps {
       // equivalent to the stored probeKeysWide mask expansion), and the
       // 6dp cosine row_number ranking.
       val path = ensureVecIndex(s, dir)
+      // batch signing at the artifact's FROZEN width (see
+      // vec_index_probe) — the cure for the r14-documented cliff where
+      // a frozen w=16 pulled ~17% of a 50k corpus into each batch
+      // vector's Hamming-≤3 ring: the BUILD now widens w with corpus
+      // size, and this path follows the stored width
+      val w = readVecW(path)
       // Incremental ANN lookup for a NEW embedding batch (vec_id % 10
       // == 7 stands in for today's ingest): sign only the batch, band-
       // join the persisted index, exact-cosine top-3 per batch vector.
@@ -717,7 +728,7 @@ object IndexOps {
         // the declared output (NaN scores would rank FIRST under desc),
         // matching the novelVectors/append zero-norm contract
         .filter($"b_n" > 0)
-        .withColumn("bands", VecOps.lshBandKeys($"b_emb"))
+        .withColumn("bands", VecOps.lshBandKeysW($"b_emb", w))
         // the batch feeds the probe explosion AND the post-candidate
         // embedding join-back — localCheckpoint so the corpus table is
         // scanned once for the batch read (the ingest batch is the
@@ -733,18 +744,18 @@ object IndexOps {
       // corpus-proportional) — the batch embeddings re-join AFTER the
       // candidate distinct, on the |candidates|-sized stream.
       val qb = batch.select($"b_id", posexplode($"bands").as(Seq("band", "bk")))
-        .select($"b_id", $"band", explode(VecOps.probeKeysWide($"bk")).as("bk"))
+        .select($"b_id", $"band", explode(VecOps.probeKeysWideW($"bk", w)).as("bk"))
       val cand = s.read.parquet(s"$path/vec_bands.parquet")
         .join(qb, Seq("band", "bk"))
         .filter($"vec_id" =!= $"b_id")
         .select($"b_id", $"vec_id").distinct()
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
+      val wRank = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
       cand.join(batch.select($"b_id", $"b_emb", $"b_n"), "b_id")
         .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(wRank))
         .filter($"rnk" <= 3)
         .select($"b_id", $"rnk", $"vec_id", $"score")
         .orderBy($"b_id", $"rnk")
@@ -948,18 +959,55 @@ object IndexOps {
     // truncating its plan), so the map is computed from the written
     // frame — probe consumers trace to embeddings.embedding
     graft.plans.Lineage.writeSidecar(vecs, s"$path/vecs.parquet")
+    // CORPUS-SIZED band width (r14 verdict ask #1): w is derived from
+    // the source corpus size at build time (footer-metadata count, no
+    // scan) and FROZEN into the artifact via the vec_w file — every
+    // later signer (probe, incremental, novelty gate, append) reads the
+    // stored w, never re-derives it, so appends to a grown corpus still
+    // sign exactly like the build. A source-data change restamps
+    // (dataStamp fingerprints the table bytes) and the rebuild
+    // re-derives w — size-class staleness is subsumed by the data stamp.
+    val w = VecOps.vecIndexBandBits(VecOps.vecCorpusN(s, dir))
+    writeVecW(path, w)
     // band rows come from the session-memoized signature frame — shared
-    // with the in-plan LSH join, so signatures are computed once per
-    // session no matter which consumer runs first (and can never drift).
-    // Same probe-serving layout as the sim bands: (band, bk)-sorted row
-    // groups, so the literal multi-probe predicates stat-skip.
-    val bands = VecOps.bandedSigs(s, dir)
+    // with the index-width warm frame, so signatures are computed once
+    // per session no matter which consumer runs first (and can never
+    // drift). Same probe-serving layout as the sim bands: (band,
+    // bk)-sorted row groups, so the literal multi-probe predicates
+    // stat-skip.
+    val bands = VecOps.bandedSigsW(s, dir, w)
       .repartitionByRange(col("band"), col("bk"))
       .sortWithinPartitions(col("band"), col("bk"))
     bands.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/vec_bands.parquet")
     graft.plans.Lineage.writeSidecar(bands, s"$path/vec_bands.parquet")
     path
+  }
+
+  /** The artifact's frozen band width — written at build time beside
+    * the tables, read by every probe/append signer. Same java.io
+    * handling as the version stamps (the lake root is local in this
+    * harness; both would move to the Hadoop FS API together).
+    */
+  private def vecWFile(path: String) = new java.io.File(s"$path/vec_w")
+
+  private def writeVecW(path: String, w: Int): Unit = {
+    val f = vecWFile(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, w.toString.getBytes("UTF-8"))
+  }
+
+  private[graft] def readVecW(path: String): Int = {
+    val f = vecWFile(path)
+    // loud, never a silent 16: signing a probe at a width other than
+    // the build's returns WRONG (empty-ish) candidates with no error —
+    // exactly the drift class the version stamps exist to prevent. A
+    // missing file means the artifact predates the w-dial; the v3
+    // version bump restamps those through the normal rebuild path.
+    require(f.exists,
+      s"[graft] vec index at $path has no vec_w width file — stale " +
+        "pre-dial artifact; ensureVecIndex should have rebuilt it")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
   }
 
   /** Vector-side novelty filter against the persisted ANN index: the
@@ -984,16 +1032,17 @@ object IndexOps {
                                   ns: String = ""): DataFrame = {
     VectorExprs.register(s)
     val path = ensureVecIndex(s, dir, ns)
+    val w = readVecW(path) // sign at the artifact's frozen width
     val signed = batch.select(col("vec_id").as("b_id"),
         col("embedding").cast("array<double>").as("b_emb"))
       .withColumn("b_n", sqrt(call_function("dotp", col("b_emb"), col("b_emb"))))
       .filter(col("b_n") > 0)
-      .withColumn("bands", VecOps.lshBandKeys(col("b_emb")))
+      .withColumn("bands", VecOps.lshBandKeysW(col("b_emb"), w))
     val qb = signed.select(col("b_id"), col("b_emb"), col("b_n"),
       posexplode(col("bands")).as(Seq("band", "bk")))
     // multi-probe side: one probe row per (batch vector, band, mask)
     val qprobe = qb.select(col("b_id"), col("b_emb"), col("b_n"), col("band"),
-      explode(VecOps.probeKeys(col("bk"))).as("bk"))
+      explode(VecOps.probeKeysW(col("bk"), w)).as("bk"))
     val cos = call_function("dotp", col("emb"), col("b_emb")) / (col("norm") * col("b_n"))
     val dupVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
       .join(qprobe, Seq("band", "bk"))
@@ -1028,10 +1077,15 @@ object IndexOps {
     maybeCompact(s, dir, ns, "vec_bands")  // see maybeCompact: the append path owns its cadence
   }
 
-  /** Known-path append, no ensure — see [[appendToIndexAt]]. */
+  /** Known-path append, no ensure — see [[appendToIndexAt]]. Appends
+    * sign at the artifact's FROZEN width (vec_w): mixing widths in one
+    * bands table would make stored keys incomparable. The dial only
+    * moves on a REBUILD (source-data restamp), never on growth.
+    */
   private[graft] def appendToVecIndexAt(s: SparkSession, path: String,
                                         admitted: DataFrame): Unit = {
     VectorExprs.register(s)
+    val w = readVecW(path)
     val signed = admitted.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(call_function("dotp", col("emb"), col("emb"))))
@@ -1039,7 +1093,7 @@ object IndexOps {
     signed.select(col("vec_id"), col("emb"), col("norm"))
       .write.mode(SaveMode.Append).parquet(s"$path/vecs.parquet")
     signed.select(col("vec_id"),
-        posexplode(VecOps.lshBandKeys(col("emb"))).as(Seq("band", "bk")))
+        posexplode(VecOps.lshBandKeysW(col("emb"), w)).as(Seq("band", "bk")))
       .write.mode(SaveMode.Append).parquet(s"$path/vec_bands.parquet")
   }
 

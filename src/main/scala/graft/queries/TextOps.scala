@@ -382,7 +382,7 @@ object TextOps {
     // near-dup pair-graph build is attributed here, not silently inside
     // text_dedup_near's first timed run.
     val vecBuilds = Seq(
-      Future(VecOps.bandedSigs(s, dir).count()),
+      Future(VecOps.bandedSigsIndex(s, dir).count()),
       // the IVF coarse quantizer (counting `assigned` materializes the
       // persisted centroids as its input)
       Future(VecOps.kmeansCells(s, dir)._2.count()))

@@ -77,7 +77,6 @@ object VecOps {
     * corpus-sized; the dial below is for the self-join paths that
     * re-sign per run).
     */
-  private[graft] def lshBandKeys(e: Column): Column = lshBandKeysW(e, 16)
 
   /** The corpus-sized band-width dial for ALL-PAIRS LSH joins: smallest
     * w in [16, 28] whose expected RANDOM-pair candidate load stays
@@ -98,6 +97,37 @@ object VecOps {
       n.toDouble * masks / math.pow(2.0, w) <= 3.0
     }.getOrElse(28)
 
+  /** Band width for the PERSISTED vector index (r14 verdict ask #1 —
+    * the one acknowledged serving-path cliff): same dial shape as
+    * [[lshBandBits]] but sized for the index paths' Hamming-≤3 probe
+    * ring (1 + w + C(w,2) + C(w,3) masks — 697 at w=16, 3,683 at
+    * w=28), keeping EXPECTED random ring collisions per (probe, band)
+    * ≤ 3 at corpus size n instead of freezing w=16 (where a 50k corpus
+    * already put ~17% of itself inside each batch vector's ring —
+    * SCALE.md r14 addendum). All-integer comparison so the DuckDB
+    * oracle (vecIndexBandsCteSql) re-derives the IDENTICAL w from
+    * count(*): n·masks ≤ 3·2ʷ in longs, no float rounding to disagree
+    * about. The chosen w is frozen into the artifact (vec_w file +
+    * version stamp) at build time: probes and appends must sign exactly
+    * like the build, so they READ the stored w rather than re-deriving
+    * it from a corpus that may have grown since; a source-data change
+    * restamps and re-derives through the normal rebuild path.
+    * Monotone: n ≤ 393 → 16, sf fixtures land 18-20, ~50k → 26,
+    * ≥ ~159k → 28 (the plane budget's ceiling — past that the ring is
+    * again corpus-proportional; the serving story at that scale is
+    * IVF/PQ, as documented).
+    */
+  private[graft] def vecIndexBandBits(n: Long): Int =
+    (16 to 28).find { w =>
+      val masks = 1L + w.toLong + w.toLong * (w - 1) / 2 +
+        w.toLong * (w - 1) * (w - 2) / 6
+      n * masks <= 3L * (1L << w)
+    }.getOrElse(28)
+
+  /** Corpus size for the width dial — parquet footer count, no scan. */
+  private[graft] def vecCorpusN(s: SparkSession, dir: String): Long =
+    load(s, dir, "embeddings").count()
+
   /** DuckDB replay of the ENTIRE vec_knn_join_lsh pipeline — the
     * round-12 promotion device for the one approximate entry whose
     * every stage is still deterministic: the seeded ±1 hyperplanes are
@@ -110,10 +140,12 @@ object VecOps {
     * since round 4, and sign bits sit far from the rounding knife edge
     * (|dot| ~ 0.1-scale sums vs ~1e-13 accumulation-order noise).
     */
-  /** The shared oracle-SQL prefix computing every vector's 4×16-bit
-    * band keys from the LITERAL plane matrix — reused by the
-    * vec_knn_join_lsh oracle and the three persisted-vec-index oracles
-    * so the replayed signature definition exists once.
+  /** Oracle-SQL prefix computing every vector's 4×16-bit band keys
+    * from the LITERAL plane matrix — the vec_knn_join_lsh oracle's
+    * signature definition (valid at the fixture width, n=500 → w=16
+    * under [[lshBandBits]]; the persisted-index oracles use
+    * [[vecIndexBandsCteSql]], which re-derives the dialed width from
+    * count(*) instead).
     */
   private[graft] def lshBandsCteSql: String = {
     val planes = lshPlanesN(64)
@@ -129,6 +161,38 @@ object VecOps {
        |bands AS (SELECT vec_id, pid // 16 AS band,
        |    CAST(sum(bit * (1 << CAST(pid % 16 AS INT))) AS BIGINT) AS bk
        |  FROM sbits GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The persisted-index oracles' band CTE (r15): DuckDB re-derives
+    * the CORPUS-SIZED band width with the exact integer dial
+    * [[vecIndexBandBits]] runs at build time (min w in 16..28 with
+    * n·(1+w+C(w,2)+C(w,3)) ≤ 3·2ʷ, fallback 28), then recomputes every
+    * signature at that width from the literal 4×28-plane matrix (the
+    * planes are PREFIX-STABLE in the count — lshPlanesN — so the
+    * leading 4w planes are the ones the Spark build used at any w).
+    * This keeps the three vec-index CORRECTNESS rows hash-exact at ANY
+    * fixture size: a regenerated corpus that lands in a different size
+    * class moves BOTH engines to the same new w.
+    */
+  private[graft] def vecIndexBandsCteSql: String = {
+    val planes = lshPlanesN(112)
+      .map(p => "[" + p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",") + "]")
+      .mkString("[", ",", "]")
+    s"""pl AS (SELECT $planes AS l),
+       |nv AS (SELECT count(*) AS n FROM embeddings),
+       |wd AS (SELECT coalesce(min(w), 28) AS w
+       |  FROM range(16, 29) t(w), nv
+       |  WHERE nv.n * (1 + w + (w*(w-1))//2 + (w*(w-1)*(w-2))//6)
+       |    <= 3 * (CAST(1 AS BIGINT) << w)),
+       |planes AS (SELECT r.range AS pid, l[CAST(r.range + 1 AS INT)] AS plane
+       |  FROM pl CROSS JOIN range(112) r),
+       |sbits AS (SELECT e.vec_id, p.pid,
+       |    CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.plane) > 0
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bands AS (SELECT vec_id, pid // w AS band,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(pid % w AS INT))) AS BIGINT) AS bk
+       |  FROM sbits, wd WHERE pid < 4 * w GROUP BY 1, 2)""".stripMargin
   }
 
   private def lshKnnOracle: String = {
@@ -167,7 +231,6 @@ object VecOps {
       (for { i <- 0 until w; j <- (i + 1) until w } yield (1L << i) | (1L << j))
   }
 
-  private[graft] val probeMasks: Seq[Long] = probeMasksW(16)
 
   /** The 1+w+C(w,2) bucket keys within Hamming distance 2 of a w-bit
     * band key. */
@@ -175,7 +238,6 @@ object VecOps {
     transform(typedlit(probeMasksW(w)), m => bk.bitwiseXOR(lit(m)))
 
   /** The 137 bucket keys within Hamming distance 2 of a band key. */
-  private[graft] def probeKeys(bk: Column): Column = probeKeysW(bk, 16)
 
   /** The 1+w bucket keys within Hamming distance 1 of a w-bit band key
     * — the per-side expansion of the midpoint-join device (two ≤1
@@ -185,7 +247,8 @@ object VecOps {
     transform(typedlit(Seq(0L) ++ (0 until w).map(i => 1L << i)),
       m => bk.bitwiseXOR(m))
 
-  /** Wide multi-probe: ≤3 bits (137 + 560 = 697 masks). The recall/cost
+  /** Wide multi-probe: ≤3 bits (1+w+C(w,2)+C(w,3) masks — 697 at
+    * w=16, 3,683 at w=28). The recall/cost
     * dial one notch further — used by the QUERY-BOUNDED probe paths
     * (vec_index_probe / vec_index_incremental), where the probe side is
     * one row or one batch and 697 narrow key rows per (vector, band)
@@ -196,12 +259,12 @@ object VecOps {
     * candidate mass, and the gates operate at cosine ≥0.9 where ≤2
     * already recalls ~97%.
     */
-  private[graft] val probeMasksWide: Seq[Long] = probeMasks ++
-    (for { i <- 0 until 16; j <- (i + 1) until 16; k <- (j + 1) until 16 }
+  private[graft] def probeMasksWideW(w: Int): Seq[Long] = probeMasksW(w) ++
+    (for { i <- 0 until w; j <- (i + 1) until w; k <- (j + 1) until w }
       yield (1L << i) | (1L << j) | (1L << k))
 
-  private[graft] def probeKeysWide(bk: Column): Column =
-    transform(typedlit(probeMasksWide), m => bk.bitwiseXOR(lit(m)))
+  private[graft] def probeKeysWideW(bk: Column, w: Int): Column =
+    transform(typedlit(probeMasksWideW(w)), m => bk.bitwiseXOR(lit(m)))
 
   /** Embeddings with per-vector norm precomputed (single scan). */
   private[graft] def emb(s: SparkSession, dir: String): DataFrame = {
@@ -240,8 +303,13 @@ object VecOps {
       })
     }
 
-  private[graft] def bandedSigs(s: SparkSession, dir: String): DataFrame =
-    bandedSigsW(s, dir, 16)
+  /** Corpus signatures at the PERSISTED-INDEX width — the warm-frame
+    * entry point setup_shared_frames shares with the index build (both
+    * resolve the same dialed w, so one session signs once). Reads the
+    * dial, not an artifact: the build is the first artifact writer.
+    */
+  private[graft] def bandedSigsIndex(s: SparkSession, dir: String): DataFrame =
+    bandedSigsW(s, dir, vecIndexBandBits(vecCorpusN(s, dir)))
 
   private[graft] def evictCaches(s: SparkSession): Unit =
     cacheLock.synchronized {

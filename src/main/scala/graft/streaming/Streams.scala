@@ -254,8 +254,17 @@ object Streams {
     * caller's contract to avoid (provide a monotonic version).
     */
   def upsertToLake(events: DataFrame, lakeDir: String, name: String,
-                   key: String, versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+                   key: String, versionCol: String,
+                   checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // checkpoint: a FILE-BACKED location makes the query restartable —
+    // a new query object over the same location resumes at the next
+    // unprocessed batch instead of replaying the source from scratch
+    // (the upsert itself is idempotent, so even an at-least-once replay
+    // converges; the checkpoint buys exactly-once progress and is the
+    // production crash-recovery contract — StreamingSpec kills and
+    // resumes it mid-stream). None keeps the ad-hoc temp-checkpoint
+    // behavior for one-shot demo runs.
+    val wr = events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -265,7 +274,9 @@ object Streams {
         graft.sources.Ingest.upsertBronze(latest, lakeDir, name, key)
         ()
       }
-      .start()
+    checkpoint.foreach(c => wr.option("checkpointLocation", c))
+    wr.start()
+  }
 
   /** Index namespace of an admission gate: each gate grows a PRIVATE
     * copy-on-first-use index (seeded from the corpus) keyed by its lake
@@ -408,9 +419,16 @@ object Streams {
     * pristine "" namespace, which streaming growth never touches.
     */
   def mixStateIngest(docs: DataFrame, corpusDir: String, lakeDir: String,
-                     name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                     name: String,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = gateNamespace(lakeDir, name)
-    docs.writeStream
+    // checkpoint (see upsertToLake): with a file-backed location a
+    // restarted query resumes at the next batchId the checkpoint
+    // records — which is ALSO what keeps the per-batchId partial dirs
+    // aligned across a crash (a from-scratch restart would re-emit
+    // batch 0; the high-water mark would ignore it post-compaction,
+    // but pre-compaction the overwrite discipline is what protects it).
+    val wr = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
@@ -419,7 +437,8 @@ object Streams {
           graft.queries.PipelineOps.compactMixState(s, corpusDir, ns)
         ()
       }
-      .start()
+    checkpoint.foreach(c => wr.option("checkpointLocation", c))
+    wr.start()
   }
 
   /** Frozen-encoder streaming embed serve — the online sibling of

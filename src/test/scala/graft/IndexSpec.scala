@@ -188,6 +188,77 @@ class IndexSpec extends SparkSpecBase {
       f"planted near-dup recall $recall%.3f < 0.9 (${admitted.size} of ${truth.length} planted dups missed)")
   }
 
+  test("vec index band width is corpus-sized at build and frozen into the artifact") {
+    // r14 verdict ask #1: the dial replaces the frozen w=16. Three
+    // properties: (1) the dial keeps the Hamming-≤3 ring's expected
+    // RANDOM collision mass per (probe, band) ≤ 3 until the w=28 plane
+    // budget caps it; (2) it is monotone in n; (3) the artifact
+    // round-trips the chosen w (vec_w file), so every later signer
+    // reads the build's width.
+    def masks3(w: Int): Long =
+      1L + w + w.toLong * (w - 1) / 2 + w.toLong * (w - 1) * (w - 2) / 6
+    val samples = Seq(100L, 393L, 394L, 500L, 2000L, 5000L, 20000L, 50000L,
+      158000L, 200000L, 1000000L)
+    for (n <- samples) {
+      val w = graft.queries.VecOps.vecIndexBandBits(n)
+      assert(w >= 16 && w <= 28)
+      assert(n * masks3(w) <= 3L * (1L << w) || w == 28,
+        s"dial at n=$n chose w=$w with ring mass ${n * masks3(w)} > ${3L * (1L << w)}")
+      // minimality: one notch narrower would blow the bound
+      if (w > 16)
+        assert(n * masks3(w - 1) > 3L * (1L << (w - 1)),
+          s"dial at n=$n chose w=$w but w-1 also satisfies the bound")
+    }
+    assert(samples.map(graft.queries.VecOps.vecIndexBandBits) ==
+      samples.map(graft.queries.VecOps.vecIndexBandBits).sorted, "dial must be monotone")
+    assert(graft.queries.VecOps.vecIndexBandBits(500) == 18)   // the sf fixtures' class
+    assert(graft.queries.VecOps.vecIndexBandBits(50000) == 26) // the r14 cliff's class
+    // artifact round-trip at the real fixture
+    SparkEntry.queries("vec_index_build")(spark, dir).collect()
+    val stored = graft.queries.IndexOps.readVecW(graft.queries.IndexOps.indexDir(dir))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(stored == graft.queries.VecOps.vecIndexBandBits(n),
+      s"stored w=$stored != dial(${n})")
+  }
+
+  test("vec index: planted recall holds at a WIDE dialed width (synthetic 5k corpus)") {
+    // The sf fixtures only exercise w=18; the cliff the dial cures
+    // lives at 20k-50k corpora (w=24-26). A seeded synthetic 5k corpus
+    // lands at w=22 and proves the whole artifact round-trip — build
+    // signs at the dialed width, vec_w freezes it, novelVectors reads
+    // it back — still catches planted near-duplicates. (Analytically:
+    // cosine ≥0.985 ⇒ plane-flip p ≈ 0.055, Hamming-≤2 per-band hit
+    // ~0.87 at w=22, 4 bands ⇒ ~99.97% — the 0.9 floor has margin.)
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 5000L).map { id =>
+      (id, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat), 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("vecwidth").toString
+    corpus.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val path = graft.queries.IndexOps.ensureVecIndexStatus(spark, tmp)._1
+    assert(graft.queries.IndexOps.readVecW(path) == 22,
+      "5k corpus must land in the w=22 size class")
+    val planted = corpus.take(40).map { case (id, v, _) =>
+      (900000L + id,
+        v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f * math.max(math.abs(x), 0.1f)))
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = corpus.map(c => c._1 -> c._2).toMap
+    val truth = planted.filter { case (pid, pv) => cos(byId(pid - 900000L), pv) >= 0.985 }
+    assert(truth.length >= 30, s"perturbation too strong: only ${truth.length} ≥0.985")
+    val admitted = graft.queries.IndexOps
+      .novelVectors(spark, tmp, truth.toDF("vec_id", "embedding"), 0.985, "widetest")
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = 1.0 - admitted.size.toDouble / truth.length
+    assert(recall >= 0.9,
+      f"planted recall $recall%.3f < 0.9 at w=22 (${admitted.size} of ${truth.length} missed)")
+  }
+
   test("cluster labels are a version-stamped lake artifact: stale stamp rebuilds, then serves from the lake") {
     // corpus-static labels must not be re-propagated per session
     // (VERDICT r5 #3): text_dedup_cluster serves (doc_id, label) from

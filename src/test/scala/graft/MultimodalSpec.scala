@@ -205,6 +205,61 @@ class MultimodalSpec extends SparkSpecBase {
     assert(d13 > 6, s"different envelope must not match, hamming=$d13")
   }
 
+  test("mm_pdf_images: a JPEG planted in two PDFs pairs across documents") {
+    import spark.implicits._
+    // The end-to-end composition contract (r14 verdict ask #7): the
+    // SAME raster (one with a mild +8 brightness lift — byte-different
+    // JPEGs, perceptually identical) embedded as /DCTDecode image
+    // XObjects in TWO different PDFs must surface as a cross-PDF
+    // near-dup pair through extract → dHash → band join → Hamming
+    // verify; each PDF's unrelated second image must not pair.
+    def jpeg(bright: Int, unrelated: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v0 = if (unrelated) ((x * 11) ^ (y * 5)) * 13 % 256
+                 else (x * 5 + y * 3) % 256
+        val v = math.min(255, v0 + bright)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", b)
+      b.toByteArray
+    }
+    def pdf(jpgs: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      jpgs.zipWithIndex.foreach { case (j, i) =>
+        w(s"${i + 1} 0 obj << /Subtype /Image /Width 32 /Height 32 " +
+          s"/Filter /DCTDecode /Length ${j.length} >> stream\n")
+        out.write(j); w("\nendstream endobj\n")
+      }
+      w("%%EOF\n")
+      out.toByteArray
+    }
+    val pdfs = Seq(
+      (10L, pdf(Seq(jpeg(0, unrelated = false), jpeg(0, unrelated = true)))),
+      (20L, pdf(Seq(jpeg(8, unrelated = false)))))
+    val extracted = pdfs.flatMap { case (pid, bytes) =>
+      graft.sources.PdfText.jpegImages(bytes).zipWithIndex.map { case (j, i) =>
+        Multimodal.Asset(pid + i, "image", j, 32, 32, 0L)
+      }
+    }
+    assert(extracted.map(_.asset_id).sorted == Seq(10L, 11L, 20L),
+      s"extraction must surface all planted JPEGs in stream order: ${extracted.map(_.asset_id)}")
+    val fp = Multimodal.imageHashes(extracted.toDS()).toDF()
+      .select($"asset_id", $"dhash".as("h"), $"decoded")
+    assert(fp.filter(!$"decoded").count() == 0, "every extracted JPEG must real-decode")
+    val pairs = graft.queries.ExtensibilityOps.mmDedupPairs(fp)
+      .select($"id_a", $"id_b", $"hamming", $"perceptual")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(pairs.exists { case (a, b, h, p) => a == 10L && b == 20L && h <= 6 && p },
+      s"the cross-PDF planted pair must surface: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _, _) => a == 11L || b == 11L },
+      s"the unrelated image must not pair: ${pairs.toSeq}")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))

@@ -118,9 +118,9 @@ class OperatorSpec extends SparkSpecBase {
     // output itself is capped at 3n by the rank filter, so it can't
     // witness a selectivity regression)
     val sigd = e.select($"vec_id",
-      posexplode(graft.queries.VecOps.lshBandKeys($"emb")).as(Seq("band", "bk")))
+      posexplode(graft.queries.VecOps.lshBandKeysW($"emb", 16)).as(Seq("band", "bk")))
     val probes = sigd.select($"vec_id", $"band",
-      explode(graft.queries.VecOps.probeKeys($"bk")).as("bk"))
+      explode(graft.queries.VecOps.probeKeysW($"bk", 16)).as("bk"))
     val candidates = probes.as("x").join(sigd.as("y"),
         $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id", $"y.vec_id").distinct().count()

@@ -29,7 +29,7 @@ object WarmFramesProfile {
     phase("wordGrams") { TextOps.wordGrams(spark, sfDir).count(); () }
     phase("signatureTable") { TextOps.signatureTableCached(spark, sfDir).count(); () }
     phase("verifiedPairs") { TextOps.coldPhases(spark, sfDir)(2)._2() }
-    phase("bandedSigs") { VecOps.bandedSigs(spark, sfDir).count(); () }
+    phase("bandedSigs") { VecOps.bandedSigsIndex(spark, sfDir).count(); () }
     phase("kmeansCells") { VecOps.kmeansCells(spark, sfDir)._2.count(); () }
     spark.stop()
   }
