@@ -38,25 +38,60 @@ object ScaleSmoke {
     queries.TextOps.warmSharedFrames(spark, sfDir)
     queries.TextOps.warmDedupClusters(spark, sfDir)
     queries.IndexOps.warmPersistedIndexes(spark, sfDir)
+    // Guard-scale dial (r14 verdict ask #5): the declared exact
+    // all-pairs ORACLE ANCHORS are deliberately quadratic — their job
+    // is small-SF exactness for their banded siblings, and at the 25×
+    // fixture they were 670 s of the 1,597 s fleet doing work
+    // exactAnchorGuard exists to refuse at real scale. Above each
+    // anchor's smoke cap (set so the ≤10× gate keeps FULL anchor
+    // coverage and the recurring 25× gate skips them) the anchor is
+    // SKIPPED — loudly, per the no-silent-caps rule, naming the rows,
+    // the cap and the scale-safe sibling. `SPARK_GRAFT_SMOKE_ANCHORS=
+    // always` force-runs them anyway (the PlanGuard dial-escape
+    // pattern) for the occasional full-cost survival run.
+    val anchorCaps: Map[String, (String, Long, String)] = Map(
+      "vec_knn_join"      -> (("embeddings", 25000L, "vec_knn_join_lsh")),
+      "vec_cosine_pairs"  -> (("embeddings", 25000L, "vec_knn_join_lsh / vec_index_probe")),
+      "vec_hard_negatives" -> (("embeddings", 25000L, "vec_knn_join_lsh candidates")),
+      "text_ngram_jaccard" -> (("documents", 60000L, "text_dedup_near (MinHash/LSH)")),
+      "text_dedup_embed"  -> (("documents", 60000L, "text_dedup_embed_ann")))
+    val forceAnchors = sys.env.get("SPARK_GRAFT_SMOKE_ANCHORS").contains("always")
+    // footer-metadata counts, one per distinct guard table
+    val tableRows: Map[String, Long] = anchorCaps.values.map(_._1).toSet
+      .map((t: String) => t -> graft.Core.load(spark, sfDir, t).count()).toMap
     var failed = 0
+    var skipped = 0
     val times = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val n = fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[smoke] $name%-28s $sec%8.2f s  rows=$n")
-        name -> sec
-      } catch {
-        case e: Throwable =>
-          failed += 1
-          println(s"[smoke] $name FAIL ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          name -> -1.0
+      anchorCaps.get(name).filter { case (t, cap, _) =>
+        !forceAnchors && tableRows(t) > cap
+      } match {
+        case Some((t, cap, sibling)) =>
+          skipped += 1
+          println(s"[smoke] SKIP $name: guard-scale dial — $t has " +
+            s"${tableRows(t)} rows > smoke cap $cap; the exact anchor is " +
+            s"verified at the ≤10× gates, the scale path is $sibling " +
+            "(SPARK_GRAFT_SMOKE_ANCHORS=always force-runs it)")
+          name -> -2.0
+        case None =>
+          val t0 = System.nanoTime()
+          try {
+            val n = fn(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[smoke] $name%-28s $sec%8.2f s  rows=$n")
+            name -> sec
+          } catch {
+            case e: Throwable =>
+              failed += 1
+              println(s"[smoke] $name FAIL ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+              name -> -1.0
+          }
       }
     }
     val ok = times.count(_._2 >= 0)
-    println(f"[smoke] TOTAL ok=$ok failed=$failed sum=${times.map(_._2).filter(_ >= 0).sum}%.1f s")
+    println(f"[smoke] TOTAL ok=$ok failed=$failed skipped=$skipped " +
+      f"sum=${times.map(_._2).filter(_ >= 0).sum}%.1f s")
     spark.stop()
   }
 }
