@@ -344,9 +344,10 @@ object Ingest {
       .toDF("path", "page", "content")
   }
 
-  /** Embedded JPEG images of a PDF corpus as multimodal Asset rows
-    * (r13 verdict ask #7): DCTDecode image streams ARE baseline JPEG,
-    * which the JDK's ImageIO decodes — so mm featurize/resize/dedup run
+  /** Embedded images of a PDF corpus as multimodal Asset rows
+    * (r13 verdict ask #7 + round 15): DCTDecode image streams ARE
+    * baseline JPEG and CCITTFaxDecode streams are TIFF G3/G4 strips —
+    * the JDK's ImageIO decodes both — so mm featurize/resize/dedup run
     * on REAL rasters extracted from documents, not just synthetic
     * assets. Width/height come from an eager ImageIO decode inside the
     * executor (same per-file placement as the text path); a payload
@@ -362,14 +363,21 @@ object Ingest {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         if (!PdfText.looksLikePdf(bytes)) Seq.empty
-        else PdfText.jpegImages(bytes).zipWithIndex.map { case (jpg, i) =>
-          val img =
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg)))
-            catch { case _: Exception => None }
-          graft.operators.Multimodal.Asset(
-            (scala.util.hashing.MurmurHash3.stringHash(p).toLong << 16) | i.toLong,
-            "image", jpg,
-            img.map(_.getWidth).getOrElse(0), img.map(_.getHeight).getOrElse(0), 0L)
+        else {
+          // JPEG streams surface raw (already an ImageIO format);
+          // CCITT fax streams surface PNG-encoded rasters (round 15 —
+          // PdfText.ccittImages decodes them through the JDK TIFF
+          // codec). One ordinal space in stream order.
+          val payloads = PdfText.jpegImages(bytes) ++ PdfText.ccittImages(bytes)
+          payloads.zipWithIndex.map { case (img0, i) =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img0)))
+              catch { case _: Exception => None }
+            graft.operators.Multimodal.Asset(
+              (scala.util.hashing.MurmurHash3.stringHash(p).toLong << 16) | i.toLong,
+              "image", img0,
+              img.map(_.getWidth).getOrElse(0), img.map(_.getHeight).getOrElse(0), 0L)
+          }
         }
       }
   }

@@ -138,6 +138,58 @@ object PdfText {
       }
     }
 
+  /** Embedded CCITT Group 3/4 fax image XObjects (round 15 — the
+    * second of the three image-codec branches, after round 14's
+    * DCTDecode): streams whose dict declares `/Subtype /Image` with a
+    * /Filter chain ending in CCITTFaxDecode. The payload plus the
+    * dict's /DecodeParms transliterate into a TIFF compression-3/4
+    * strip, which the JDK's TIFF ImageIO plugin decodes
+    * ([[CcittTiff]]) — the bilevel scanned-document raster class.
+    * Returned PNG-encoded so downstream consumers (the multimodal
+    * fingerprint kernels, Ingest.readPdfImages assets) get a payload
+    * every ImageIO consumer decodes. Pre-CCITT transport links
+    * (Flate/ASCII wrappers) are applied like the JPEG path's.
+    */
+  def ccittImages(bytes: Array[Byte]): Seq[Array[Byte]] =
+    rawStreams(bytes).flatMap { case (dict, payload) =>
+      val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
+      if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
+          filters.isEmpty || filters.last != "CCITTFaxDecode") None
+      else {
+        def num(name: String): Option[Int] =
+          s"/$name\\s+(-?\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        def flag(name: String): Boolean =
+          s"/$name\\s+true".r.findFirstIn(dict).isDefined
+        // spec default is 1728, but a dict that omits /Columns while
+        // declaring /Width means the width (writers that rely on the
+        // default also emit 1728-wide images)
+        val cols = num("Columns").orElse(num("Width")).getOrElse(1728)
+        // /Rows 0 (or absent) means "until EOFB" — the image's /Height
+        // is the authoritative row count in a PDF image dict
+        val rows = num("Rows").filter(_ > 0).orElse(num("Height")).getOrElse(0)
+        if (rows <= 0) None
+        else filters.init.foldLeft(Option(payload)) { (acc, f) =>
+          acc.flatMap { d =>
+            f match {
+              case "FlateDecode"     => inflate(d)
+              case "LZWDecode"       => lzwDecode(d)
+              case "ASCIIHexDecode"  => asciiHexDecode(d)
+              case "ASCII85Decode"   => ascii85Decode(d)
+              case "RunLengthDecode" => runLengthDecode(d)
+              case _                 => None
+            }
+          }
+        }.flatMap { d =>
+          CcittTiff.decode(d, cols, rows, num("K").getOrElse(0),
+            flag("BlackIs1"), flag("EncodedByteAlign"))
+        }.map { img =>
+          val b = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", b)
+          b.toByteArray
+        }
+      }
+    }
+
   private val filterNameRe =
     "/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|DCTDecode|JPXDecode|JBIG2Decode|CCITTFaxDecode|RunLengthDecode|Crypt)".r
 

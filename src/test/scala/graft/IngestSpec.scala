@@ -519,6 +519,94 @@ class IngestSpec extends SparkSpecBase {
     assert(pages.size == 1 && pages.head.contains("text beside img"), pages.toString)
   }
 
+  test("src_pdf_scan: embedded CCITTFaxDecode G4/G3 images decode to real rasters") {
+    // Reference CCITT bitstreams come from the JDK's own TIFF CCITT
+    // ENCODER (an independent implementation of T.4/T.6), so the
+    // round-trip is encoder(JDK) → CcittTiff wrap → decoder(JDK TIFF
+    // reader) with pixel-exact comparison — no circular self-encode.
+    def bilevel(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 7 + y / 4) % 2 == 0) 0xFFFFFF else 0)
+      img
+    }
+    def encodeCcitt(img: java.awt.image.BufferedImage,
+                    typ: String): (Array[Byte], Long) = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(typ)
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      val t = bo.toByteArray
+      // minimal IFD walk (single strip asserted): strip bytes + T4Options
+      val le = t(0) == 'I'.toByte
+      def u16(o: Int) = if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+                        else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
+        else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
+      val ifd = u32(4).toInt
+      val tags = (0 until u16(ifd)).map { i =>
+        val e = ifd + 2 + i * 12
+        val typId = u16(e + 2)
+        assert(u32(e + 4) == 1L, s"tag ${u16(e)}: multi-count IFD entry — use a smaller fixture")
+        u16(e) -> (if (typId == 3) u16(e + 8).toLong else u32(e + 8))
+      }.toMap
+      (t.slice(tags(273).toInt, (tags(273) + tags(279)).toInt), tags.getOrElse(292, 0L))
+    }
+    def samePixels(a: java.awt.image.BufferedImage,
+                   b: java.awt.image.BufferedImage): Boolean =
+      a.getWidth == b.getWidth && a.getHeight == b.getHeight &&
+        (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
+          (a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF)))
+    val img = bilevel(64, 20)
+    // G4 (PDF /K -1 ↔ TIFF compression 4)
+    val (g4, _) = encodeCcitt(img, "CCITT T.6")
+    val dec4 = graft.sources.CcittTiff.decode(g4, 64, 20, -1,
+      blackIs1 = false, byteAlign = false)
+    assert(dec4.exists(samePixels(_, img)), "G4 wrap-decode must be pixel-exact")
+    // G3 (the JDK T.4 writer emits the 2D-mixed form — T4Options bit 0
+    // — which is PDF /K > 0)
+    val (g3, t4opts) = encodeCcitt(img, "CCITT T.4")
+    val k = if ((t4opts & 1L) != 0) 1 else 0
+    val dec3 = graft.sources.CcittTiff.decode(g3, 64, 20, k,
+      blackIs1 = false, byteAlign = (t4opts & 4L) != 0)
+    assert(dec3.exists(samePixels(_, img)), s"G3 wrap-decode must be pixel-exact (T4Options=$t4opts)")
+    // end-to-end through a PDF: /CCITTFaxDecode image XObject beside a
+    // text page — images surface as decodable PNG assets, text is
+    // unaffected, and the image stream never leaks into page text
+    val out = new java.io.ByteArrayOutputStream()
+    def ws(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    ws("%PDF-1.4\n")
+    val txt = "BT (text beside fax) Tj ET"
+    ws(s"1 0 obj << /Length ${txt.length} >> stream\n"); ws(txt)
+    ws("\nendstream endobj\n")
+    ws(s"2 0 obj << /Subtype /Image /Width 64 /Height 20 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 64 /Rows 20 >> " +
+      s"/Length ${g4.length} >> stream\n")
+    out.write(g4); ws("\nendstream endobj\n")
+    ws("%%EOF\n")
+    val p = s"$tmp/fax.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val pngs = graft.sources.PdfText.ccittImages(out.toByteArray)
+    assert(pngs.size == 1, s"expected the planted fax image, got ${pngs.size}")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs.head))
+    assert(samePixels(back, img), "PDF-extracted fax raster must match the source")
+    val assets = Ingest.readPdfImages(spark, p).collect().toSeq
+    assert(assets.size == 1 && assets.head.width == 64 && assets.head.height == 20)
+    val hashed = graft.operators.Multimodal.imageHashes(
+      spark.createDataset(assets)(org.apache.spark.sql.Encoders.product)).collect()
+    assert(hashed.length == 1 && hashed.head.decoded,
+      "fax raster must take the REAL-decode dHash path")
+    val pages = Ingest.readPdfPages(spark, p).select($"content").as[String].collect().toSeq
+    assert(pages.size == 1 && pages.head.contains("text beside fax"), pages.toString)
+  }
+
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
     val payload = Array.fill[Byte](3000)(65)
