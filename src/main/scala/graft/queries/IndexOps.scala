@@ -751,8 +751,24 @@ object IndexOps {
         .select($"b_id", $"vec_id").distinct()
       import org.apache.spark.sql.expressions.Window
       val wRank = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
-      cand.join(batch.select($"b_id", $"b_emb", $"b_n"), "b_id")
-        .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+      // Embedding fetch WITHOUT shuffling the corpus (r15): cand is the
+      // BROADCAST side of the vecs join, so the stored embedding table
+      // streams map-side — at lake scale an SMJ here would re-shuffle
+      // the whole corpus (embeddings included) once per ingest batch
+      // (measured 67 MB of exchange even at the 25× fixture, where the
+      // left side carried a 64-double b_emb per candidate row into the
+      // corpus join). cand is bounded by |batch| × the width dial's
+      // ring budget (~3 random collisions per band × 4 bands + true
+      // neighbors — VecWidthDiag measured ~18-25/vector at every
+      // fixture), and the batch is admission-bounded by contract, so
+      // both broadcasts are id/score-slim and size-safe. The b_emb
+      // arrays ride the SECOND broadcast (batch-sized), never an
+      // exchange; the only shuffles left are the candidate distinct
+      // and the b_id-partitioned rank window over (b_id, vec_id,
+      // score) rows.
+      s.read.parquet(s"$path/vecs.parquet")
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(batch.select($"b_id", $"b_emb", $"b_n")), "b_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(wRank))
