@@ -1049,32 +1049,52 @@ object IndexOps {
     VectorExprs.register(s)
     val path = ensureVecIndex(s, dir, ns)
     val w = readVecW(path) // sign at the artifact's frozen width
+    // localCheckpoint: signed feeds the probe explosion, two embedding
+    // broadcasts and the within-batch side — the ingest batch is the
+    // bounded side by contract (same device as vec_index_incremental)
     val signed = batch.select(col("vec_id").as("b_id"),
         col("embedding").cast("array<double>").as("b_emb"))
       .withColumn("b_n", sqrt(call_function("dotp", col("b_emb"), col("b_emb"))))
       .filter(col("b_n") > 0)
       .withColumn("bands", VecOps.lshBandKeysW(col("b_emb"), w))
-    val qb = signed.select(col("b_id"), col("b_emb"), col("b_n"),
-      posexplode(col("bands")).as(Seq("band", "bk")))
+      .localCheckpoint()
+    val bEmb = signed.select(col("b_id"), col("b_emb"), col("b_n"))
+    // probe rows carry IDS ONLY (the r14 incremental fix, applied to
+    // the gate in r15: riding b_emb through the ×(1+w+C(w,2)) mask
+    // explosion ships a 64-double array per probe row)
+    val qb = signed.select(col("b_id"), posexplode(col("bands")).as(Seq("band", "bk")))
     // multi-probe side: one probe row per (batch vector, band, mask)
-    val qprobe = qb.select(col("b_id"), col("b_emb"), col("b_n"), col("band"),
+    val qprobe = qb.select(col("b_id"), col("band"),
       explode(VecOps.probeKeysW(col("bk"), w)).as("bk"))
     val cos = call_function("dotp", col("emb"), col("b_emb")) / (col("norm") * col("b_n"))
-    val dupVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
+    // candidate distinct on IDS ONLY, then the stored-vectors join with
+    // the candidates as the BROADCAST side and the batch embeddings on
+    // a second batch-sized broadcast — the vec_index_incremental
+    // restructure (r15): the old shape ran the distinct over rows
+    // carrying a 64-double b_emb each and then SMJ-shuffled the whole
+    // stored embedding table per gate batch. Bounded like there:
+    // candidates by |batch| × the width dial's ring budget, the batch
+    // by the admission contract.
+    val candVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
       .join(qprobe, Seq("band", "bk"))
       .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
-      .select(col("b_id"), col("b_emb"), col("b_n"), col("vec_id")).distinct()
-      .join(s.read.parquet(s"$path/vecs.parquet"), "vec_id")
+      .select(col("b_id"), col("vec_id")).distinct()
+    val dupVsIndex = s.read.parquet(s"$path/vecs.parquet")
+      .join(broadcast(candVsIndex), "vec_id")
+      .join(broadcast(bEmb), "b_id")
       .filter(cos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
     // within-batch: probe-expanded x side vs stored-key y side — same
-    // Hamming-≤2 candidate rule as the index probe
+    // Hamming-≤2 candidate rule as the index probe; ids pair first,
+    // both embeddings re-join from the batch-sized broadcasts
     val dupInBatch = qprobe.as("x").join(qb.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.b_id") > col("y.b_id"))
-      .select(col("x.b_id").as("b_id"), col("x.b_emb").as("b_emb"), col("x.b_n").as("b_n"),
-        col("y.b_emb").as("o_emb"), col("y.b_n").as("o_n")).distinct()
+      .select(col("x.b_id").as("b_id"), col("y.b_id").as("o_id")).distinct()
+      .join(broadcast(bEmb), "b_id")
+      .join(broadcast(bEmb.select(col("b_id").as("o_id"), col("b_emb").as("o_emb"),
+        col("b_n").as("o_n"))), "o_id")
       .filter(wcos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     batch.join(dupVsIndex.unionByName(dupInBatch), Seq("vec_id"), "left_anti")
