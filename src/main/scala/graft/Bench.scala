@@ -12,9 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // serving conf: the index probes push multi-probe rings as
-      // In(bucket, ~700 keys) — below this threshold Spark rewrites
-      // them to near-vacuous range checks (see vec_index_probe)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+      // In(bucket, keys) — 697 keys at w=16, up to 3,683 at the width
+      // dial's w=28 cap — and above this threshold Spark rewrites them
+      // to near-vacuous range checks (see vec_index_probe). 4096
+      // covers the whole dial range.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

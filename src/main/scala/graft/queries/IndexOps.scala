@@ -653,16 +653,19 @@ object IndexOps {
         val qnorm = qrows.head.getDouble(1)
         val qkeys = qrows.head.getSeq[Long](2)
         // NOTE the serving session should set
-        // spark.sql.parquet.pushdown.inFilterThreshold=1024 (Bench/
+        // spark.sql.parquet.pushdown.inFilterThreshold=4096 (Bench/
         // Verify/test sessions do, at build time): the default (10)
-        // rewrites the 697-key ring sets into near-vacuous [min,max]
-        // range checks before they reach the row-group filter. Not set
-        // HERE: a query entry mutating session conf would make every
-        // other query's pushdown behavior depend on whether this entry
-        // ran first. Correctness is unaffected either way — only the
-        // amount of row-group skipping changes.
+        // rewrites the ring's In-sets into near-vacuous [min,max]
+        // range checks before they reach the row-group filter, and the
+        // width dial (r15) grows the ring to 1+w+C(w,2)+C(w,3) keys —
+        // 697 at w=16, 3,683 at the w=28 cap, so the old 1024 stopped
+        // covering dialed artifacts past w=18. Not set HERE: a query
+        // entry mutating session conf would make every other query's
+        // pushdown behavior depend on whether this entry ran first.
+        // Correctness is unaffected either way — only the amount of
+        // row-group skipping changes.
         // OR-of-4 band predicates, each carrying its Hamming-≤3 ring as
-        // a literal In(bk, 697 keys) — all data columns, pushed whole
+        // a literal In(bk, ring keys) — all data columns, pushed whole
         // (see sim_index_probe / the object doc for the layout story)
         val probePred = qkeys.zipWithIndex.map { case (k, b) =>
           $"band" === b &&
