@@ -236,6 +236,19 @@ class IndexSpec extends SparkSpecBase {
     val tmp = java.nio.file.Files.createTempDirectory("vecwidth").toString
     corpus.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // the throwaway source dir gets a throwaway lake index — delete it
+    // after the test (unique temp names would otherwise accrete one
+    // orphaned 5k index per run; same ownership rule as dropGate)
+    def rmLake(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(graft.queries.IndexOps.indexDir(tmp)))
+      rm(new java.io.File(graft.queries.IndexOps.indexDir(tmp, "widetest")))
+    }
+    try {
     val path = graft.queries.IndexOps.ensureVecIndexStatus(spark, tmp)._1
     assert(graft.queries.IndexOps.readVecW(path) == 22,
       "5k corpus must land in the w=22 size class")
@@ -257,6 +270,7 @@ class IndexSpec extends SparkSpecBase {
     val recall = 1.0 - admitted.size.toDouble / truth.length
     assert(recall >= 0.9,
       f"planted recall $recall%.3f < 0.9 at w=22 (${admitted.size} of ${truth.length} missed)")
+    } finally rmLake()
   }
 
   test("cluster labels are a version-stamped lake artifact: stale stamp rebuilds, then serves from the lake") {
