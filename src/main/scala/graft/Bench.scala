@@ -12,11 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // serving conf: the index probes push multi-probe rings as
-      // In(bucket, keys) — 697 keys at w=16, up to 3,683 at the width
-      // dial's w=28 cap — and above this threshold Spark rewrites them
-      // to near-vacuous range checks (see vec_index_probe). 4096
-      // covers the whole dial range.
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // In(bucket, keys) — below this threshold Spark expands the In
+      // into an OR-chain of eq's for parquet (real row-group skipping);
+      // above it, a [min,max] range check. 1024 is a CEILING, not a
+      // stale default: parquet-mr evaluates the OR-chain recursively,
+      // and a dialed w=26 ring (2,952 keys) overflows the executor
+      // stack (measured at the 25× fixture) — so wide-ring probes
+      // deliberately take the range fallback (see vec_index_probe).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -653,17 +653,24 @@ object IndexOps {
         val qnorm = qrows.head.getDouble(1)
         val qkeys = qrows.head.getSeq[Long](2)
         // NOTE the serving session should set
-        // spark.sql.parquet.pushdown.inFilterThreshold=4096 (Bench/
+        // spark.sql.parquet.pushdown.inFilterThreshold=1024 (Bench/
         // Verify/test sessions do, at build time): the default (10)
         // rewrites the ring's In-sets into near-vacuous [min,max]
-        // range checks before they reach the row-group filter, and the
-        // width dial (r15) grows the ring to 1+w+C(w,2)+C(w,3) keys —
-        // 697 at w=16, 3,683 at the w=28 cap, so the old 1024 stopped
-        // covering dialed artifacts past w=18. Not set HERE: a query
-        // entry mutating session conf would make every other query's
-        // pushdown behavior depend on whether this entry ran first.
-        // Correctness is unaffected either way — only the amount of
-        // row-group skipping changes.
+        // range checks before they reach the row-group filter. 1024 is
+        // also a CEILING: below the threshold Spark expands the In to
+        // an OR-chain of parquet eq's whose RECURSIVE evaluation is
+        // one stack frame per key — a dialed w=26 ring (2,952 keys per
+        // band) overflows the executor stack (StackOverflowError,
+        // measured at the 25× fixture when this was briefly raised to
+        // 4096). So In-pushdown covers rings up to w=18 (988 keys);
+        // wider dialed artifacts deliberately degrade to the range
+        // fallback, where the probe is a 24-byte-row band-table scan +
+        // residual filter — and true lake-scale single-query ANN
+        // serving is the IVF/PQ family (partition-pruned), per the
+        // documented contract. Not set HERE: a query entry mutating
+        // session conf would make every other query's pushdown
+        // behavior depend on whether this entry ran first. Correctness
+        // is unaffected either way — only row-group skipping changes.
         // OR-of-4 band predicates, each carrying its Hamming-≤3 ring as
         // a literal In(bk, ring keys) — all data columns, pushed whole
         // (see sim_index_probe / the object doc for the layout story)

@@ -24,7 +24,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v,k=v": measure dial variants (e.g. the
     // spark.graft.quantile.approx lake path) without a code edit

@@ -16,7 +16,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // serving conf for the index probes' In-pushdown (see Bench)
-    .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+    .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
