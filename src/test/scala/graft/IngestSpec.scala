@@ -597,6 +597,22 @@ class IngestSpec extends SparkSpecBase {
     assert(pngs.size == 1, s"expected the planted fax image, got ${pngs.size}")
     val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs.head))
     assert(samePixels(back, img), "PDF-extracted fax raster must match the source")
+    // and the G3 branch through the PDF dict params (/K > 0 = the
+    // mixed-2D form the JDK encoder emits; EncodedByteAlign from the
+    // T4Options fill bit)
+    val out3 = new java.io.ByteArrayOutputStream()
+    def w3(s: String): Unit = out3.write(s.getBytes("ISO-8859-1"))
+    w3("%PDF-1.4\n")
+    w3(s"1 0 obj << /Subtype /Image /Width 64 /Height 20 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K $k /Columns 64 /Rows 20" +
+      (if ((t4opts & 4L) != 0) " /EncodedByteAlign true" else "") +
+      s" >> /Length ${g3.length} >> stream\n")
+    out3.write(g3); w3("\nendstream endobj\n")
+    w3("%%EOF\n")
+    val pngs3 = graft.sources.PdfText.ccittImages(out3.toByteArray)
+    assert(pngs3.size == 1, s"G3 PDF image must extract: got ${pngs3.size}")
+    val back3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs3.head))
+    assert(samePixels(back3, img), "G3 PDF-extracted raster must match the source")
     val assets = Ingest.readPdfImages(spark, p).collect().toSeq
     assert(assets.size == 1 && assets.head.width == 64 && assets.head.height == 20)
     val hashed = graft.operators.Multimodal.imageHashes(
