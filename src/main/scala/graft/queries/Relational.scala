@@ -863,9 +863,15 @@ object Relational {
       // (pairs frame is orders-sized), and the "only culprit" test
       // becomes nsupp > 1 AND nret = 1 — no self-join ever touches
       // row-level data, so a skewed mega-order can't explode a probe.
+      // ps feeds TWO branches (the per-order rollup and the final
+      // filtered join) — localCheckpoint the reduced (ok, sk, ret)
+      // grain so the fact groupBy SHUFFLES ONCE, not once per branch
+      // (the agg_weighted_median device; ReusedExchange does not unify
+      // branches on its own — measured control in SCALE.md)
       val ps = load(s, dir, "lineitem")
         .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
         .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+        .localCheckpoint()
       val po = ps.groupBy($"ok")
         .agg(count(lit(1)).as("nsupp"), sum($"ret").as("nret"))
       ps.filter($"ret" === 1)
@@ -1328,8 +1334,13 @@ object Relational {
         .join(broadcast(load(s, dir, "region")
           .filter($"r_name" === "EUROPE")), $"r_regionkey" === $"n_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      // c feeds TWO branches (the argmin rollup and the equality
+      // join-back) — localCheckpoint the reduced EU part×supplier
+      // grain so the fact groupBy shuffles once, not once per branch
+      // (the agg_weighted_median device)
       val c = ps.join(broadcast(eu), $"s_suppkey" === $"l_suppkey")
         .select($"l_partkey", $"uc", $"s_name", $"s_acctbal", $"n_name")
+        .localCheckpoint()
       val m = c.groupBy($"l_partkey".as("m_part")).agg(min($"uc").as("mc"))
       c.join(m, $"l_partkey" === $"m_part" && $"uc" === $"mc")
         .join(broadcast(load(s, dir, "part").filter($"p_size" <= 10)
