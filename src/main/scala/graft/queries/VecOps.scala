@@ -112,10 +112,11 @@ object VecOps {
     * like the build, so they READ the stored w rather than re-deriving
     * it from a corpus that may have grown since; a source-data change
     * restamps and re-derives through the normal rebuild path.
-    * Monotone: n ≤ 393 → 16, sf fixtures land 18-20, ~50k → 26,
-    * ≥ ~159k → 28 (the plane budget's ceiling — past that the ring is
-    * again corpus-proportional; the serving story at that scale is
-    * IVF/PQ, as documented).
+    * Monotone: n ≤ 282 → 16, the sf fixtures land at 18-20, ~50k → 26,
+    * and past n ≈ 122k the dial caps at the 4×28 plane budget (w=28,
+    * whose ≤3-per-band guarantee itself stretches to n ≈ 219k — beyond
+    * that the ring is again corpus-proportional; the serving story at
+    * that scale is IVF/PQ, as documented).
     */
   private[graft] def vecIndexBandBits(n: Long): Int =
     (16 to 28).find { w =>

@@ -197,7 +197,7 @@ class IndexSpec extends SparkSpecBase {
     // reads the build's width.
     def masks3(w: Int): Long =
       1L + w + w.toLong * (w - 1) / 2 + w.toLong * (w - 1) * (w - 2) / 6
-    val samples = Seq(100L, 393L, 394L, 500L, 2000L, 5000L, 20000L, 50000L,
+    val samples = Seq(100L, 282L, 283L, 500L, 2000L, 5000L, 20000L, 50000L,
       158000L, 200000L, 1000000L)
     for (n <- samples) {
       val w = graft.queries.VecOps.vecIndexBandBits(n)
@@ -211,6 +211,8 @@ class IndexSpec extends SparkSpecBase {
     }
     assert(samples.map(graft.queries.VecOps.vecIndexBandBits) ==
       samples.map(graft.queries.VecOps.vecIndexBandBits).sorted, "dial must be monotone")
+    assert(graft.queries.VecOps.vecIndexBandBits(282) == 16)   // last of the w=16 class
+    assert(graft.queries.VecOps.vecIndexBandBits(283) == 17)   // first step
     assert(graft.queries.VecOps.vecIndexBandBits(500) == 18)   // the sf fixtures' class
     assert(graft.queries.VecOps.vecIndexBandBits(50000) == 26) // the r14 cliff's class
     // artifact round-trip at the real fixture
