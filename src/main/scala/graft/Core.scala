@@ -106,6 +106,30 @@ object Core {
         s"=$max). At scale use its banded/bucketed sibling: $sibling.")
   }
 
+  /** Size-guarded `broadcast()` hint for corpus-derived join sides
+    * (set dictionaries, LSH candidate sets). An explicit hint OVERRIDES
+    * `spark.sql.autoBroadcastJoinThreshold`: Spark collects the side to
+    * the driver regardless of its actual size and fails at the 8 GB
+    * broadcast ceiling (or OOMs the driver) instead of degrading to a
+    * shuffle join. So every hint whose side grows with the corpus must
+    * pass a row bound first: at or below `spark.graft.broadcast.maxRows`
+    * (default 4,000,000 — at the ≤~200 B/row shapes these sides carry
+    * that is ≤ ~0.8 GB, an order of magnitude under the ceiling, and
+    * generous for every gate/smoke SF) the hint applies and the join is
+    * an exchange-free broadcast hash join; above it the hint is DROPPED
+    * so Catalyst/AQE plan from their own size estimates — a shuffle
+    * join at lake scale. Upstream candidate generation is identical
+    * either way; only the verify-side join strategy reverts.
+    * `rows` is by-name: pass a CHEAP count — a parquet-footer count, a
+    * count over an already-persisted/localCheckpointed frame, or a
+    * count the caller needed anyway. Never a count that recomputes an
+    * unmaterialized join.
+    */
+  def guardedBroadcast(spark: SparkSession, df: DataFrame)(rows: => Long): DataFrame = {
+    val max = spark.conf.get("spark.graft.broadcast.maxRows", "4000000").toLong
+    if (rows <= max) broadcast(df) else df
+  }
+
   /** Timestamp columns are stringified in declared outputs: parquet
     * timestamp annotations (isAdjustedToUTC, unit) vary between writers
     * and would hash-mismatch against the DuckDB oracle even when the

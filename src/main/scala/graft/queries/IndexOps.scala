@@ -759,6 +759,9 @@ object IndexOps {
         .join(qb, Seq("band", "bk"))
         .filter($"vec_id" =!= $"b_id")
         .select($"b_id", $"vec_id").distinct()
+        // localCheckpoint so the size guard's count below reuses the
+        // materialized candidate set instead of re-running the band join
+        .localCheckpoint()
       import org.apache.spark.sql.expressions.Window
       val wRank = Window.partitionBy($"b_id").orderBy($"score".desc, $"vec_id")
       // Embedding fetch WITHOUT shuffling the corpus (r15): cand is the
@@ -771,14 +774,21 @@ object IndexOps {
       // ring budget (~3 random collisions per band × 4 bands + true
       // neighbors — VecWidthDiag measured ~18-25/vector at every
       // fixture), and the batch is admission-bounded by contract, so
-      // both broadcasts are id/score-slim and size-safe. The b_emb
-      // arrays ride the SECOND broadcast (batch-sized), never an
+      // both broadcasts are id/score-slim. That bound only covers
+      // RANDOM collisions, though — a duplicate-heavy batch against a
+      // dense corpus cluster makes candidates scale with
+      // |batch|×|cluster| — so BOTH hints are size-guarded
+      // (Core.guardedBroadcast): the counts are cheap (both frames are
+      // localCheckpointed), and above the dial the hint drops and the
+      // fetch degrades to a shuffle join instead of a driver OOM. The
+      // b_emb arrays ride the SECOND broadcast (batch-sized), never an
       // exchange; the only shuffles left are the candidate distinct
       // and the b_id-partitioned rank window over (b_id, vec_id,
       // score) rows.
       s.read.parquet(s"$path/vecs.parquet")
-        .join(broadcast(cand), "vec_id")
-        .join(broadcast(batch.select($"b_id", $"b_emb", $"b_n")), "b_id")
+        .join(graft.Core.guardedBroadcast(s, cand)(cand.count()), "vec_id")
+        .join(graft.Core.guardedBroadcast(s,
+          batch.select($"b_id", $"b_emb", $"b_n"))(batch.count()), "b_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(wRank))
@@ -1082,16 +1092,22 @@ object IndexOps {
     // a second batch-sized broadcast — the vec_index_incremental
     // restructure (r15): the old shape ran the distinct over rows
     // carrying a 64-double b_emb each and then SMJ-shuffled the whole
-    // stored embedding table per gate batch. Bounded like there:
+    // stored embedding table per gate batch. Bounded like there —
     // candidates by |batch| × the width dial's ring budget, the batch
-    // by the admission contract.
+    // by the admission contract — but the ring bound only covers
+    // RANDOM collisions (a duplicate-heavy batch vs a dense corpus
+    // cluster scales candidates with |batch|×|cluster|), so both hints
+    // are size-guarded: counts are cheap (localCheckpointed frames),
+    // and above the dial the fetch degrades to a shuffle join.
     val candVsIndex = s.read.parquet(s"$path/vec_bands.parquet")
       .join(qprobe, Seq("band", "bk"))
       .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
       .select(col("b_id"), col("vec_id")).distinct()
+      .localCheckpoint()
+    val nBatch = signed.count()
     val dupVsIndex = s.read.parquet(s"$path/vecs.parquet")
-      .join(broadcast(candVsIndex), "vec_id")
-      .join(broadcast(bEmb), "b_id")
+      .join(graft.Core.guardedBroadcast(s, candVsIndex)(candVsIndex.count()), "vec_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)(nBatch), "b_id")
       .filter(cos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
@@ -1102,9 +1118,10 @@ object IndexOps {
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.b_id") > col("y.b_id"))
       .select(col("x.b_id").as("b_id"), col("y.b_id").as("o_id")).distinct()
-      .join(broadcast(bEmb), "b_id")
-      .join(broadcast(bEmb.select(col("b_id").as("o_id"), col("b_emb").as("o_emb"),
-        col("b_n").as("o_n"))), "o_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)(nBatch), "b_id")
+      .join(graft.Core.guardedBroadcast(s,
+        bEmb.select(col("b_id").as("o_id"), col("b_emb").as("o_emb"),
+          col("b_n").as("o_n")))(nBatch), "o_id")
       .filter(wcos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     batch.join(dupVsIndex.unionByName(dupInBatch), Seq("vec_id"), "left_anti")

@@ -397,7 +397,11 @@ object TextOps {
 
   private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     cacheLock.synchronized { vsCache.getOrElseUpdate(
-      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "")), {
+      // the broadcast dial joins the key so a session that moves it
+      // (PlanAuditSpec's shuffle-shape pin) rebuilds the plan instead
+      // of replaying the memoized one
+      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "") + ":" +
+        s.conf.get("spark.graft.broadcast.maxRows", "")), {
         import s.implicits._
         val sets = signatureTableCached(s, dir)
         // Candidate generation stays LSH-banded (bucketed band
@@ -434,9 +438,18 @@ object TextOps {
         // DISTINCT set): the candidate pair stream meets its tids
         // arrays through two broadcast hash joins + the intersect
         // filter with no shuffle at all. At lake scale the dictionary
-        // outgrows a broadcast and this reverts to shuffle joins — the
-        // banded candidate generation is unchanged either way.
-        val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
+        // outgrows a broadcast, so the hint is SIZE-GUARDED
+        // (Core.guardedBroadcast — an unconditional hint would override
+        // autoBroadcastJoinThreshold and fail at the 8 GB ceiling):
+        // above spark.graft.broadcast.maxRows the hint drops and
+        // Catalyst plans shuffle joins — the banded candidate
+        // generation is unchanged either way. The bound rides the
+        // documents parquet FOOTER count (O(files), no data scan; the
+        // dictionary has at most one row per document).
+        val nDocs = graft.Core.load(s, dir, "documents").count()
+        val verified = cand
+          .join(graft.Core.guardedBroadcast(s, sA)(nDocs), "s1")
+          .join(graft.Core.guardedBroadcast(s, sB)(nDocs), "s2")
           .filter(lit(19) * inter >= lit(9) * (a1 + a2))
           .select($"s1", $"s2", round(jac, 4).as("jaccard"))
           .distinct()
@@ -701,25 +714,49 @@ object TextOps {
       // documents; Lee et al. 2021 "Deduplicating Training Data" finds
       // these with suffix arrays, the distributed form is an n-gram
       // hash-aggregate): word 8-grams present in ≥2 distinct docs,
-      // ranked by document reach. Scale shape: explode + two-phase
-      // hash-agg — the gram stream shuffles once on the gram key with
-      // map-side partials, the ≥2-doc filter drops the long unique tail
-      // BEFORE the top-k, and the final ranking is
-      // TakeOrderedAndProject, never a global sort. At 100 TB the gram
-      // key space is pruned the same way (singleton grams dominate and
-      // die in the HAVING); memory per key is two counters. Rides the
-      // shared tokenized frame — no re-tokenize.
-      docTokens(s, dir)
+      // ranked by document reach. Scale shape (r15 verdict ask #4 —
+      // HASH-KEYED): the corpus-sized aggregate runs on xxhash64(gram)
+      // so the shuffle carries 8-BYTE keys, not ~50-byte gram strings
+      // (the old full-string form was the second-largest byte mover at
+      // sf0.1: 470k records / 15.5 MB riding text that the ≥2-doc
+      // HAVING then mostly discarded); the singleton tail still dies
+      // in the filter, memory per key is two counters. The top-20's
+      // TEXT is recovered by a second, winner-bounded pass: the
+      // hash-level top-20 fixes a (doc_freq, occurrences) threshold,
+      // every hash at-or-above it (top rows + the full boundary tie
+      // class, so the oracle's gram-text tie-break stays exact) joins
+      // back to the gram stream — size-guarded broadcast, 8-byte keys
+      // — and min(gram) per hash collapses the texts. xxhash64
+      // collisions merge two grams' counts at ~2⁻⁶⁴ per pair — the
+      // same accepted device as text_dedup_spans' hash-keyed shuffle.
+      // Rides the shared tokenized frame — no re-tokenize.
+      val g = docTokens(s, dir)
         .select($"doc_id",
           // sequence(1, n) DESCENDS when n < 1 — guard short docs
           explode(when(size($"toks") >= 8,
               transform(sequence(lit(1), size($"toks") - 7),
                 i => concat_ws(" ", slice($"toks", i, lit(8)))))
             .otherwise(array().cast("array<string>"))).as("gram"))
-        .groupBy($"gram")
+      // localCheckpoint: the reduced grain feeds BOTH the threshold
+      // top-20 and the winner filter — ReusedExchange won't unify the
+      // branches (the multi-branch recompute pattern)
+      val agg = g.select($"doc_id", xxhash64($"gram").as("gh"))
+        .groupBy($"gh")
         .agg(countDistinct($"doc_id").as("doc_freq"),
           count(lit(1)).as("occurrences"))
         .filter($"doc_freq" >= 2)
+        .localCheckpoint()
+      val thr = agg.orderBy($"doc_freq".desc, $"occurrences".desc).limit(20)
+        .agg(min(struct($"doc_freq", $"occurrences")).as("thr"))
+      val winners = agg.crossJoin(broadcast(thr))
+        .filter(struct($"doc_freq", $"occurrences") >= $"thr")
+        .select($"gh", $"doc_freq", $"occurrences")
+        .localCheckpoint()
+      g.select(xxhash64($"gram").as("gh"), $"gram")
+        .join(graft.Core.guardedBroadcast(s, winners)(winners.count()), "gh")
+        .groupBy($"gh", $"doc_freq", $"occurrences")
+        .agg(min($"gram").as("gram"))
+        .select($"gram", $"doc_freq", $"occurrences")
         .orderBy($"doc_freq".desc, $"occurrences".desc, $"gram")
         .limit(20)
     },
@@ -814,17 +851,25 @@ object TextOps {
       // stream feeds both sides — the shared-passage set derives from
       // the ≥2-doc HAVING (singleton tail dies in the partial agg) and
       // joins back on the gram key; per-doc counts are two-phase
-      // hash-aggs; all-integer ppm output, hash-exact.
+      // hash-aggs; all-integer ppm output, hash-exact. HASH-KEYED like
+      // text_boilerplate_ngrams (r15 ask #4, inherited via the shared
+      // gram stream): the gram-keyed aggregate and join-back run on
+      // xxhash64(gram) — no output here ever needs the gram TEXT, so
+      // every gram-keyed shuffle row is (8-byte key, doc_id) and the
+      // strings never leave the map side (the doc_id-keyed count
+      // partial-aggregates before its shuffle, so text never rode that
+      // one). Same ~2⁻⁶⁴ collision caveat as the sibling.
       val g = docTokens(s, dir)
         .select($"doc_id",
           explode(when(size($"toks") >= 8,
               transform(sequence(lit(1), size($"toks") - 7),
                 i => concat_ws(" ", slice($"toks", i, lit(8)))))
             .otherwise(array().cast("array<string>"))).as("gram"))
-      val b = g.groupBy($"gram").agg(countDistinct($"doc_id").as("df"))
-        .filter($"df" >= 2).select($"gram")
+      val gh = g.select($"doc_id", xxhash64($"gram").as("gh"))
+      val b = gh.groupBy($"gh").agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2).select($"gh")
       val d = g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-      val m = g.join(b, "gram").groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+      val m = gh.join(b, "gh").groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
       d.join(m, Seq("doc_id"), "left")
         .select($"doc_id", $"n_grams",
           coalesce($"n_boiler", lit(0L)).as("n_boiler"),
@@ -1385,7 +1430,15 @@ object TextOps {
       val a1 = size($"t1"); val a2 = size($"t2")
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
       val jac   = inter.cast("double") / (a1 + a2 - inter)
-      val verified = cand.join(broadcast(sA), "s1").join(broadcast(sB), "s2")
+      // size-guarded like [[verifiedSets]]: the shingle-set dictionary
+      // broadcasts only below spark.graft.broadcast.maxRows (footer
+      // count bound); above it the hint drops and the verify joins
+      // shuffle — an unconditional hint would bypass Spark's size
+      // safety and fail at the 8 GB ceiling instead of reverting
+      val nDocs = graft.Core.load(s, dir, "documents").count()
+      val verified = cand
+        .join(graft.Core.guardedBroadcast(s, sA)(nDocs), "s1")
+        .join(graft.Core.guardedBroadcast(s, sB)(nDocs), "s2")
         .filter(lit(9) * inter >= lit(4) * (a1 + a2))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
         .distinct()

@@ -626,4 +626,86 @@ class PlanAuditSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Full plan text INCLUDING cached subtrees: formatted explain prints
+    * InMemoryRelation as a leaf, but the verify-join shape under audit
+    * lives inside verifiedSets' persisted frame — collect cachedPlans
+    * and append them.
+    */
+  private def planWithCached(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    val exec = df.queryExecution.executedPlan
+    val cached = exec.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan.toString
+    }
+    (df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode) +: cached).mkString("\n")
+  }
+
+  test("set-dictionary broadcast hints are size-guarded: hinted at gate SF, shuffle joins above the dial") {
+    // The verify stage of the MinHash/shingle dedup family meets its
+    // set dictionary through broadcast() hints. An explicit hint
+    // OVERRIDES autoBroadcastJoinThreshold — so at lake scale it would
+    // fail at the 8 GB ceiling, not revert. Core.guardedBroadcast drops
+    // the hint above spark.graft.broadcast.maxRows; this pins BOTH
+    // shapes. autoBroadcastJoinThreshold=-1 throughout so Spark's own
+    // size estimate never broadcasts: any BroadcastHashJoin seen in the
+    // hinted half is the hint's doing, and its disappearance in the
+    // dial=0 half proves the hint (not the estimate) was dropped.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.unset("spark.graft.broadcast.maxRows") // default: hinted
+      val hintedShingle = planWithCached("text_dedup_shingle")
+      assert(hintedShingle.contains("BroadcastHashJoin"),
+        "shingle verify: dictionary should broadcast at gate SF (hint present)")
+      val hintedNear = planWithCached("text_dedup_near")
+      assert(hintedNear.contains("BroadcastHashJoin"),
+        "verifiedSets: dictionary should broadcast at gate SF (hint present)")
+
+      spark.conf.set("spark.graft.broadcast.maxRows", "0") // above the dial
+      val smjShingle = planWithCached("text_dedup_shingle")
+      assert(!smjShingle.contains("BroadcastHashJoin") &&
+             smjShingle.contains("SortMergeJoin"),
+        "shingle verify: above the dial the hint must drop (shuffle join)")
+      val smjNear = planWithCached("text_dedup_near")
+      assert(smjNear.contains("SortMergeJoin"),
+        "verifiedSets: above the dial the hint must drop (shuffle join)")
+
+      // and the reverted shape is CORRECT, not just planned: identical
+      // rows from both forms at gate SF
+      val smjRows = SparkEntry.queries("text_dedup_shingle")(spark, sf("sf0.001"))
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.unset("spark.graft.broadcast.maxRows")
+      val hintedRows = SparkEntry.queries("text_dedup_shingle")(spark, sf("sf0.001"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(smjRows == hintedRows, "shuffle-join form must match hinted form")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.unset("spark.graft.broadcast.maxRows")
+    }
+  }
+
+  test("vec_index_incremental candidate/batch broadcasts are size-guarded") {
+    // ADVICE r15 (medium): the candidate set derives from a join
+    // against the corpus-sized vec_bands table — a duplicate-heavy
+    // batch scales it with |batch|x|cluster|, and an unguarded hint
+    // would collect that to the driver. Above the dial both hints drop.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.unset("spark.graft.broadcast.maxRows")
+      val hinted = formatted("vec_index_incremental")
+      assert(hinted.contains("BroadcastHashJoin"),
+        "gate SF: candidate + batch sides should broadcast (hints present)")
+      spark.conf.set("spark.graft.broadcast.maxRows", "0")
+      val smj = formatted("vec_index_incremental")
+      assert(smj.contains("SortMergeJoin"),
+        "above the dial the embedding fetch must degrade to a shuffle join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.unset("spark.graft.broadcast.maxRows")
+    }
+  }
 }
