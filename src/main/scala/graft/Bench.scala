@@ -196,7 +196,30 @@ object Bench {
       .map { case (i, name, f) => s"""[$i,"$name",$f]""" }.mkString("[", ",", "]")
     val floors =
       s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd,"noise_floor_mid":$mids"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$floors,$recTotals,"queries":$qs,"records":$recs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec",$floors,$recTotals,"queries":$qs,"records":$recs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Persist the full line to a repo artifact (r15 verdict ask #6):
+    // the driver's log capture keeps only a 2000-char TAIL, which eats
+    // the per-entry records map — the claim of record for plan-level
+    // comparisons. bench_diff.py reads these files directly (it accepts
+    // any file holding '{"metric":"total"...}' lines): latest per SF at
+    // docs/bench_records/<sf>.json, full run history (timestamped, one
+    // line per run) at <sf>_history.jsonl. Best-effort: a read-only
+    // checkout must not fail the bench contract.
+    try {
+      val sfBase = new java.io.File(sfDir).getName
+      val outDir = java.nio.file.Paths.get("docs", "bench_records")
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(outDir.resolve(s"$sfBase.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      val stamped = fullLine.patch(1,
+        s""""ts":"${java.time.Instant.now()}",""", 0)
+      java.nio.file.Files.write(outDir.resolve(s"${sfBase}_history.jsonl"),
+        (stamped + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     // Short trailing duplicate of the headline number: the full line above
     // can exceed the driver's log-tail capture, truncating from the HEAD —
     // this one-liner always survives a tail cut. Distinct metric name so

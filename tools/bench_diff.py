@@ -10,6 +10,10 @@ from plan properties instead of the wall-clock re-attribution ritual:
 
 Accepts either the driver artifact shape (a dict whose "tail" string
 holds the emitted JSON lines) or a raw log of '{"metric":...}' lines.
+Since r16 Bench also persists the complete line (per-entry records map
+included, immune to the driver's 2000-char log-tail truncation) to
+docs/bench_records/<sf>.json (latest) and <sf>_history.jsonl
+(timestamped, one line per run) — prefer those as inputs.
 Older artifacts without a "records" map still diff on seconds, loudly
 marked as wall-only. Output: entries whose records moved > max(10%,
 1000), new/missing entries, and the seconds beside them for context.
