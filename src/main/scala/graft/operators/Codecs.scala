@@ -94,6 +94,47 @@ object Codecs {
     bits
   }
 
+  /** 256-bit difference hash (16×16-grid dHash) — the v2 fingerprint
+    * that retires the 64-bit band-keyspace ceiling (SCALE.md): 4×16-bit
+    * bands over 64 bits collide at ~4·2⁻¹⁶, making candidate mass
+    * ~n²·6×10⁻⁵ — negligible to ~10⁷ assets, real near ~10⁸ — while
+    * 4×64-bit bands over 256 bits collide at ~2⁻⁶², so random
+    * collisions stay zero at any conceivable asset count and candidate
+    * mass is true-duplicate-bounded. Same construction as [[dhash64]]
+    * at 4× the grid: bilinear-resize to 17×16 grayscale, bit
+    * (y·16+x) = 1 iff luma(x,y) > luma(x+1,y), packed little-endian
+    * into 4 longs (word k holds bits [64k, 64k+63] = grid rows
+    * [4k, 4k+3]). Row-major packing keeps each band a contiguous
+    * 4-row horizontal strip, so localized edits (a logo, a caption)
+    * dirty few bands and banded recall stays high.
+    */
+  def dhash256(img: BufferedImage): Array[Long] = {
+    val dst = new BufferedImage(17, 16, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 17, 16, null)
+    g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val p = dst.getRGB(x, y)
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+    }
+    val words = new Array[Long](4)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        if (luma(x, y) > luma(x + 1, y)) {
+          val bit = y * 16 + x
+          words(bit >> 6) |= 1L << (bit & 63)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    words
+  }
+
   /** 8-dim real image signature from decoded pixels:
     * [meanR, meanG, meanB, lumaMean, lumaStd, gradH, gradV, aspect].
     * Channel means are in [0,1]; gradients are mean absolute
@@ -307,6 +348,37 @@ object Codecs {
       b += 1
     }
     bits
+  }
+
+  /** 256-bit energy-envelope fingerprint — the audio sibling of
+    * [[dhash256]] and the v2 form of [[audioFingerprint64]]: mono
+    * samples split into 257 equal sub-windows, bit b = 1 iff
+    * RMS(sub b) > RMS(sub b+1), packed into 4 longs (word k holds
+    * bits [64k, 64k+63], a contiguous quarter of the timeline — so a
+    * trim or splice dirties few bands). Same amplitude/codec
+    * invariance as the 64-bit form. Clips too short to populate 257
+    * windows (< 514 samples — ~64 ms at 8 kHz, below any content
+    * clip) fingerprint all-zero, same degenerate contract as the
+    * 64-bit form's 0L.
+    */
+  def audioFingerprint256(w: Wav): Array[Long] = {
+    val words = new Array[Long](4)
+    val s = monoSamples(w)
+    if (s.length < 514) return words
+    val sub = 257
+    val win = s.length / sub
+    val rms = Array.tabulate(sub) { b =>
+      var acc = 0.0; var i = b * win
+      val end = i + win
+      while (i < end) { acc += s(i).toDouble * s(i); i += 1 }
+      math.sqrt(acc / win)
+    }
+    var b = 0
+    while (b < 256) {
+      if (rms(b) > rms(b + 1)) words(b >> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    words
   }
 
   /** 8-dim real audio signature from decoded PCM:

@@ -94,15 +94,33 @@ object Multimodal {
     }
   }
 
-  final case class ImageHash(asset_id: Long, dhash: Long, decoded: Boolean)
+  /** 256-bit perceptual fingerprint row, 4 longs (word k = bits
+    * [64k, 64k+63]) — the v2 shape that retires the 64-bit band
+    * keyspace ceiling (each of the 4 LSH bands keys a FULL long, so
+    * random band collisions are ~2⁻⁶² instead of ~2⁻¹⁶).
+    */
+  final case class ImageHash(asset_id: Long, h0: Long, h1: Long, h2: Long,
+                             h3: Long, decoded: Boolean)
 
-  /** Perceptual 64-bit dHash per image asset (REAL decode via ImageIO;
-    * video assets hash their first GIF frame). Undecodable payloads
-    * fall back to a byte-content xxhash-style fingerprint (still
-    * catches EXACT duplicates) and are flagged `decoded = false` so
-    * consumers can separate perceptual matches from byte matches.
-    * Per-partition batched, one iterator per partition — the same
-    * kernel shape as [[featurize]].
+  /** 4-word fallback fingerprint for undecodable payloads: seeded
+    * MurmurHash3 per word — identical bytes ⇒ identical words, so the
+    * exact-match (hamming == 0) fallback rule still fires; Hamming
+    * proximity between fallback hashes remains meaningless by
+    * contract.
+    */
+  private def byteHash4(data: Array[Byte]): Array[Long] = {
+    val d = if (data == null) Array.emptyByteArray else data
+    Array.tabulate(4)(k =>
+      scala.util.hashing.MurmurHash3.bytesHash(d, 0x9747b28c + k).toLong)
+  }
+
+  /** Perceptual 256-bit dHash per image asset (REAL decode via ImageIO;
+    * video assets hash their first GIF frame; Codecs.dhash256 —
+    * 16×16-grid gradient bits). Undecodable payloads fall back to a
+    * byte-content fingerprint (still catches EXACT duplicates) and are
+    * flagged `decoded = false` so consumers can separate perceptual
+    * matches from byte matches. Per-partition batched, one iterator
+    * per partition — the same kernel shape as [[featurize]].
     */
   def imageHashes(assets: Dataset[Asset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
@@ -114,36 +132,32 @@ object Multimodal {
             case "image" => Codecs.decodeImage(a.data)
             case _       => Codecs.gifFrames(a.data).flatMap(_.headOption)
           }
-          img match {
-            case Some(i) => ImageHash(a.asset_id, Codecs.dhash64(i), decoded = true)
-            case None =>
-              ImageHash(a.asset_id,
-                scala.util.hashing.MurmurHash3.bytesHash(
-                  if (a.data == null) Array.emptyByteArray else a.data).toLong,
-                decoded = false)
+          val (h, dec) = img match {
+            case Some(i) => (Codecs.dhash256(i), true)
+            case None    => (byteHash4(a.data), false)
           }
+          ImageHash(a.asset_id, h(0), h(1), h(2), h(3), dec)
         }
       }
   }
 
-  final case class AudioHash(asset_id: Long, afp: Long, decoded: Boolean)
+  final case class AudioHash(asset_id: Long, h0: Long, h1: Long, h2: Long,
+                             h3: Long, decoded: Boolean)
 
-  /** Energy-envelope fingerprint per audio asset (REAL RIFF/PCM
-    * decode) — same contract as [[imageHashes]]: undecodable payloads
-    * byte-hash with `decoded = false`.
+  /** 256-bit energy-envelope fingerprint per audio asset (REAL
+    * RIFF/PCM decode; Codecs.audioFingerprint256) — same contract as
+    * [[imageHashes]]: undecodable payloads byte-hash with
+    * `decoded = false`.
     */
   def audioHashes(assets: Dataset[Asset]): Dataset[AudioHash] = {
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "audio").mapPartitions { it =>
       it.map { a =>
-        Codecs.decodeWav(a.data) match {
-          case Some(w) => AudioHash(a.asset_id, Codecs.audioFingerprint64(w), decoded = true)
-          case None =>
-            AudioHash(a.asset_id,
-              scala.util.hashing.MurmurHash3.bytesHash(
-                if (a.data == null) Array.emptyByteArray else a.data).toLong,
-              decoded = false)
+        val (h, dec) = Codecs.decodeWav(a.data) match {
+          case Some(w) => (Codecs.audioFingerprint256(w), true)
+          case None    => (byteHash4(a.data), false)
         }
+        AudioHash(a.asset_id, h(0), h(1), h(2), h(3), dec)
       }
     }
   }
@@ -289,7 +303,10 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     def imgObj(num: Int, jpg: Array[Byte]): Unit = {
-      w(s"$num 0 obj << /Subtype /Image /Width 8 /Height 8 " +
+      // dims must match the embedded payload (16×16 noiseRaster):
+      // imageHashes decodes dims from the bytes, but any metadata
+      // consumer (e.g. the resize path) trusts the declared values
+      w(s"$num 0 obj << /Subtype /Image /Width 16 /Height 16 " +
         s"/Filter /DCTDecode /Length ${jpg.length} >> stream\n")
       out.write(jpg); w("\nendstream endobj\n")
     }
@@ -303,9 +320,10 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Seeded 16×16 noise raster: distinct seeds land ~32 dHash bits
-    * apart (far above the ≤6 pair threshold), so the only pdf-image
-    * pairs are the byte-identical shared logos — the 8×8 gradient
+  /** Seeded 16×16 noise raster: distinct seeds land ~half the dHash
+    * bits apart (~128 of 256 — far above the ≤24 pair threshold), so
+    * the only pdf-image pairs are the byte-identical shared logos —
+    * the 8×8 gradient
     * family used by the asset fixtures is dHash-degenerate (low
     * gradient entropy) and would pair half the corpus.
     */

@@ -318,14 +318,18 @@ object ExtensibilityOps {
     ) { (s, dir) =>
       import s.implicits._
       // Perceptual image near-dedup — the multimodal sibling of
-      // text_dedup_near: REAL dHash fingerprints (ImageIO raster →
-      // 9×8 gray gradient bits, Codecs.dhash64), banded 4×16 bits for
-      // candidate generation, Hamming ≤ 6 verify via codegen'd
-      // bit_count(xor). NEVER all-pairs: candidates only within
-      // (band, key) buckets, the same LSH shape as every text/vector
-      // dedup here (pigeonhole guarantees recall to Hamming ≤ 3 with
-      // 4 clean bands; ≤ 6 is the standard probabilistic band dial —
-      // MultimodalSpec pins the planted-near-dup recall). Byte-hash
+      // text_dedup_near: REAL 256-bit dHash fingerprints (ImageIO
+      // raster → 16×16-grid gradient bits, Codecs.dhash256; v2 — the
+      // 64-bit form's 4×16-bit band keyspace collided at ~4·2⁻¹⁶ and
+      // ceilinged near ~10⁸ assets), banded 4×64 bits for candidate
+      // generation, Hamming ≤ 24 verify via codegen'd bit_count(xor)
+      // summed over the 4 words. NEVER all-pairs: candidates only
+      // within (band, key) buckets, the same LSH shape as every
+      // text/vector dedup here (pigeonhole guarantees recall to
+      // Hamming ≤ 3; ≤ 24 is the 6-of-64 dial scaled to 256 bits, and
+      // each band is a contiguous 4-row grid strip so localized edits
+      // dirty few bands — MultimodalSpec pins the planted-near-dup
+      // recall). Byte-hash
       // fallback rows (decoded=false) carry a MurmurHash, not a
       // perceptual hash — Hamming proximity between them (or against a
       // real dHash) is meaningless, so a pair touching a fallback row
@@ -347,10 +351,12 @@ object ExtensibilityOps {
       "mm_audio_dedup", mmDedupOracle("audio")
     ) { (s, dir) =>
       import s.implicits._
-      // Audio near-dedup by energy-envelope fingerprint
-      // (Codecs.audioFingerprint64 — normalized-RMS gradient bits,
-      // amplitude/codec invariant): identical band-bucket LSH shape as
-      // mm_image_dedup, Hamming ≤ 6 verify, never all-pairs. Same
+      // Audio near-dedup by 256-bit energy-envelope fingerprint
+      // (Codecs.audioFingerprint256 — normalized-RMS gradient bits over
+      // 257 windows, amplitude/codec invariant): identical band-bucket
+      // LSH shape as mm_image_dedup (4×64-bit bands, each a contiguous
+      // quarter of the timeline), Hamming ≤ 24 verify, never
+      // all-pairs. Same
       // fallback rule too: a pair touching a byte-hash row
       // (decoded=false) must match exactly — MurmurHash proximity is
       // not audio similarity — and `perceptual` marks which rule fired.
@@ -366,10 +372,14 @@ object ExtensibilityOps {
       // PDF-embedded image dedup (r14 verdict ask #7) — the end-to-end
       // composition of the two r14 pieces: PdfText.jpegImages extracts
       // the real baseline-JPEG rasters out of each PDF's /DCTDecode
-      // image XObjects (pypdf's image surface, engine.py:29-33), and
-      // the mm_image_dedup machinery fingerprints them (ImageIO decode
-      // → dHash) into the same stamped lake artifact family, banded
-      // 4×16 with Hamming ≤ 6 verify — which PDFs share an (almost)
+      // image XObjects, and the mm_image_dedup machinery fingerprints
+      // them (ImageIO decode → dHash) into the same stamped lake
+      // artifact family, banded 4×64 with Hamming ≤ 24 verify — which
+      // PDFs share an (almost)
+      // (Parity note: the reference's PDF ingestion is TEXT-ONLY —
+      // engine.py:29-33 calls pypdf page.extract_text() and never
+      // touches page.images; the image surface here is pypdf's
+      // CAPABILITY, generalized, not reference-app behavior.)
       // identical embedded image, the boilerplate-raster audit a
       // document corpus runs before training on extracted figures.
       // asset_id = pdf_id·100 + stream index, so a pair decodes
@@ -380,10 +390,16 @@ object ExtensibilityOps {
   )
 
   /** Version stamp for the persisted multimodal fingerprint artifacts —
-    * bump with any change to the codec hash math (dhash64 /
-    * audioFingerprint64 / fallback MurmurHash) or the asset synthesis.
+    * bump with any change to the codec hash math (dhash256 /
+    * audioFingerprint256 / fallback MurmurHash) or the asset synthesis.
+    * v4 = the 256-bit rebuild (r15 verdict ask #2): 16×16-grid dHash /
+    * 257-window energy envelope, schema (asset_id, h0..h3, decoded),
+    * 4×64-bit bands — retires the 64-bit band-keyspace ceiling
+    * (~10⁸ assets); any lake still stamped mmfp-v3 (64-bit h) rebuilds
+    * on first touch, and the stamp string names both hash families so
+    * a mixed-version artifact cannot be read silently.
     */
-  private val mmFpVersion = "mmfp-v3:dhash64;afp64;murmur-fallback;assets120;pdf42x2-noise16-logo7;lin1"
+  private val mmFpVersion = "mmfp-v4:dhash256;afp256;murmur4-fallback;assets120;pdf42x2-noise16-logo7;lin1(was:v3-dhash64)"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake
@@ -405,19 +421,24 @@ object ExtensibilityOps {
             .flatMap { case (pid, bytes) =>
               graft.sources.PdfText.jpegImages(bytes).zipWithIndex.map {
                 case (jpg, i) =>
-                  graft.operators.Multimodal.Asset(pid * 100 + i, "image", jpg, 8, 8, 0L)
+                  // 16×16: the real dims of the embedded noiseRaster
+                  // JPEGs — the Asset metadata must match the payload
+                  graft.operators.Multimodal.Asset(pid * 100 + i, "image", jpg, 16, 16, 0L)
               }
             }
           graft.operators.Multimodal.imageHashes(extracted).toDF()
-            .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
+            .select(col("asset_id"), col("h0"), col("h1"), col("h2"),
+              col("h3"), col("decoded"))
         case "image" =>
           graft.operators.Multimodal
             .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-            .select(col("asset_id"), col("dhash").as("h"), col("decoded"))
+            .select(col("asset_id"), col("h0"), col("h1"), col("h2"),
+              col("h3"), col("decoded"))
         case _ =>
           graft.operators.Multimodal
             .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
-            .select(col("asset_id"), col("afp").as("h"), col("decoded"))
+            .select(col("asset_id"), col("h0"), col("h1"), col("h2"),
+              col("h3"), col("decoded"))
       }
       graft.sources.Ingest.stageAndSwap(df, path, table)
       // declared lineage map (r13 verdict ask #3): the codec kernels run
@@ -430,33 +451,48 @@ object ExtensibilityOps {
       val idSrc = if (kind == "pdf") "pdfs.pdf_id" else "assets.asset_id"
       graft.plans.Lineage.writeSidecar(s"$path/$table.parquet", Map(
         "asset_id" -> Set(idSrc),
-        "h"        -> Set(src),
+        "h0"       -> Set(src),
+        "h1"       -> Set(src),
+        "h2"       -> Set(src),
+        "h3"       -> Set(src),
         "decoded"  -> Set(src)))
       IndexOps.writeStamp(path, table, mmFpVersion)
     }
     s"$path/$table.parquet"
   }
 
-  /** The relational stage shared by both modalities: 4×16-bit band
-    * candidate join over (asset_id, h, decoded), Hamming ≤ 6 verify,
-    * exact-match rule for non-perceptual (fallback) hashes.
+  /** The relational stage shared by all three modalities, at the v2
+    * 256-bit fingerprint width: 4 bands, each keyed by one FULL 64-bit
+    * word of (asset_id, h0..h3, decoded) — random band collisions are
+    * ~2⁻⁶² (vs ~4·2⁻¹⁶ for the retired 4×16-bit bands over 64 bits),
+    * so candidate mass is true-duplicate-bounded at ANY asset count;
+    * the ~10⁸-asset keyspace ceiling SCALE.md used to document is
+    * gone. Hamming ≤ 24 verify (the 6-of-64 dial scaled to 256 bits);
+    * pigeonhole still guarantees recall to Hamming ≤ 3, and each band
+    * is a contiguous 4-row strip of the 16×16 grid (resp. a quarter of
+    * the audio timeline), so localized edits dirty few bands and the
+    * planted near-dup gates hold (MultimodalSpec). Exact-match rule
+    * unchanged for non-perceptual (fallback) hashes.
     */
   private[graft] def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = h.select(col("asset_id"), col("h"), col("decoded"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("h"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-      .select(col("asset_id"), col("h"), col("decoded"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val words = (0 until 4).map(b => col(s"h$b"))
+    val bands = h.select((col("asset_id") +: col("decoded") +: words :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("key"))): _*)).as("bk")): _*)
+      .select((col("asset_id") +: col("decoded") +: words :+
+        col("bk.band").as("band") :+ col("bk.key").as("key")): _*)
+    val hamming = (0 until 4).map(b =>
+      bit_count(col(s"ha$b").bitwiseXOR(col(s"hb$b")))).reduce(_ + _).cast("long")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"),
-        (col("a.decoded") && col("b.decoded")).as("perceptual"))
+      .select((col("a.asset_id").as("id_a") +: col("b.asset_id").as("id_b") +:
+        (col("a.decoded") && col("b.decoded")).as("perceptual") +:
+        (0 until 4).flatMap(b => Seq(col(s"a.h$b").as(s"ha$b"),
+          col(s"b.h$b").as(s"hb$b")))): _*)
       .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= 6 && (col("perceptual") || col("hamming") === 0))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 24 && (col("perceptual") || col("hamming") === 0))
       .select(col("id_a"), col("id_b"), col("hamming"), col("perceptual"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -467,25 +503,32 @@ object ExtensibilityOps {
     * sfDir argument; default = the driver's sf0.01 gate), so the oracle
     * is independent of the DuckDB process's working directory and always
     * reads the verified fixture's own artifacts; Verify runs the entry
-    * first, which builds/refreshes the artifact the oracle then reads. DuckDB's
-    * arithmetic >> matches shiftrightunsigned here because the 16-bit
-    * mask keeps only bits [16b, 16b+15], and xor/bit_count operate on
-    * the same two's-complement longs.
+    * first, which builds/refreshes the artifact the oracle then reads.
+    * v2 (256-bit): each band keys one FULL h-word, so the band join is
+    * a plain long equality; hamming sums bit_count(xor) over the 4
+    * words — xor/bit_count operate on the same two's-complement longs
+    * in both engines.
     */
   private def mmDedupOracle(kind: String): String = {
     val abs = new java.io.File(
       IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
-    s"""WITH fp AS (SELECT asset_id, h, decoded FROM read_parquet('$abs/*.parquet')),
-       |bands AS (SELECT asset_id, h, decoded, r.range AS band,
-       |    (h >> CAST(r.range * 16 AS INT)) & 65535 AS key
+    s"""WITH fp AS (SELECT asset_id, h0, h1, h2, h3, decoded FROM read_parquet('$abs/*.parquet')),
+       |bands AS (SELECT asset_id, h0, h1, h2, h3, decoded, r.range AS band,
+       |    CASE r.range WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END AS key
        |  FROM fp CROSS JOIN range(4) r),
        |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
-       |    a.h AS ha, b.h AS hb, (a.decoded AND b.decoded) AS perceptual
+       |    a.h0 AS ha0, a.h1 AS ha1, a.h2 AS ha2, a.h3 AS ha3,
+       |    b.h0 AS hb0, b.h1 AS hb1, b.h2 AS hb2, b.h3 AS hb3,
+       |    (a.decoded AND b.decoded) AS perceptual
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming, perceptual
-       |FROM cand
-       |WHERE bit_count(xor(ha, hb)) <= 6 AND (perceptual OR bit_count(xor(ha, hb)) = 0)
+       |    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id),
+       |hd AS (SELECT id_a, id_b, perceptual,
+       |    CAST(bit_count(xor(ha0, hb0)) + bit_count(xor(ha1, hb1))
+       |       + bit_count(xor(ha2, hb2)) + bit_count(xor(ha3, hb3)) AS BIGINT) AS hamming
+       |  FROM cand)
+       |SELECT id_a, id_b, hamming, perceptual
+       |FROM hd
+       |WHERE hamming <= 24 AND (perceptual OR hamming = 0)
        |ORDER BY id_a, id_b""".stripMargin
   }
 }

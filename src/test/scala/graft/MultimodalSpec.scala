@@ -170,15 +170,24 @@ class MultimodalSpec extends SparkSpecBase {
     ).toDS()
     val h = Multimodal.imageHashes(assets).collect().map(x => x.asset_id -> x).toMap
     assert(h(1L).decoded && h(2L).decoded && h(3L).decoded && !h(4L).decoded)
-    val d12 = java.lang.Long.bitCount(h(1L).dhash ^ h(2L).dhash)
-    val d13 = java.lang.Long.bitCount(h(1L).dhash ^ h(3L).dhash)
-    assert(d12 <= 6, s"brightness-shifted copy must be a perceptual near-dup, hamming=$d12")
-    assert(d13 > 6, s"unrelated image must not pair, hamming=$d13")
+    def words(x: Multimodal.ImageHash) = Seq(x.h0, x.h1, x.h2, x.h3)
+    def ham(a: Multimodal.ImageHash, b: Multimodal.ImageHash): Int =
+      words(a).zip(words(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // 256-bit thresholds: the 64-bit ≤6 / >6 dial scaled 4× (24 of 256)
+    val d12 = ham(h(1L), h(2L))
+    val d13 = ham(h(1L), h(3L))
+    assert(d12 <= 24, s"brightness-shifted copy must be a perceptual near-dup, hamming=$d12")
+    assert(d13 > 24, s"unrelated image must not pair, hamming=$d13")
+    // the BANDED join must also recall the pair: ≥1 of the 4 64-bit
+    // band words clean (the v2 recall contract the LSH stage rides)
+    assert(words(h(1L)).zip(words(h(2L))).exists { case (x, y) => x == y },
+      s"planted near-dup must share a clean 64-bit band: ${words(h(1L))} vs ${words(h(2L))}")
     // and the dhash survives a re-encode (PNG -> raster -> PNG)
     val re = graft.operators.Codecs.encodePng(
       graft.operators.Codecs.decodeImage(img(0, unrelated = false)).get)
-    val hr = graft.operators.Codecs.dhash64(graft.operators.Codecs.decodeImage(re).get)
-    assert(hr == h(1L).dhash, "dhash must be stable under lossless re-encode")
+    val hr = graft.operators.Codecs.dhash256(
+      graft.operators.Codecs.decodeImage(re).get).toSeq
+    assert(hr == words(h(1L)), "dhash must be stable under lossless re-encode")
   }
 
   test("mm_audio_dedup: re-leveled copy fingerprints equal, different tone differs") {
@@ -199,10 +208,15 @@ class MultimodalSpec extends SparkSpecBase {
     ).toDS()
     val h = Multimodal.audioHashes(assets).collect().map(x => x.asset_id -> x).toMap
     assert(h(1L).decoded && h(2L).decoded && h(3L).decoded && !h(4L).decoded)
-    val d12 = java.lang.Long.bitCount(h(1L).afp ^ h(2L).afp)
-    val d13 = java.lang.Long.bitCount(h(1L).afp ^ h(3L).afp)
-    assert(d12 <= 6, s"re-leveled copy must match (amplitude-invariant), hamming=$d12")
-    assert(d13 > 6, s"different envelope must not match, hamming=$d13")
+    def words(x: Multimodal.AudioHash) = Seq(x.h0, x.h1, x.h2, x.h3)
+    def ham(a: Multimodal.AudioHash, b: Multimodal.AudioHash): Int =
+      words(a).zip(words(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val d12 = ham(h(1L), h(2L))
+    val d13 = ham(h(1L), h(3L))
+    assert(d12 <= 24, s"re-leveled copy must match (amplitude-invariant), hamming=$d12")
+    assert(d13 > 24, s"different envelope must not match, hamming=$d13")
+    assert(words(h(1L)).zip(words(h(2L))).exists { case (x, y) => x == y },
+      "re-leveled copy must share a clean 64-bit band for the LSH stage")
   }
 
   test("mm_pdf_images: a JPEG planted in two PDFs pairs across documents") {
@@ -249,12 +263,12 @@ class MultimodalSpec extends SparkSpecBase {
     assert(extracted.map(_.asset_id).sorted == Seq(10L, 11L, 20L),
       s"extraction must surface all planted JPEGs in stream order: ${extracted.map(_.asset_id)}")
     val fp = Multimodal.imageHashes(extracted.toDS()).toDF()
-      .select($"asset_id", $"dhash".as("h"), $"decoded")
+      .select($"asset_id", $"h0", $"h1", $"h2", $"h3", $"decoded")
     assert(fp.filter(!$"decoded").count() == 0, "every extracted JPEG must real-decode")
     val pairs = graft.queries.ExtensibilityOps.mmDedupPairs(fp)
       .select($"id_a", $"id_b", $"hamming", $"perceptual")
       .as[(Long, Long, Long, Boolean)].collect()
-    assert(pairs.exists { case (a, b, h, p) => a == 10L && b == 20L && h <= 6 && p },
+    assert(pairs.exists { case (a, b, h, p) => a == 10L && b == 20L && h <= 24 && p },
       s"the cross-PDF planted pair must surface: ${pairs.toSeq}")
     assert(!pairs.exists { case (a, b, _, _) => a == 11L || b == 11L },
       s"the unrelated image must not pair: ${pairs.toSeq}")
