@@ -26,12 +26,15 @@ object CcittTiff {
     *                  1D/2D G3 (compression 3 with the T4Options 2D
     *                  bit — each line carries its own 1D/2D tag bit,
     *                  which the TIFF reader handles)
-    * @param blackIs1  PDF /BlackIs1: false (default) keeps the fax
+    * @param blackIs1  EFFECTIVE polarity: false keeps the fax
     *                  convention (white runs render white —
     *                  PhotometricInterpretation 0); true inverts the
-    *                  packing (photometric 1). PDFs setting true
-    *                  normally pair it with /Decode [1 0], which
-    *                  cancels back to the standard rendering.
+    *                  packing (photometric 1). PDFs setting
+    *                  /BlackIs1 true normally pair it with
+    *                  /Decode [1 0], which cancels back to the
+    *                  standard rendering — so callers pass
+    *                  /BlackIs1 XOR /Decode-inverted (PdfText
+    *                  .ccittFromStream does), not /BlackIs1 raw.
     * @param byteAlign PDF /EncodedByteAlign → T4Options fill-bits flag
     *                  (G3 only; T.6 has no aligned-EOL mode)
     */

@@ -366,9 +366,14 @@ object Ingest {
         else {
           // JPEG streams surface raw (already an ImageIO format);
           // CCITT fax streams surface PNG-encoded rasters (round 15 —
-          // PdfText.ccittImages decodes them through the JDK TIFF
-          // codec). One ordinal space in stream order.
-          val payloads = PdfText.jpegImages(bytes) ++ PdfText.ccittImages(bytes)
+          // decoded through the JDK TIFF codec). One ordinal space in
+          // TRUE document stream order: imageStreams walks the PDF
+          // once and dispatches per stream, so mixed JPEG/CCITT PDFs
+          // number their images by interleaving position (r15's
+          // jpegImages ++ ccittImages concatenation ordered all JPEGs
+          // before all CCITTs, and a PDF gaining a CCITT stream
+          // renumbered nothing only by luck).
+          val payloads = PdfText.imageStreams(bytes)
           payloads.zipWithIndex.map { case (img0, i) =>
             val img =
               try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img0)))

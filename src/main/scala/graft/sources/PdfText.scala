@@ -121,22 +121,35 @@ object PdfText {
     */
   def jpegImages(bytes: Array[Byte]): Seq[Array[Byte]] =
     rawStreams(bytes).flatMap { case (dict, payload) =>
-      val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
-      if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
-          filters.isEmpty || filters.last != "DCTDecode") None
-      else filters.init.foldLeft(Option(payload)) { (acc, f) =>
-        acc.flatMap { d =>
-          f match {
-            case "FlateDecode"     => inflate(d)
-            case "LZWDecode"       => lzwDecode(d)
-            case "ASCIIHexDecode"  => asciiHexDecode(d)
-            case "ASCII85Decode"   => ascii85Decode(d)
-            case "RunLengthDecode" => runLengthDecode(d)
-            case _                 => None
-          }
+      jpegFromStream(dict, payload)
+    }
+
+  /** Apply the pre-codec transport links (Flate/ASCII/LZW/RLE wrappers
+    * ahead of the terminal image codec) — shared by the JPEG and CCITT
+    * branches. None on any unsupported link.
+    */
+  private def applyTransport(links: Seq[String],
+                             payload: Array[Byte]): Option[Array[Byte]] =
+    links.foldLeft(Option(payload)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode"     => inflate(d)
+          case "LZWDecode"       => lzwDecode(d)
+          case "ASCIIHexDecode"  => asciiHexDecode(d)
+          case "ASCII85Decode"   => ascii85Decode(d)
+          case "RunLengthDecode" => runLengthDecode(d)
+          case _                 => None
         }
       }
     }
+
+  private def jpegFromStream(dict: String,
+                             payload: Array[Byte]): Option[Array[Byte]] = {
+    val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
+    if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
+        filters.isEmpty || filters.last != "DCTDecode") None
+    else applyTransport(filters.init, payload)
+  }
 
   /** Embedded CCITT Group 3/4 fax image XObjects (round 15 — the
     * second of the three image-codec branches, after round 14's
@@ -152,42 +165,58 @@ object PdfText {
     */
   def ccittImages(bytes: Array[Byte]): Seq[Array[Byte]] =
     rawStreams(bytes).flatMap { case (dict, payload) =>
-      val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
-      if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
-          filters.isEmpty || filters.last != "CCITTFaxDecode") None
-      else {
-        def num(name: String): Option[Int] =
-          s"/$name\\s+(-?\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-        def flag(name: String): Boolean =
-          s"/$name\\s+true".r.findFirstIn(dict).isDefined
-        // spec default is 1728, but a dict that omits /Columns while
-        // declaring /Width means the width (writers that rely on the
-        // default also emit 1728-wide images)
-        val cols = num("Columns").orElse(num("Width")).getOrElse(1728)
-        // /Rows 0 (or absent) means "until EOFB" — the image's /Height
-        // is the authoritative row count in a PDF image dict
-        val rows = num("Rows").filter(_ > 0).orElse(num("Height")).getOrElse(0)
-        if (rows <= 0) None
-        else filters.init.foldLeft(Option(payload)) { (acc, f) =>
-          acc.flatMap { d =>
-            f match {
-              case "FlateDecode"     => inflate(d)
-              case "LZWDecode"       => lzwDecode(d)
-              case "ASCIIHexDecode"  => asciiHexDecode(d)
-              case "ASCII85Decode"   => ascii85Decode(d)
-              case "RunLengthDecode" => runLengthDecode(d)
-              case _                 => None
-            }
-          }
-        }.flatMap { d =>
-          CcittTiff.decode(d, cols, rows, num("K").getOrElse(0),
-            flag("BlackIs1"), flag("EncodedByteAlign"))
-        }.map { img =>
-          val b = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", b)
-          b.toByteArray
-        }
+      ccittFromStream(dict, payload)
+    }
+
+  private def ccittFromStream(dict: String,
+                              payload: Array[Byte]): Option[Array[Byte]] = {
+    val filters = filterNameRe.findAllMatchIn(dict).map(_.group(1)).toSeq
+    if (imageSubtypeRe.findFirstIn(dict).isEmpty ||
+        filters.isEmpty || filters.last != "CCITTFaxDecode") None
+    else {
+      def num(name: String): Option[Int] =
+        s"/$name\\s+(-?\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      def flag(name: String): Boolean =
+        s"/$name\\s+true".r.findFirstIn(dict).isDefined
+      // spec default is 1728, but a dict that omits /Columns while
+      // declaring /Width means the width (writers that rely on the
+      // default also emit 1728-wide images)
+      val cols = num("Columns").orElse(num("Width")).getOrElse(1728)
+      // /Rows 0 (or absent) means "until EOFB" — the image's /Height
+      // is the authoritative row count in a PDF image dict
+      val rows = num("Rows").filter(_ > 0).orElse(num("Height")).getOrElse(0)
+      // /Decode [1 0] inverts the sample→color map at render time;
+      // writers that set /BlackIs1 true typically pair it with
+      // /Decode [1 0], and the two CANCEL — so the effective polarity
+      // is the XOR, not /BlackIs1 alone (without this, such a doc's
+      // extracted raster is inverted vs a normal-polarity copy of the
+      // same image and their dHash pair is missed — nearly all
+      // gradient bits flip)
+      val decodeInverted =
+        "/Decode\\s*\\[\\s*1(?:\\.0)?\\s+0(?:\\.0)?\\s*\\]".r.findFirstIn(dict).isDefined
+      if (rows <= 0) None
+      else applyTransport(filters.init, payload).flatMap { d =>
+        CcittTiff.decode(d, cols, rows, num("K").getOrElse(0),
+          flag("BlackIs1") ^ decodeInverted, flag("EncodedByteAlign"))
+      }.map { img =>
+        val b = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", b)
+        b.toByteArray
       }
+    }
+  }
+
+  /** All decodable embedded image XObjects in DOCUMENT STREAM ORDER —
+    * one rawStreams pass dispatching on the terminal codec (DCTDecode →
+    * raw JPEG bytes; CCITTFaxDecode → PNG-encoded raster), so mixed
+    * PDFs keep a single ordinal space that reflects interleaving (the
+    * per-codec [[jpegImages]]/[[ccittImages]] views are order-stable
+    * only WITHIN a codec). Ingest.readPdfImages keys asset ids off this
+    * ordering.
+    */
+  def imageStreams(bytes: Array[Byte]): Seq[Array[Byte]] =
+    rawStreams(bytes).flatMap { case (dict, payload) =>
+      jpegFromStream(dict, payload).orElse(ccittFromStream(dict, payload))
     }
 
   private val filterNameRe =

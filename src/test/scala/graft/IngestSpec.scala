@@ -623,6 +623,118 @@ class IngestSpec extends SparkSpecBase {
     assert(pages.size == 1 && pages.head.contains("text beside fax"), pages.toString)
   }
 
+  test("src_pdf_scan: /BlackIs1 XOR /Decode [1 0] polarity; mixed-codec PDFs keep document stream order") {
+    def bilevel(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x / 7 + y / 4) % 2 == 0) 0xFFFFFF else 0)
+      img
+    }
+    def samePixels(a: java.awt.image.BufferedImage,
+                   b: java.awt.image.BufferedImage): Boolean =
+      a.getWidth == b.getWidth && a.getHeight == b.getHeight &&
+        (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
+          (a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF)))
+    def inverted(a: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val o = new java.awt.image.BufferedImage(a.getWidth, a.getHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        o.setRGB(x, y, ~a.getRGB(x, y) & 0xFFFFFF)
+      o
+    }
+    def encodeG4(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("CCITT T.6")
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+      w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      val t = bo.toByteArray
+      val le = t(0) == 'I'.toByte
+      def u16(o: Int) = if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+                        else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
+        else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
+      val ifd = u32(4).toInt
+      val tags = (0 until u16(ifd)).map { i =>
+        val e = ifd + 2 + i * 12
+        u16(e) -> (if (u16(e + 2) == 3) u16(e + 8).toLong else u32(e + 8))
+      }.toMap
+      t.slice(tags(273).toInt, (tags(273) + tags(279)).toInt)
+    }
+    val img = bilevel(64, 20)
+    val g4 = encodeG4(img)
+    def faxPdf(extraDictEntries: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ws(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      ws("%PDF-1.4\n")
+      ws(s"1 0 obj << /Subtype /Image /Width 64 /Height 20 $extraDictEntries" +
+        s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 64 /Rows 20 " +
+        s"/BlackIs1 true >> /Length ${g4.length} >> stream\n")
+      out.write(g4); ws("\nendstream endobj\n%%EOF\n")
+      out.toByteArray
+    }
+    // /BlackIs1 true ALONE inverts the extracted raster vs the source
+    val aloneB = graft.sources.PdfText.ccittImages(faxPdf(""))
+    assert(aloneB.size == 1)
+    val alone = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(aloneB.head))
+    assert(samePixels(alone, inverted(img)),
+      "/BlackIs1 true without /Decode must invert the packing")
+    // the common writer pairing /BlackIs1 true + /Decode [1 0] CANCELS —
+    // the extracted raster matches the normal-polarity source, so dHash
+    // pairs with a normal copy survive (r15 ADVICE: without the XOR the
+    // raster came out inverted and near-dup pairs were missed)
+    val pairedB = graft.sources.PdfText.ccittImages(faxPdf("/Decode [1 0] "))
+    assert(pairedB.size == 1)
+    val paired = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pairedB.head))
+    assert(samePixels(paired, img),
+      "/BlackIs1 true + /Decode [1 0] must cancel to the standard polarity")
+    // mixed-codec PDF: JPEG, CCITT, JPEG interleaved — imageStreams and
+    // readPdfImages must number them by DOCUMENT position (the old
+    // jpegImages ++ ccittImages concatenation put the fax LAST)
+    def jpegBytes(seed: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", b)
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def ws(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    ws("%PDF-1.4\n")
+    def jpgObj(n: Int, j: Array[Byte]): Unit = {
+      ws(s"$n 0 obj << /Subtype /Image /Width 16 /Height 16 " +
+        s"/Filter /DCTDecode /Length ${j.length} >> stream\n")
+      out.write(j); ws("\nendstream endobj\n")
+    }
+    jpgObj(1, jpegBytes(1))
+    ws(s"2 0 obj << /Subtype /Image /Width 64 /Height 20 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 64 /Rows 20 >> " +
+      s"/Length ${g4.length} >> stream\n")
+    out.write(g4); ws("\nendstream endobj\n")
+    jpgObj(3, jpegBytes(2))
+    ws("%%EOF\n")
+    val streams = graft.sources.PdfText.imageStreams(out.toByteArray)
+    def isJpeg(b: Array[Byte]) = (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+    def isPng(b: Array[Byte]) = (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte
+    assert(streams.size == 3 &&
+      isJpeg(streams(0)) && isPng(streams(1)) && isJpeg(streams(2)),
+      s"mixed PDF must surface jpeg,fax,jpeg in document order; got " +
+        streams.map(b => b.take(2).map(x => f"${x & 0xFF}%02x").mkString).mkString(","))
+    val p = s"$tmp/mixed.pdf"
+    Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    val assets = Ingest.readPdfImages(spark, p).collect().sortBy(_.asset_id)
+    assert(assets.length == 3, s"3 assets expected, got ${assets.length}")
+    assert(isJpeg(assets(0).data) && isPng(assets(1).data) && isJpeg(assets(2).data),
+      "asset ordinals must reflect document stream order")
+  }
+
   test("src_pdf_scan fallback: non-PDF gets one row per 1024-char b64 slice") {
     val p = s"$tmp/fake.pdf"
     val payload = Array.fill[Byte](3000)(65)
