@@ -1011,22 +1011,58 @@ object VecOps {
       // worst case is 4·(1+w) ≈ 96 copies. Measured collision mass is
       // tiny and every copy is an exact tie under (score desc, b_id),
       // which the dense_rank + post-rank distinct below already
-      // dedups; if exact-collision mass ever grows, dedup bk-equal
-      // pairs before the probe expansion.
-      val probe1 = sigd.select($"vec_id", $"band",
+      // dedups. Real lakes are FULL of exact-duplicate embeddings (the
+      // dedup family's own premise), so d=0 is the COMMON case at
+      // scale (r15 verdict ask #3): vectors with IDENTICAL full
+      // signatures collapse to a min-id representative BEFORE the
+      // probe expansion — the probe stream and the midpoint self-join
+      // see one row per signature GROUP, within-group pairs ride one
+      // self-pair row per multi-member group instead of 4·(1+w)
+      // midpoint copies per member pair, and members rejoin on the
+      // (bounded) rep-level candidate stream. Output is row-identical:
+      // the pair SET is signature-determined (members share their
+      // group's signature), scores are exact cosines either way, and
+      // candidate multiplicity was already rank-invariant. LshDupSpec
+      // pins both directions (identical rows on a planted duplicate-
+      // heavy corpus; probe mass scales with groups, not members).
+      val fullSig = sigd.groupBy($"vec_id")
+        .agg(sort_array(collect_list(struct($"band", $"bk"))).as("sig"))
+      // localCheckpoint: groups feeds three branches (rep band rows,
+      // within-group self-pairs, member rejoin) — the multi-branch
+      // recompute pattern
+      val groups = fullSig.groupBy($"sig")
+        .agg(min($"vec_id").as("rep_id"), collect_list($"vec_id").as("members"))
+        .localCheckpoint()
+      val repBands = groups.select($"rep_id", explode($"sig").as("sg"))
+        .select($"rep_id", $"sg.band".as("band"), $"sg.bk".as("bk"))
+      val probe1 = repBands.select($"rep_id", $"band",
         explode(probeKeys1W($"bk", wBits)).as("bk"))
-      val cand = probe1.as("x").join(probe1.as("y"),
-          $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
-        .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
-      // A pair can surface once per band (≤4 copies; measured ~1%
+      val candRep = probe1.as("x").join(probe1.as("y"),
+          $"x.band" === $"y.band" && $"x.bk" === $"y.bk" && $"x.rep_id" =!= $"y.rep_id")
+        .select($"x.rep_id".as("ra"), $"y.rep_id".as("rb"))
+        // within-group pairs: every two members of one signature group
+        // are d=0 candidates by construction — one diagonal row per
+        // multi-member group (the a_id =!= b_id filter below drops the
+        // literal self-pairs the diagonal expands to)
+        .unionByName(groups.filter(size($"members") >= 2)
+          .select($"rep_id".as("ra"), $"rep_id".as("rb")))
+      // A rep pair can surface once per band (≤4 copies; measured ~1%
       // duplication). Duplicates are EXACT ties under (score desc, b_id),
       // so dense_rank ≡ row_number over the distinct pairs — dedup moves
       // AFTER the rank filter onto ≤3 rows per vector (one small final
       // distinct) instead of a pre-rank shuffle of the candidate set.
+      // Member rejoin rides the embedding fetch the plan needed anyway:
+      // memE = (rep_id, vec_id, emb, norm) replaces the plain e side of
+      // the two joins, so expansion adds NO extra join stage.
+      val memE = groups.select($"rep_id", explode($"members").as("vec_id"))
+        .join(e, "vec_id")
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
-      cand
-        .join(e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"norm".as("a_n")), "a_id")
-        .join(e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"norm".as("b_n")), "b_id")
+      candRep
+        .join(memE.select($"rep_id".as("ra"), $"vec_id".as("a_id"),
+          $"emb".as("a_emb"), $"norm".as("a_n")), "ra")
+        .join(memE.select($"rep_id".as("rb"), $"vec_id".as("b_id"),
+          $"emb".as("b_emb"), $"norm".as("b_n")), "rb")
+        .filter($"a_id" =!= $"b_id")
         .select($"a_id", $"b_id", round(cosFast($"a_emb", $"b_emb", $"a_n", $"b_n"), 6).as("score"))
         .withColumn("rnk", dense_rank().over(w))
         .filter($"rnk" <= 3)
