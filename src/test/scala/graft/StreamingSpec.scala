@@ -10,7 +10,7 @@ import java.sql.Timestamp
   * deterministic assertions (watermark semantics, bounded-state dedup,
   * custom state, late-data drop).
   */
-class StreamingSpec extends SparkSpecBase {
+class StreamingSpec extends SparkSpecBase with StreamRestartCases {
   import spark.implicits._
 
   private def ts(minute: Int, sec: Int = 0): Timestamp =
@@ -45,19 +45,7 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("stream_stateful: mapGroupsWithState accumulates across batches") {
-    implicit val sc = spark.sqlContext
-    val in = MemoryStream[Ev]
-    val q = Streams.statefulUserTotals(in.toDS()).toDF()
-      .writeStream.format("memory").queryName("stateful_out")
-      .outputMode(OutputMode.Update()).start()
-    in.addData(Ev(1, 7, "view", ts(0), 1.5), Ev(2, 7, "view", ts(1), 2.5))
-    q.processAllAvailable()
-    in.addData(Ev(3, 7, "buy", ts(2), 6.0)) // second batch: state must carry
-    q.processAllAvailable()
-    q.stop()
-    val last = spark.table("stateful_out")
-      .as[Streams.SessionAgg].collect().maxBy(_.n_events)
-    assert(last == Streams.SessionAgg(7, 3, 10.0))
+    statefulAccumulateCase() // shared body — StreamRestartCases (RocksDB matrix)
   }
 
   test("stream_static_join: events enrich from a broadcast static dim") {
@@ -598,165 +586,18 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("stream_heavy_hitters: killed query restarts from the checkpoint; final sketches equal the uninterrupted run") {
-    // r14 verdict ask #4 — restart RECOVERY, not just replay
-    // idempotence: stop a checkpointed query after batch 1, build a NEW
-    // query object over the same file-backed checkpointLocation, feed
-    // batch 2, and require the final per-shard Misra-Gries state to be
-    // byte-equal (keys, counts, n_seen) to one uninterrupted query over
-    // the same batches. mapGroupsWithState state lives in the
-    // checkpoint's HDFS state store — this is the production crash
-    // story: if restore were broken, the restarted run's sketches would
-    // only cover batch 2 and every comparison below would fail.
-    implicit val sc = spark.sqlContext
-    val shards = 4; val k = 16
-    val b1 = Seq.fill(60)("h1") ++ (0 until 80).map(i => s"t$i")
-    val b2 = Seq.fill(40)("h1") ++ Seq.fill(50)("h2") ++ (80 until 140).map(i => s"t$i")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hh-restart").toString
-    def run(ckpt: String, out: String, interrupt: Boolean): Unit = {
-      val in = MemoryStream[String]
-      def start() = Streams.heavyHitterShards(in.toDS(), shards, k).toDF()
-        .writeStream.outputMode(OutputMode.Update())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(out); ()
-        }
-        .start()
-      val q1 = start()
-      in.addData(b1); q1.processAllAvailable()
-      if (interrupt) {
-        q1.stop() // the "crash": kill after batch 1
-        in.addData(b2)
-        val q2 = start() // NEW query object, same checkpoint dir
-        q2.processAllAvailable(); q2.stop()
-      } else {
-        in.addData(b2); q1.processAllAvailable(); q1.stop()
-      }
-    }
-    run(s"$tmp/ckptA", s"$tmp/outA", interrupt = true)
-    run(s"$tmp/ckptB", s"$tmp/outB", interrupt = false)
-    def finalSketches(out: String): Map[Int, (Long, Seq[(String, Long)])] =
-      spark.read.parquet(out).as[Streams.ShardSketch].collect()
-        .groupBy(_.shard).map { case (sh, xs) =>
-          val last = xs.maxBy(_.n_seen)
-          sh -> (last.n_seen, last.keys.zip(last.counts).toSeq.sortBy(_._1))
-        }
-    val a = finalSketches(s"$tmp/outA")
-    val b = finalSketches(s"$tmp/outB")
-    assert(a.values.map(_._1).sum == (b1.size + b2.size).toLong,
-      s"restarted run must fold BOTH batches (restored state + batch 2): $a")
-    assert(a == b, s"restart-recovered state differs from uninterrupted:\n$a\nvs\n$b")
+    heavyHittersRestartCase() // shared body - StreamRestartCases (RocksDB matrix)
   }
 
   test("stream_upsert: killed query restarts from the checkpoint; lake table equals the uninterrupted run") {
-    implicit val sc = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-restart").toString
-    val b1 = Seq(Ev(1, 1, "view", ts(0), 1.0), Ev(2, 2, "view", ts(1), 2.0))
-    val b2 = Seq(Ev(3, 2, "buy", ts(5), 9.0), Ev(4, 3, "view", ts(5), 4.0))
-    def run(sub: String, interrupt: Boolean): Seq[(Long, Long, Double)] = {
-      val lake = s"$tmp/$sub/lake"
-      val ckpt = s"$tmp/$sub/ckpt"
-      val in = MemoryStream[Ev]
-      def start() = Streams.upsertToLake(in.toDF(), lake, "user_state",
-        "user_id", "ts", Some(ckpt))
-      val q1 = start()
-      in.addData(b1); q1.processAllAvailable()
-      if (interrupt) {
-        q1.stop()
-        in.addData(b2)
-        val q2 = start(); q2.processAllAvailable(); q2.stop()
-      } else { in.addData(b2); q1.processAllAvailable(); q1.stop() }
-      spark.read.parquet(s"$lake/user_state.parquet")
-        .select($"user_id", $"event_id", $"value")
-        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
-    }
-    val interrupted = run("a", interrupt = true)
-    val continuous = run("b", interrupt = false)
-    assert(interrupted == Seq((1L, 1L, 1.0), (2L, 3L, 9.0), (3L, 4L, 4.0)),
-      s"restarted run lost or replayed state: $interrupted")
-    assert(interrupted == continuous,
-      s"restart-recovered table differs:\n$interrupted\nvs\n$continuous")
+    upsertRestartCase() // shared body - StreamRestartCases (RocksDB matrix)
   }
 
   test("stream_mix_state: killed query restarts from the checkpoint; MV equals the uninterrupted run") {
-    import org.apache.spark.sql.functions._
-    implicit val sc = spark.sqlContext
-    val corpusDir = sf("sf0.001")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mix-restart").toString
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
-    val b1 = Seq((910001L, "aa bb cc", "web"), (910002L, "dd ee", "books"))
-    val b2 = Seq((910003L, "ff gg hh ii", "web"))
-    def run(name: String, interrupt: Boolean): Map[String, (Long, Long)] = {
-      val lake = s"$tmp/$name/lake"
-      val ns = Streams.gateNamespace(lake, name)
-      val nsDir = new java.io.File(graft.queries.PipelineOps.mixStateDir(corpusDir, ns))
-      rm(nsDir)
-      val in = MemoryStream[(Long, String, String)]
-      def start() = Streams.mixStateIngest(
-        in.toDF().toDF("doc_id", "text", "source"), corpusDir, lake, name,
-        Some(s"$tmp/$name/ckpt"))
-      val q1 = start()
-      in.addData(b1); q1.processAllAvailable()
-      if (interrupt) {
-        q1.stop()
-        in.addData(b2)
-        val q2 = start(); q2.processAllAvailable(); q2.stop()
-      } else { in.addData(b2); q1.processAllAvailable(); q1.stop() }
-      val st = graft.queries.PipelineOps.readMixState(spark, corpusDir, ns)
-        .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
-      rm(nsDir)
-      st
-    }
-    val interrupted = run("mvrestartA", interrupt = true)
-    val continuous = run("mvrestartB", interrupt = false)
-    assert(interrupted == continuous,
-      s"restart-recovered MV differs:\n$interrupted\nvs\n$continuous")
-    // and the deltas are present exactly once (web +2 docs +7 tokens)
-    val base = Core.load(spark, corpusDir, "documents")
-      .filter(pmod($"doc_id", lit(10)) =!= 7)
-      .filter($"source" === "web")
-      .select(Core.tokens(lower($"text")).as("toks"))
-      // the fixture has no organic "web" source — the coalesce keeps
-      // the zero-row base well-typed and the assertion then checks the
-      // streamed deltas alone
-      .agg(count(lit(1)).as("n"), coalesce(sum(size($"toks")), lit(0L)).as("t"))
-      .as[(Long, Long)].head()
-    assert(interrupted("web") == (base._1 + 2, base._2 + 7),
-      s"web deltas folded wrong: ${interrupted("web")} vs base $base")
+    mixStateRestartCase() // shared body - StreamRestartCases (RocksDB matrix)
   }
 
   test("stream_heavy_hitters: sharded MG sketches, bounded state, cross-batch carry") {
-    implicit val sc = spark.sqlContext
-    import spark.implicits._
-    val shards = 4; val k = 64
-    // planted-skew stream split over three batches: 3 heavies over a
-    // 600-item tail, cardinality >> shards*k
-    val heavies = Seq.fill(300)("h1") ++ Seq.fill(200)("h2") ++ Seq.fill(120)("h3")
-    val tail = (0 until 600).flatMap(i => Seq.fill(3)(s"t$i"))
-    val all = (heavies ++ tail).zipWithIndex.sortBy(_._2 % 7).map(_._1) // interleave
-    val batches = all.grouped((all.size + 2) / 3).toSeq
-    val in = MemoryStream[String]
-    val q = Streams.heavyHitterShards(in.toDS(), shards, k).toDF()
-      .writeStream.format("memory").queryName("hh_out")
-      .outputMode(OutputMode.Update()).start()
-    batches.foreach { b => in.addData(b); q.processAllAvailable() }
-    q.stop()
-    // latest sketch per shard = max n_seen (monotone by construction)
-    val latest = spark.table("hh_out").as[Streams.ShardSketch].collect()
-      .groupBy(_.shard).map { case (_, xs) => xs.maxBy(_.n_seen) }
-    val trueCounts = all.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
-    assert(latest.map(_.n_seen).sum == all.size, "every item folded exactly once")
-    latest.foreach(sk => assert(sk.keys.length <= k, "state bounded by k per shard"))
-    for (h <- Seq("h1", "h2", "h3")) {
-      val shard = math.floorMod(h.hashCode, shards)
-      val sk = latest.find(_.shard == shard).get
-      val est = sk.keys.zip(sk.counts).toMap
-      assert(est.contains(h), s"heavy $h must survive in shard $shard")
-      val bound = sk.n_seen.toDouble / (k + 1)
-      assert(est(h) <= trueCounts(h), s"$h over-counted")
-      assert(trueCounts(h) - est(h) <= bound, s"$h under-counted past n_shard/(k+1)")
-    }
+    heavyHittersBoundCase() // shared body - StreamRestartCases (RocksDB matrix)
   }
 }
