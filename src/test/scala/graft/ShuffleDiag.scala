@@ -24,14 +24,23 @@ object ShuffleDiag {
     val sfDir = args.head
     val names = args.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2": session dials for a diag run
+    // (e.g. spark.graft.broadcast.maxRows=0 to measure the size-guard's
+    // shuffle-join form) without a code edit per experiment
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmDedupClusters(spark, sfDir)
     queries.TextOps.warmSharedFrames(spark, sfDir)
