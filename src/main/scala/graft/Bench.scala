@@ -205,21 +205,38 @@ object Bench {
     // comparisons. bench_diff.py reads these files directly (it accepts
     // any file holding '{"metric":"total"...}' lines): latest per SF at
     // docs/bench_records/<sf>.json, full run history (timestamped, one
-    // line per run) at <sf>_history.jsonl. Best-effort: a read-only
-    // checkout must not fail the bench contract.
+    // line per run) at <sf>_history.jsonl. The directory is anchored to
+    // the REPO ROOT, located by walking up from cwd to the first dir
+    // holding build.sbt (a cwd-relative path would silently write the
+    // claim-of-record next to wherever the driver launched sbt, and
+    // bench_diff would then diff against a stale committed artifact).
+    // Best-effort — a read-only checkout must not fail the bench
+    // contract — but failures and a missing root are REPORTED, never
+    // swallowed silently.
     try {
-      val sfBase = new java.io.File(sfDir).getName
-      val outDir = java.nio.file.Paths.get("docs", "bench_records")
-      java.nio.file.Files.createDirectories(outDir)
-      java.nio.file.Files.write(outDir.resolve(s"$sfBase.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
-      val stamped = fullLine.patch(1,
-        s""""ts":"${java.time.Instant.now()}",""", 0)
-      java.nio.file.Files.write(outDir.resolve(s"${sfBase}_history.jsonl"),
-        (stamped + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () }
+      val root = Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+        .takeWhile(_ != null).take(8)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+      root match {
+        case None =>
+          System.err.println("[bench] no build.sbt up-tree from cwd; records artifact NOT written")
+        case Some(r) =>
+          val sfBase = new java.io.File(sfDir).getName
+          val outDir = r.toPath.resolve("docs").resolve("bench_records")
+          java.nio.file.Files.createDirectories(outDir)
+          java.nio.file.Files.write(outDir.resolve(s"$sfBase.json"),
+            (fullLine + "\n").getBytes("UTF-8"))
+          val stamped = fullLine.patch(1,
+            s""""ts":"${java.time.Instant.now()}",""", 0)
+          java.nio.file.Files.write(outDir.resolve(s"${sfBase}_history.jsonl"),
+            (stamped + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] records artifact write failed: $e")
+    }
     // Short trailing duplicate of the headline number: the full line above
     // can exceed the driver's log-tail capture, truncating from the HEAD —
     // this one-liner always survives a tail cut. Distinct metric name so

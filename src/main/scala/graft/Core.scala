@@ -112,22 +112,29 @@ object Core {
     * the driver regardless of its actual size and fails at the 8 GB
     * broadcast ceiling (or OOMs the driver) instead of degrading to a
     * shuffle join. So every hint whose side grows with the corpus must
-    * pass a row bound first: at or below `spark.graft.broadcast.maxRows`
-    * (default 4,000,000 — at the ≤~200 B/row shapes these sides carry
-    * that is ≤ ~0.8 GB, an order of magnitude under the ceiling, and
-    * generous for every gate/smoke SF) the hint applies and the join is
-    * an exchange-free broadcast hash join; above it the hint is DROPPED
-    * so Catalyst/AQE plan from their own size estimates — a shuffle
-    * join at lake scale. Upstream candidate generation is identical
-    * either way; only the verify-side join strategy reverts.
-    * `rows` is by-name: pass a CHEAP count — a parquet-footer count, a
-    * count over an already-persisted/localCheckpointed frame, or a
-    * count the caller needed anyway. Never a count that recomputes an
-    * unmaterialized join.
+    * pass BOTH bounds first — rows (`spark.graft.broadcast.maxRows`,
+    * default 4,000,000) AND estimated bytes (`spark.graft.guard
+    * .maxBroadcastBytes`, the PlanGuard dial, default 1 GiB): a row
+    * bound alone is blind to payload width (a 3.9M-row dictionary of
+    * ~2.4 KB tids arrays passes 4M rows yet collects ~9 GB — exactly
+    * the ceiling failure this guard exists to prevent). Within both
+    * bounds the hint applies and the join is an exchange-free broadcast
+    * hash join; past either the hint is DROPPED so Catalyst/AQE plan
+    * from their own size estimates — a shuffle join at lake scale.
+    * Upstream candidate generation is identical either way; only the
+    * verify-side join strategy reverts.
+    * `stats` is by-name `(rows, estimatedBytes)`: compute it CHEAPLY —
+    * a parquet-footer count, an aggregate over an already-persisted/
+    * localCheckpointed frame, or row count × a stated per-row shape
+    * bound. Never a computation that re-runs an unmaterialized join.
     */
-  def guardedBroadcast(spark: SparkSession, df: DataFrame)(rows: => Long): DataFrame = {
-    val max = spark.conf.get("spark.graft.broadcast.maxRows", "4000000").toLong
-    if (rows <= max) broadcast(df) else df
+  def guardedBroadcast(spark: SparkSession, df: DataFrame)
+                      (stats: => (Long, Long)): DataFrame = {
+    val maxRows = spark.conf.get("spark.graft.broadcast.maxRows", "4000000").toLong
+    val maxBytes = spark.conf.get("spark.graft.guard.maxBroadcastBytes",
+      (1L << 30).toString).toLong
+    val (rows, bytes) = stats
+    if (rows <= maxRows && bytes <= maxBytes) broadcast(df) else df
   }
 
   /** Timestamp columns are stringified in declared outputs: parquet

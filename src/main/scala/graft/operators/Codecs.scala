@@ -63,45 +63,14 @@ object Codecs {
       encodePng(dst)
     }
 
-  /** 64-bit difference hash (dHash) of a decoded raster — the standard
-    * perceptual fingerprint for image near-dedup (Krawetz's dHash:
-    * bilinear-resize to 9×8 grayscale, bit b = 1 iff luma(x,y) >
-    * luma(x+1,y)). Robust to re-encoding, scaling, and mild
-    * brightness/contrast shifts; near-duplicate images differ in a few
-    * bits (Hamming ≤ ~10 of 64), unrelated ones in ~32.
-    */
-  def dhash64(img: BufferedImage): Long = {
-    val dst = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
-    val g = dst.createGraphics()
-    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g.drawImage(img, 0, 0, 9, 8, null)
-    g.dispose()
-    def luma(x: Int, y: Int): Int = {
-      val p = dst.getRGB(x, y)
-      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
-    }
-    var bits = 0L
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        if (luma(x, y) > luma(x + 1, y)) bits |= 1L << (y * 8 + x)
-        x += 1
-      }
-      y += 1
-    }
-    bits
-  }
-
   /** 256-bit difference hash (16×16-grid dHash) — the v2 fingerprint
     * that retires the 64-bit band-keyspace ceiling (SCALE.md): 4×16-bit
     * bands over 64 bits collide at ~4·2⁻¹⁶, making candidate mass
     * ~n²·6×10⁻⁵ — negligible to ~10⁷ assets, real near ~10⁸ — while
     * 4×64-bit bands over 256 bits collide at ~2⁻⁶², so random
     * collisions stay zero at any conceivable asset count and candidate
-    * mass is true-duplicate-bounded. Same construction as [[dhash64]]
-    * at 4× the grid: bilinear-resize to 17×16 grayscale, bit
+    * mass is true-duplicate-bounded. Krawetz's dHash construction
+    * at 4× the classic 9×8 grid: bilinear-resize to 17×16 grayscale, bit
     * (y·16+x) = 1 iff luma(x,y) > luma(x+1,y), packed little-endian
     * into 4 longs (word k holds bits [64k, 64k+63] = grid rows
     * [4k, 4k+3]). Row-major packing keeps each band a contiguous
@@ -321,45 +290,17 @@ object Codecs {
     bo.array()
   }
 
-  /** 64-bit energy-envelope fingerprint of decoded PCM — the audio
-    * sibling of [[dhash64]]: mono samples split into 65 equal
-    * sub-windows, bit b = 1 iff RMS(sub b) > RMS(sub b+1). Gradient
-    * bits over a NORMALIZED envelope are invariant to amplitude
-    * scaling and codec/container round-trips, and robust to small
-    * trims — the Haitsma-Kalker energy-difference family of
-    * fingerprints, time-domain form (no FFT in the JDK). Unrelated
-    * audio differs in ~32 of 64 bits; re-leveled copies in ≤ a few.
-    */
-  def audioFingerprint64(w: Wav): Long = {
-    val s = monoSamples(w)
-    if (s.length < 130) return 0L
-    val sub = 65
-    val win = s.length / sub
-    val rms = Array.tabulate(sub) { b =>
-      var acc = 0.0; var i = b * win
-      val end = i + win
-      while (i < end) { acc += s(i).toDouble * s(i); i += 1 }
-      math.sqrt(acc / win)
-    }
-    var bits = 0L
-    var b = 0
-    while (b < 64) {
-      if (rms(b) > rms(b + 1)) bits |= 1L << b
-      b += 1
-    }
-    bits
-  }
-
   /** 256-bit energy-envelope fingerprint — the audio sibling of
-    * [[dhash256]] and the v2 form of [[audioFingerprint64]]: mono
+    * [[dhash256]] (Haitsma-Kalker energy-difference family,
+    * time-domain form — no FFT in the JDK): mono
     * samples split into 257 equal sub-windows, bit b = 1 iff
     * RMS(sub b) > RMS(sub b+1), packed into 4 longs (word k holds
     * bits [64k, 64k+63], a contiguous quarter of the timeline — so a
-    * trim or splice dirties few bands). Same amplitude/codec
-    * invariance as the 64-bit form. Clips too short to populate 257
+    * trim or splice dirties few bands). Gradient bits over a
+    * NORMALIZED envelope are invariant to amplitude scaling and
+    * codec/container round-trips, and robust to small trims. Clips too short to populate 257
     * windows (< 514 samples — ~64 ms at 8 kHz, below any content
-    * clip) fingerprint all-zero, same degenerate contract as the
-    * 64-bit form's 0L.
+    * clip) fingerprint all-zero (degenerate by contract).
     */
   def audioFingerprint256(w: Wav): Array[Long] = {
     val words = new Array[Long](4)

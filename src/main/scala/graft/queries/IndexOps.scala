@@ -785,10 +785,13 @@ object IndexOps {
       // exchange; the only shuffles left are the candidate distinct
       // and the b_id-partitioned rank window over (b_id, vec_id,
       // score) rows.
+      // per-row shape bounds: candidate rows are two ids (~32 B);
+      // batch rows carry the 64-double b_emb (~600 B)
+      val nCand = cand.count(); val nBatch = batch.count()
       s.read.parquet(s"$path/vecs.parquet")
-        .join(graft.Core.guardedBroadcast(s, cand)(cand.count()), "vec_id")
+        .join(graft.Core.guardedBroadcast(s, cand)((nCand, 32L * nCand)), "vec_id")
         .join(graft.Core.guardedBroadcast(s,
-          batch.select($"b_id", $"b_emb", $"b_n"))(batch.count()), "b_id")
+          batch.select($"b_id", $"b_emb", $"b_n"))((nBatch, 600L * nBatch)), "b_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(wRank))
@@ -1104,10 +1107,13 @@ object IndexOps {
       .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
       .select(col("b_id"), col("vec_id")).distinct()
       .localCheckpoint()
+    // per-row shape bounds as in vec_index_incremental: id-pair rows
+    // ~32 B, embedding-carrying batch rows ~600 B
     val nBatch = signed.count()
+    val nCandVs = candVsIndex.count()
     val dupVsIndex = s.read.parquet(s"$path/vecs.parquet")
-      .join(graft.Core.guardedBroadcast(s, candVsIndex)(candVsIndex.count()), "vec_id")
-      .join(graft.Core.guardedBroadcast(s, bEmb)(nBatch), "b_id")
+      .join(graft.Core.guardedBroadcast(s, candVsIndex)((nCandVs, 32L * nCandVs)), "vec_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)((nBatch, 600L * nBatch)), "b_id")
       .filter(cos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
@@ -1118,10 +1124,10 @@ object IndexOps {
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.b_id") > col("y.b_id"))
       .select(col("x.b_id").as("b_id"), col("y.b_id").as("o_id")).distinct()
-      .join(graft.Core.guardedBroadcast(s, bEmb)(nBatch), "b_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)((nBatch, 600L * nBatch)), "b_id")
       .join(graft.Core.guardedBroadcast(s,
         bEmb.select(col("b_id").as("o_id"), col("b_emb").as("o_emb"),
-          col("b_n").as("o_n")))(nBatch), "o_id")
+          col("b_n").as("o_n")))((nBatch, 600L * nBatch)), "o_id")
       .filter(wcos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     batch.join(dupVsIndex.unionByName(dupInBatch), Seq("vec_id"), "left_anti")

@@ -396,12 +396,20 @@ object TextOps {
   }
 
   private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    cacheLock.synchronized { vsCache.getOrElseUpdate(
-      // the broadcast dial joins the key so a session that moves it
+    cacheLock.synchronized {
+      // the broadcast dials join the key so a session that moves one
       // (PlanAuditSpec's shuffle-shape pin) rebuilds the plan instead
-      // of replaying the memoized one
-      (s, dir, s.conf.get("spark.sql.shuffle.partitions", "") + ":" +
-        s.conf.get("spark.graft.broadcast.maxRows", "")), {
+      // of replaying the memoized one — and superseded same-(s, dir)
+      // entries UNPERSIST first, so re-dialing never pins more than one
+      // verified frame per corpus (the dial-keyed leak the r16 review
+      // flagged)
+      val key = (s, dir, s.conf.get("spark.sql.shuffle.partitions", "") + ":" +
+        s.conf.get("spark.graft.broadcast.maxRows", "") + ":" +
+        s.conf.get("spark.graft.guard.maxBroadcastBytes", ""))
+      if (!vsCache.contains(key))
+        vsCache.keys.filter(k => (k._1 eq s) && k._2 == dir && k._3 != key._3)
+          .foreach { k => vsCache.remove(k).foreach { case (v, _) => v.unpersist() } }
+      vsCache.getOrElseUpdate(key, {
         import s.implicits._
         val sets = signatureTableCached(s, dir)
         // Candidate generation stays LSH-banded (bucketed band
@@ -441,15 +449,20 @@ object TextOps {
         // outgrows a broadcast, so the hint is SIZE-GUARDED
         // (Core.guardedBroadcast — an unconditional hint would override
         // autoBroadcastJoinThreshold and fail at the 8 GB ceiling):
-        // above spark.graft.broadcast.maxRows the hint drops and
-        // Catalyst plans shuffle joins — the banded candidate
-        // generation is unchanged either way. The bound rides the
-        // documents parquet FOOTER count (O(files), no data scan; the
-        // dictionary has at most one row per document).
-        val nDocs = graft.Core.load(s, dir, "documents").count()
+        // past either the row dial or the BYTE dial (rows alone are
+        // blind to the tids payload width) the hint drops and Catalyst
+        // plans shuffle joins — the banded candidate generation is
+        // unchanged either way. Rows and bytes come from ONE aggregate
+        // over the already-persisted signature table (~16 B/row of
+        // fixed fields + 8 B per stored token hash).
+        val dictStats: (Long, Long) = {
+          val r = sets.agg(count(lit(1)), sum(size($"tids"))).head()
+          val n = r.getLong(0)
+          (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        }
         val verified = cand
-          .join(graft.Core.guardedBroadcast(s, sA)(nDocs), "s1")
-          .join(graft.Core.guardedBroadcast(s, sB)(nDocs), "s2")
+          .join(graft.Core.guardedBroadcast(s, sA)(dictStats), "s1")
+          .join(graft.Core.guardedBroadcast(s, sB)(dictStats), "s2")
           .filter(lit(19) * inter >= lit(9) * (a1 + a2))
           .select($"s1", $"s2", round(jac, 4).as("jaccard"))
           .distinct()
@@ -752,8 +765,10 @@ object TextOps {
         .filter(struct($"doc_freq", $"occurrences") >= $"thr")
         .select($"gh", $"doc_freq", $"occurrences")
         .localCheckpoint()
+      val nWin = winners.count() // cheap: winners is localCheckpointed
       g.select(xxhash64($"gram").as("gh"), $"gram")
-        .join(graft.Core.guardedBroadcast(s, winners)(winners.count()), "gh")
+        // ~32 B/row: an 8-byte hash key + two counters
+        .join(graft.Core.guardedBroadcast(s, winners)((nWin, 32L * nWin)), "gh")
         .groupBy($"gh", $"doc_freq", $"occurrences")
         .agg(min($"gram").as("gram"))
         .select($"gram", $"doc_freq", $"occurrences")
@@ -1400,6 +1415,15 @@ object TextOps {
         .select($"doc_id", call_function("shingles64", $"text").as("sh"))
       val sets = docs.groupBy($"sh")
         .agg(min($"doc_id").as("sid"), collect_list($"doc_id").as("ids"))
+        // localCheckpoint the reduced grain (distinct shingle sets): it
+        // feeds FOUR branches (banded ×2 via the self-join, sA, sB,
+        // plus expandPairs) and ReusedExchange does not unify them —
+        // without this the corpus-sized shingle pass + groupBy(sh)
+        // re-ran per branch (the multi-branch recompute pattern;
+        // measured 30,246 recs / 27.6 MB → 10,251 / 7.4 MB at sf0.1 —
+        // this was the bench's largest byte line). The materialization
+        // also makes the size-guard stats below free.
+        .localCheckpoint()
       // native MinHash64: one pass over the shingle hashes; 16 bands ×
       // 4 rows lifts recall at the 0.8 verify threshold from ~88%
       // (4 bands) to 1−(1−0.8⁴)¹⁶ ≈ 99.98%. Costs ~4s over the old
@@ -1431,14 +1455,20 @@ object TextOps {
       val inter = call_function("sorted_long_intersect_size", $"t1", $"t2")
       val jac   = inter.cast("double") / (a1 + a2 - inter)
       // size-guarded like [[verifiedSets]]: the shingle-set dictionary
-      // broadcasts only below spark.graft.broadcast.maxRows (footer
-      // count bound); above it the hint drops and the verify joins
-      // shuffle — an unconditional hint would bypass Spark's size
-      // safety and fail at the 8 GB ceiling instead of reverting
-      val nDocs = graft.Core.load(s, dir, "documents").count()
+      // broadcasts only within BOTH dials (rows AND estimated bytes —
+      // shingle arrays are the payload, so a row bound alone is blind
+      // to their width); past either the hint drops and the verify
+      // joins shuffle — an unconditional hint would bypass Spark's
+      // size safety and fail at the 8 GB ceiling instead of reverting.
+      // Stats are one aggregate over the checkpointed dictionary.
+      val dictStats: (Long, Long) = {
+        val r = sets.agg(count(lit(1)), sum(size($"sh"))).head()
+        val n = r.getLong(0)
+        (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
       val verified = cand
-        .join(graft.Core.guardedBroadcast(s, sA)(nDocs), "s1")
-        .join(graft.Core.guardedBroadcast(s, sB)(nDocs), "s2")
+        .join(graft.Core.guardedBroadcast(s, sA)(dictStats), "s1")
+        .join(graft.Core.guardedBroadcast(s, sB)(dictStats), "s2")
         .filter(lit(9) * inter >= lit(4) * (a1 + a2))
         .select($"s1", $"s2", round(jac, 4).as("jaccard"))
         .distinct()

@@ -33,12 +33,17 @@ object ShuffleDiag {
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2": session dials for a diag run
     // (e.g. spark.graft.broadcast.maxRows=0 to measure the size-guard's
-    // shuffle-join form) without a code edit per experiment
+    // shuffle-join form) without a code edit per experiment. Comma is
+    // the pair separator, so VALUES containing commas can't ride this
+    // env var; tokens without '=' are skipped with a warning rather
+    // than crashing the diag.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v) // Builder mutates in place
+          case _ => System.err.println(s"[diag] ignoring malformed conf token '$kv' (no '=')")
+        }
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
