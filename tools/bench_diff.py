@@ -33,7 +33,9 @@ def load_bench(path):
     except json.JSONDecodeError:
         pass
     best = None
-    for m in re.finditer(r'\{"metric":"total".*\}', text):
+    # history lines carry a leading "ts" field, so match the metric key
+    # anywhere in the object, not only at position 0
+    for m in re.finditer(r'\{[^\n]*"metric":"total"[^\n]*\}', text):
         try:
             line = json.loads(m.group(0))
         except json.JSONDecodeError:
