@@ -669,6 +669,16 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!smjShingle.contains("BroadcastHashJoin") &&
              smjShingle.contains("SortMergeJoin"),
         "shingle verify: above the dial the hint must drop (shuffle join)")
+      // the BYTE dial alone must also drop the hint (r16 review: a row
+      // bound is blind to payload width — the guard is two-dial)
+      spark.conf.unset("spark.graft.broadcast.maxRows")
+      spark.conf.set("spark.graft.guard.maxBroadcastBytes", "0")
+      val smjBytes = planWithCached("text_dedup_shingle")
+      assert(!smjBytes.contains("BroadcastHashJoin") &&
+             smjBytes.contains("SortMergeJoin"),
+        "shingle verify: above the BYTE dial the hint must drop too")
+      spark.conf.unset("spark.graft.guard.maxBroadcastBytes")
+      spark.conf.set("spark.graft.broadcast.maxRows", "0")
       val smjNear = planWithCached("text_dedup_near")
       assert(smjNear.contains("SortMergeJoin"),
         "verifiedSets: above the dial the hint must drop (shuffle join)")
@@ -684,6 +694,7 @@ class PlanAuditSpec extends SparkSpecBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
       spark.conf.unset("spark.graft.broadcast.maxRows")
+      spark.conf.unset("spark.graft.guard.maxBroadcastBytes")
     }
   }
 
