@@ -137,6 +137,19 @@ object Core {
     if (rows <= maxRows && bytes <= maxBytes) broadcast(df) else df
   }
 
+  /** (rows, estimatedBytes) of a long-array set dictionary for
+    * [[guardedBroadcast]] — one aggregate over `df` (~16 B/row of fixed
+    * fields + 8 B per stored element of `arrayCol`). One definition so
+    * the guarded dictionary families can't drift on the byte model.
+    * RUNS A SPARK ACTION: call it on an already-persisted/checkpointed
+    * frame and never while holding a cache lock.
+    */
+  def setDictStats(df: DataFrame, arrayCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(size(col(arrayCol)))).head()
+    val n = r.getLong(0)
+    (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
+  }
+
   /** Timestamp columns are stringified in declared outputs: parquet
     * timestamp annotations (isAdjustedToUTC, unit) vary between writers
     * and would hash-mismatch against the DuckDB oracle even when the

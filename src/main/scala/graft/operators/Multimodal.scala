@@ -102,16 +102,24 @@ object Multimodal {
   final case class ImageHash(asset_id: Long, h0: Long, h1: Long, h2: Long,
                              h3: Long, decoded: Boolean)
 
-  /** 4-word fallback fingerprint for undecodable payloads: seeded
-    * MurmurHash3 per word — identical bytes ⇒ identical words, so the
-    * exact-match (hamming == 0) fallback rule still fires; Hamming
-    * proximity between fallback hashes remains meaningless by
-    * contract.
+  /** 4-word fallback fingerprint for undecodable payloads: TWO seeded
+    * 32-bit MurmurHash3 values packed per word, so each LSH band key
+    * carries a full 64 bits of entropy — a sign-extended single murmur
+    * would leave the upper half constant and fallback rows' band keys
+    * colliding at ~2⁻³², regrowing the quadratic candidate mass the
+    * 256-bit rebuild retires (an undecodable-heavy corpus would pay it
+    * in the band join before the hamming==0 rule discards the pairs).
+    * Identical bytes ⇒ identical words, so the exact-match fallback
+    * rule still fires; Hamming proximity between fallback hashes
+    * remains meaningless by contract.
     */
   private def byteHash4(data: Array[Byte]): Array[Long] = {
     val d = if (data == null) Array.emptyByteArray else data
-    Array.tabulate(4)(k =>
-      scala.util.hashing.MurmurHash3.bytesHash(d, 0x9747b28c + k).toLong)
+    Array.tabulate(4) { k =>
+      val hi = scala.util.hashing.MurmurHash3.bytesHash(d, 0x9747b28c + 2 * k)
+      val lo = scala.util.hashing.MurmurHash3.bytesHash(d, 0x9747b28c + 2 * k + 1)
+      (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+    }
   }
 
   /** Perceptual 256-bit dHash per image asset (REAL decode via ImageIO;

@@ -399,7 +399,7 @@ object ExtensibilityOps {
     * on first touch, and the stamp string names both hash families so
     * a mixed-version artifact cannot be read silently.
     */
-  private val mmFpVersion = "mmfp-v4:dhash256;afp256;murmur4-fallback;assets120;pdf42x2-noise16-logo7;lin1(was:v3-dhash64)"
+  private val mmFpVersion = "mmfp-v5:dhash256;afp256;murmur4x2-fallback;assets120;pdf42x2-noise16-logo7;lin1(was:v4-murmur4-signext)"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake

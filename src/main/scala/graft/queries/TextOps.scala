@@ -395,23 +395,35 @@ object TextOps {
     ()
   }
 
-  private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    cacheLock.synchronized {
-      // the broadcast dials join the key so a session that moves one
-      // (PlanAuditSpec's shuffle-shape pin) rebuilds the plan instead
-      // of replaying the memoized one — and superseded same-(s, dir)
-      // entries UNPERSIST first, so re-dialing never pins more than one
-      // verified frame per corpus (the dial-keyed leak the r16 review
-      // flagged)
-      val key = (s, dir, s.conf.get("spark.sql.shuffle.partitions", "") + ":" +
-        s.conf.get("spark.graft.broadcast.maxRows", "") + ":" +
-        s.conf.get("spark.graft.guard.maxBroadcastBytes", ""))
+  private def verifiedSets(s: org.apache.spark.sql.SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // the broadcast dials join the key so a session that moves one
+    // (PlanAuditSpec's shuffle-shape pin) rebuilds the plan instead
+    // of replaying the memoized one — and superseded same-(s, dir)
+    // entries UNPERSIST first, so re-dialing never pins more than one
+    // verified frame per corpus (the dial-keyed leak the r16 review
+    // flagged)
+    val key = (s, dir, s.conf.get("spark.sql.shuffle.partitions", "") + ":" +
+      s.conf.get("spark.graft.broadcast.maxRows", "") + ":" +
+      s.conf.get("spark.graft.guard.maxBroadcastBytes", ""))
+    vsCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        // the size-guard stats are a Spark ACTION — run it OUTSIDE
+        // cacheLock (holding the lock through a job would serialize
+        // every other TextOps cache user and defeat warmSharedFrames'
+        // documented materialization overlap). A racing thread may
+        // duplicate the aggregate (idempotent, one pass over the
+        // persisted signature table); the lock below still serializes
+        // the plan build + persist registration, so no frame leaks.
+        val setsOuter = signatureTableCached(s, dir)
+        val dictStatsOuter = graft.Core.setDictStats(setsOuter, "tids")
+        cacheLock.synchronized {
       if (!vsCache.contains(key))
         vsCache.keys.filter(k => (k._1 eq s) && k._2 == dir && k._3 != key._3)
           .foreach { k => vsCache.remove(k).foreach { case (v, _) => v.unpersist() } }
       vsCache.getOrElseUpdate(key, {
         import s.implicits._
-        val sets = signatureTableCached(s, dir)
+        val sets = setsOuter
         // Candidate generation stays LSH-banded (bucketed band
         // self-join, never all-pairs — the 100 TB shape). Two measured
         // rewrites of the downstream plumbing (VsDiag at sf0.1, where
@@ -453,23 +465,20 @@ object TextOps {
         // blind to the tids payload width) the hint drops and Catalyst
         // plans shuffle joins — the banded candidate generation is
         // unchanged either way. Rows and bytes come from ONE aggregate
-        // over the already-persisted signature table (~16 B/row of
-        // fixed fields + 8 B per stored token hash).
-        val dictStats: (Long, Long) = {
-          val r = sets.agg(count(lit(1)), sum(size($"tids"))).head()
-          val n = r.getLong(0)
-          (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
-        }
+        // over the already-persisted signature table
+        // (Core.setDictStats — computed above, OUTSIDE the lock).
         val verified = cand
-          .join(graft.Core.guardedBroadcast(s, sA)(dictStats), "s1")
-          .join(graft.Core.guardedBroadcast(s, sB)(dictStats), "s2")
+          .join(graft.Core.guardedBroadcast(s, sA)(dictStatsOuter), "s1")
+          .join(graft.Core.guardedBroadcast(s, sB)(dictStatsOuter), "s2")
           .filter(lit(19) * inter >= lit(9) * (a1 + a2))
           .select($"s1", $"s2", round(jac, 4).as("jaccard"))
           .distinct()
           .persist()
         (verified, sets)
       })
+        }
     }
+  }
 
   /** Doc-level near-dup pairs: the lazily expanded view of
     * [[verifiedSets]] (cliques make this quadratic in clique size — it
@@ -1460,12 +1469,9 @@ object TextOps {
       // to their width); past either the hint drops and the verify
       // joins shuffle — an unconditional hint would bypass Spark's
       // size safety and fail at the 8 GB ceiling instead of reverting.
-      // Stats are one aggregate over the checkpointed dictionary.
-      val dictStats: (Long, Long) = {
-        val r = sets.agg(count(lit(1)), sum(size($"sh"))).head()
-        val n = r.getLong(0)
-        (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      }
+      // Stats are one aggregate over the checkpointed dictionary
+      // (Core.setDictStats — the one shared byte model).
+      val dictStats = graft.Core.setDictStats(sets, "sh")
       val verified = cand
         .join(graft.Core.guardedBroadcast(s, sA)(dictStats), "s1")
         .join(graft.Core.guardedBroadcast(s, sB)(dictStats), "s2")

@@ -1046,11 +1046,16 @@ object VecOps {
         // literal self-pairs the diagonal expands to)
         .unionByName(groups.filter(size($"members") >= 2)
           .select($"rep_id".as("ra"), $"rep_id".as("rb")))
-      // A rep pair can surface once per band (≤4 copies; measured ~1%
-      // duplication). Duplicates are EXACT ties under (score desc, b_id),
-      // so dense_rank ≡ row_number over the distinct pairs — dedup moves
-      // AFTER the rank filter onto ≤3 rows per vector (one small final
-      // distinct) instead of a pre-rank shuffle of the candidate set.
+      // A rep pair surfaces ≤3× per band at per-band distance 1-2, but
+      // still up to 1+w× on a band where the two (distinct-signature)
+      // groups share that band's key exactly — so the worst case
+      // remains 4·(1+w) copies for cross-group pairs; only FULL-
+      // signature equality is collapsed above. Every copy is an EXACT
+      // tie under (score desc, b_id), so dense_rank (NOT row_number —
+      // load-bearing) ≡ row_number over the distinct pairs, and dedup
+      // moves AFTER the rank filter onto ≤3 rows per vector (one small
+      // final distinct) instead of a pre-rank shuffle of the candidate
+      // set.
       // Member rejoin rides the embedding fetch the plan needed anyway:
       // memE = (rep_id, vec_id, emb, norm) replaces the plain e side of
       // the two joins, so expansion adds NO extra join stage.

@@ -12,6 +12,56 @@ class IngestSpec extends SparkSpecBase {
 
   private lazy val tmp = Files.createTempDirectory("graft-ingest").toString
 
+  // ---- shared CCITT fixtures (two tests drive the fax decode path) ----
+
+  private def ccittBilevel(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x / 7 + y / 4) % 2 == 0) 0xFFFFFF else 0)
+    img
+  }
+
+  private def ccittSamePixels(a: java.awt.image.BufferedImage,
+                              b: java.awt.image.BufferedImage): Boolean =
+    a.getWidth == b.getWidth && a.getHeight == b.getHeight &&
+      (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
+        (a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF)))
+
+  /** Encode via the JDK's own T.4/T.6 writer and extract (strip bytes,
+    * T4Options) by a minimal IFD walk — the independent fax bitstreams
+    * the decode tests round-trip against (no circular self-encode).
+    * Asserts the fixture stays single-strip: a multi-strip TIFF would
+    * silently mis-slice.
+    */
+  private def encodeCcitt(img: java.awt.image.BufferedImage,
+                          typ: String): (Array[Byte], Long) = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType(typ)
+    val bo = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    val t = bo.toByteArray
+    val le = t(0) == 'I'.toByte
+    def u16(o: Int) = if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+                      else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
+      else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
+    val ifd = u32(4).toInt
+    val tags = (0 until u16(ifd)).map { i =>
+      val e = ifd + 2 + i * 12
+      val typId = u16(e + 2)
+      assert(u32(e + 4) == 1L, s"tag ${u16(e)}: multi-count IFD entry — use a smaller fixture")
+      u16(e) -> (if (typId == 3) u16(e + 8).toLong else u32(e + 8))
+    }.toMap
+    (t.slice(tags(273).toInt, (tags(273) + tags(279)).toInt), tags.getOrElse(292, 0L))
+  }
+
   test("src_csv_scan: header+inferSchema round-trip") {
     val p = s"$tmp/in.csv"
     Files.writeString(java.nio.file.Paths.get(p),
@@ -524,59 +574,19 @@ class IngestSpec extends SparkSpecBase {
     // ENCODER (an independent implementation of T.4/T.6), so the
     // round-trip is encoder(JDK) → CcittTiff wrap → decoder(JDK TIFF
     // reader) with pixel-exact comparison — no circular self-encode.
-    def bilevel(w: Int, h: Int): java.awt.image.BufferedImage = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
-      for (y <- 0 until h; x <- 0 until w)
-        img.setRGB(x, y, if ((x / 7 + y / 4) % 2 == 0) 0xFFFFFF else 0)
-      img
-    }
-    def encodeCcitt(img: java.awt.image.BufferedImage,
-                    typ: String): (Array[Byte], Long) = {
-      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
-      val p = w.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionType(typ)
-      val bo = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-      w.setOutput(ios)
-      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      ios.close()
-      val t = bo.toByteArray
-      // minimal IFD walk (single strip asserted): strip bytes + T4Options
-      val le = t(0) == 'I'.toByte
-      def u16(o: Int) = if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
-                        else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
-      def u32(o: Int): Long =
-        if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
-        else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
-      val ifd = u32(4).toInt
-      val tags = (0 until u16(ifd)).map { i =>
-        val e = ifd + 2 + i * 12
-        val typId = u16(e + 2)
-        assert(u32(e + 4) == 1L, s"tag ${u16(e)}: multi-count IFD entry — use a smaller fixture")
-        u16(e) -> (if (typId == 3) u16(e + 8).toLong else u32(e + 8))
-      }.toMap
-      (t.slice(tags(273).toInt, (tags(273) + tags(279)).toInt), tags.getOrElse(292, 0L))
-    }
-    def samePixels(a: java.awt.image.BufferedImage,
-                   b: java.awt.image.BufferedImage): Boolean =
-      a.getWidth == b.getWidth && a.getHeight == b.getHeight &&
-        (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
-          (a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF)))
-    val img = bilevel(64, 20)
+    val img = ccittBilevel(64, 20)
     // G4 (PDF /K -1 ↔ TIFF compression 4)
     val (g4, _) = encodeCcitt(img, "CCITT T.6")
     val dec4 = graft.sources.CcittTiff.decode(g4, 64, 20, -1,
       blackIs1 = false, byteAlign = false)
-    assert(dec4.exists(samePixels(_, img)), "G4 wrap-decode must be pixel-exact")
+    assert(dec4.exists(ccittSamePixels(_, img)), "G4 wrap-decode must be pixel-exact")
     // G3 (the JDK T.4 writer emits the 2D-mixed form — T4Options bit 0
     // — which is PDF /K > 0)
     val (g3, t4opts) = encodeCcitt(img, "CCITT T.4")
     val k = if ((t4opts & 1L) != 0) 1 else 0
     val dec3 = graft.sources.CcittTiff.decode(g3, 64, 20, k,
       blackIs1 = false, byteAlign = (t4opts & 4L) != 0)
-    assert(dec3.exists(samePixels(_, img)), s"G3 wrap-decode must be pixel-exact (T4Options=$t4opts)")
+    assert(dec3.exists(ccittSamePixels(_, img)), s"G3 wrap-decode must be pixel-exact (T4Options=$t4opts)")
     // end-to-end through a PDF: /CCITTFaxDecode image XObject beside a
     // text page — images surface as decodable PNG assets, text is
     // unaffected, and the image stream never leaks into page text
@@ -596,7 +606,7 @@ class IngestSpec extends SparkSpecBase {
     val pngs = graft.sources.PdfText.ccittImages(out.toByteArray)
     assert(pngs.size == 1, s"expected the planted fax image, got ${pngs.size}")
     val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs.head))
-    assert(samePixels(back, img), "PDF-extracted fax raster must match the source")
+    assert(ccittSamePixels(back, img), "PDF-extracted fax raster must match the source")
     // and the G3 branch through the PDF dict params (/K > 0 = the
     // mixed-2D form the JDK encoder emits; EncodedByteAlign from the
     // T4Options fill bit)
@@ -612,7 +622,7 @@ class IngestSpec extends SparkSpecBase {
     val pngs3 = graft.sources.PdfText.ccittImages(out3.toByteArray)
     assert(pngs3.size == 1, s"G3 PDF image must extract: got ${pngs3.size}")
     val back3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs3.head))
-    assert(samePixels(back3, img), "G3 PDF-extracted raster must match the source")
+    assert(ccittSamePixels(back3, img), "G3 PDF-extracted raster must match the source")
     val assets = Ingest.readPdfImages(spark, p).collect().toSeq
     assert(assets.size == 1 && assets.head.width == 64 && assets.head.height == 20)
     val hashed = graft.operators.Multimodal.imageHashes(
@@ -624,18 +634,6 @@ class IngestSpec extends SparkSpecBase {
   }
 
   test("src_pdf_scan: /BlackIs1 XOR /Decode [1 0] polarity; mixed-codec PDFs keep document stream order") {
-    def bilevel(w: Int, h: Int): java.awt.image.BufferedImage = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
-      for (y <- 0 until h; x <- 0 until w)
-        img.setRGB(x, y, if ((x / 7 + y / 4) % 2 == 0) 0xFFFFFF else 0)
-      img
-    }
-    def samePixels(a: java.awt.image.BufferedImage,
-                   b: java.awt.image.BufferedImage): Boolean =
-      a.getWidth == b.getWidth && a.getHeight == b.getHeight &&
-        (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
-          (a.getRGB(x, y) & 0xFFFFFF) == (b.getRGB(x, y) & 0xFFFFFF)))
     def inverted(a: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
       val o = new java.awt.image.BufferedImage(a.getWidth, a.getHeight,
         java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
@@ -643,31 +641,8 @@ class IngestSpec extends SparkSpecBase {
         o.setRGB(x, y, ~a.getRGB(x, y) & 0xFFFFFF)
       o
     }
-    def encodeG4(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
-      val p = w.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionType("CCITT T.6")
-      val bo = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-      w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      ios.close()
-      val t = bo.toByteArray
-      val le = t(0) == 'I'.toByte
-      def u16(o: Int) = if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
-                        else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
-      def u32(o: Int): Long =
-        if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).sum
-        else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).sum
-      val ifd = u32(4).toInt
-      val tags = (0 until u16(ifd)).map { i =>
-        val e = ifd + 2 + i * 12
-        u16(e) -> (if (u16(e + 2) == 3) u16(e + 8).toLong else u32(e + 8))
-      }.toMap
-      t.slice(tags(273).toInt, (tags(273) + tags(279)).toInt)
-    }
-    val img = bilevel(64, 20)
-    val g4 = encodeG4(img)
+    val img = ccittBilevel(64, 20)
+    val g4 = encodeCcitt(img, "CCITT T.6")._1
     def faxPdf(extraDictEntries: String): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def ws(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -682,7 +657,7 @@ class IngestSpec extends SparkSpecBase {
     val aloneB = graft.sources.PdfText.ccittImages(faxPdf(""))
     assert(aloneB.size == 1)
     val alone = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(aloneB.head))
-    assert(samePixels(alone, inverted(img)),
+    assert(ccittSamePixels(alone, inverted(img)),
       "/BlackIs1 true without /Decode must invert the packing")
     // the common writer pairing /BlackIs1 true + /Decode [1 0] CANCELS —
     // the extracted raster matches the normal-polarity source, so dHash
@@ -691,7 +666,7 @@ class IngestSpec extends SparkSpecBase {
     val pairedB = graft.sources.PdfText.ccittImages(faxPdf("/Decode [1 0] "))
     assert(pairedB.size == 1)
     val paired = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pairedB.head))
-    assert(samePixels(paired, img),
+    assert(ccittSamePixels(paired, img),
       "/BlackIs1 true + /Decode [1 0] must cancel to the standard polarity")
     // mixed-codec PDF: JPEG, CCITT, JPEG interleaved — imageStreams and
     // readPdfImages must number them by DOCUMENT position (the old

@@ -33,9 +33,10 @@ def load_bench(path):
     except json.JSONDecodeError:
         pass
     best = None
-    # history lines carry a leading "ts" field, so match the metric key
-    # anywhere in the object, not only at position 0
-    for m in re.finditer(r'\{[^\n]*"metric":"total"[^\n]*\}', text):
+    # history lines carry a leading "ts" field — allow exactly that
+    # prefix (an unanchored '{' would start the match at any earlier
+    # brace on the line and json.loads would then skip the real object)
+    for m in re.finditer(r'\{("ts":"[^"]*",)?"metric":"total".*\}', text):
         try:
             line = json.loads(m.group(0))
         except json.JSONDecodeError:
