@@ -319,17 +319,17 @@ object ExtensibilityOps {
       import s.implicits._
       // Perceptual image near-dedup — the multimodal sibling of
       // text_dedup_near: REAL 256-bit dHash fingerprints (ImageIO
-      // raster → 16×16-grid gradient bits, Codecs.dhash256; v2 — the
-      // 64-bit form's 4×16-bit band keyspace collided at ~4·2⁻¹⁶ and
-      // ceilinged near ~10⁸ assets), banded 4×64 bits for candidate
-      // generation, Hamming ≤ 24 verify via codegen'd bit_count(xor)
-      // summed over the 4 words. NEVER all-pairs: candidates only
-      // within (band, key) buckets, the same LSH shape as every
-      // text/vector dedup here (pigeonhole guarantees recall to
-      // Hamming ≤ 3; ≤ 24 is the 6-of-64 dial scaled to 256 bits, and
-      // each band is a contiguous 4-row grid strip so localized edits
-      // dirty few bands — MultimodalSpec pins the planted-near-dup
-      // recall). Byte-hash
+      // raster → 16×16-grid gradient bits, Codecs.dhash256; the 64-bit
+      // form's 4×16-bit band keyspace collided at ~4·2⁻¹⁶ and
+      // ceilinged near ~10⁸ assets), banded 8×32 bits with Hamming-1
+      // multi-probe for candidate generation (see mmDedupPairs —
+      // recall GUARANTEED to Hamming ≤ 15, ~80% at the ≤ 24 verify
+      // boundary even for uniformly-spread flips; the retired 4×64
+      // exact bands recalled uniform-spread d=24 at ~0.4%), Hamming
+      // ≤ 24 verify via codegen'd bit_count(xor) summed over the 4
+      // words. NEVER all-pairs: candidates only within (band, key)
+      // buckets, the same LSH shape as every text/vector dedup here —
+      // MultimodalSpec pins the planted-near-dup recall. Byte-hash
       // fallback rows (decoded=false) carry a MurmurHash, not a
       // perceptual hash — Hamming proximity between them (or against a
       // real dHash) is meaningless, so a pair touching a fallback row
@@ -354,8 +354,8 @@ object ExtensibilityOps {
       // Audio near-dedup by 256-bit energy-envelope fingerprint
       // (Codecs.audioFingerprint256 — normalized-RMS gradient bits over
       // 257 windows, amplitude/codec invariant): identical band-bucket
-      // LSH shape as mm_image_dedup (4×64-bit bands, each a contiguous
-      // quarter of the timeline), Hamming ≤ 24 verify, never
+      // LSH shape as mm_image_dedup (8×32-bit multi-probed bands, each
+      // an eighth of the timeline), Hamming ≤ 24 verify, never
       // all-pairs. Same
       // fallback rule too: a pair touching a byte-hash row
       // (decoded=false) must match exactly — MurmurHash proximity is
@@ -370,12 +370,14 @@ object ExtensibilityOps {
     ) { (s, dir) =>
       import s.implicits._
       // PDF-embedded image dedup (r14 verdict ask #7) — the end-to-end
-      // composition of the two r14 pieces: PdfText.jpegImages extracts
-      // the real baseline-JPEG rasters out of each PDF's /DCTDecode
-      // image XObjects, and the mm_image_dedup machinery fingerprints
-      // them (ImageIO decode → dHash) into the same stamped lake
-      // artifact family, banded 4×64 with Hamming ≤ 24 verify — which
-      // PDFs share an (almost)
+      // composition of the two r14 pieces: PdfText.imageStreams
+      // extracts every decodable embedded image (DCTDecode JPEGs AND
+      // CCITT fax rasters, in document stream order — the SAME surface
+      // and ordinal space as Ingest.readPdfImages, r16 ADVICE), and
+      // the mm_image_dedup machinery fingerprints them (ImageIO decode
+      // → dHash) into the same stamped lake artifact family, banded
+      // 8×32 multi-probe with Hamming ≤ 24 verify — which PDFs share
+      // an (almost)
       // (Parity note: the reference's PDF ingestion is TEXT-ONLY —
       // engine.py:29-33 calls pypdf page.extract_text() and never
       // touches page.images; the image surface here is pypdf's
@@ -393,13 +395,20 @@ object ExtensibilityOps {
     * bump with any change to the codec hash math (dhash256 /
     * audioFingerprint256 / fallback MurmurHash) or the asset synthesis.
     * v4 = the 256-bit rebuild (r15 verdict ask #2): 16×16-grid dHash /
-    * 257-window energy envelope, schema (asset_id, h0..h3, decoded),
-    * 4×64-bit bands — retires the 64-bit band-keyspace ceiling
-    * (~10⁸ assets); any lake still stamped mmfp-v3 (64-bit h) rebuilds
-    * on first touch, and the stamp string names both hash families so
-    * a mixed-version artifact cannot be read silently.
+    * 257-window energy envelope, schema (asset_id, h0..h3, decoded) —
+    * retires the 64-bit band-keyspace ceiling (~10⁸ assets); any lake
+    * still stamped mmfp-v3 (64-bit h) rebuilds on first touch, and the
+    * stamp string names both hash families so a mixed-version artifact
+    * cannot be read silently. v6 = the pdf fingerprint surface is
+    * PdfText.imageStreams (fax rasters included, document-order
+    * ordinals shared with Ingest.readPdfImages — r16 ADVICE);
+    * value-identical on the all-JPEG synthetic fixture, but a real
+    * lake's pdf asset ids change meaning, so the stamp must not let a
+    * v5 artifact pass as current. (Band layout lives in the relational
+    * stage, not the artifact — the v3 8×32 multi-probe banding needs
+    * no stamp bump.)
     */
-  private val mmFpVersion = "mmfp-v5:dhash256;afp256;murmur4x2-fallback;assets120;pdf42x2-noise16-logo7;lin1(was:v4-murmur4-signext)"
+  private val mmFpVersion = "mmfp-v6:dhash256;afp256;murmur4x2-fallback;assets120;pdf-imagestreams-42x2-noise16-logo7;lin1(was:v5-jpegonly-pdf-surface)"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake
@@ -415,15 +424,22 @@ object ExtensibilityOps {
       IndexOps.clearStamp(path, table)
       val df = kind match {
         case "pdf" =>
-          // pdf corpus → extracted JPEG streams → the image hash kernel
+          // pdf corpus → extracted image streams → the image hash
+          // kernel. imageStreams (not jpegImages): fax rasters
+          // participate and the stream index matches
+          // Ingest.readPdfImages' document-order id space, so asset
+          // ids are comparable across both surfaces (r16 ADVICE; the
+          // synthetic fixture is all-JPEG, so its fingerprints are
+          // unchanged — the bump is contract, not values).
           import s.implicits._
           val extracted = graft.operators.Multimodal.syntheticPdfs(s, 42)
             .flatMap { case (pid, bytes) =>
-              graft.sources.PdfText.jpegImages(bytes).zipWithIndex.map {
-                case (jpg, i) =>
+              graft.sources.PdfText.imageStreams(bytes).zipWithIndex.map {
+                case (img, i) =>
                   // 16×16: the real dims of the embedded noiseRaster
                   // JPEGs — the Asset metadata must match the payload
-                  graft.operators.Multimodal.Asset(pid * 100 + i, "image", jpg, 16, 16, 0L)
+                  // (imageHashes decodes dims from the bytes anyway)
+                  graft.operators.Multimodal.Asset(pid * 100 + i, "image", img, 16, 16, 0L)
               }
             }
           graft.operators.Multimodal.imageHashes(extracted).toDF()
@@ -461,37 +477,64 @@ object ExtensibilityOps {
     s"$path/$table.parquet"
   }
 
-  /** The relational stage shared by all three modalities, at the v2
-    * 256-bit fingerprint width: 4 bands, each keyed by one FULL 64-bit
-    * word of (asset_id, h0..h3, decoded) — random band collisions are
-    * ~2⁻⁶² (vs ~4·2⁻¹⁶ for the retired 4×16-bit bands over 64 bits),
-    * so candidate mass is true-duplicate-bounded at ANY asset count;
-    * the ~10⁸-asset keyspace ceiling SCALE.md used to document is
-    * gone. Hamming ≤ 24 verify (the 6-of-64 dial scaled to 256 bits);
-    * pigeonhole still guarantees recall to Hamming ≤ 3, and each band
-    * is a contiguous 4-row strip of the 16×16 grid (resp. a quarter of
-    * the audio timeline), so localized edits dirty few bands and the
-    * planted near-dup gates hold (MultimodalSpec). Exact-match rule
-    * unchanged for non-perceptual (fallback) hashes.
+  /** The relational stage shared by all three modalities, at the v3
+    * band layout (r16 ADVICE medium): 8 bands × 32-bit keys over the
+    * 256-bit fingerprint, with HAMMING-1 MULTI-PROBE on the band key.
+    * The retired v2 layout (4 exact 64-bit bands) had a vast keyspace
+    * but a tiny recall radius: a near-dup whose d flips spread
+    * uniformly had P(some band clean) ≈ 4·(3/4)^d — ~0.4% at the d=24
+    * verify boundary, so non-strip-localized perturbations (lossy
+    * re-encode noise, global tone shifts) were silently never
+    * candidates. v3 probes each 32-bit band key plus its 32 single-bit
+    * neighbors: pigeonhole now GUARANTEES recall to Hamming ≤ 15
+    * (d ≤ 15 over 8 bands ⇒ some band carries ≤ 1 flip, and a ≤1-flip
+    * band is reached by probe-1), and uniform-spread recall at d=24 is
+    * ~80% (P(some band ≤1 flip) = 1−(1−p)⁸, p = (7/8)²⁴ + 24·⅛·(7/8)²³
+    * ≈ 0.18) — vs 0.4% before. Keyspace stays collision-safe: 2³² per
+    * band (vs the 2¹⁶ of the retired 64-bit era), so random candidate
+    * mass ≈ 8·33·n²/2³³ — true-duplicate-bounded past 10⁸ assets.
+    * Scale shape: the probe stream carries ONLY (band, key, asset_id)
+    * — 33 narrow rows per band, no fingerprint words — candidates
+    * collapse to DISTINCT (id_a, id_b) straight off the band join, and
+    * the Hamming ≤ 24 verify fetches the 4 h-words by joining the pair
+    * set back to the fingerprint table (candidates are
+    * true-dup-bounded, so the back-join is tiny next to the stream).
+    * Probing is symmetric (xor), so the a.id < b.id filter on the
+    * probe×store join still sees every qualifying pair exactly once
+    * per qualifying band. Exact-match rule unchanged for
+    * non-perceptual (fallback) hashes: a pair touching a decoded=false
+    * row must match at hamming == 0.
     */
   private[graft] def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val words = (0 until 4).map(b => col(s"h$b"))
-    val bands = h.select((col("asset_id") +: col("decoded") +: words :+
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), col(s"h$b").as("key"))): _*)).as("bk")): _*)
-      .select((col("asset_id") +: col("decoded") +: words :+
-        col("bk.band").as("band") :+ col("bk.key").as("key")): _*)
-    val hamming = (0 until 4).map(b =>
-      bit_count(col(s"ha$b").bitwiseXOR(col(s"hb$b")))).reduce(_ + _).cast("long")
-    bands.as("a").join(bands.as("b"),
+    val mask = lit(4294967295L)
+    // band b keys the 32-bit half-word: word b/2, low half for even b,
+    // high half for odd b (mask after the arithmetic shift so the sign
+    // bits of a negative h-word never reach the key)
+    val store = h.select(col("asset_id"),
+        explode(array((0 until 8).map { b =>
+          val half = if (b % 2 == 0) col(s"h${b / 2}")
+                     else shiftright(col(s"h${b / 2}"), 32)
+          struct(lit(b).as("band"), half.bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("asset_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val probe = store.select(col("asset_id"), col("band"),
+      explode(array((0 to 32).map(p =>
+        if (p == 0) col("key")
+        else col("key").bitwiseXOR(lit(1L << (p - 1)))): _*)).as("key"))
+    val cand = probe.as("a").join(store.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.asset_id") < col("b.asset_id"))
-      .select((col("a.asset_id").as("id_a") +: col("b.asset_id").as("id_b") +:
-        (col("a.decoded") && col("b.decoded")).as("perceptual") +:
-        (0 until 4).flatMap(b => Seq(col(s"a.h$b").as(s"ha$b"),
-          col(s"b.h$b").as(s"hb$b")))): _*)
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
       .distinct()
+    def side(tag: String): org.apache.spark.sql.DataFrame =
+      h.select((col("asset_id").as(s"id_$tag") +:
+        col("decoded").as(s"d$tag") +:
+        (0 until 4).map(b => col(s"h$b").as(s"h$tag$b"))): _*)
+    val hamming = (0 until 4).map(b =>
+      bit_count(col(s"ha$b").bitwiseXOR(col(s"hb$b")))).reduce(_ + _).cast("long")
+    cand.join(side("a"), "id_a").join(side("b"), "id_b")
       .withColumn("hamming", hamming)
+      .withColumn("perceptual", col("da") && col("db"))
       .filter(col("hamming") <= 24 && (col("perceptual") || col("hamming") === 0))
       .select(col("id_a"), col("id_b"), col("hamming"), col("perceptual"))
       .orderBy(col("id_a"), col("id_b"))
@@ -504,28 +547,35 @@ object ExtensibilityOps {
     * is independent of the DuckDB process's working directory and always
     * reads the verified fixture's own artifacts; Verify runs the entry
     * first, which builds/refreshes the artifact the oracle then reads.
-    * v2 (256-bit): each band keys one FULL h-word, so the band join is
-    * a plain long equality; hamming sums bit_count(xor) over the 4
-    * words — xor/bit_count operate on the same two's-complement longs
-    * in both engines.
+    * v3 (8×32 bands + Hamming-1 multi-probe): band key = the 32-bit
+    * half-word (band//2 picks the h-word, band%2 the half; mask after
+    * the shift so both engines' shift semantics agree), probe keys =
+    * key xor 0/2⁰/…/2³¹; hamming sums bit_count(xor) over the 4 words
+    * — xor/bit_count/shift-then-mask operate on the same
+    * two's-complement longs in both engines.
     */
   private def mmDedupOracle(kind: String): String = {
     val abs = new java.io.File(
       IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
     s"""WITH fp AS (SELECT asset_id, h0, h1, h2, h3, decoded FROM read_parquet('$abs/*.parquet')),
-       |bands AS (SELECT asset_id, h0, h1, h2, h3, decoded, r.range AS band,
-       |    CASE r.range WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END AS key
-       |  FROM fp CROSS JOIN range(4) r),
-       |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
-       |    a.h0 AS ha0, a.h1 AS ha1, a.h2 AS ha2, a.h3 AS ha3,
-       |    b.h0 AS hb0, b.h1 AS hb1, b.h2 AS hb2, b.h3 AS hb3,
-       |    (a.decoded AND b.decoded) AS perceptual
-       |  FROM bands a JOIN bands b
+       |store AS (SELECT asset_id, r.range AS band,
+       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
+       |      >> (32 * (r.range % 2))) & 4294967295) AS key
+       |  FROM fp CROSS JOIN range(8) r),
+       |probe AS (SELECT asset_id, band,
+       |    CASE WHEN p.range = 0 THEN key
+       |         ELSE xor(key, (CAST(1 AS BIGINT) << (p.range - 1))) END AS key
+       |  FROM store CROSS JOIN range(33) p),
+       |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+       |  FROM probe a JOIN store b
        |    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id),
-       |hd AS (SELECT id_a, id_b, perceptual,
-       |    CAST(bit_count(xor(ha0, hb0)) + bit_count(xor(ha1, hb1))
-       |       + bit_count(xor(ha2, hb2)) + bit_count(xor(ha3, hb3)) AS BIGINT) AS hamming
-       |  FROM cand)
+       |hd AS (SELECT id_a, id_b, (fa.decoded AND fb.decoded) AS perceptual,
+       |    (CAST(bit_count(xor(fa.h0, fb.h0)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h1, fb.h1)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h2, fb.h2)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h3, fb.h3)) AS BIGINT)) AS hamming
+       |  FROM cand JOIN fp fa ON fa.asset_id = cand.id_a
+       |            JOIN fp fb ON fb.asset_id = cand.id_b)
        |SELECT id_a, id_b, hamming, perceptual
        |FROM hd
        |WHERE hamming <= 24 AND (perceptual OR hamming = 0)

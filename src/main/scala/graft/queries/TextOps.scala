@@ -282,11 +282,18 @@ object TextOps {
   }
 
   /** text_dedup_cross_source's one corpus-sized pass: DISTINCT
-    * (source, gram) word-5-gram stream, self-joined on the gram key
+    * (source, ghash) word-5-gram stream, self-joined on the gram key
     * with `<=` so the diagonal rows carry each source's gram total
-    * (see the entry's scale note). Factored out so PlanAuditSpec can
-    * pin the distinct-below-join shape — the entry localCheckpoints
-    * this frame, which truncates it out of the final plan's explain.
+    * (see the entry's scale note). HASH-KEYED (r16 ask #1): ghash =
+    * xxhash64 of the 5-gram text, computed INSIDE the transform lambda
+    * so the explode/distinct/join pipeline only ever carries 8-byte
+    * longs, never ~40-byte gram strings — no output of this entry
+    * needs gram text (pair counts and ppm only), so unlike the
+    * boilerplate fix there is no recovery pass. Same ~2⁻⁶⁴ per-pair
+    * collision trade the repo already accepted for text_dedup_spans
+    * and text_boilerplate_*. Factored out so PlanAuditSpec can pin the
+    * distinct-below-join shape — the entry localCheckpoints this
+    * frame, which truncates it out of the final plan's explain.
     */
   private[graft] def crossSourceAgg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -294,11 +301,11 @@ object TextOps {
       .select($"source",
         explode(when(size($"toks") >= 5,
             transform(sequence(lit(1), size($"toks") - 4),
-              i => concat_ws(" ", slice($"toks", i, lit(5)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+              i => xxhash64(concat_ws(" ", slice($"toks", i, lit(5))))))
+          .otherwise(array().cast("array<bigint>"))).as("ghash"))
       .distinct()
     g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") <= col("b.source"))
+        col("a.ghash") === col("b.ghash") && col("a.source") <= col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
   }
@@ -813,15 +820,19 @@ object TextOps {
       // CONTAINMENT of the smaller source, in exact integer ppm.
       //
       // Scale shape: the gram stream is projected to DISTINCT
-      // (source, gram) FIRST, so each gram key appears at most
+      // (source, ghash) FIRST, so each gram key appears at most
       // n_sources times and the self-join's per-key fanout is bounded
       // by sources² — never doc² (the same cap the banded dedup joins
-      // rely on). One gram-keyed shuffle for the join, a
-      // sources²-sized aggregate after it, and the per-source totals
-      // broadcast back. At 100 TB: identical plan; the only growing
-      // stage is the distinct over the gram stream, a two-phase
-      // hash-agg with map-side combine. Top-20 pairs via
-      // TakeOrderedAndProject.
+      // rely on). HASH-KEYED (r16): the shuffled key is xxhash64 of
+      // the 5-gram, an 8-byte long instead of a ~40-byte string — no
+      // output needs gram text, so the corpus-sized distinct+join
+      // shuffle carries longs end to end (collision odds ~2⁻⁶⁴ per
+      // gram pair, the suffix-hash-dedup standard). One gram-keyed
+      // shuffle for the join, a sources²-sized aggregate after it,
+      // and the per-source totals broadcast back. At 100 TB:
+      // identical plan; the only growing stage is the distinct over
+      // the hashed gram stream, a two-phase hash-agg with map-side
+      // combine. Top-20 pairs via TakeOrderedAndProject.
       //
       // SINGLE-PASS totals (r13 drift fix): the per-source gram totals
       // used to be a separate groupBy branch, which recomputed the

@@ -178,10 +178,15 @@ class MultimodalSpec extends SparkSpecBase {
     val d13 = ham(h(1L), h(3L))
     assert(d12 <= 24, s"brightness-shifted copy must be a perceptual near-dup, hamming=$d12")
     assert(d13 > 24, s"unrelated image must not pair, hamming=$d13")
-    // the BANDED join must also recall the pair: ≥1 of the 4 64-bit
-    // band words clean (the v2 recall contract the LSH stage rides)
-    assert(words(h(1L)).zip(words(h(2L))).exists { case (x, y) => x == y },
-      s"planted near-dup must share a clean 64-bit band: ${words(h(1L))} vs ${words(h(2L))}")
+    // the BANDED join must also recall the pair: ≥1 of the 8 32-bit
+    // bands within Hamming 1 (the v3 multi-probe recall contract the
+    // LSH stage rides — mmDedupPairs probes each band key's single-bit
+    // neighbors, so a ≤1-flip band is reached)
+    def halves(ws: Seq[Long]): Seq[Long] =
+      ws.flatMap(w => Seq(w & 0xFFFFFFFFL, (w >>> 32) & 0xFFFFFFFFL))
+    assert(halves(words(h(1L))).zip(halves(words(h(2L)))).exists {
+        case (x, y) => java.lang.Long.bitCount(x ^ y) <= 1 },
+      s"planted near-dup must have a ≤1-flip 32-bit band: ${words(h(1L))} vs ${words(h(2L))}")
     // and the dhash survives a re-encode (PNG -> raster -> PNG)
     val re = graft.operators.Codecs.encodePng(
       graft.operators.Codecs.decodeImage(img(0, unrelated = false)).get)
@@ -215,8 +220,11 @@ class MultimodalSpec extends SparkSpecBase {
     val d13 = ham(h(1L), h(3L))
     assert(d12 <= 24, s"re-leveled copy must match (amplitude-invariant), hamming=$d12")
     assert(d13 > 24, s"different envelope must not match, hamming=$d13")
-    assert(words(h(1L)).zip(words(h(2L))).exists { case (x, y) => x == y },
-      "re-leveled copy must share a clean 64-bit band for the LSH stage")
+    def halves(ws: Seq[Long]): Seq[Long] =
+      ws.flatMap(w => Seq(w & 0xFFFFFFFFL, (w >>> 32) & 0xFFFFFFFFL))
+    assert(halves(words(h(1L))).zip(halves(words(h(2L)))).exists {
+        case (x, y) => java.lang.Long.bitCount(x ^ y) <= 1 },
+      "re-leveled copy must have a ≤1-flip 32-bit band for the LSH stage")
   }
 
   test("mm_pdf_images: a JPEG planted in two PDFs pairs across documents") {
@@ -256,7 +264,9 @@ class MultimodalSpec extends SparkSpecBase {
       (10L, pdf(Seq(jpeg(0, unrelated = false), jpeg(0, unrelated = true)))),
       (20L, pdf(Seq(jpeg(8, unrelated = false)))))
     val extracted = pdfs.flatMap { case (pid, bytes) =>
-      graft.sources.PdfText.jpegImages(bytes).zipWithIndex.map { case (j, i) =>
+      // imageStreams: the unified production surface (same ordinal
+      // space as Ingest.readPdfImages and the mmfp_pdf builder)
+      graft.sources.PdfText.imageStreams(bytes).zipWithIndex.map { case (j, i) =>
         Multimodal.Asset(pid + i, "image", j, 32, 32, 0L)
       }
     }
