@@ -58,17 +58,76 @@ object GraphOps {
   private[graft] def basketCap(s: SparkSession): Int =
     s.conf.get("spark.graft.graph.basketCap", "0").toInt
 
+  /** Tripwire bound for the UNCAPPED pair-join fanout (r16 verdict ask
+    * #3 — the exactAnchorGuard precedent applied to the Σ deg² shape):
+    * when `basketCap` is off, Σ basket² IS the self-join's output row
+    * count, and a bot-heavy lake makes it super-linear silently (the
+    * r16 exponent table measured e=1.68 on a densified fixture). Above
+    * this bound the entry REFUSES loudly instead of queueing quadratic
+    * work, naming both dials. Default 2×10⁹ pairs: ~100× the current
+    * 25× scale fixture's 2.1×10⁷ (linear generation, max basket 38),
+    * and the point where a user-keyed self-join stops being a minor
+    * stage on any realistic executor fleet. A capped run (basketCap=N)
+    * never trips: Σ min(n,N)² ≤ N·Σn is linear in the frame by
+    * construction, so the stats pass is skipped entirely.
+    */
+  private[graft] def maxPairFanout(s: SparkSession): Long =
+    s.conf.get("spark.graft.graph.maxPairFanout", "2000000000").toLong
+
+  /** (users, max basket, Σ basket²) over a (user_id, item) frame — one
+    * two-level aggregate, memoized per (session, dir) so the four
+    * pair-join siblings pay the pass once per session.
+    */
+  private[graft] def basketStats(e: DataFrame): (Long, Long, Long) = {
+    val r = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("users"), max(col("n")).as("maxb"),
+        sum(col("n") * col("n")).as("sumsq"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private val basketStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long, Long)]
+
+  /** The tripwire itself, factored over any (user_id, item) frame so
+    * BasketCapSpec drives the trip on a planted fat-basket fixture
+    * against exactly the shipped path. Uncapped + over-bound ⇒ refuse
+    * (at plan-construction time, before any quadratic stage is
+    * queued); capped ⇒ pass through to [[capBaskets]] with no stats
+    * action at all.
+    */
+  private[graft] def guardBaskets(s: SparkSession, e: DataFrame,
+                                  memoKey: Option[String]): DataFrame = {
+    if (basketCap(s) > 0) capBaskets(s, e)
+    else {
+      val bound = maxPairFanout(s)
+      val (users, maxB, sumSq) = memoKey match {
+        case Some(k) => basketStatsCache.getOrElseUpdate((s, k), basketStats(e))
+        case None    => basketStats(e)
+      }
+      require(sumSq <= bound,
+        s"graph pair-join fanout tripwire: Σ basket² = $sumSq pairs over " +
+          s"$users users (max basket $maxB) exceeds spark.graft.graph." +
+          s"maxPairFanout=$bound — the user-keyed self-join would be " +
+          "super-linear in exactly the rows that carry no signal. Set " +
+          "spark.graft.graph.basketCap=N to truncate baskets to a " +
+          "deterministic N-item sample (the standard frequent-pairs " +
+          "trade), or raise maxPairFanout if the fanout is intended.")
+      e
+    }
+  }
+
   /** The shared (user_id, item) DISTINCT basket frame behind
-    * assoc_rules / graph_jaccard_similarity / graph_triangle_count,
-    * cap-routed — one definition so the dial moves every pair-join
-    * consumer together.
+    * assoc_rules / graph_jaccard_similarity / graph_triangle_count /
+    * graph_resource_allocation, cap-routed AND tripwired — one
+    * definition so the dials move every pair-join consumer together.
     */
   private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    capBaskets(s, loadEvents(s, dir)
+    guardBaskets(s, loadEvents(s, dir)
       .filter($"event_type".isin("click", "purchase"))
       .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-      .distinct())
+      .distinct(), Some(dir))
   }
 
   /** The cap itself, factored over any (user_id, item) frame so the

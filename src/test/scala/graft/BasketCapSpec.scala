@@ -53,4 +53,41 @@ class BasketCapSpec extends SparkSpecBase {
     assert(capped1.subsetOf(full), "capped frame must be a subset of the exact frame")
     assert(capped1.size < full.size, "cap=3 on this fixture must actually truncate")
   }
+
+  test("the fanout tripwire refuses a planted fat-basket frame and names both dials") {
+    // one bot user with 60 items: Σ basket² = 3600 + the 10 normal
+    // singletons — over a bound of 1000, under the default 2e9
+    val planted = ((0 until 60).map(i => (999L, i.toLong)) ++
+      (0 until 10).map(i => (i.toLong, 0L))).toDF("user_id", "item")
+    spark.conf.set("spark.graft.graph.maxPairFanout", "1000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.GraphOps.guardBaskets(spark, planted, None)
+      }
+      assert(e.getMessage.contains("spark.graft.graph.basketCap") &&
+        e.getMessage.contains("maxPairFanout") &&
+        e.getMessage.contains("3610"),
+        s"refusal must name both dials and the measured fanout: ${e.getMessage}")
+      // the escape the message names: capping defuses the trip (no
+      // stats pass at all) and bounds the basket
+      spark.conf.set("spark.graft.graph.basketCap", "8")
+      try {
+        val capped = graft.queries.GraphOps.guardBaskets(spark, planted, None)
+        val perUser = capped.groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .agg(max($"n")).collect().head.getLong(0)
+        assert(perUser <= 8, s"cap must bound the planted basket, got $perUser")
+      } finally spark.conf.unset("spark.graft.graph.basketCap")
+    } finally spark.conf.unset("spark.graft.graph.maxPairFanout")
+  }
+
+  test("the tripwire passes the gate fixture untouched at the default bound") {
+    val dir = sf("sf0.01")
+    // same rows out as the raw distinct frame — the guard is a no-op
+    // below the bound (r16 ask #3: declared outputs unchanged)
+    val viaGuard = graft.queries.GraphOps.baskets(spark, dir).count()
+    val (users, maxB, sumSq) = graft.queries.GraphOps.basketStats(
+      graft.queries.GraphOps.baskets(spark, dir))
+    assert(viaGuard > 0 && users > 0 && maxB > 0)
+    assert(sumSq < 2000000000L, s"gate fixture fanout $sumSq should sit far under the default")
+  }
 }
