@@ -150,6 +150,36 @@ object Core {
     (n, 16L * n + 8L * (if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 
+  /** (rows, estimatedBytes) for any guarded-broadcast side, derived
+    * from the frame's ACTUAL schema instead of a per-call-site literal
+    * (r16 ADVICE: a hard-coded "600 B" assumes exactly 64-double
+    * embeddings — if the row shape ever changes, a literal silently
+    * under-estimates and the hint survives past the real byte dial,
+    * the exact failure class the two-dial guard exists to prevent).
+    * Fixed-width fields cost their Catalyst defaultSize (strings the
+    * 20 B estimate); every ArrayType column is MEASURED — one
+    * aggregate sums its element counts, 8 B per element. One Spark
+    * action total. Like [[setDictStats]]: call it on an
+    * already-persisted/localCheckpointed frame, never while holding a
+    * cache lock.
+    */
+  def broadcastStats(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.types.ArrayType
+    val arrayCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] => f.name
+    }.toSeq
+    val fixedPerRow = 16L + df.schema.fields.map(_.dataType match {
+      case _: ArrayType => 16L // object header; elements measured below
+      case dt           => math.max(8, dt.defaultSize).toLong
+    }).sum
+    val aggs = count(lit(1)) +: arrayCols.map(c => sum(size(col(c))))
+    val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val n = r.getLong(0)
+    val elems = arrayCols.indices.map(i =>
+      if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).sum
+    (n, fixedPerRow * n + 8L * elems)
+  }
+
   /** Timestamp columns are stringified in declared outputs: parquet
     * timestamp annotations (isAdjustedToUTC, unit) vary between writers
     * and would hash-mismatch against the DuckDB oracle even when the

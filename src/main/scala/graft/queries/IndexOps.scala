@@ -140,6 +140,23 @@ object IndexOps {
     val f = stampFile(path, table)
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, v.getBytes("UTF-8"))
+    rebuiltTables.add(s"$table@$path")
+  }
+
+  /** Rebuild journal (r16 verdict ask #6): every stamped-artifact
+    * rebuild ends in [[writeStamp]], so this queue records exactly
+    * which lake artifacts the current JVM rebuilt. The bench drains it
+    * after its setup steps to emit a per-run `rebuilt` list — a fleet
+    * run that paid cold rebuilds (stamp bump, fixture regen) is then
+    * attributable at a glance, and bench_diff refuses to read its
+    * inflated setup/consumer records as plan movers.
+    */
+  private val rebuiltTables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[graft] def drainRebuilds(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var t = rebuiltTables.poll()
+    while (t != null) { out += t; t = rebuiltTables.poll() }
+    out.toSeq
   }
 
   /** Invalidate a family's stamp — the FIRST step of every rebuild
@@ -785,13 +802,15 @@ object IndexOps {
       // exchange; the only shuffles left are the candidate distinct
       // and the b_id-partitioned rank window over (b_id, vec_id,
       // score) rows.
-      // per-row shape bounds: candidate rows are two ids (~32 B);
-      // batch rows carry the 64-double b_emb (~600 B)
-      val nCand = cand.count(); val nBatch = batch.count()
+      // byte bounds derived from each frame's actual schema
+      // (Core.broadcastStats — id-pair rows fixed-width, the b_emb
+      // array measured; r16 ADVICE retired the 32 B/600 B literals)
+      val bSel = batch.select($"b_id", $"b_emb", $"b_n")
+      val candStats = graft.Core.broadcastStats(cand)
+      val batchStats = graft.Core.broadcastStats(bSel)
       s.read.parquet(s"$path/vecs.parquet")
-        .join(graft.Core.guardedBroadcast(s, cand)((nCand, 32L * nCand)), "vec_id")
-        .join(graft.Core.guardedBroadcast(s,
-          batch.select($"b_id", $"b_emb", $"b_n"))((nBatch, 600L * nBatch)), "b_id")
+        .join(graft.Core.guardedBroadcast(s, cand)(candStats), "vec_id")
+        .join(graft.Core.guardedBroadcast(s, bSel)(batchStats), "b_id")
         .select($"b_id", $"vec_id",
           round(call_function("dotp", $"emb", $"b_emb") / ($"norm" * $"b_n"), 6).as("score"))
         .withColumn("rnk", row_number().over(wRank))
@@ -1107,13 +1126,14 @@ object IndexOps {
       .filter(col("vec_id") =!= col("b_id")) // self-guard: replayed vectors
       .select(col("b_id"), col("vec_id")).distinct()
       .localCheckpoint()
-    // per-row shape bounds as in vec_index_incremental: id-pair rows
-    // ~32 B, embedding-carrying batch rows ~600 B
-    val nBatch = signed.count()
-    val nCandVs = candVsIndex.count()
+    // byte bounds derived from each frame's actual schema
+    // (Core.broadcastStats; the renamed o-side projection of bEmb has
+    // identical row shape, so its stats are reused, not re-measured)
+    val candVsStats = graft.Core.broadcastStats(candVsIndex)
+    val bEmbStats = graft.Core.broadcastStats(bEmb)
     val dupVsIndex = s.read.parquet(s"$path/vecs.parquet")
-      .join(graft.Core.guardedBroadcast(s, candVsIndex)((nCandVs, 32L * nCandVs)), "vec_id")
-      .join(graft.Core.guardedBroadcast(s, bEmb)((nBatch, 600L * nBatch)), "b_id")
+      .join(graft.Core.guardedBroadcast(s, candVsIndex)(candVsStats), "vec_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)(bEmbStats), "b_id")
       .filter(cos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     val wcos = call_function("dotp", col("b_emb"), col("o_emb")) / (col("b_n") * col("o_n"))
@@ -1124,10 +1144,10 @@ object IndexOps {
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.b_id") > col("y.b_id"))
       .select(col("x.b_id").as("b_id"), col("y.b_id").as("o_id")).distinct()
-      .join(graft.Core.guardedBroadcast(s, bEmb)((nBatch, 600L * nBatch)), "b_id")
+      .join(graft.Core.guardedBroadcast(s, bEmb)(bEmbStats), "b_id")
       .join(graft.Core.guardedBroadcast(s,
         bEmb.select(col("b_id").as("o_id"), col("b_emb").as("o_emb"),
-          col("b_n").as("o_n")))((nBatch, 600L * nBatch)), "o_id")
+          col("b_n").as("o_n")))(bEmbStats), "o_id")
       .filter(wcos >= minCos)
       .select(col("b_id").as("vec_id")).distinct()
     batch.join(dupVsIndex.unionByName(dupInBatch), Seq("vec_id"), "left_anti")

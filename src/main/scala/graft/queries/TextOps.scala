@@ -426,8 +426,20 @@ object TextOps {
         val dictStatsOuter = graft.Core.setDictStats(setsOuter, "tids")
         cacheLock.synchronized {
       if (!vsCache.contains(key))
+        // Eviction is LOGGED (r16 ADVICE): a thread still holding the
+        // superseded (verified, sets) tuple mid-job keeps CORRECT
+        // results — Spark recomputes the unpersisted frame — but the
+        // recompute cost (and a possibly duplicated setDictStats
+        // action under the documented race) is otherwise silent, and
+        // a surprise recompute in a bench line must be attributable.
         vsCache.keys.filter(k => (k._1 eq s) && k._2 == dir && k._3 != key._3)
-          .foreach { k => vsCache.remove(k).foreach { case (v, _) => v.unpersist() } }
+          .foreach { k =>
+            System.err.println(
+              s"[graft] verifiedSets: dial change evicts the verified " +
+                s"frame for $dir (old dials ${k._3}, new ${key._3}) — " +
+                "any consumer mid-job on the old frame recomputes it")
+            vsCache.remove(k).foreach { case (v, _) => v.unpersist() }
+          }
       vsCache.getOrElseUpdate(key, {
         import s.implicits._
         val sets = setsOuter

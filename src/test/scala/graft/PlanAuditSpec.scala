@@ -698,6 +698,28 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("broadcastStats derives the guard's byte bound from the actual schema") {
+    // r16 ADVICE (low): the vec-index guard sites used hard-coded
+    // per-row literals (32 B id pairs, 600 B 64-double rows) — a row
+    // shape change would silently under-estimate past the byte dial.
+    // Core.broadcastStats must track the real shape: arrays measured
+    // (8 B/element), fixed-width from the schema.
+    import spark.implicits._
+    val idPairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val (n1, b1) = graft.Core.broadcastStats(idPairs)
+    assert(n1 == 2 && b1 >= 2 * 16 && b1 <= 2 * 64,
+      s"id-pair bound out of band: $b1")
+    val emb = Seq((1L, Array.fill(64)(0.5)), (2L, Array.fill(64)(0.5)))
+      .toDF("id", "emb")
+    val (n2, b2) = graft.Core.broadcastStats(emb)
+    // 64 doubles = 512 B/row measured — the bound must scale WITH the
+    // array payload (the old 600 B literal assumed exactly this width)
+    assert(n2 == 2 && b2 >= 2 * 512, s"array payload not measured: $b2")
+    val wide = Seq((1L, Array.fill(256)(0.5))).toDF("id", "emb")
+    val (_, b3) = graft.Core.broadcastStats(wide)
+    assert(b3 >= 256 * 8, s"a 4x wider row must grow the bound 4x: $b3")
+  }
+
   test("vec_index_incremental candidate/batch broadcasts are size-guarded") {
     // ADVICE r15 (medium): the candidate set derives from a join
     // against the corpus-sized vec_bands table — a duplicate-heavy
