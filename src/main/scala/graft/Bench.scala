@@ -53,6 +53,25 @@ object Bench {
     // reads the same) and snapshotted after a short event-bus drain.
     val shufRecs = new AtomicLong(0)
     val shufBytes = new AtomicLong(0)
+    // Environment-stability counters (r16 verdict ask #2): the r16
+    // artifacts showed shared-frame consumers reading 3-4× more records
+    // in the driver's fleet run than in tree-identical quiet runs —
+    // records were sold as a property of the PLAN, but RE-EXECUTION is
+    // invisible in shuffle-write totals: a task that fails (GC stall,
+    // fetch timeout under contention) is re-run and its shuffle rows
+    // are WRITTEN AGAIN into the same counter, and a stage retry
+    // re-writes the whole stage. So the listener now counts failed
+    // tasks and retried stage attempts per entry; bench_diff treats a
+    // run (or an entry) with re-execution as non-comparable instead of
+    // reporting its inflated records as plan movers.
+    val failedTasks = new AtomicLong(0)
+    val stageRetries = new AtomicLong(0)
+    // THE confirmed false-mover channel (r16 forensics, see SCALE.md):
+    // a map-side hash aggregate that exhausts its execution-memory
+    // grant SPILLS and emits partially-unaggregated rows — the SAME
+    // plan writes MORE shuffle records under memory pressure. Spill
+    // bytes are the direct witness.
+    val spillBytes = new AtomicLong(0)
     val lastEvent = new AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -60,10 +79,27 @@ object Bench {
         if (m != null) {
           shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled)
         }
+        if (sc.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
+        lastEvent.set(System.nanoTime())
+      }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null && !te.taskInfo.successful) failedTasks.incrementAndGet()
         lastEvent.set(System.nanoTime())
       }
     })
+    // Shared-cache stability probe (the OTHER re-execution channel):
+    // a persisted/localCheckpointed block evicted past its disk copy
+    // forces consumers to recompute upstream stages, attributing the
+    // rebuild's records to whichever entry ran next. Snapshot the
+    // cached-partition census after the setups (everything warm) and
+    // again at run end; a shrink means mid-run eviction.
+    // per-RDD cached-partition census: stability is judged PER RDD (a
+    // frame newly cached mid-run must not mask another's eviction)
+    def cacheCensus(): Map[Int, Int] =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.id -> i.numCachedPartitions).toMap
     // listener events are async — wait for 150ms of bus silence (short:
     // ~250 entries pay this once each; events land within single-digit ms
     // on an idle bus, and a missed straggler only shifts a few records
@@ -106,12 +142,17 @@ object Bench {
     //    silently absorb each cache build and the build cost would be
     //    attributed NOWHERE; these lines own the one-time costs so every
     //    per-query number below is an explicit warm marginal cost.
-    // per-entry (records, bytes) snapshots, keyed like the seconds map
-    val recMap = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    // per-entry (records, bytes, failed tasks, stage retries, spill
+    // bytes) snapshots, keyed like the seconds map — the last three
+    // mark an entry whose records embed re-execution or spill-inflated
+    // partial aggregation (non-comparable as plan evidence)
+    val recMap = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
     def recorded(name: String)(run: => Double): Double = {
       drain(); shufRecs.set(0); shufBytes.set(0)
+      failedTasks.set(0); stageRetries.set(0); spillBytes.set(0)
       val sec = run
-      drain(); recMap(name) = (shufRecs.get, shufBytes.get)
+      drain(); recMap(name) = (shufRecs.get, shufBytes.get,
+        failedTasks.get, stageRetries.get, spillBytes.get)
       sec
     }
     def setupStep(name: String)(f: => Unit): (String, Double) =
@@ -148,6 +189,13 @@ object Bench {
       queries.IndexOps.warmSteps.map { case (name, f) =>
         setupStep(name) { f(spark, sfDir) }
       }
+    // rebuilt-vs-current flags (r16 verdict ask #6): which stamped lake
+    // artifacts THIS run rebuilt (cold lake / stamp bump / fixture
+    // regen) — drained here so the list covers exactly the setup phase;
+    // a mid-run rebuild (an entry touching a family no setup owns)
+    // drains separately at the end as rebuilt_midrun.
+    val rebuiltSetup = queries.IndexOps.drainRebuilds()
+    val cacheStart = cacheCensus()
     // Mid-run floor series (r13 verdict ask #8): the start/end floors
     // bracket the run but cannot LOCALIZE a contended episode — the r13
     // driver artifact carried a mid-run window where agg_gini read 5×
@@ -176,11 +224,14 @@ object Bench {
     val qs = sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // per-entry [shuffle records, shuffle bytes], same ascending-by-time
-    // order as the seconds so the expensive entries' records survive a
-    // head-truncated log capture too
+    // per-entry [shuffle records, shuffle bytes, failed tasks, stage
+    // retries], same ascending-by-time order as the seconds so the
+    // expensive entries' records survive a head-truncated log capture
+    // too (bench_diff reads both this 4-element form and the legacy
+    // 2-element one)
     val recs = sorted
-      .flatMap { case (k, _) => recMap.get(k).map(r => s"\"$k\":[${r._1},${r._2}]") }
+      .flatMap { case (k, _) =>
+        recMap.get(k).map(r => s"\"$k\":[${r._1},${r._2},${r._3},${r._4},${r._5}]") }
       .mkString("{", ",", "}")
     val recTotals =
       s""""shuf_recs_total":${recMap.values.map(_._1).sum},""" +
@@ -188,6 +239,36 @@ object Bench {
     // failures are excluded from the headline sum: a query regressing
     // into a crash must not LOWER the total and read as a speedup
     val total = results.map(_._2).filter(_ >= 0).sum
+    // stability block BEFORE eviction: the end census must see the
+    // same frames the entries served from
+    val cacheEnd = cacheCensus()
+    // judged on RDDs present in BOTH censuses: a frame missing at the
+    // end was deliberately unpersisted / ContextCleaner-collected (per
+    // -entry localCheckpoints come and go by design), while a SHRUNK
+    // one was evicted mid-run and its consumers recomputed upstream
+    val cacheStable = cacheStart.forall { case (id, n) =>
+      cacheEnd.get(id).forall(_ >= n) }
+    val rebuiltMid = queries.IndexOps.drainRebuilds()
+    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // heap + threads: THE r16 false-mover mechanism (confirmed by
+    // exact-record reproduction, SCALE.md round 17) — a partial hash
+    // aggregate's map capacity is its task memory grant, f(heap /
+    // concurrent tasks); under a smaller heap the map fills and emits
+    // partially-aggregated rows, so the SAME plan deterministically
+    // writes more shuffle records (zero spill, zero failures, stable
+    // cache — invisible to every other counter). Records are a
+    // property of (plan, heap, threads); cross-config diffs are
+    // refused by bench_diff on these fields.
+    val stability =
+      s""""heap_mb":${Runtime.getRuntime.maxMemory() / (1L << 20)},""" +
+        s""""cpus":$cpus,""" +
+        s""""task_failures_total":${recMap.values.map(_._3).sum},""" +
+        s""""stage_retries_total":${recMap.values.map(_._4).sum},""" +
+        s""""spill_mb_total":${recMap.values.map(_._5).sum / 1e6},""" +
+        s""""cached_parts_start":${cacheStart.values.sum},""" +
+        s""""cached_parts_end":${cacheEnd.values.sum},""" +
+        s""""cache_stable":$cacheStable,""" +
+        s""""rebuilt_setup":${jarr(rebuiltSetup)},"rebuilt_midrun":${jarr(rebuiltMid)}"""
     queries.TextOps.evictCaches(spark)
     // end-of-run floor: contention can start mid-run; both ends must be
     // quiet for the run's absolute numbers to be comparable
@@ -197,7 +278,7 @@ object Bench {
     val floors =
       s""""noise_floor_start":$floorStart,"noise_floor_end":$floorEnd,"noise_floor_mid":$mids"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$floors,$recTotals,"queries":$qs,"records":$recs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$floors,$recTotals,$stability,"queries":$qs,"records":$recs,"sf":"$sfDir"}"""
     println(fullLine)
     // Persist the full line to a repo artifact (r15 verdict ask #6):
     // the driver's log capture keeps only a 2000-char TAIL, which eats
@@ -207,20 +288,29 @@ object Bench {
     // docs/bench_records/<sf>.json, full run history (timestamped, one
     // line per run) at <sf>_history.jsonl. The directory is anchored to
     // the REPO ROOT, located by walking up from cwd to the first dir
-    // holding build.sbt (a cwd-relative path would silently write the
-    // claim-of-record next to wherever the driver launched sbt, and
-    // bench_diff would then diff against a stale committed artifact).
+    // holding BOTH build.sbt AND docs/bench_records (r16 ADVICE: a
+    // bare build.sbt match would silently land the claim-of-record in
+    // any nested sbt project or scratch dir up-tree — the marker must
+    // be unique to this repo); `SPARK_GRAFT_RECORDS_ROOT` overrides
+    // the walk outright, and the resolved root is LOGGED on every
+    // write so a misdirected artifact is visible in the run log.
     // Best-effort — a read-only checkout must not fail the bench
     // contract — but failures and a missing root are REPORTED, never
     // swallowed silently.
     try {
-      val root = Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
-        .takeWhile(_ != null).take(8)
-        .find(d => new java.io.File(d, "build.sbt").isFile)
+      val root = sys.env.get("SPARK_GRAFT_RECORDS_ROOT")
+        .map(p => new java.io.File(p).getCanonicalFile)
+        .orElse(Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+          .takeWhile(_ != null).take(8)
+          .find(d => new java.io.File(d, "build.sbt").isFile &&
+            new java.io.File(d, "docs/bench_records").isDirectory))
       root match {
         case None =>
-          System.err.println("[bench] no build.sbt up-tree from cwd; records artifact NOT written")
+          System.err.println("[bench] no repo root (build.sbt + docs/bench_records) " +
+            "up-tree from cwd; records artifact NOT written " +
+            "(set SPARK_GRAFT_RECORDS_ROOT to force a destination)")
         case Some(r) =>
+          System.err.println(s"[bench] records artifact root: $r")
           val sfBase = new java.io.File(sfDir).getName
           val outDir = r.toPath.resolve("docs").resolve("bench_records")
           java.nio.file.Files.createDirectories(outDir)
@@ -242,7 +332,7 @@ object Bench {
     // this one-liner always survives a tail cut. Distinct metric name so
     // consumers that sum "total" lines can't double-count. Carries the
     // floor too: the tail line is often the only one a log capture keeps.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,$stability,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

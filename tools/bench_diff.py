@@ -48,12 +48,94 @@ def load_bench(path):
     return best
 
 
+def stability_flags(run):
+    """Non-comparability reasons for a run (r16 verdict ask #2): records
+    embed RE-EXECUTION (failed tasks re-write their shuffle rows, stage
+    retries re-write whole stages), mid-run cache eviction makes
+    consumers recompute upstream stages, and a cold lake charges
+    artifact rebuilds to the setup lines. Runs predating these fields
+    report no flags (their comparability is unknown, noted separately).
+    """
+    flags = []
+    if run.get("task_failures_total", 0) > 0:
+        flags.append(f"{run['task_failures_total']} failed tasks re-executed")
+    if run.get("stage_retries_total", 0) > 0:
+        flags.append(f"{run['stage_retries_total']} stage retries")
+    if run.get("cache_stable") is False:
+        flags.append("shared-frame cache shrank mid-run (consumers recomputed)")
+    return flags
+
+
+def rebuild_asymmetry(a, b):
+    """Rebuild lists that differ BETWEEN the runs (as multisets). The
+    incremental entries rebuild+restore their artifacts every run by
+    design — identical lists on both sides are comparable; a rebuild
+    only one run paid (stamp bump, fixture regen, cold lake) is not.
+    """
+    from collections import Counter
+    out = []
+    for key in ("rebuilt_setup", "rebuilt_midrun"):
+        ca, cb = Counter(a.get(key) or []), Counter(b.get(key) or [])
+        if ca != cb:
+            delta = (ca - cb) + (cb - ca)
+            out.append(f"{key} differs: {dict(delta)}")
+    return out
+
+
+def entry_reexec(rec):
+    """Per-entry re-execution marker from the 5-element records form
+    [recs, bytes, failed_tasks, stage_retries, spill_bytes]; legacy
+    2-element rows report 0 (unknown)."""
+    return (rec[2] if len(rec) > 2 else 0) + (rec[3] if len(rec) > 3 else 0)
+
+
+def entry_spill(rec):
+    return rec[4] if len(rec) > 4 else 0
+
+
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     a, b = load_bench(sys.argv[1]), load_bench(sys.argv[2])
     qa, qb = a["queries"], b["queries"]
     ra, rb = a.get("records") or {}, b.get("records") or {}
+    # comparability gate BEFORE any mover is printed: a run whose
+    # records embed re-execution or cold rebuilds is not evidence of
+    # plan drift, and the r16 false-mover class (shared-frame consumers
+    # 3-4x up in a contended fleet run) must be refused, not reported
+    fa, fb = stability_flags(a), stability_flags(b)
+    for tag, fl in (("A", fa), ("B", fb)):
+        for f in fl:
+            print(f"NON-COMPARABLE {tag}: {f}")
+    asym = rebuild_asymmetry(a, b)
+    # THE confirmed r16 false-mover mechanism: partial-agg map capacity
+    # is the task memory grant (heap / concurrent tasks). A smaller heap
+    # deterministically emits more partially-aggregated rows — same
+    # plan, more records, zero spill/failures. Cross-config pairs are
+    # refused outright.
+    ha, hb = a.get("heap_mb"), b.get("heap_mb")
+    if ha and hb and abs(hb - ha) > 0.2 * max(ha, hb):
+        asym.append(f"heap differs: {ha} MB vs {hb} MB (partial-agg "
+                    "grant changes records deterministically)")
+    ca, cb = a.get("cpus"), b.get("cpus")
+    if ca and cb and ca != cb:
+        asym.append(f"cpus differ: {ca} vs {cb} (per-task memory grant "
+                    "and partial-agg effectiveness change)")
+    sp_a, sp_b = a.get("spill_mb_total", 0), b.get("spill_mb_total", 0)
+    if abs(sp_b - sp_a) > 16:
+        asym.append(f"spill asymmetry: {sp_a:.0f} MB vs {sp_b:.0f} MB "
+                    "(memory pressure inflates partial-agg records)")
+    for f in asym:
+        print(f"NON-COMPARABLE A<->B: {f}")
+    fa = fa + asym
+    if (fa or fb) and not ("--force" in sys.argv):
+        print("runs are NOT plan-comparable; movers below are annotated, "
+              "setup-line records show where the extra work landed")
+    unknown = [t for t, r in (("A", a), ("B", b))
+               if "task_failures_total" not in r]
+    if unknown:
+        print(f"NOTE: {'/'.join(unknown)} predate the stability fields - "
+              "re-execution state unknown")
     print(f"A: total={a['value']:.1f}s lines={len(qa)} "
           f"recs={a.get('shuf_recs_total', 'n/a')}")
     print(f"B: total={b['value']:.1f}s lines={len(qb)} "
@@ -85,8 +167,20 @@ def main():
         for k, pa, pb, wa, wb in sorted(
                 moved, key=lambda t: -abs(t[2] - t[1]) / max(t[1], 1)):
             ratio = pb / pa if pa else float("inf")
+            # annotate movers whose own window saw re-execution or an
+            # asymmetric spill — their record delta is environment, not
+            # plan (a spilled map-side hash agg emits partially-
+            # unaggregated rows: same plan, more records)
+            rx = entry_reexec(ra[k]) + entry_reexec(rb[k])
+            sa, sb = entry_spill(ra[k]), entry_spill(rb[k])
+            mark = ""
+            if rx:
+                mark = "  [RE-EXEC - not a plan mover]"
+            elif abs(sb - sa) > (1 << 20):
+                mark = (f"  [SPILL {sa/1e6:.0f}->{sb/1e6:.0f} MB - "
+                        "memory pressure, not a plan mover]")
             print(f"  {k:32s} recs {pa:>10,} -> {pb:>10,} ({ratio:5.2f}x)"
-                  f"  wall {wa:6.2f}s -> {wb:6.2f}s")
+                  f"  wall {wa:6.2f}s -> {wb:6.2f}s{mark}")
     # wall movers with FLAT records: box noise by the rejection rule
     noise = [(k, qa[k], qb[k]) for k in sorted(set(qa) & set(qb))
              if k in ra and k in rb
