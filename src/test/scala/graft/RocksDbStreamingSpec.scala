@@ -63,4 +63,41 @@ class RocksDbStreamingSpec extends SparkSpecBase with StreamRestartCases {
   test("RocksDB: killed mix-state (MV) query restarts from the checkpoint") {
     withRocksDb(mixStateRestartCase())
   }
+
+  // r16 verdict ask #5: the remaining per-user long-state recursions —
+  // cusum (flatMapGroupsWithState Page recursion vs the batch oracle)
+  // and attribution (capped view buffer + cross-batch purchase credit)
+  // — complete the matrix: every mapGroupsWithState /
+  // flatMapGroupsWithState entry now runs under both providers.
+  test("RocksDB: stream_cusum equals the batch replay across batches") {
+    withRocksDb(cusumBatchParityCase())
+  }
+
+  test("RocksDB: stream_attribution credits match the batch formula across batches") {
+    withRocksDb(attributionCrossBatchCase())
+  }
+
+  test("RocksDB: changelog checkpointing recovers a killed query (and writes .changelog files)") {
+    // the incremental-checkpoint mode a long-running deployment turns
+    // on so each commit uploads a key-delta changelog instead of a
+    // full SST snapshot — restart-recovery must hold there too, and
+    // the checkpoint must actually contain changelog files
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(clKey)
+    spark.conf.set(clKey, "true")
+    try withRocksDb {
+      val ckpt = heavyHittersRestartCase()
+      val stateRoot = new java.io.File(s"$ckpt/state")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      val names = walk(stateRoot).map(_.getName)
+      assert(names.exists(_.endsWith(".changelog")),
+        s"changelog checkpointing did not engage under $stateRoot: $names")
+    } finally prev match {
+      case Some(v) => spark.conf.set(clKey, v)
+      case None    => spark.conf.unset(clKey)
+    }
+  }
 }
