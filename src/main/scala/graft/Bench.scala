@@ -250,15 +250,18 @@ object Bench {
       cacheEnd.get(id).forall(_ >= n) }
     val rebuiltMid = queries.IndexOps.drainRebuilds()
     def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // heap + threads: THE r16 false-mover mechanism (confirmed by
-    // exact-record reproduction, SCALE.md round 17) — a partial hash
-    // aggregate's map capacity is its task memory grant, f(heap /
-    // concurrent tasks); under a smaller heap the map fills and emits
-    // partially-aggregated rows, so the SAME plan deterministically
-    // writes more shuffle records (zero spill, zero failures, stable
-    // cache — invisible to every other counter). Records are a
-    // property of (plan, heap, threads); cross-config diffs are
-    // refused by bench_diff on these fields.
+    // cpus + heap: THE r16 false-mover mechanism (confirmed by
+    // exact-record reproduction + a thread sweep, SCALE.md round 17)
+    // — partial aggregation combines PER MAP TASK, so a hot key
+    // present in N map partitions emits ~N partial rows: the SAME
+    // plan at local[4] / local[8] / local[32] writes 19,874 / 37,434
+    // / 82,142 records on text_gopher_rules, deterministically (zero
+    // spill, zero failures, stable cache — invisible to every other
+    // counter; heap 6g vs 24g changed NOTHING at fixed threads).
+    // Records are a property of (plan, parallelism); heap stays
+    // recorded as the secondary guard (a genuinely memory-starved run
+    // saturates partial-agg maps the same way). Cross-config diffs
+    // are refused by bench_diff on these fields.
     val stability =
       s""""heap_mb":${Runtime.getRuntime.maxMemory() / (1L << 20)},""" +
         s""""cpus":$cpus,""" +

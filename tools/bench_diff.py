@@ -75,7 +75,9 @@ def rebuild_asymmetry(a, b):
     from collections import Counter
     out = []
     for key in ("rebuilt_setup", "rebuilt_midrun"):
-        ca, cb = Counter(a.get(key) or []), Counter(b.get(key) or [])
+        if key not in a or key not in b:
+            continue  # pre-journal artifact: unknown, noted elsewhere
+        ca, cb = Counter(a[key]), Counter(b[key])
         if ca != cb:
             delta = (ca - cb) + (cb - ca)
             out.append(f"{key} differs: {dict(delta)}")
@@ -108,19 +110,20 @@ def main():
         for f in fl:
             print(f"NON-COMPARABLE {tag}: {f}")
     asym = rebuild_asymmetry(a, b)
-    # THE confirmed r16 false-mover mechanism: partial-agg map capacity
-    # is the task memory grant (heap / concurrent tasks). A smaller heap
-    # deterministically emits more partially-aggregated rows — same
-    # plan, more records, zero spill/failures. Cross-config pairs are
-    # refused outright.
-    ha, hb = a.get("heap_mb"), b.get("heap_mb")
-    if ha and hb and abs(hb - ha) > 0.2 * max(ha, hb):
-        asym.append(f"heap differs: {ha} MB vs {hb} MB (partial-agg "
-                    "grant changes records deterministically)")
+    # THE confirmed r16 false-mover mechanism: partial aggregation
+    # combines PER MAP TASK, so a hot key in N map partitions emits ~N
+    # partial rows — the same plan at local[4]/local[8]/local[32] wrote
+    # 19,874/37,434/82,142 records on text_gopher_rules (heap 6g vs 24g
+    # changed nothing at fixed threads). Records are a property of
+    # (plan, parallelism); cross-config pairs are refused outright.
     ca, cb = a.get("cpus"), b.get("cpus")
     if ca and cb and ca != cb:
-        asym.append(f"cpus differ: {ca} vs {cb} (per-task memory grant "
-                    "and partial-agg effectiveness change)")
+        asym.append(f"cpus differ: {ca} vs {cb} (partial-agg rows scale "
+                    "with map tasks — same plan, different records)")
+    ha, hb = a.get("heap_mb"), b.get("heap_mb")
+    if ha and hb and abs(hb - ha) > 0.2 * max(ha, hb):
+        asym.append(f"heap differs: {ha} MB vs {hb} MB (a memory-starved "
+                    "run saturates partial-agg maps the same way)")
     sp_a, sp_b = a.get("spill_mb_total", 0), b.get("spill_mb_total", 0)
     if abs(sp_b - sp_a) > 16:
         asym.append(f"spill asymmetry: {sp_a:.0f} MB vs {sp_b:.0f} MB "
