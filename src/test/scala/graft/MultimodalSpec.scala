@@ -284,6 +284,42 @@ class MultimodalSpec extends SparkSpecBase {
       s"the unrelated image must not pair: ${pairs.toSeq}")
   }
 
+  test("mm band recall: uniformly-spread flips pair under multi-probe where exact 64-bit bands could not") {
+    import spark.implicits._
+    // The r16 ADVICE medium, demonstrated at the fingerprint level:
+    // 8 flips placed ONE PER 32-bit half-word dirty every 64-bit word
+    // (the retired 4×64 exact-band join has no clean band — the pair
+    // was silently never a candidate) but leave every 32-bit band at
+    // exactly Hamming 1, which the probe-1 ring reaches. hamming=8 is
+    // well inside the ≤24 verify, so the only thing between this pair
+    // and the output is candidate RECALL.
+    val base = Seq(0x1234567890ABCDEFL, -0x0FEDCBA987654322L,
+      0x0F0F0F0F0F0F0F0FL, 0x7A7A7A7A7A7A7A7AL)
+    val flipped = base.map(w => w ^ ((1L << 7) | (1L << 39))) // one flip per half
+    val fp = Seq(
+      (1L, base(0), base(1), base(2), base(3), true),
+      (2L, flipped(0), flipped(1), flipped(2), flipped(3), true)
+    ).toDF("asset_id", "h0", "h1", "h2", "h3", "decoded")
+    val pairs = graft.queries.ExtensibilityOps.mmDedupPairs(fp)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 8L, true)),
+      s"8 uniformly-spread flips must be recalled by the probe-1 band ring: $pairs")
+    // and the guarantee boundary: 15 flips (pigeonhole: some band ≤1)
+    val flip15 = base.zipWithIndex.map { case (w, i) =>
+      // 4+4+4+3 flips across the words, two per half except the last
+      val bits = (0 until (if (i == 3) 3 else 4)).map(b => 1L << (b * 13 + i))
+      w ^ bits.reduce(_ | _)
+    }
+    val fp15 = Seq(
+      (1L, base(0), base(1), base(2), base(3), true),
+      (2L, flip15(0), flip15(1), flip15(2), flip15(3), true)
+    ).toDF("asset_id", "h0", "h1", "h2", "h3", "decoded")
+    val p15 = graft.queries.ExtensibilityOps.mmDedupPairs(fp15)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(p15.map(t => (t._1, t._2, t._3)) == Seq((1L, 2L, 15L)),
+      s"d=15 is inside the pigeonhole guarantee: $p15")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
