@@ -335,7 +335,19 @@ object Bench {
     // this one-liner always survives a tail cut. Distinct metric name so
     // consumers that sum "total" lines can't double-count. Carries the
     // floor too: the tail line is often the only one a log capture keeps.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,$stability,"sf":"$sfDir"}""")
+    // tail variant carries rebuild COUNTS, not lists: a cold lake can
+    // rebuild a dozen artifacts and the driver keeps only a 2000-char
+    // log TAIL — a long tail line loses its HEAD (the metric name)
+    // first; the full lists live in the full line + the disk artifact
+    val stabilityTail =
+      s""""heap_mb":${Runtime.getRuntime.maxMemory() / (1L << 20)},""" +
+        s""""cpus":$cpus,""" +
+        s""""task_failures_total":${recMap.values.map(_._3).sum},""" +
+        s""""stage_retries_total":${recMap.values.map(_._4).sum},""" +
+        s""""spill_mb_total":${recMap.values.map(_._5).sum / 1e6},""" +
+        s""""cache_stable":$cacheStable,""" +
+        s""""rebuilt_setup_n":${rebuiltSetup.size},"rebuilt_midrun_n":${rebuiltMid.size}"""
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,$stabilityTail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
