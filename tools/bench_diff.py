@@ -96,9 +96,10 @@ def entry_spill(rec):
 
 
 def main():
-    if len(sys.argv) != 3:
+    args = [x for x in sys.argv[1:] if x != "--force"]
+    if len(args) != 2:
         sys.exit(__doc__)
-    a, b = load_bench(sys.argv[1]), load_bench(sys.argv[2])
+    a, b = load_bench(args[0]), load_bench(args[1])
     qa, qb = a["queries"], b["queries"]
     ra, rb = a.get("records") or {}, b.get("records") or {}
     # comparability gate BEFORE any mover is printed: a run whose
