@@ -149,6 +149,59 @@ object Multimodal {
       }
   }
 
+  /** 256-bit TEMPORAL fingerprint per video asset: dHash of the
+    * per-pixel MEAN raster over all decoded GIF frames. The first-frame
+    * hash [[imageHashes]] gives video rows is blind past frame 0 — two
+    * videos sharing an intro frame read IDENTICAL there (a false-dup
+    * class), and a re-encode differing only at frame 0 is missed. The
+    * temporal mean carries every frame's content: shared-intro videos
+    * with different tails separate (3 of 4 frames differ ⇒ the mean
+    * differs ⇒ gradient bits flip), while per-frame noise and
+    * re-encode/brightness shifts average out. Order-invariant by
+    * construction (a re-cut of the same frames pairs — the
+    * conservative choice for dedup; document order is not content).
+    * Undecodable payloads byte-hash with decoded=false, the
+    * [[imageHashes]] contract.
+    */
+  def videoHashes(assets: Dataset[Asset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").mapPartitions { it =>
+      it.map { a =>
+        val mean = Codecs.gifFrames(a.data).filter(_.nonEmpty).map(meanRaster)
+        val (h, dec) = mean match {
+          case Some(i) => (Codecs.dhash256(i), true)
+          case None    => (byteHash4(a.data), false)
+        }
+        ImageHash(a.asset_id, h(0), h(1), h(2), h(3), dec)
+      }
+    }
+  }
+
+  /** Per-pixel mean over frames (intersection extent — GIF frames of
+    * one stream share dims, but clamp defensively).
+    */
+  private def meanRaster(frames: IndexedSeq[java.awt.image.BufferedImage]): java.awt.image.BufferedImage = {
+    val w = frames.map(_.getWidth).min
+    val h = frames.map(_.getHeight).min
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = frames.size
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = 0; var g = 0; var b = 0
+        frames.foreach { f =>
+          val p = f.getRGB(x, y)
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+        }
+        out.setRGB(x, y, ((r / n) << 16) | ((g / n) << 8) | (b / n))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   final case class AudioHash(asset_id: Long, h0: Long, h1: Long, h2: Long,
                              h3: Long, decoded: Boolean)
 
@@ -284,6 +337,43 @@ object Multimodal {
       }
       Asset(id, mod, data, 8, 8, durMs)
     }
+  }
+
+  /** Deterministic synthetic video corpus for the temporal-dedup
+    * pipeline (mm_video_dedup): n 4-frame animated GIFs of 16×16
+    * noise rasters (the dHash-stable family — see [[noiseRaster]]),
+    * with two PLANTED structures:
+    *  - frame 0 is a shared "intro" seeded by id % 5, so ~n/5 videos
+    *    open with the byte-identical frame — the class a first-frame
+    *    hash FALSELY pairs and the temporal mean must separate
+    *    (frames 1-3 are id-unique noise);
+    *  - every id ≡ 3 (mod 7) video repeats video id−1's frames with a
+    *    +2 brightness lift — a re-encode near-dup the temporal
+    *    fingerprint must pair (byte-different, perceptually equal).
+    */
+  def syntheticVideos(spark: SparkSession, n: Int): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val src: Long = if (id % 7 == 3 && id > 0) id - 1 else id
+      val lift: Int = if (id % 7 == 3 && id > 0) 2 else 0
+      val frames = (0 until 4).map { f =>
+        val base = if (f == 0) noiseRaster(30000L + src % 5)
+                   else noiseRaster(40000L + src * 4 + f)
+        if (lift == 0) base else brighten(base, lift)
+      }
+      (id, Codecs.encodeAnimatedGif(frames, 250L))
+    }
+  }
+
+  private def brighten(img: java.awt.image.BufferedImage, d: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      def c(v: Int) = math.min(255, v + d)
+      out.setRGB(x, y, (c((p >> 16) & 0xFF) << 16) | (c((p >> 8) & 0xFF) << 8) | c(p & 0xFF))
+    }
+    out
   }
 
   /** Deterministic synthetic PDF corpus for the PDF-embedded-image

@@ -388,6 +388,30 @@ object ExtensibilityOps {
       // directly to (which two PDFs, which image slot). Relational
       // stage + oracle are shared verbatim with mm_image_dedup.
       mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "pdf")))
+    },
+
+    entry(
+      "mm_video_dedup", mmDedupOracle("video")
+    ) { (s, dir) =>
+      import s.implicits._
+      // Video near-dedup by TEMPORAL fingerprint (round 17): dHash of
+      // the per-pixel mean raster over all decoded GIF frames
+      // (Multimodal.videoHashes). The video rows inside mm_image_dedup
+      // hash FRAME 0 ONLY — blind both ways: two videos sharing an
+      // intro frame read identical (false dup), and a near-dup
+      // differing only at frame 0 is missed. The temporal mean carries
+      // every frame: the planted shared-intro classes in the synthetic
+      // corpus (frame 0 byte-identical across ~8 videos, unique noise
+      // tails) do NOT pair here, while the planted re-encode dups
+      // (+2 brightness across all frames, byte-different GIFs) DO —
+      // MultimodalSpec pins both directions against the first-frame
+      // hash's answers. Relational stage (8×32 multi-probe bands,
+      // Hamming ≤ 24 verify, fallback exact rule) + oracle are shared
+      // verbatim with mm_image_dedup; fingerprints persist as the
+      // stamped mmfp_video lake artifact, so the codec stage is
+      // spec-gated and the relational stage DuckDB-replayed like its
+      // siblings.
+      mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "video")))
     }
   )
 
@@ -408,7 +432,7 @@ object ExtensibilityOps {
     * stage, not the artifact — the v3 8×32 multi-probe banding needs
     * no stamp bump.)
     */
-  private val mmFpVersion = "mmfp-v6:dhash256;afp256;murmur4x2-fallback;assets120;pdf-imagestreams-42x2-noise16-logo7;lin1(was:v5-jpegonly-pdf-surface)"
+  private val mmFpVersion = "mmfp-v6:dhash256;afp256;vtm256;murmur4x2-fallback;assets120;pdf-imagestreams-42x2-noise16-logo7;video42x4-intro5-dup7;lin1(was:v5-jpegonly-pdf-surface)"
 
   /** Ensure the stamped (asset_id, h, decoded) fingerprint table for a
     * modality — the codec stage of mm_*_dedup as a build-once lake
@@ -450,6 +474,18 @@ object ExtensibilityOps {
             .imageHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
             .select(col("asset_id"), col("h0"), col("h1"), col("h2"),
               col("h3"), col("decoded"))
+        case "video" =>
+          // temporal-mean fingerprints over the planted video corpus
+          // (shared intros + brightness-lifted re-encode dups) — the
+          // video-specific dedup surface; imageHashes' first-frame
+          // rows remain in the "image" artifact for back-compat
+          import s.implicits._
+          graft.operators.Multimodal.videoHashes(
+            graft.operators.Multimodal.syntheticVideos(s, 42).map { case (vid, bytes) =>
+              graft.operators.Multimodal.Asset(vid, "video", bytes, 16, 16, 1000L)
+            }).toDF()
+            .select(col("asset_id"), col("h0"), col("h1"), col("h2"),
+              col("h3"), col("decoded"))
         case _ =>
           graft.operators.Multimodal
             .audioHashes(graft.operators.Multimodal.syntheticAssets(s, 120)).toDF()
@@ -463,8 +499,16 @@ object ExtensibilityOps {
       // every fingerprint column is a pure function of the asset bytes
       // (in production `assets` is the lake's media table; here the
       // deterministic synthetic generator stands in for it)
-      val src = if (kind == "pdf") "pdfs.data" else "assets.bytes"
-      val idSrc = if (kind == "pdf") "pdfs.pdf_id" else "assets.asset_id"
+      val src = kind match {
+        case "pdf"   => "pdfs.data"
+        case "video" => "videos.data"
+        case _       => "assets.bytes"
+      }
+      val idSrc = kind match {
+        case "pdf"   => "pdfs.pdf_id"
+        case "video" => "videos.video_id"
+        case _       => "assets.asset_id"
+      }
       graft.plans.Lineage.writeSidecar(s"$path/$table.parquet", Map(
         "asset_id" -> Set(idSrc),
         "h0"       -> Set(src),

@@ -320,6 +320,33 @@ class MultimodalSpec extends SparkSpecBase {
       s"d=15 is inside the pigeonhole guarantee: $p15")
   }
 
+  test("mm_video_dedup: temporal mean pairs re-encodes and separates shared intros (first-frame hash does neither)") {
+    import spark.implicits._
+    val vids = Multimodal.syntheticVideos(spark, 42)
+      .map { case (id, bytes) => Multimodal.Asset(id, "video", bytes, 16, 16, 1000L) }
+    // the TEMPORAL fingerprint: planted +2-brightness re-encode dups
+    // (id ≡ 3 mod 7 copies id−1) pair; shared-intro classes (frame 0
+    // byte-identical across id % 5) do not
+    val fp = Multimodal.videoHashes(vids).toDF()
+    assert(fp.filter(!$"decoded").count() == 0, "every GIF must real-decode")
+    val pairs = graft.queries.ExtensibilityOps.mmDedupPairs(fp)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.map(t => (t._1, t._2))
+    val planted = (0L until 42L).filter(i => i % 7 == 3 && i > 0).map(i => (i - 1, i))
+    assert(pairs.sorted == planted.sorted,
+      s"temporal pairs must be exactly the planted re-encodes: got $pairs want $planted")
+    // the FALSE-DUP class the temporal hash retires: first-frame
+    // hashes (what mm_image_dedup's video rows use) read two
+    // same-intro-class, different-tail videos as IDENTICAL
+    val ff = Multimodal.imageHashes(vids).collect().map(x => x.asset_id -> x).toMap
+    def words(x: Multimodal.ImageHash) = Seq(x.h0, x.h1, x.h2, x.h3)
+    // ids 0 and 5 share intro class (0 % 5 == 5 % 5) and neither is a
+    // planted re-encode of the other
+    assert(words(ff(0L)) == words(ff(5L)),
+      "shared-intro videos must collide under the first-frame hash (the gap being closed)")
+    assert(!pairs.contains((0L, 5L)),
+      "the temporal fingerprint must NOT pair shared-intro, different-tail videos")
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
