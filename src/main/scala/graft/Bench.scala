@@ -157,8 +157,10 @@ object Bench {
     }
     def setupStep(name: String)(f: => Unit): (String, Double) =
       name -> recorded(name) {
+        queries.IndexOps.rebuildContext = name
         val t0 = System.nanoTime()
         val ok = try { f; true } catch { case _: Throwable => false }
+        queries.IndexOps.rebuildContext = ""
         // same failure convention as timed(): -1, never elapsed-until-crash
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
@@ -207,10 +209,12 @@ object Bench {
     val midFloors = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
     val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 50 == 0) midFloors += ((i, name, noiseFloor()))
+      queries.IndexOps.rebuildContext = name
       // records come from the SECOND run (steady-state; plan-identical to
       // the first, so the snapshot is run-order independent)
       val t1 = timed(fn)
       val t2 = recorded(name)(timed(fn))
+      queries.IndexOps.rebuildContext = ""
       val m = math.min(t1, t2)
       name -> (if (m.isInfinity) -1.0 else m)
     } ++ setups

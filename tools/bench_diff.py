@@ -77,7 +77,11 @@ def rebuild_asymmetry(a, b):
     for key in ("rebuilt_setup", "rebuilt_midrun"):
         if key not in a or key not in b:
             continue  # pre-journal artifact: unknown, noted elsewhere
-        ca, cb = Counter(a[key]), Counter(b[key])
+        # journal rows may carry a '#<bench-entry>' attribution suffix
+        # (who triggered the rebuild) — compare on the artifact alone so
+        # tagged and pre-tag records stay comparable
+        untag = lambda xs: [x.split("#", 1)[0] for x in xs]
+        ca, cb = Counter(untag(a[key])), Counter(untag(b[key]))
         if ca != cb:
             delta = (ca - cb) + (cb - ca)
             out.append(f"{key} differs: {dict(delta)}")
