@@ -85,7 +85,18 @@ object Bench {
         lastEvent.set(System.nanoTime())
       }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (te.taskInfo != null && !te.taskInfo.successful) failedTasks.incrementAndGet()
+        // count only GENUINE failures (the re-execution channel that
+        // re-writes shuffle rows) — a TaskKilled end (job cancelled
+        // after an entry's -1 crash convention, speculative kill)
+        // involves no re-execution and must not brand the run
+        // non-comparable
+        te.reason match {
+          case org.apache.spark.Success =>
+          case _: org.apache.spark.TaskKilled =>
+          case _ if te.taskInfo != null && !te.taskInfo.successful =>
+            failedTasks.incrementAndGet()
+          case _ =>
+        }
         lastEvent.set(System.nanoTime())
       }
     })
@@ -229,10 +240,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-entry [shuffle records, shuffle bytes, failed tasks, stage
-    // retries], same ascending-by-time order as the seconds so the
-    // expensive entries' records survive a head-truncated log capture
-    // too (bench_diff reads both this 4-element form and the legacy
-    // 2-element one)
+    // retries, spill bytes], same ascending-by-time order as the
+    // seconds so the expensive entries' records survive a
+    // head-truncated log capture too (bench_diff reads both this
+    // 5-element form and the legacy 2-element one)
     val recs = sorted
       .flatMap { case (k, _) =>
         recMap.get(k).map(r => s"\"$k\":[${r._1},${r._2},${r._3},${r._4},${r._5}]") }
@@ -246,12 +257,20 @@ object Bench {
     // stability block BEFORE eviction: the end census must see the
     // same frames the entries served from
     val cacheEnd = cacheCensus()
-    // judged on RDDs present in BOTH censuses: a frame missing at the
-    // end was deliberately unpersisted / ContextCleaner-collected (per
-    // -entry localCheckpoints come and go by design), while a SHRUNK
-    // one was evicted mid-run and its consumers recomputed upstream
+    // judged on RDDs present in BOTH censuses: a SHRUNK id was evicted
+    // mid-run and its consumers recomputed upstream. An id MISSING at
+    // the end is ambiguous — deliberate unpersist is routine (the
+    // served-index cache unpersists the superseded frame on every
+    // build-entry rebuild, IndexOps.servedCache; dial-change evictions)
+    // and indistinguishable here from a total memory eviction — so it
+    // does NOT flip cacheStable; it is counted separately as
+    // cache_dropped_n, which is deterministic for a fixed entry set
+    // (every steady-state run drops the same superseded frames) and
+    // lets bench_diff annotate an ASYMMETRIC drop between two runs
+    // instead of this run branding itself unstable on routine churn
     val cacheStable = cacheStart.forall { case (id, n) =>
       cacheEnd.get(id).forall(_ >= n) }
+    val cacheDropped = cacheStart.count { case (id, _) => !cacheEnd.contains(id) }
     val rebuiltMid = queries.IndexOps.drainRebuilds()
     def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus + heap: THE r16 false-mover mechanism (confirmed by
@@ -275,6 +294,7 @@ object Bench {
         s""""cached_parts_start":${cacheStart.values.sum},""" +
         s""""cached_parts_end":${cacheEnd.values.sum},""" +
         s""""cache_stable":$cacheStable,""" +
+        s""""cache_dropped_n":$cacheDropped,""" +
         s""""rebuilt_setup":${jarr(rebuiltSetup)},"rebuilt_midrun":${jarr(rebuiltMid)}"""
     queries.TextOps.evictCaches(spark)
     // end-of-run floor: contention can start mid-run; both ends must be
@@ -350,6 +370,7 @@ object Bench {
         s""""stage_retries_total":${recMap.values.map(_._4).sum},""" +
         s""""spill_mb_total":${recMap.values.map(_._5).sum / 1e6},""" +
         s""""cache_stable":$cacheStable,""" +
+        s""""cache_dropped_n":$cacheDropped,""" +
         s""""rebuilt_setup_n":${rebuiltSetup.size},"rebuilt_midrun_n":${rebuiltMid.size}"""
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec",$floors,$recTotals,$stabilityTail,"sf":"$sfDir"}""")
     spark.stop()

@@ -75,19 +75,32 @@ object GraphOps {
     s.conf.get("spark.graft.graph.maxPairFanout", "2000000000").toLong
 
   /** (users, max basket, Σ basket²) over a (user_id, item) frame — one
-    * two-level aggregate, memoized per (session, dir) so the four
-    * pair-join siblings pay the pass once per session.
+    * two-level aggregate, memoized per (dir, data stamp) so the four
+    * pair-join siblings pay the pass once per fixture generation.
     */
   private[graft] def basketStats(e: DataFrame): (Long, Long, Long) = {
     val r = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("users"), max(col("n")).as("maxb"),
         sum(col("n") * col("n")).as("sumsq"))
       .head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+    // an EMPTY basket frame aggregates to (count=0, max=null, sum=null)
+    // — the same shape Core.setDictStats guards; without the null check
+    // every pair-join entry would NPE on a fixture with no click/
+    // purchase rows instead of returning its empty result
+    if (r.isNullAt(1)) (0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Memo key is (dir, data fingerprint) — NOT the session: the stats
+    * are a property of the data alone, a regenerated/grown fixture
+    * misses naturally on its new stamp (a session-keyed memo would
+    * serve stale Σ basket² and wave through the exact fanout the
+    * tripwire exists to refuse), and no SparkSession object is pinned
+    * by the map. Cleared wholesale past a small bound — stamps churn
+    * with every regen and the tuples are worthless across them.
+    */
   private val basketStatsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long, Long)]
 
   /** The tripwire itself, factored over any (user_id, item) frame so
     * BasketCapSpec drives the trip on a planted fat-basket fixture
@@ -102,7 +115,10 @@ object GraphOps {
     else {
       val bound = maxPairFanout(s)
       val (users, maxB, sumSq) = memoKey match {
-        case Some(k) => basketStatsCache.getOrElseUpdate((s, k), basketStats(e))
+        case Some(k) =>
+          val stamped = (k, graft.queries.IndexOps.dataStamp(k, Seq("events")))
+          if (basketStatsCache.size > 64) basketStatsCache.clear()
+          basketStatsCache.getOrElseUpdate(stamped, basketStats(e))
         case None    => basketStats(e)
       }
       require(sumSq <= bound,

@@ -141,6 +141,11 @@ object IndexOps {
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, v.getBytes("UTF-8"))
     val ctx = rebuildContext
+    // bounded: only the bench ever drains, so a long-lived non-bench
+    // JVM (soak tests, REPL, streaming gates) would otherwise grow the
+    // journal forever. 4096 >> any real run's rebuild count; overflow
+    // drops oldest-first, which a draining bench never reaches
+    while (rebuiltTables.size >= 4096) rebuiltTables.poll()
     rebuiltTables.add(s"$table@$path" + (if (ctx.isEmpty) "" else s"#$ctx"))
   }
 

@@ -80,6 +80,15 @@ class BasketCapSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.graph.maxPairFanout")
   }
 
+  test("an empty basket frame reads (0,0,0) — the guard passes it, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "item")
+    // an empty groupBy-agg yields one row (count=0, max=null, sum=null);
+    // the null branch must read as zero fanout, not crash the entry
+    assert(graft.queries.GraphOps.basketStats(empty) === ((0L, 0L, 0L)))
+    assert(graft.queries.GraphOps.guardBaskets(spark, empty, None).count() === 0L)
+  }
+
   test("the tripwire passes the gate fixture untouched at the default bound") {
     val dir = sf("sf0.01")
     // same rows out as the raw distinct frame — the guard is a no-op

@@ -17,6 +17,11 @@ docs/bench_records/<sf>.json (latest) and <sf>_history.jsonl
 Older artifacts without a "records" map still diff on seconds, loudly
 marked as wall-only. Output: entries whose records moved > max(10%,
 1000), new/missing entries, and the seconds beside them for context.
+
+Non-comparable pairs (cpus/heap differ, re-execution, spill or rebuild
+asymmetry, mid-run cache eviction) are REFUSED with exit code 1;
+`--force` overrides the refusal for forensics, with every mover marked
+environment-suspect.
 """
 import json
 import re
@@ -133,12 +138,32 @@ def main():
     if abs(sp_b - sp_a) > 16:
         asym.append(f"spill asymmetry: {sp_a:.0f} MB vs {sp_b:.0f} MB "
                     "(memory pressure inflates partial-agg records)")
+    # fully-dropped cached RDDs (start-census ids absent at run end):
+    # routine churn (the served-index cache unpersists superseded
+    # frames every build-entry rebuild) is deterministic per entry set,
+    # so an ASYMMETRY hints one run lost a shared frame entirely — but
+    # ContextCleaner timing can jitter the count, so annotate rather
+    # than refuse
+    da, db = a.get("cache_dropped_n"), b.get("cache_dropped_n")
+    if da is not None and db is not None and da != db:
+        print(f"NOTE: cache_dropped_n differs ({da} vs {db}) - one run "
+              "may have lost a shared cached frame entirely (consumers "
+              "recomputed upstream); treat its movers with suspicion")
     for f in asym:
         print(f"NON-COMPARABLE A<->B: {f}")
     fa = fa + asym
-    if (fa or fb) and not ("--force" in sys.argv):
-        print("runs are NOT plan-comparable; movers below are annotated, "
-              "setup-line records show where the extra work landed")
+    if fa or fb:
+        # the REFUSAL the module contract promises: a cross-config or
+        # unstable pair's record deltas are environment, not plan —
+        # reporting them as movers is exactly the r16 false-mover
+        # failure. --force overrides for forensics, loudly annotated.
+        if "--force" not in sys.argv:
+            sys.exit("refusing to diff non-comparable runs "
+                     "(--force overrides; movers would then be "
+                     "environment-suspect, not plan drift)")
+        print("FORCED: runs are NOT plan-comparable; movers below are "
+              "environment-suspect, setup-line records show where the "
+              "extra work landed")
     unknown = [t for t, r in (("A", a), ("B", b))
                if "task_failures_total" not in r]
     if unknown:
