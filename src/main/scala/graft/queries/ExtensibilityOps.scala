@@ -412,6 +412,27 @@ object ExtensibilityOps {
       // spec-gated and the relational stage DuckDB-replayed like its
       // siblings.
       mmDedupPairs(s.read.parquet(ensureMmFingerprints(s, dir, "video")))
+    },
+
+    entry(
+      "mm_dedup_incremental", mmDedupIncrementalOracle("image")
+    ) { (s, dir) =>
+      import s.implicits._
+      // Incremental asset dedup — the daily-ingest shape the sim/vec/
+      // ivf index families already model, on the multimodal surface:
+      // probe ONLY the new batch (asset_id % 10 == 7 — a codegen'd
+      // filter over the artifact scan; pmod is not a parquet-pushable
+      // predicate, and in production the batch is its own table, for
+      // which this split stands in) against
+      // the stored corpus and emit (batch asset → stored near-dup)
+      // pairs. Probe-stream cost is 8×33 slim rows per BATCH asset —
+      // scales with the batch, never the lake — and the Hamming-1
+      // probe symmetry means batch-side-only expansion loses no pair
+      // (see mmDedupIncremental). Band layout, verify threshold and
+      // the fallback exact rule are shared verbatim with
+      // mm_image_dedup, so the two surfaces can never disagree about
+      // what counts as a duplicate.
+      mmDedupIncremental(s.read.parquet(ensureMmFingerprints(s, dir, "image")))
     }
   )
 
@@ -549,27 +570,39 @@ object ExtensibilityOps {
     * non-perceptual (fallback) hashes: a pair touching a decoded=false
     * row must match at hamming == 0.
     */
-  private[graft] def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** (asset_id, band, key) stream: band b keys the 32-bit half-word —
+    * word b/2, low half for even b, high half for odd b (mask after
+    * the arithmetic shift so the sign bits of a negative h-word never
+    * reach the key).
+    */
+  private def mmBandKeys(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val mask = lit(4294967295L)
-    // band b keys the 32-bit half-word: word b/2, low half for even b,
-    // high half for odd b (mask after the arithmetic shift so the sign
-    // bits of a negative h-word never reach the key)
-    val store = h.select(col("asset_id"),
+    h.select(col("asset_id"),
         explode(array((0 until 8).map { b =>
           val half = if (b % 2 == 0) col(s"h${b / 2}")
                      else shiftright(col(s"h${b / 2}"), 32)
           struct(lit(b).as("band"), half.bitwiseAND(mask).as("key"))
         }: _*)).as("bk"))
       .select(col("asset_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val probe = store.select(col("asset_id"), col("band"),
+  }
+
+  /** Hamming-1 multi-probe expansion of a band-key stream: each key
+    * plus its 32 single-bit neighbors.
+    */
+  private def mmProbeKeys(bandKeys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandKeys.select(col("asset_id"), col("band"),
       explode(array((0 to 32).map(p =>
         if (p == 0) col("key")
         else col("key").bitwiseXOR(lit(1L << (p - 1)))): _*)).as("key"))
-    val cand = probe.as("a").join(store.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
-      .distinct()
+
+  /** Hamming ≤ 24 verify over a candidate (id_a, id_b) pair set: joins
+    * the pair set back to the fingerprint table for the 4 h-words
+    * (candidates are true-dup-bounded, so the back-join is tiny next
+    * to the probe stream) and applies the fallback exact rule — a pair
+    * touching a decoded=false row must match at hamming == 0.
+    */
+  private def mmVerifyPairs(cand: org.apache.spark.sql.DataFrame,
+                            h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def side(tag: String): org.apache.spark.sql.DataFrame =
       h.select((col("asset_id").as(s"id_$tag") +:
         col("decoded").as(s"d$tag") +:
@@ -582,6 +615,42 @@ object ExtensibilityOps {
       .filter(col("hamming") <= 24 && (col("perceptual") || col("hamming") === 0))
       .select(col("id_a"), col("id_b"), col("hamming"), col("perceptual"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private[graft] def mmDedupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val store = mmBandKeys(h)
+    val probe = mmProbeKeys(store)
+    val cand = probe.as("a").join(store.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .distinct()
+    mmVerifyPairs(cand, h)
+  }
+
+  /** Incremental (batch-vs-store) variant of [[mmDedupPairs]] — the
+    * production daily-ingest shape the sim/vec/ivf index families
+    * already model: fingerprint ONLY the new asset batch (here:
+    * asset_id % 10 == 7, standing in for "today's uploads"), probe the
+    * persisted store, emit (batch asset → stored near-dup) pairs.
+    * The probe stream carries 8×33 slim rows per BATCH asset — cost
+    * scales with the batch, never the lake — while the store side is
+    * the unexpanded 8-rows-per-asset band table. Probing is symmetric
+    * under xor (a ≤1-flip band is reached from either end), so
+    * batch-side-only expansion loses no pair the full-corpus probe
+    * would find; sides are disjoint by the split, so no a<b dedup
+    * filter is needed. Verify + fallback-exact rule shared verbatim
+    * with the full-corpus entry.
+    */
+  private[graft] def mmDedupIncremental(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val isBatch = pmod(col("asset_id"), lit(10)) === 7
+    val store = mmBandKeys(h.filter(!isBatch))
+    val probe = mmProbeKeys(mmBandKeys(h.filter(isBatch)))
+    val cand = probe.as("a").join(store.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .distinct()
+    mmVerifyPairs(cand, h)
   }
 
   /** DuckDB replay of [[mmDedupPairs]] over the persisted fingerprint
@@ -598,6 +667,43 @@ object ExtensibilityOps {
     * — xor/bit_count/shift-then-mask operate on the same
     * two's-complement longs in both engines.
     */
+  /** DuckDB replay of [[mmDedupIncremental]]: the same band/probe/
+    * verify pipeline as [[mmDedupOracle]], with the fingerprint table
+    * split on asset_id % 10 — probe expansion over the batch side
+    * only, band table over the store side, no a<b filter (the sides
+    * are disjoint).
+    */
+  private def mmDedupIncrementalOracle(kind: String): String = {
+    val abs = new java.io.File(
+      IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
+    s"""WITH fp AS (SELECT asset_id, h0, h1, h2, h3, decoded FROM read_parquet('$abs/*.parquet')),
+       |store AS (SELECT asset_id, r.range AS band,
+       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
+       |      >> (32 * (r.range % 2))) & 4294967295) AS key
+       |  FROM fp CROSS JOIN range(8) r WHERE asset_id % 10 <> 7),
+       |bbands AS (SELECT asset_id, r.range AS band,
+       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
+       |      >> (32 * (r.range % 2))) & 4294967295) AS key
+       |  FROM fp CROSS JOIN range(8) r WHERE asset_id % 10 = 7),
+       |probe AS (SELECT asset_id, band,
+       |    CASE WHEN p.range = 0 THEN key
+       |         ELSE xor(key, (CAST(1 AS BIGINT) << (p.range - 1))) END AS key
+       |  FROM bbands CROSS JOIN range(33) p),
+       |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+       |  FROM probe a JOIN store b ON a.band = b.band AND a.key = b.key),
+       |hd AS (SELECT id_a, id_b, (fa.decoded AND fb.decoded) AS perceptual,
+       |    (CAST(bit_count(xor(fa.h0, fb.h0)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h1, fb.h1)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h2, fb.h2)) AS BIGINT)
+       |       + CAST(bit_count(xor(fa.h3, fb.h3)) AS BIGINT)) AS hamming
+       |  FROM cand JOIN fp fa ON fa.asset_id = cand.id_a
+       |            JOIN fp fb ON fb.asset_id = cand.id_b)
+       |SELECT id_a, id_b, hamming, perceptual
+       |FROM hd
+       |WHERE hamming <= 24 AND (perceptual OR hamming = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def mmDedupOracle(kind: String): String = {
     val abs = new java.io.File(
       IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath

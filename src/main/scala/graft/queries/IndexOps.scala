@@ -595,8 +595,10 @@ object IndexOps {
     ) { (s, dir) =>
       import s.implicits._
       // Incremental dedup — the production daily-ingest shape: sign ONLY
-      // the new batch (here: doc_id % 10 == 7, a pushed-down filtered
-      // scan), probe the persisted index, emit (batch doc → indexed
+      // the new batch (here: doc_id % 10 == 7 — a codegen'd filter over
+      // the scan; pmod is not a parquet-pushable predicate, and in
+      // production the batch is its own table, for which the split
+      // stands in), probe the persisted index, emit (batch doc → indexed
       // near-dup) pairs. Corpus signatures are never recomputed; cost
       // scales with the batch, not the lake. Shares signDocs/probeMatches
       // with the streaming admission gate so the two can never disagree

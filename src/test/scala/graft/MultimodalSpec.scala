@@ -347,6 +347,36 @@ class MultimodalSpec extends SparkSpecBase {
       "the temporal fingerprint must NOT pair shared-intro, different-tail videos")
   }
 
+  test("mm_dedup_incremental: agrees with the full-corpus entry on every batch-straddling pair, and only those") {
+    import spark.implicits._
+    // planted fingerprint table spanning the asset_id % 10 == 7 batch
+    // split: 7↔21 a near-dup straddling pair (d=3), 17↔27 an exact dup
+    // INSIDE the batch (must NOT appear — both sides are batch),
+    // 1↔2 a near-dup inside the store (must NOT appear), 37↔5 a
+    // straddling exact pair, 9 unrelated
+    val base = 0x0123456789ABCDEFL
+    def fp(id: Long, h0: Long, dec: Boolean = true) =
+      (id, h0, ~h0, h0 ^ 0x5555555555555555L, h0 + 99L, dec)
+    val rows = Seq(
+      fp(7L, base), fp(21L, base ^ 0x7L),            // straddling near (d=3)
+      fp(17L, base << 1), fp(27L, base << 1),        // batch-internal exact
+      fp(1L, ~base), fp(2L, ~base ^ 0x1L),           // store-internal near
+      fp(37L, 0x42L), fp(5L, 0x42L),                 // straddling exact
+      fp(9L, 0x7777000077770000L))
+      .toDF("asset_id", "h0", "h1", "h2", "h3", "decoded")
+    val inc = graft.queries.ExtensibilityOps.mmDedupIncremental(rows)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exactly the straddling pairs, oriented batch→store
+    assert(inc === Set((7L, 21L), (37L, 5L)), s"got $inc")
+    // consistency with the full-corpus surface: the straddling subset
+    // of mmDedupPairs (normalized to unordered pairs) must be identical
+    val full = graft.queries.ExtensibilityOps.mmDedupPairs(rows)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) => Set(a, b) }
+      .filter(p => p.exists(_ % 10 == 7) && p.exists(_ % 10 != 7)).toSet
+    assert(inc.map { case (a, b) => Set(a, b) } === full)
+  }
+
   test("asset schema contract is stable") {
     assert(Multimodal.assetSchema.fieldNames.toSeq ==
       Seq("asset_id", "modality", "data", "width", "height", "duration_ms"))
