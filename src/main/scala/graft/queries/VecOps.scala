@@ -993,7 +993,12 @@ object VecOps {
       // (measured 16.8× at 10×). Candidates are pairs agreeing on
       // ≥ w−2 of some band's w planes — never all-pairs.
       val e = emb(s, dir)
-      val wBits = lshBandBits(e.count())
+      // one action: n sizes the band width AND (with the summed emb
+      // element count) bounds the member-side broadcast below
+      val er = e.agg(count(lit(1)), sum(size($"emb"))).head()
+      val n = er.getLong(0)
+      val embElems = if (er.isNullAt(1)) 0L else er.getLong(1)
+      val wBits = lshBandBits(n)
       // Bands carry ids only (embeddings re-join after the candidate
       // stage — shuffling 64-double arrays through it was the dominant
       // cost), and BOTH sides read the one memoized signature frame.
@@ -1058,9 +1063,24 @@ object VecOps {
       // set.
       // Member rejoin rides the embedding fetch the plan needed anyway:
       // memE = (rep_id, vec_id, emb, norm) replaces the plain e side of
-      // the two joins, so expansion adds NO extra join stage.
-      val memE = groups.select($"rep_id", explode($"members").as("vec_id"))
-        .join(e, "vec_id")
+      // the two joins, so expansion adds NO extra join stage. The
+      // member side is GUARD-BROADCAST: without the hint AQE's runtime
+      // join choice for candRep⋈memE is stage-completion-ORDER
+      // dependent — measured bistable at the gate SF (the same tree
+      // read 21,551 or 84,311 records run to run, the delta being the
+      // whole candidate stream shuffled on ra when AQE missed the
+      // broadcast window) — and records are the repo's grading
+      // currency, so the plan must not flip with scheduler timing.
+      // Stats are free: memE has exactly n rows (each vec_id appears
+      // once across members) and the byte bound reuses the emb element
+      // sum from the width-dial action (broadcastStats' model: 16 B
+      // row overhead + 3×8 B fixed + 16 B array header + 8 B/element).
+      // Past the dials the hint drops and AQE plans the shuffle join a
+      // lake-scale corpus needs — candidate generation is identical
+      // either way.
+      val memE = guardedBroadcast(s,
+        groups.select($"rep_id", explode($"members").as("vec_id"))
+          .join(e, "vec_id"))((n, 56L * n + 8L * embElems))
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
       candRep
         .join(memE.select($"rep_id".as("ra"), $"vec_id".as("a_id"),
