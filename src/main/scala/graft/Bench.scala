@@ -162,8 +162,16 @@ object Bench {
       drain(); shufRecs.set(0); shufBytes.set(0)
       failedTasks.set(0); stageRetries.set(0); spillBytes.set(0)
       val sec = run
+      // a recorded run that ABORTED driver-side (+Inf/-1 by the failure
+      // conventions) leaves partially-accumulated records — its
+      // in-flight tasks end as TaskKilled, which the listener rightly
+      // no longer counts as re-execution, so without this poison the
+      // truncated snapshot would diff as a clean plan mover (e.g. a
+      // false "records dropped 40%"). Marking the failed slot makes
+      // bench_diff annotate the entry [RE-EXEC - not a plan mover].
+      val aborted = if (sec.isInfinity || sec < 0) 1L else 0L
       drain(); recMap(name) = (shufRecs.get, shufBytes.get,
-        failedTasks.get, stageRetries.get, spillBytes.get)
+        failedTasks.get + aborted, stageRetries.get, spillBytes.get)
       sec
     }
     def setupStep(name: String)(f: => Unit): (String, Double) =

@@ -667,28 +667,39 @@ object ExtensibilityOps {
     * — xor/bit_count/shift-then-mask operate on the same
     * two's-complement longs in both engines.
     */
+  /** The ONE DuckDB band-key `bands` CTE both mm oracles build on —
+    * single-sourced for the same reason the Spark side factors through
+    * [[mmBandKeys]]: a band-layout change (the v2→v3 history shows it
+    * happens) edited in one oracle but not the other would key
+    * different half-words and silently drop candidates. Mask after the
+    * shift so both engines' shift semantics agree; `fp` must be in
+    * scope at the splice site. A `def`, not a `val`: the oracle
+    * strings interpolate it during the `entries` initializer, which
+    * runs BEFORE later vals in this object — a val here reads null at
+    * that point and splices the literal text "null" into every mm
+    * oracle (caught by the full gate when it happened).
+    */
+  private def mmBandsCteSql: String =
+    """bands AS (SELECT asset_id, r.range AS band,
+      |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
+      |      >> (32 * (r.range % 2))) & 4294967295) AS key
+      |  FROM fp CROSS JOIN range(8) r)""".stripMargin
+
   /** DuckDB replay of [[mmDedupIncremental]]: the same band/probe/
-    * verify pipeline as [[mmDedupOracle]], with the fingerprint table
-    * split on asset_id % 10 — probe expansion over the batch side
-    * only, band table over the store side, no a<b filter (the sides
-    * are disjoint).
+    * verify pipeline as [[mmDedupOracle]], with the band table split
+    * on asset_id % 10 — probe expansion over the batch side only,
+    * store side unexpanded, no a<b filter (the sides are disjoint).
     */
   private def mmDedupIncrementalOracle(kind: String): String = {
     val abs = new java.io.File(
       IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
     s"""WITH fp AS (SELECT asset_id, h0, h1, h2, h3, decoded FROM read_parquet('$abs/*.parquet')),
-       |store AS (SELECT asset_id, r.range AS band,
-       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
-       |      >> (32 * (r.range % 2))) & 4294967295) AS key
-       |  FROM fp CROSS JOIN range(8) r WHERE asset_id % 10 <> 7),
-       |bbands AS (SELECT asset_id, r.range AS band,
-       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
-       |      >> (32 * (r.range % 2))) & 4294967295) AS key
-       |  FROM fp CROSS JOIN range(8) r WHERE asset_id % 10 = 7),
+       |$mmBandsCteSql,
+       |store AS (SELECT * FROM bands WHERE asset_id % 10 <> 7),
        |probe AS (SELECT asset_id, band,
        |    CASE WHEN p.range = 0 THEN key
        |         ELSE xor(key, (CAST(1 AS BIGINT) << (p.range - 1))) END AS key
-       |  FROM bbands CROSS JOIN range(33) p),
+       |  FROM (SELECT * FROM bands WHERE asset_id % 10 = 7) CROSS JOIN range(33) p),
        |cand AS (SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
        |  FROM probe a JOIN store b ON a.band = b.band AND a.key = b.key),
        |hd AS (SELECT id_a, id_b, (fa.decoded AND fb.decoded) AS perceptual,
@@ -708,10 +719,8 @@ object ExtensibilityOps {
     val abs = new java.io.File(
       IndexOps.indexDir(graft.OracleEnv.sfDir) + s"/mmfp_$kind.parquet").getAbsolutePath
     s"""WITH fp AS (SELECT asset_id, h0, h1, h2, h3, decoded FROM read_parquet('$abs/*.parquet')),
-       |store AS (SELECT asset_id, r.range AS band,
-       |    ((CASE r.range // 2 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
-       |      >> (32 * (r.range % 2))) & 4294967295) AS key
-       |  FROM fp CROSS JOIN range(8) r),
+       |$mmBandsCteSql,
+       |store AS (SELECT * FROM bands),
        |probe AS (SELECT asset_id, band,
        |    CASE WHEN p.range = 0 THEN key
        |         ELSE xor(key, (CAST(1 AS BIGINT) << (p.range - 1))) END AS key

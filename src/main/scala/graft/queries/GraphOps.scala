@@ -110,13 +110,18 @@ object GraphOps {
     * action at all.
     */
   private[graft] def guardBaskets(s: SparkSession, e: DataFrame,
-                                  memoKey: Option[String]): DataFrame = {
+                                  memoKey: Option[(String, Seq[String])]): DataFrame = {
     if (basketCap(s) > 0) capBaskets(s, e)
     else {
       val bound = maxPairFanout(s)
       val (users, maxB, sumSq) = memoKey match {
-        case Some(k) =>
-          val stamped = (k, graft.queries.IndexOps.dataStamp(k, Seq("events")))
+        // the memo key carries (dir, source tables) — the CALLER names
+        // the tables its frame derives from, so the data fingerprint
+        // tracks the frame actually measured (a guard-internal table
+        // list would go stale the moment a different caller memoized a
+        // frame built from other sources)
+        case Some((k, tables)) =>
+          val stamped = (k, graft.queries.IndexOps.dataStamp(k, tables))
           if (basketStatsCache.size > 64) basketStatsCache.clear()
           basketStatsCache.getOrElseUpdate(stamped, basketStats(e))
         case None    => basketStats(e)
@@ -143,7 +148,7 @@ object GraphOps {
     guardBaskets(s, loadEvents(s, dir)
       .filter($"event_type".isin("click", "purchase"))
       .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
-      .distinct(), Some(dir))
+      .distinct(), Some((dir, Seq("events"))))
   }
 
   /** The cap itself, factored over any (user_id, item) frame so the

@@ -1073,14 +1073,17 @@ object VecOps {
       // currency, so the plan must not flip with scheduler timing.
       // Stats are free: memE has exactly n rows (each vec_id appears
       // once across members) and the byte bound reuses the emb element
-      // sum from the width-dial action (broadcastStats' model: 16 B
-      // row overhead + 3×8 B fixed + 16 B array header + 8 B/element).
-      // Past the dials the hint drops and AQE plans the shuffle join a
+      // sum from the width-dial action (broadcastStats' model over the
+      // PROJECTED columns — vec_id/rep_id/norm/emb: 16 B row overhead
+      // + 3×8 B fixed + 16 B array header + 8 B/element; label is
+      // dropped BEFORE the join so the broadcast never ships a column
+      // no consumer reads and the literal matches the payload). Past
+      // the dials the hint drops and AQE plans the shuffle join a
       // lake-scale corpus needs — candidate generation is identical
       // either way.
       val memE = guardedBroadcast(s,
         groups.select($"rep_id", explode($"members").as("vec_id"))
-          .join(e, "vec_id"))((n, 56L * n + 8L * embElems))
+          .join(e.select($"vec_id", $"emb", $"norm"), "vec_id"))((n, 56L * n + 8L * embElems))
       val w = Window.partitionBy($"a_id").orderBy($"score".desc, $"b_id")
       candRep
         .join(memE.select($"rep_id".as("ra"), $"vec_id".as("a_id"),
