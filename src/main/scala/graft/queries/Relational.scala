@@ -1264,19 +1264,30 @@ object Relational {
       // Q16 reads partsupp, absent from the fixture; DISTINCT
       // (l_partkey, l_suppkey) from lineitem is the same part↔supplier
       // relation): supplier variety per (brand, size) for the
-      // qualifying part classes, EXCLUDING flagged suppliers. The three
-      // Q16 plan idioms all exercise: (1) the fact collapses to the
-      // distinct part-supplier pairs FIRST (two-phase hash distinct —
-      // the exchange carries the relation, never raw lines); (2) the
-      // NOT-IN subquery lowers to a broadcast LEFT ANTI join
-      // (s_suppkey is non-null by schema, so NOT IN ≡ anti join — with
-      // nullable keys NOT IN needs null-aware anti semantics, which is
-      // why the declared form keeps the key non-null); (3) the
-      // negated/IN-list part predicates filter the DIMENSION before its
-      // broadcast, so the join build side is pre-pruned. Final
-      // count(DISTINCT) is the standard two-shuffle distinct aggregate.
-      val ps = load(s, dir, "lineitem")
-        .select($"l_partkey", $"l_suppkey").distinct()
+      // qualifying part classes, EXCLUDING flagged suppliers. The
+      // Q16 plan idioms exercised: (1) the NOT-IN subquery lowers to a
+      // broadcast LEFT ANTI join (s_suppkey is non-null by schema, so
+      // NOT IN ≡ anti join — with nullable keys NOT IN needs
+      // null-aware anti semantics, which is why the declared form
+      // keeps the key non-null); (2) the negated/IN-list part
+      // predicates filter the DIMENSION before its broadcast, so the
+      // join build side is pre-pruned; (3) the two-phase hash distinct
+      // collapses the triple grain map-side before its one exchange.
+      // Exchange-order rewrite (optimization round, guide §2.3 —
+      // filter and project BEFORE the shuffle): the declared answer
+      // only needs DISTINCT (p_brand, p_size, l_suppkey) triples —
+      // supplier_cnt groups by (brand, size) and counts distinct
+      // suppliers, and brand/size are functions of l_partkey — so the
+      // part dimension (pre-pruned, broadcast) and the bad-supplier
+      // anti join both apply MAP-SIDE on the raw fact, the partkey is
+      // dropped, and the one exchange carries the partially-collapsed
+      // triple distinct (bounded by brands × sizes × suppliers per map
+      // task) instead of the full part↔supplier pair relation. The
+      // previous shape (pair distinct first, dimension join after)
+      // shuffled ~5× the records to build a relation the query never
+      // returns. count(*) over the distinct triples ≡ the former
+      // count(DISTINCT l_suppkey): same set, one fewer aggregate
+      // expansion.
       val bad = load(s, dir, "supplier")
         .filter($"s_acctbal" < 0).select($"s_suppkey")
       val pt = load(s, dir, "part")
@@ -1284,10 +1295,13 @@ object Relational {
           !$"p_type".startsWith("STANDARD") &&
           $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
         .select($"p_partkey", $"p_brand", $"p_size")
-      ps.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      load(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey")
+        .join(broadcast(pt), $"l_partkey" === $"p_partkey")
         .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .select($"p_brand", $"p_size", $"l_suppkey").distinct()
         .groupBy($"p_brand", $"p_size")
-        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .agg(count(lit(1)).as("supplier_cnt"))
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
     },
 
@@ -1525,10 +1539,25 @@ object Relational {
       val offs = bucketed.groupBy($"l_returnflag", $"bkt").agg(sum($"w").as("bw"))
         .withColumn("off", coalesce(sum($"bw").over(wOff), lit(0L)))
         .withColumn("tw", sum($"bw").over(wTot))
+      // CROSSING-BUCKET PRUNE: only the one bucket per flag whose
+      // cumulative-weight range straddles tw/2 can hold the crossing
+      // row. Buckets below it top out under half the total (their rows
+      // never satisfy 2·cw ≥ tw); buckets above hold strictly larger
+      // prices than every qualifying crossing-bucket row (bkt is
+      // monotone in price: p2 ≤ p1 ⇒ bkt2 ≤ bkt1), so they qualify but
+      // can never move min(price), and tw is flag-constant so min(tw)
+      // is unchanged. Strictness matters: when 2·off == tw the
+      // crossing row is the LAST row of an earlier bucket, and THAT
+      // bucket satisfies 2·(off+bw) ≥ tw ∧ 2·off < tw — exactly one
+      // bucket per flag passes (an empty bucket, bw = 0, cannot).
+      // Filtering the broadcast side to it drops ~15/16 of the ranked
+      // frame map-side, BEFORE the in-bucket window's exchange.
+      val crossing = offs
+        .filter($"off" * 2 < $"tw" && ($"off" + $"bw") * 2 >= $"tw")
         .select($"l_returnflag", $"bkt", $"off", $"tw")
       val wIn = Window.partitionBy($"l_returnflag", $"bkt").orderBy($"l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bucketed.join(broadcast(offs), Seq("l_returnflag", "bkt"))
+      bucketed.join(broadcast(crossing), Seq("l_returnflag", "bkt"))
         .withColumn("cw", sum($"w").over(wIn) + $"off")
         .filter($"cw" * 2 >= $"tw")
         .groupBy($"l_returnflag")

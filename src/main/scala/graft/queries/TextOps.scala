@@ -281,18 +281,32 @@ object TextOps {
         xxhash64(array_join(slice($"toks", $"start" + 1, lit(8)), " ")).as("ghash"))
   }
 
-  /** text_dedup_cross_source's one corpus-sized pass: DISTINCT
-    * (source, ghash) word-5-gram stream, self-joined on the gram key
-    * with `<=` so the diagonal rows carry each source's gram total
-    * (see the entry's scale note). HASH-KEYED (r16 ask #1): ghash =
-    * xxhash64 of the 5-gram text, computed INSIDE the transform lambda
-    * so the explode/distinct/join pipeline only ever carries 8-byte
-    * longs, never ~40-byte gram strings — no output of this entry
-    * needs gram text (pair counts and ppm only), so unlike the
-    * boilerplate fix there is no recovery pass. Same ~2⁻⁶⁴ per-pair
-    * collision trade the repo already accepted for text_dedup_spans
-    * and text_boilerplate_*. Factored out so PlanAuditSpec can pin the
-    * distinct-below-join shape — the entry localCheckpoints this
+  /** text_dedup_cross_source's one corpus-sized pass: per-gram SOURCE
+    * SETS, pair-expanded. HASH-KEYED (r16 ask #1): ghash = xxhash64 of
+    * the 5-gram text, computed INSIDE the transform lambda so the
+    * pipeline only ever carries 8-byte longs, never ~40-byte gram
+    * strings — no output of this entry needs gram text (pair counts
+    * and ppm only). Same ~2⁻⁶⁴ per-pair collision trade the repo
+    * already accepted for text_dedup_spans and text_boilerplate_*.
+    *
+    * SINGLE-EXCHANGE shape (optimization round, guide §2.4): the
+    * previous form DISTINCTed (source, ghash) and self-joined on the
+    * gram key — three corpus-sized gram-keyed exchanges (the distinct,
+    * then both sides of the join re-shuffled from the checkpoint).
+    * But the pair matrix per gram is a pure function of the gram's
+    * SOURCE SET, so one groupBy(ghash) with collect_set(source)
+    * replaces all three: the set dedups exactly what the distinct
+    * did, sort_array makes the i ≤ j expansion emit each unordered
+    * pair once with src_a ≤ src_b (the diagonal i = j carries each
+    * source's gram total, as the `<=` self-join's diagonal did), and
+    * per-key state is bounded by n_sources — the same sources² bound
+    * the old join relied on. collect_set is an ObjectHashAggregate
+    * (not codegen); the trade is documented in OPTIMIZATION_r17.md —
+    * its partial aggregation still collapses map-side to one row per
+    * (task, gram), and it removes two of the three corpus-sized
+    * exchanges (measured at sf0.1: 502k → ~170k records on the
+    * entry). Factored out so PlanAuditSpec can pin the
+    * aggregate-below-expand shape — the entry localCheckpoints this
     * frame, which truncates it out of the final plan's explain.
     */
   private[graft] def crossSourceAgg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -303,10 +317,12 @@ object TextOps {
             transform(sequence(lit(1), size($"toks") - 4),
               i => xxhash64(concat_ws(" ", slice($"toks", i, lit(5))))))
           .otherwise(array().cast("array<bigint>"))).as("ghash"))
-      .distinct()
-    g.as("a").join(g.as("b"),
-        col("a.ghash") === col("b.ghash") && col("a.source") <= col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    g.groupBy($"ghash")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .select(explode(flatten(transform($"ss", (x, i) =>
+        transform(slice($"ss", i + lit(1), size($"ss") - i),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
   }
 
@@ -831,28 +847,30 @@ object TextOps {
       // up-weight their content); the per-pair metric is word-5-gram
       // CONTAINMENT of the smaller source, in exact integer ppm.
       //
-      // Scale shape: the gram stream is projected to DISTINCT
-      // (source, ghash) FIRST, so each gram key appears at most
-      // n_sources times and the self-join's per-key fanout is bounded
-      // by sources² — never doc² (the same cap the banded dedup joins
-      // rely on). HASH-KEYED (r16): the shuffled key is xxhash64 of
+      // Scale shape: ONE gram-keyed exchange — groupBy(ghash) with
+      // collect_set(source) builds each gram's source set (per-key
+      // state bounded by n_sources, map-side partial combine), and
+      // the sorted-set i ≤ j expansion emits each source pair once,
+      // so per-gram fanout is bounded by sources² — never doc² (the
+      // same cap the banded dedup joins rely on; see crossSourceAgg
+      // for the three-exchange distinct+self-join shape this
+      // replaced). HASH-KEYED (r16): the shuffled key is xxhash64 of
       // the 5-gram, an 8-byte long instead of a ~40-byte string — no
-      // output needs gram text, so the corpus-sized distinct+join
-      // shuffle carries longs end to end (collision odds ~2⁻⁶⁴ per
-      // gram pair, the suffix-hash-dedup standard). One gram-keyed
-      // shuffle for the join, a sources²-sized aggregate after it,
-      // and the per-source totals broadcast back. At 100 TB:
-      // identical plan; the only growing stage is the distinct over
-      // the hashed gram stream, a two-phase hash-agg with map-side
-      // combine. Top-20 pairs via TakeOrderedAndProject.
+      // output needs gram text (collision odds ~2⁻⁶⁴ per gram pair,
+      // the suffix-hash-dedup standard). A sources²-sized aggregate
+      // after the expansion, and the per-source totals broadcast
+      // back. At 100 TB: identical plan; the only growing stage is
+      // the per-gram set aggregate over the hashed gram stream.
+      // Top-20 pairs via TakeOrderedAndProject.
       //
       // SINGLE-PASS totals (r13 drift fix): the per-source gram totals
       // used to be a separate groupBy branch, which recomputed the
       // tokenize+explode+distinct pipeline once per broadcast side —
-      // the dominant (and only corpus-sized) stage ran 3×. The
-      // self-join now uses `<=` so the DIAGONAL carries the totals:
-      // (source, gram) is distinct, hence a row matches itself exactly
-      // once and count(src, src) = n_grams(src). One sources²-sized
+      // the dominant (and only corpus-sized) stage ran 3×. The pair
+      // expansion is i ≤ j over each gram's sorted source set, so the
+      // DIAGONAL carries the totals: every gram contributes (s, s)
+      // exactly once per member source, hence count(src, src) =
+      // n_grams(src). One sources²-sized
       // aggregate, localCheckpointed (≤ sources² rows — bounded at any
       // corpus size), feeds both the pair counts and the totals: the
       // gram pipeline runs ONCE. (Measured alternative: WITHOUT the

@@ -337,26 +337,37 @@ class PlanAuditSpec extends SparkSpecBase {
       "FK checks should be broadcast anti-joins at gate SF")
   }
 
-  test("text_dedup_cross_source dedups (source, gram) before the self-join; top-20 lowers to TakeOrdered") {
+  test("text_dedup_cross_source aggregates per-gram source sets on ONE exchange; top-20 lowers to TakeOrdered") {
     val p = formatted("text_dedup_cross_source")
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must not materialize a global sort")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      "gram self-join must stay equi-keyed")
+      "pair expansion must stay join-free / equi-keyed")
     // the entry consumes the ONE materialized pass (r14: the corpus-
     // sized aggregate is localCheckpointed so the gram pipeline runs
     // once, not once per totals branch) — the final plan reads the
     // checkpoint, never a re-tokenized scan
     assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
       "final plan must read the single materialized aggregate:\n" + p)
-    // the materialized pass itself: distinct runs BELOW the join on
-    // both sides (bounded per-key fanout) — two-phase hash aggregates
-    // feed the join inputs, and the join stays equi-keyed
+    // the materialized pass itself (optimization round rewrite): NO
+    // join at all — the per-gram source-set aggregate owns the ONE
+    // corpus-sized gram-keyed exchange (the old distinct+self-join
+    // shape paid three), and the sorted-set pair expansion feeds the
+    // sources²-sized count
     val agg = graft.queries.TextOps.crossSourceAgg(spark, sf("sf0.001"))
     val ap = agg.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
-    assert(ap.linesIterator.count(_.contains("HashAggregate")) >= 4, ap)
+    assert(!ap.contains("Join"), "gram pass must be join-free:\n" + ap)
+    // count exchanges in the query's OWN operator tree — the memoized
+    // docTokens InMemoryRelation prints its cached plan (with its own
+    // repartition exchange) below the InMemoryTableScan line, and the
+    // per-operator detail sections repeat each node name
+    val ownTree = ap.linesIterator
+      .takeWhile(l => !l.contains("InMemoryRelation")).toSeq
+    assert(ownTree.count(_.matches(".*[+:]- Exchange .*")) == 2,
+      "exactly two exchanges: the gram-keyed set aggregate and the " +
+        "sources²-sized pair count:\n" + ap)
+    assert(ownTree.count(_.contains("HashAggregate")) >= 4, ap)
   }
 
   test("ts_downsample_lttb is join-free and every window is keyed by the series") {
