@@ -443,7 +443,12 @@ object IndexOps {
       "setup_embed_model" -> ((s, d) => { EmbedOps.ensureEmbedModel(s, d); () }),
       // cosine-dedup cluster labels (EmbedOps) — quadratic pair build
       // owned here as a named cold cost, entries serve the artifact
-      "setup_embed_dedup" -> ((s, d) => { EmbedOps.ensureEmbDedup(s, d); () }))
+      "setup_embed_dedup" -> ((s, d) => { EmbedOps.ensureEmbDedup(s, d); () }),
+      // bucketed fact projections (FactLayout) — the lake-layout write
+      // that removes the q21/q2/weighted-median fact exchanges; named
+      // here so a cold lake pays the bucketed shuffle+write as its own
+      // line, never inside a consumer's timing
+      "setup_fact_layout" -> ((s, d) => { FactLayout.ensure(s, d); () }))
 
   private[graft] def warmPersistedIndexes(s: SparkSession, dir: String): Unit =
     warmSteps.foreach { case (_, f) => f(s, dir) }

@@ -697,7 +697,10 @@ object Relational {
       // into orders and then customer — neither dimension table is
       // shuffled at all, and lineitem is scanned exactly once (TPC-H's
       // textbook formulation re-scans it inside an IN-subquery).
-      val big = load(s, dir, "lineitem")
+      // r18: the quantity aggregate rides the l_orderkey-bucketed lake
+      // layout — its one fact exchange (~147 k partial rows at sf0.1)
+      // disappears; the broadcast decoration chain is unchanged.
+      val big = FactLayout.byOrderkey(s, dir)
         .groupBy($"l_orderkey".as("bkey"))
         .agg(round(sum($"l_quantity"), 4).as("sum_qty"))
         .filter($"sum_qty" > 300)
@@ -830,7 +833,9 @@ object Relational {
       // could disagree at the boundary.
       val pf = load(s, dir, "part")
         .filter($"p_brand" === "Brand#3").select($"p_partkey")
-      val li = load(s, dir, "lineitem")
+      // r18: the brand slice rides the l_partkey-bucketed lake layout,
+      // so the per-part stats aggregate plans without its exchange
+      val li = FactLayout.byPartkey(s, dir)
         .join(broadcast(pf), $"l_partkey" === $"p_partkey")
         .select($"l_partkey", $"l_quantity", $"l_extendedprice")
       val st = li.groupBy($"l_partkey".as("pk"))
@@ -863,15 +868,23 @@ object Relational {
       // (pairs frame is orders-sized), and the "only culprit" test
       // becomes nsupp > 1 AND nret = 1 — no self-join ever touches
       // row-level data, so a skewed mega-order can't explode a probe.
-      // ps feeds TWO branches (the per-order rollup and the final
-      // filtered join) — localCheckpoint the reduced (ok, sk, ret)
-      // grain so the fact groupBy SHUFFLES ONCE, not once per branch
-      // (the agg_weighted_median device; ReusedExchange does not unify
-      // branches on its own — measured control in SCALE.md)
-      val ps = load(s, dir, "lineitem")
+      // r18: the fact comes from the l_orderkey-BUCKETED lake layout
+      // (FactLayout.byOrderkey) — HashPartitioning(l_orderkey) from the
+      // bucketed scan satisfies the groupBy's ClusteredDistribution(ok,
+      // sk), so the pair aggregate plans WITHOUT an exchange, and the
+      // rollup + the ps⋈po join inherit the partitioning (guide §2.4).
+      // The r16/r17 localCheckpoint device is deliberately GONE: it
+      // existed so the fact groupBy would SHUFFLE once, not once per
+      // branch, but a checkpoint materializes as
+      // UnknownPartitioning(0) (measured: the rollup re-exchanged
+      // ~148 k post-agg rows through it) — with the bucketed scan
+      // there is no fact shuffle to dedup, so each branch recomputes
+      // the exchange-free scan+agg instead (two scans of the 4-column
+      // bucketed projection; zero corpus-sized exchanges anywhere).
+      // Raw-scan plan: 1,038,695 shuffle records on this entry.
+      val ps = FactLayout.byOrderkey(s, dir)
         .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
         .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
-        .localCheckpoint()
       val po = ps.groupBy($"ok")
         .agg(count(lit(1)).as("nsupp"), sum($"ret").as("nret"))
       ps.filter($"ret" === 1)
@@ -1338,7 +1351,12 @@ object Relational {
       // exact integer micro-units (cents × 10⁴ DIV integral quantity),
       // so the min and the equality join-back are bit-portable; ties
       // keep every minimal supplier, as Q2's does.
-      val ps = load(s, dir, "lineitem")
+      // r18: the fact comes from the l_partkey-BUCKETED lake layout
+      // (FactLayout.byPartkey) — the bucketed scan's HashPartitioning
+      // satisfies the pair groupBy, survives the broadcast eu join and
+      // the checkpoint, and co-partitions the argmin join-back (guide
+      // §2.4); the raw-scan plan had this entry at 697,983 records.
+      val ps = FactLayout.byPartkey(s, dir)
         .filter($"l_quantity" > 0)
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min((round($"l_extendedprice" * 100).cast("long") * 10000L)
@@ -1349,14 +1367,25 @@ object Relational {
           .filter($"r_name" === "EUROPE")), $"r_regionkey" === $"n_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
       // c feeds TWO branches (the argmin rollup and the equality
-      // join-back) — localCheckpoint the reduced EU part×supplier
-      // grain so the fact groupBy shuffles once, not once per branch
-      // (the agg_weighted_median device)
+      // join-back). The r16/r17 localCheckpoint device is GONE for the
+      // same reason as q21's: a checkpoint materializes as
+      // UnknownPartitioning(0), re-introducing exchanges the bucketed
+      // scan just removed — recomputing the exchange-free scan + agg +
+      // broadcast-eu join per branch keeps BOTH branches shuffle-free
+      // and co-partitioned on l_partkey for the argmin join-back.
       val c = ps.join(broadcast(eu), $"s_suppkey" === $"l_suppkey")
         .select($"l_partkey", $"uc", $"s_name", $"s_acctbal", $"n_name")
-        .localCheckpoint()
       val m = c.groupBy($"l_partkey".as("m_part")).agg(min($"uc").as("mc"))
-      c.join(m, $"l_partkey" === $"m_part" && $"uc" === $"mc")
+      // join-back on the PART KEY ONLY, with the min-test as a RANGE
+      // residual: uc <= mc ⟺ uc = mc (mc is min(uc) over the same
+      // frame, so uc < mc is impossible). As a second equi-key the
+      // min-test would defeat bucket co-partitioning — joins require
+      // ALL cluster keys co-partitioned
+      // (spark.sql.requireAllClusterKeysForCoPartition, default true),
+      // so (l_partkey, uc) keys re-exchanged BOTH sides (measured:
+      // 138,528 recs vs 43,269); a range predicate stays residual and
+      // the single-key join rides the bucketed partitioning.
+      c.join(m, $"l_partkey" === $"m_part" && $"uc" <= $"mc")
         .join(broadcast(load(s, dir, "part").filter($"p_size" <= 10)
           .select($"p_partkey", $"p_name")), $"p_partkey" === $"l_partkey")
         .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
@@ -1434,7 +1463,11 @@ object Relational {
       // the outer query is a SEMI-shaped equality join into the
       // supplier dim under a nation filter. Integer quantities make
       // the 2·q99 > qall test exact.
-      val pq = load(s, dir, "lineitem")
+      // r18: the conditional-sum aggregate rides the l_partkey-bucketed
+      // lake layout (broadcast part filter applies map-side, the
+      // partitioning survives it) — its fact exchange (~77 k partial
+      // rows at sf0.1) disappears.
+      val pq = FactLayout.byPartkey(s, dir)
         .join(broadcast(load(s, dir, "part")
           .filter($"p_name".contains("red")).select($"p_partkey")),
           $"p_partkey" === $"l_partkey")
@@ -1522,7 +1555,12 @@ object Relational {
       // frame) — localCheckpoint so the fact groupBy SHUFFLES ONCE, not
       // once per branch (3 fact shuffles measured at sf0.1; the
       // materialized frame is the already-reduced (flag, price) grain)
-      val g = load(s, dir, "lineitem")
+      // r18: the fact comes from the l_extendedprice-BUCKETED lake
+      // layout (FactLayout.byPrice) — HashPartitioning(price) satisfies
+      // ClusteredDistribution(flag, price), so the heavy (flag, price)
+      // groupBy plans without an exchange (guide §2.4); the raw-scan
+      // plan had this entry at 632,015 records, ~600 k of them here.
+      val g = FactLayout.byPrice(s, dir)
         .groupBy($"l_returnflag", $"l_extendedprice")
         .agg(sum($"l_quantity".cast("long")).as("w"))
         .localCheckpoint()
@@ -1552,6 +1590,13 @@ object Relational {
       // bucket per flag passes (an empty bucket, bw = 0, cannot).
       // Filtering the broadcast side to it drops ~15/16 of the ranked
       // frame map-side, BEFORE the in-bucket window's exchange.
+      // PRECONDITION (ADVICE r17): weights are strictly positive
+      // (l_quantity ≥ 1 by TPC-H construction), so tw > 0 for every
+      // flag that has rows. A flag whose total weight were 0 would pass
+      // no bucket here (2·off < tw unsatisfiable at tw = 0) and drop
+      // from the output, while the declared SQL emits it (all rows
+      // satisfy 2·cw ≥ 0) — zero-weight domains need an explicit
+      // `|| tw === 0` escape before reusing this prune.
       val crossing = offs
         .filter($"off" * 2 < $"tw" && ($"off" + $"bw") * 2 >= $"tw")
         .select($"l_returnflag", $"bkt", $"off", $"tw")

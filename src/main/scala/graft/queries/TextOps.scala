@@ -310,6 +310,55 @@ object TextOps {
     * frame, which truncates it out of the final plan's explain.
     */
   private[graft] def crossSourceAgg(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // r18 (the r17 verdict's "measure bit_or, don't just note it"): the
+    // per-gram source set is a BITMASK when the corpus has ≤ 63
+    // sources — sources dictionary-encoded to bit positions in sorted
+    // order, the corpus aggregate becomes bit_or(1L << sid), a
+    // DeclarativeAggregate that keeps the whole hot path inside
+    // WholeStageCodegen (collect_set planned as ObjectHashAggregate —
+    // no codegen span over the one corpus-sized exchange), and the
+    // exchange carries an 8-byte mask partial instead of a string
+    // array. Bit i < j ⟺ source_i < source_j lexicographically (ids
+    // assigned in sorted order), so the i ≤ j expansion emits the
+    // exact pairs the sorted-set form did, diagonal included. The
+    // dictionary is one bounded memoized action over the cached
+    // docTokens frame (the broadcast-guard/probe-dial precedent);
+    // > 63 sources falls back to the r17 collect_set form — same
+    // output, set semantics instead of mask.
+    val dict = sourceDict(s, dir)
+    if (dict.isEmpty || dict.size > 63) crossSourceAggSets(s, dir)
+    else {
+      import s.implicits._
+      val n = dict.size
+      val sid = element_at(typedLit(dict.zipWithIndex.toMap), $"source")
+      val g = docTokens(s, dir)
+        .filter($"source".isNotNull)
+        .select(sid.as("sid"),
+          explode(when(size($"toks") >= 5,
+              transform(sequence(lit(1), size($"toks") - 4),
+                i => xxhash64(concat_ws(" ", slice($"toks", i, lit(5))))))
+            .otherwise(array().cast("array<bigint>"))).as("ghash"))
+      val names = typedLit(dict)
+      g.groupBy($"ghash")
+        .agg(bit_or(expr("shiftleft(1L, sid)")).as("mask"))
+        .withColumn("ss",
+          expr(s"filter(sequence(0, ${n - 1}), i -> (shiftright(mask, i) & 1) = 1)"))
+        .select(explode(flatten(transform($"ss", (x, i) =>
+          transform(slice($"ss", i + lit(1), size($"ss") - i),
+            y => struct(x.as("ia"), y.as("ib")))))).as("p"))
+        .groupBy($"p.ia".as("ia"), $"p.ib".as("ib"))
+        .agg(count(lit(1)).as("shared_grams"))
+        // ids → names AFTER the sources²-sized count (grouping by ids ≡
+        // by names: the dictionary is bijective)
+        .select(element_at(names, $"ia" + 1).as("src_a"),
+          element_at(names, $"ib" + 1).as("src_b"), $"shared_grams")
+    }
+  }
+
+  /** The r17 sorted-set form — the > 63-source fallback, and the
+    * equivalence reference CrossSourceSpec pins the mask path against.
+    */
+  private[graft] def crossSourceAggSets(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val g = docTokens(s, dir)
       .select($"source",
@@ -326,6 +375,25 @@ object TextOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Sorted distinct source names — the bounded dictionary action the
+    * mask-encoded cross-source aggregate keys bit positions on.
+    * Memoized per (session, dir): one tiny job over the cached
+    * docTokens frame, the same plan-construction-action precedent as
+    * the probe dials and broadcast guards. Nulls excluded (collect_set
+    * dropped them in the set form; gate corpora carry null sources).
+    */
+  private val srcDictCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Seq[String]]
+
+  private[graft] def sourceDict(s: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    cacheLock.synchronized { srcDictCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      docTokens(s, dir).filter($"source".isNotNull)
+        .select($"source").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    })
+  }
+
   private[graft] def evictCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     cacheLock.synchronized {
       vsCache.keys.filter(_._1 eq s).foreach { k =>
@@ -333,6 +401,7 @@ object TextOps {
         vsCache.remove(k).foreach { case (v, _) => v.unpersist() }
       }
       labelsCache.keys.filter(_._1 eq s).foreach(labelsCache.remove)
+      srcDictCache.keys.filter(_._1 eq s).foreach(srcDictCache.remove)
       tfCache.keys.filter(_._1 eq s).foreach { k =>
         tfCache.remove(k).foreach(_.unpersist())
       }

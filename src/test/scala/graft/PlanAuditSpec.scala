@@ -57,11 +57,13 @@ class PlanAuditSpec extends SparkSpecBase {
     val q17 = formatted("q17_small_quantity")
     assert(q17.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
       "q17: brand dim + stats frame should both broadcast")
-    // q18: a single lineitem scan (the textbook IN-subquery form pays two)
+    // q18: a single fact scan (the textbook IN-subquery form pays two).
+    // r18: the scan is the l_orderkey-bucketed lake projection (fact_ok)
     val q18 = formatted("q18_large_orders")
     assert(q18.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet")) == 1,
-      "q18: lineitem must be scanned exactly once")
+      l.contains("Location") &&
+        (l.contains("lineitem.parquet") || l.contains("fact_ok.parquet"))) == 1,
+      "q18: the fact must be scanned exactly once")
     // q22: the anti join's probe side is date-pruned at the scan
     val q22 = formatted("q22_dormant_balance")
     assert(q22.contains("LeftAnti"), "q22: NOT EXISTS should plan as anti join")
@@ -129,11 +131,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "q11: the 1-row total should broadcast")
     // q20: both quantity sums come from one conditional-sum aggregate
     // over one fact scan; the name pattern prunes the part dim before
-    // its broadcast
+    // its broadcast. r18: the fact scan is the l_partkey-bucketed lake
+    // projection (fact_pk), so the location matches either source.
     val q20 = formatted("q20_concentrated_suppliers")
     assert(q20.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem.parquet")) == 1,
-      "q20: lineitem must be scanned exactly once (conditional sums, not two scans)")
+      l.contains("Location") &&
+        (l.contains("lineitem.parquet") || l.contains("fact_pk.parquet"))) == 1,
+      "q20: the fact must be scanned exactly once (conditional sums, not two scans)")
     assert(q20.contains("Contains(p_name") || q20.contains("p_name"),
       s"q20: part name pattern should prune the dim scan\n$q20")
   }

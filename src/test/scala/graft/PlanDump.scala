@@ -18,6 +18,13 @@ package graft
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // explicit arity check (ADVICE r17): a bare pattern-match threw an
+    // opaque MatchError on missing args
+    if (args.length < 3) {
+      System.err.println(
+        "usage: Test/runMain graft.PlanDump <sfDir> <outDir> <suffix> [query...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, rest @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -28,6 +35,7 @@ object PlanDump {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    try {
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmSharedFrames(spark, sfDir)
     queries.TextOps.warmDedupClusters(spark, sfDir)
@@ -54,6 +62,8 @@ object PlanDump {
           println(s"[plandump] FAILED $n: $e")
       }
     }
-    spark.stop()
+    // stop in finally (ADVICE r17): a warm-up failure must not leave
+    // the session running with no per-query artifacts written
+    } finally spark.stop()
   }
 }
