@@ -129,12 +129,24 @@ object Core {
     * bound. Never a computation that re-runs an unmaterialized join.
     */
   def guardedBroadcast(spark: SparkSession, df: DataFrame)
-                      (stats: => (Long, Long)): DataFrame = {
+                      (stats: => (Long, Long)): DataFrame =
+    if (fitsBroadcast(spark)(stats)) broadcast(df) else df
+
+  /** The guard's decision itself, for call sites whose FALLBACK must be
+    * a DIFFERENT plan shape rather than the same join without the hint
+    * (e.g. text_dedup_embed_ann: under the dials the verify attaches
+    * vectors to an ids-only candidate stream by broadcast; past them a
+    * pair-keyed vector join would shuffle the n^1.5 candidate mass, so
+    * the fallback reverts to the arrays-ride-the-cell-join shape whose
+    * shuffle is linear in n). Same two dials as [[guardedBroadcast]] —
+    * one definition, so the families can't drift.
+    */
+  def fitsBroadcast(spark: SparkSession)(stats: => (Long, Long)): Boolean = {
     val maxRows = spark.conf.get("spark.graft.broadcast.maxRows", "4000000").toLong
     val maxBytes = spark.conf.get("spark.graft.guard.maxBroadcastBytes",
       (1L << 30).toString).toLong
     val (rows, bytes) = stats
-    if (rows <= maxRows && bytes <= maxBytes) broadcast(df) else df
+    rows <= maxRows && bytes <= maxBytes
   }
 
   /** (rows, estimatedBytes) of a long-array set dictionary for

@@ -157,8 +157,17 @@ object EmbedOps {
         val cents = graft.queries.VecOps.lloydTrain(vecs, k, 64, rounds = 1).localCheckpoint()
         val first = graft.queries.VecOps.assignCellIds(vecs, cents).localCheckpoint()
         val second = graft.queries.VecOps.assignSecondCellIds(vecs, cents, first)
-        first.unionByName(second)
-          .select(col("vec_id").as("doc_id"), col("c_id").as("ck"))
+        // r18: each probe row CARRIES the doc's full top-2 cell pair
+        // (c1, c2) beside the probed cell ck — the verify join can then
+        // test row-locally whether ck is the SMALLEST cell the two
+        // sides' probe sets share and score each candidate pair exactly
+        // once (the 4-way (cell, probe) collision dedup that used to
+        // need a post-scoring distinct). c1 ≠ c2 by construction
+        // (assignSecondCellIds argmins over the other K−1).
+        first.select(col("vec_id"), col("c_id").as("c1"))
+          .join(second.select(col("vec_id"), col("c_id").as("c2")), Seq("vec_id"))
+          .select(col("vec_id").as("doc_id"),
+            explode(array(col("c1"), col("c2"))).as("ck"), col("c1"), col("c2"))
           .persist()
       })
     }
@@ -497,17 +506,55 @@ object EmbedOps {
       // kmeansCells lifecycle — train once, serve every reference).
       val dv = hashDocVectors(s, dir).filter($"norm" > 0)
       val cells = annCells(s, dir)
-      val keyed = dv.join(cells, "doc_id")
-      val a = keyed.select($"ck", $"doc_id".as("a_id"), $"v".as("va"), $"norm".as("na"))
-      val b = keyed.select($"ck", $"doc_id".as("b_id"), $"v".as("vb"), $"norm".as("nb"))
-      val pairs = a.join(b, Seq("ck")).filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id",
-          round(call_function("dotp", $"va", $"vb") / ($"na" * $"nb"), 6).as("sim"))
-        .filter($"sim" >= 0.95)
-        // a pair can collide in up to 4 (cell, probe) combinations;
-        // sim is deterministic per pair, so distinct() on all three
-        // columns dedups before the label propagation
-        .distinct()
+      // r18 verify restructure (r17 verdict ask #3). Two changes:
+      //  1. CANONICAL COLLISION instead of score-then-distinct: a pair
+      //     can collide in up to 4 (cell, probe) combinations and the
+      //     old shape computed the 64-dim cosine for every collision,
+      //     deduping afterwards. Each probe row now carries its doc's
+      //     (c1, c2), so the join keeps a pair only where ck is the
+      //     SMALLEST shared probe cell (least over the row-local
+      //     intersection of {ac1,ac2} and {bc1,bc2}) — every colliding
+      //     pair survives in exactly one cell, scored once, and the
+      //     distinct disappears outright.
+      //  2. IDS-ONLY cell join under the broadcast guard: within the
+      //     dials the candidate join shuffles 4-long rows and the
+      //     vectors attach by guarded broadcast (one copy per executor,
+      //     never per pair row — the vec_knn_join_lsh device); past the
+      //     dials a pair-keyed vector join would shuffle the n^1.5
+      //     candidate mass, so the fallback keeps the r17 shape —
+      //     arrays ride the linear-in-n cell join and the verify stays
+      //     in-partition — with the same canonical-collision filter.
+      val ca = cells.select($"ck", $"doc_id".as("a_id"), $"c1".as("ac1"), $"c2".as("ac2"))
+      val cb = cells.select($"ck", $"doc_id".as("b_id"), $"c1".as("bc1"), $"c2".as("bc2"))
+      val canonical = $"ck" === least(
+        when($"ac1" === $"bc1" || $"ac1" === $"bc2", $"ac1"),
+        when($"ac2" === $"bc1" || $"ac2" === $"bc2", $"ac2"))
+      val sim = round(call_function("dotp", $"va", $"vb") / ($"na" * $"nb"), 6)
+      val va = dv.select($"doc_id".as("a_id"), $"v".as("va"), $"norm".as("na"))
+      val vb = dv.select($"doc_id".as("b_id"), $"v".as("vb"), $"norm".as("nb"))
+      // one stats action over the persisted dv frame, shared by both
+      // attach sides and the branch decision
+      lazy val dvStats = graft.Core.broadcastStats(dv)
+      val pairs =
+        if (graft.Core.fitsBroadcast(s)(dvStats)) {
+          ca.join(cb, Seq("ck"))
+            .filter($"a_id" < $"b_id" && canonical)
+            .select($"a_id", $"b_id")
+            .join(broadcast(va), "a_id")
+            .join(broadcast(vb), "b_id")
+            .select($"a_id", $"b_id", sim.as("sim"))
+            .filter($"sim" >= 0.95)
+        } else {
+          val keyed = dv.join(cells, "doc_id")
+          val a = keyed.select($"ck", $"doc_id".as("a_id"), $"c1".as("ac1"),
+            $"c2".as("ac2"), $"v".as("va"), $"norm".as("na"))
+          val b = keyed.select($"ck", $"doc_id".as("b_id"), $"c1".as("bc1"),
+            $"c2".as("bc2"), $"v".as("vb"), $"norm".as("nb"))
+          a.join(b, Seq("ck"))
+            .filter($"a_id" < $"b_id" && canonical)
+            .select($"a_id", $"b_id", sim.as("sim"))
+            .filter($"sim" >= 0.95)
+        }
       propagateMinLabels(s, dir, pairs)
         .select($"doc_id", $"cluster", ($"doc_id" === $"cluster").as("keep"))
         .orderBy($"doc_id")

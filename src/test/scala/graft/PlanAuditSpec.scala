@@ -368,10 +368,16 @@ class PlanAuditSpec extends SparkSpecBase {
     // per-operator detail sections repeat each node name
     val ownTree = ap.linesIterator
       .takeWhile(l => !l.contains("InMemoryRelation")).toSeq
-    assert(ownTree.count(_.matches(".*[+:]- Exchange .*")) == 2,
-      "exactly two exchanges: the gram-keyed set aggregate and the " +
+    // r18 mask form: gram-keyed bit_or [the one corpus-sized exchange]
+    // → mask-keyed collapse [≤ distinct-masks rows] → sources²-sized
+    // pair count — three exchanges, the last two post-collapse tiny;
+    // ≤ 63 sources guaranteed by the dictionary branch
+    assert(ownTree.count(_.matches(".*[+:]- Exchange .*")) == 3,
+      "exactly three exchanges: gram-keyed bit_or, mask collapse, " +
         "sources²-sized pair count:\n" + ap)
     assert(ownTree.count(_.contains("HashAggregate")) >= 4, ap)
+    assert(!ownTree.exists(_.contains("ObjectHashAggregate")),
+      "the corpus-sized aggregate must stay codegen (bit_or):\n" + ap)
   }
 
   test("ts_downsample_lttb is join-free and every window is keyed by the series") {

@@ -27,14 +27,26 @@ object PlanDump {
     }
     val Array(sfDir, outDir, suffix, rest @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2": session dials for a dump run
+    // (e.g. spark.graft.lake.factLayout.enabled=false to dump the
+    // raw-scan shape of a layout consumer) — same contract as
+    // ShuffleDiag's
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => System.err.println(s"[plandump] ignoring malformed conf token '$kv'")
+        }
+      }
+    val spark = builder.getOrCreate()
     try {
     spark.sparkContext.setLogLevel("WARN")
     queries.TextOps.warmSharedFrames(spark, sfDir)
