@@ -104,6 +104,21 @@ def entry_spill(rec):
     return rec[4] if len(rec) > 4 else 0
 
 
+def entry_gc_ms(rec):
+    """GC-time delta (ms) from the 7-element r18 records form."""
+    return rec[5] if len(rec) > 5 else None
+
+
+def entry_task_ms(rec):
+    """Summed executorRunTime (ms) from the 7-element r18 records form —
+    the environment-window witness: an entry whose WALL inflates while
+    its task work stays flat was stalled by the box (contended window,
+    GC storm), not by its plan. The r17 driver artifact carried an
+    11-entry window (exec 226-236) reading 3-11x quiet wall at
+    bit-identical records; these fields make the next one self-describing."""
+    return rec[6] if len(rec) > 6 else None
+
+
 def main():
     args = [x for x in sys.argv[1:] if x != "--force"]
     if len(args) != 2:
@@ -224,7 +239,21 @@ def main():
         print(f"wall moved with FLAT records ({len(noise)}) - box noise "
               "per the rejection rule, not engine drift:")
         for k, va, vb in sorted(noise, key=lambda t: -abs(t[2] - t[1]))[:10]:
-            print(f"  {k:32s} {va:7.2f}s -> {vb:7.2f}s")
+            # r18 witnesses: taskRun flat while wall moved = environment
+            # window (the entry's tasks did the same work, the box
+            # stalled them); taskRun moving with wall = real compute
+            # drift hiding at record parity (worth a look)
+            ta, tb = entry_task_ms(ra[k]), entry_task_ms(rb[k])
+            ga, gb = entry_gc_ms(ra[k]), entry_gc_ms(rb[k])
+            mark = ""
+            if ta is not None and tb is not None:
+                if abs(tb - ta) <= max(200, 0.25 * max(ta, tb, 1)):
+                    mark = f"  [taskRun flat {ta}->{tb} ms: ENV WINDOW]"
+                else:
+                    mark = f"  [taskRun {ta}->{tb} ms moved with wall]"
+            if ga is not None and gb is not None and max(ga, gb) > 200:
+                mark += f" [gc {ga}->{gb} ms]"
+            print(f"  {k:32s} {va:7.2f}s -> {vb:7.2f}s{mark}")
 
 
 if __name__ == "__main__":
