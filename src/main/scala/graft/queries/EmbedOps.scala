@@ -297,8 +297,11 @@ object EmbedOps {
     */
   private def propagateMinLabels(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val half = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    // r18: lazy checkpoints through the propagation loop — round 1's
+    // convergence sum materializes the edge frame and each round's
+    // labels in the same job that reads them (see graph_components)
     val edges = half.unionByName(half.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var prevSum = Long.MinValue
@@ -310,7 +313,7 @@ object EmbedOps {
       labels = labels.join(nbrMin, labels("id") === nbrMin("b"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nl"), labels("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val labelSum = labels.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
       converged = labelSum == prevSum
       prevSum = labelSum

@@ -207,13 +207,19 @@ object GraphOps {
       // plan identically. Top-20 via TakeOrderedAndProject. The
       // floor-division mass leak (~nn ulps of 10^12 per round) is the
       // documented price of exactness.
-      val ed  = clickEdges(s, dir).localCheckpoint()
+      // r18: the checkpoints are LAZY — pagerank has no per-round
+      // convergence probe (fixed 3 rounds), so eager checkpoints were
+      // 5 extra driver round-trips whose only purpose was forcing
+      // blocks the final action would force anyway; lineage is still
+      // cut per round (each frame plans from the previous round's
+      // LogicalRDD) and every block persists on first materialization
+      val ed  = clickEdges(s, dir).localCheckpoint(false)
       val deg = ed.groupBy($"s".as("nid")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nn  = deg.agg(count(lit(1)).as("nn"))
       var pr = deg.crossJoin(broadcast(nn))
         .select($"nid", expr("1000000000000L DIV nn").as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       for (_ <- 1 to 3) {
         val contrib = pr.join(deg, "nid")
           .join(ed, $"nid" === $"s")
@@ -222,7 +228,7 @@ object GraphOps {
         pr = contrib.crossJoin(broadcast(nn))
           .select($"d".as("nid"),
             (expr("150000000000L DIV nn") + expr("85L * contrib DIV 100")).as("r"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       pr.select(
           when($"nid" % 2 === 0, "user").otherwise("item").as("kind"),
@@ -472,8 +478,16 @@ object GraphOps {
         .select(($"user_id" * 2).as("a"),
           (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("b"))
         .distinct()
+      // r18: LAZY checkpoints through the loop — the convergence probe
+      // (a full aggregate) materializes each round's frame in the SAME
+      // job that reads it, so every round costs one driver round-trip
+      // instead of two (ScaleDiag measured this entry at 77 jobs with
+      // 2.2 s of inter-job gap on 1.5 s of job wall — the loop is
+      // driver-latency-bound, the per-job-constant class the r17
+      // verdict flagged). Lineage truncation and block persistence are
+      // unchanged; only the eager count() per checkpoint is gone.
       val edges = e0.unionByName(e0.select($"b".as("a"), $"a".as("b")))
-        .select($"a".as("src"), $"b".as("dst")).localCheckpoint()
+        .select($"a".as("src"), $"b".as("dst")).localCheckpoint(false)
       var labels = edges.select($"src".as("nid")).distinct()
         .select($"nid", $"nid".as("label"))
       var prevSum = Long.MinValue
@@ -488,7 +502,7 @@ object GraphOps {
         val ptr = stepped.select($"nid".as("pn"), $"label".as("pl"))
         labels = stepped.join(ptr, stepped("label") === ptr("pn"), "left")
           .select(stepped("nid"), coalesce($"pl", stepped("label")).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         // labels decrease monotonically, so a stable sum means no label
         // moved — the fixpoint (= per-component min, what the closure
         // oracle computes). Empty subgraph sums null → 0, converges.
@@ -542,8 +556,10 @@ object GraphOps {
         .select(($"user_id" * 2).as("s"),
           (get_json_object($"props", "$.k").cast("long") * 2 + 1).as("d"))
         .distinct()
+      // r18: lazy — the seed probe on the next line materializes it
+      // (see graph_components' loop note)
       val edges = e0.unionByName(e0.select($"d".as("s"), $"s".as("d")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s0Row = edges.agg(min($"s")).first()
       // empty interaction graph → empty result (the oracle's NOT NULL
       // guard on the seed row)
@@ -558,7 +574,7 @@ object GraphOps {
           .select(edges("d").as("nid"), (dist("dist") + 1).as("dist"))
         dist = dist.unionByName(next)
           .groupBy($"nid").agg(min($"dist").as("dist"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         // (count, sum) probe: count only grows (new frontier nodes),
         // per-node dist only shrinks — both stable ⇔ fixpoint, and the
         // early exit cannot change the ≤8-bound result the oracle pins

@@ -739,9 +739,12 @@ object TextOps {
         // equals min over its docs.
         val (verified, sets) = verifiedSets(s, dir)
         val half = verified.select($"s1".as("a"), $"s2".as("b"))
+        // r18: lazy checkpoints through the loop — each round's
+        // convergence sum materializes the frames in the same job
+        // (see graph_components' loop note)
         val edges = half.select($"a".as("src"), $"b".as("dst"))
           .unionByName(half.select($"b".as("src"), $"a".as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         var labels = edges.select($"src".as("sid")).distinct()
           .select($"sid", $"sid".as("label"))
         var prevSum = Long.MinValue
@@ -756,7 +759,7 @@ object TextOps {
           labels = labels.join(nbrMin, labels("sid") === nbrMin("dst"), "left")
             .select(labels("sid"),
               least(labels("label"), coalesce($"nl", labels("label"))).as("label"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           // coalesce: sum over an EMPTY labels frame is null (a corpus
           // with intra-set dup groups but zero cross-set verified pairs
           // has no edges at all) — getLong would NPE; 0 converges on the
